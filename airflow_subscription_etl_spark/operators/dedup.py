@@ -1,0 +1,314 @@
+"""Deduplication operators (north star; SURVEY.md §7.6).
+
+Scale design notes (the point of each implementation):
+
+- **Exact dedup** — hash-groupBy on ``md5(text)``: one shuffle keyed by
+  a 128-bit digest (uniform → no skew), map-side partial agg. At
+  100 TB this is the cheapest possible dedup: the shuffle carries
+  (digest, doc_id), never the text.
+- **MinHash + LSH** — shingles → k minhashes → b bands; candidate
+  pairs come from an equi-join on (band, band_hash), i.e. a plain
+  shuffled hash join on a uniform key instead of the O(n²) cross
+  join. All hashing uses ``xxhash64`` (JVM, codegen) with per-row
+  seeds — no Python.
+- **SimHash** — 64-bit signature via per-token hash bit-voting;
+  candidates by Hamming distance within banded prefix buckets.
+- **N-gram Jaccard** — exact set similarity for candidate pairs;
+  expressed as explode → distinct → self-join → count ratio, which is
+  shuffle-heavy and therefore reserved for *verifying* LSH candidates,
+  not the full corpus.
+- **Embedding cosine near-dup** — see :mod:`.similarity`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(col), r"\s+", " ")
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group identical texts, keep the min doc_id.
+
+    Returns (text_hash, keep_id, dup_count).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep exactly one row per distinct text (the min doc_id one)."""
+    keep = exact_dedup_groups(df, text_col).select("keep_id")
+    return df.join(keep, df["doc_id"] == keep["keep_id"], "left_semi")
+
+
+# --- shingling ---------------------------------------------------------------
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text → array<string> (distinct).
+
+    Built from ``split`` + ``transform`` + ``slice`` — all JVM
+    higher-order functions, no UDF.
+    """
+    toks = F.split(F.trim(normalized_text(col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(sh)
+
+
+# --- minhash + LSH -----------------------------------------------------------
+
+
+def _seeded_hash(i: int):
+    # closure factory — a `lambda s, i=i:` default arg would change the
+    # visible arity and make PySpark bind `i` to the element index
+    return lambda s: F.xxhash64(s, F.lit(i))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """k-permutation MinHash signature → array<bigint>.
+
+    hash_i(s) = xxhash64(s, seed=i); signature[i] = min over shingles.
+    All JVM-side (xxhash64 + aggregate), vectorized by codegen.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, _seeded_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    return df.withColumn(
+        "minhash", minhash_signature(shingles(F.col(text_col), k_shingle), num_hashes)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, scored by
+    signature-estimated Jaccard.
+
+    Plan shape (scale rationale):
+    1. signature per doc (map-only);
+    2. explode to ``bands`` rows each, hash the band slice → bucket key
+       (map-only; output is bands× ids, not texts);
+    3. self-equi-join on (band, bucket) → candidates (one shuffle on a
+       uniform 64-bit key — this is the step that replaces O(n²));
+    4. estimate Jaccard as matching-minhash fraction; filter ≥ threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, de-duplicated
+    across bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df, text_col, k_shingle, num_hashes).select(
+        F.col(id_col), "minhash"
+    )
+    banded = sig.select(
+        id_col,
+        "minhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        "minhash", b * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("minhash").alias("mh_a"),
+        "band",
+        "bucket",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("minhash").alias("mh_b"),
+        "band",
+        "bucket",
+    )
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- simhash -----------------------------------------------------------------
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of whitespace tokens.
+
+    Per token: xxhash64; each of the 64 bits votes +1/−1; the signature
+    bit is 1 where the vote sum is positive. Pure higher-order-function
+    pipeline (aggregate over a constant 64-slot array) — no UDF, no
+    shuffle.
+    """
+    toks = F.split(F.trim(normalized_text(col)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(i: int) -> Column:
+        # shiftright requires a literal bit index, so unroll the 64 bits
+        # in Python; the result is one wide codegen'd expression
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("bigint")
+    for i in range(64):
+        sig = sig + F.when(
+            vote(i) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash64(F.col(text_col)))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on 16-bit signature prefixes
+    (4 rotations — a pair within Hamming ≤ 3 shares at least one), then
+    verify the full Hamming distance within buckets.
+
+    The bucketing keeps the self-join keyed (no cross join); with
+    ``max_hamming`` > 3 it is a recall-bounded approximation, the
+    standard trade at corpus scale.
+    """
+    sig = with_simhash(df, text_col).select(id_col, "simhash")
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("prefix"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.prefix")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "prefix"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "prefix"
+    )
+    return (
+        a.join(b, on=["chunk", "prefix"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- exact n-gram Jaccard ----------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    k_shingle: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over word k-shingles for given candidate (id_a, id_b)
+    pairs — the verification stage behind MinHash/SimHash candidates.
+
+    |A∩B| / |A∪B| via array_intersect / array_union on the (distinct)
+    shingle arrays; the pair table is joined twice against the shingled
+    docs (broadcast when small).
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), k_shingle).alias("sh")
+    )
+    out = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,126 @@
+"""Text-analysis operators for LLM-data pipelines (north star; SURVEY.md §7.6).
+
+All pure-DataFrame (JVM regex/string functions — whole-stage codegen,
+no Python in the hot path), so at 100 TB they are embarrassingly
+parallel map work: no shuffle, filters push to the scan, and only the
+projected columns are read from parquet.
+
+Operators: token counting, quality scoring, language ID (stopword
+heuristic), document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker sets for the heuristic language ID.
+#: Deliberately word-boundary-matchable so the same logic is expressible
+#: in the DuckDB oracle.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, chars,
+    mean token length."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_computed"),
+        (F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+         / F.size(t)).alias("mean_token_len"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio,
+    uppercase ratio → a [0,1] composite.
+
+    The exact weighting is a policy choice; what matters at scale is
+    that every signal is a codegen'd expression over one column read.
+    """
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double")
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*LANG_MARKERS["en"]))
+    ).cast("double")
+    punct_ratio = F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n > 0, n_upper / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * (F.lit(1.0) - upper_ratio)
+        + F.lit(0.1) * stop_ratio
+    )
+    return df.select(
+        "doc_id",
+        punct_ratio.alias("punct_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        length_score.alias("length_score"),
+        quality.alias("quality_score"),
+    )
+
+
+def marker_hits(col: Column, words: list[str]) -> Column:
+    """Count of marker-word occurrences via word-boundary regex."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits;
+    'und' (undetermined) when nothing matches.
+
+    Deterministic tie-break: language key ascending — required so the
+    Spark plan and the SQL oracle agree bit-for-bit.
+    """
+    hit_cols = {
+        lang: marker_hits(F.col(text_col), words) for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    # iterate langs in sorted order; first argmax wins
+    for lang in sorted(LANG_MARKERS):
+        pred = F.when(
+            (pred == "und") & (best > 0) & (hit_cols[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    out = df.select(
+        "doc_id",
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in sorted(LANG_MARKERS)],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 over the normalized text
+    (lowercased, non-alphanumerics stripped) — robust to whitespace/
+    punctuation/casing jitter, exact elsewhere.
+
+    For a locality-sensitive (rolling-hash) fingerprint see
+    :mod:`.dedup` (simhash / minhash).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+    )

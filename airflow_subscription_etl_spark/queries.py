@@ -1,0 +1,858 @@
+"""Oracle-checked query surface — the SURVEY.md §2 contract.
+
+Every operator family from the reference (P/J/A/E; SURVEY.md §2.2–2.5)
+and every north-star extension gets a named query here: a PySpark
+callable ``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible)
+a DuckDB oracle string over the same parquet tables. The driver
+hash-compares them at sf0.01.
+
+Engine-portability rules used throughout (so value-hashes match):
+
+- **Money aggregation** uses exact scaled-integer arithmetic: every
+  money column in the testdata is an exact ≤2-decimal double (verified),
+  so ``sum(cast(round(x*100) as bigint))/100.0`` is bit-identical in
+  Spark and DuckDB, immune to FP summation order (which differs between
+  engines and between partitionings of the same engine). At true 100 TB
+  the same queries would use DECIMAL columns; the scaled-bigint form is
+  the double-typed equivalent with deterministic semantics.
+- **Timestamps** render as strings (``date_format`` / ``strftime``) so
+  engine-side epoch conventions can't leak into the hash.
+- **Ranking/limits** always carry a total order (unique key tiebreak).
+- **Sums of full-precision random doubles** (e.g. events.value) are NOT
+  oracle-hashed — no rounding makes cross-engine FP summation exact;
+  those queries hash counts/mins/maxes and keep the double sums in
+  rows-only variants.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.expressions import iso_date_str, label_expr
+from .operators import dedup, similarity, text
+from .operators.relational import top1_per_key
+from .sources.io import read_star_table
+from .streaming.events import sessionize_batch, sliding_counts, tumbling_counts
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_star_table(spark, sf_dir, name)
+
+
+def money_sum(col: F.Column, scale: int = 100, alias: str | None = None) -> F.Column:
+    """Exact sum of a ≤2-decimal double via scaled bigint (see module doc)."""
+    c = F.sum(F.round(col * scale).cast("bigint")) / F.lit(float(scale))
+    return c.alias(alias) if alias else c
+
+
+# --------------------------------------------------------------------------
+# P/E: projections, filters, scalar expressions
+
+
+def q_p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: column projection (subscription_flow.py:84–87)."""
+    return _t(spark, sf_dir, "part").select("p_name", "p_brand", "p_type")
+
+
+SQL_P1 = "SELECT p_name, p_brand, p_type FROM part"
+
+
+def q_p2_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/E3: computed label `f"{name} - ${price}"` (subscription_flow.py:88–91)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_name",
+        label_expr(F.col("p_name"), F.col("p_retailprice")).alias("plan_label"),
+    )
+
+
+SQL_P2 = (
+    "SELECT p_name, p_name || ' - $' || CAST(p_retailprice AS VARCHAR) AS plan_label "
+    "FROM part"
+)
+
+
+def q_p3_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: conjunctive equality filter (subscription_flow.py:95–98).
+
+    Both predicates push down to the parquet scan (PushedFilters).
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_custkey") % 10 == 7))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            iso_date_str(F.col("o_orderdate")).alias("o_orderdate_str"),
+        )
+    )
+
+
+SQL_P3 = (
+    "SELECT o_orderkey, o_custkey, o_totalprice, "
+    "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str "
+    "FROM orders WHERE o_orderstatus = 'O' AND o_custkey % 10 = 7"
+)
+
+
+def q_p5_p6_cast_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 casts + P6 defaulting (subscription_flow.py:59,97,214,220–221).
+
+    floor-then-cast (not bare cast) because Spark truncates double→int
+    while DuckDB rounds — floor pins both.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("int").alias("price_int"),
+        F.coalesce(
+            F.when(F.col("o_orderpriority") != "1-URGENT", F.col("o_orderpriority")),
+            F.lit("URGENT_DEFAULT"),
+        ).alias("priority_norm"),
+    )
+
+
+SQL_P5_P6 = (
+    "SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS INTEGER) AS price_int, "
+    "COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT_DEFAULT') AS priority_norm "
+    "FROM orders"
+)
+
+
+def q_e1_e2_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 arithmetic + E2 CASE WHEN (subscription_flow.py:181,222).
+
+    net_revenue is a per-row product of exact ≤2-decimal doubles —
+    deterministic IEEE, identical across engines (no summation).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "net_revenue"
+        ),
+        F.when(F.col("l_discount") > 0, F.lit("Paid"))
+        .otherwise(F.lit("Free"))
+        .alias("payment_status"),
+    )
+
+
+SQL_E1_E2 = (
+    "SELECT l_orderkey, l_linenumber, "
+    "l_extendedprice * (1.0 - l_discount) AS net_revenue, "
+    "CASE WHEN l_discount > 0 THEN 'Paid' ELSE 'Free' END AS payment_status "
+    "FROM lineitem"
+)
+
+
+def q_e5_e6_row_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 row construction + E6 to_json (subscription_flow.py:215–223,256)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.to_json(F.struct("c_custkey", "c_name", "c_mktsegment")).alias("row_json"),
+    )
+
+
+SQL_E5_E6 = (
+    "SELECT c_custkey, to_json(struct_pack(c_custkey := c_custkey, "
+    "c_name := c_name, c_mktsegment := c_mktsegment))::VARCHAR AS row_json "
+    "FROM customer"
+)
+
+
+# --------------------------------------------------------------------------
+# J: joins
+
+
+def q_j1_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast equi lookup join (subscription_flow.py:121).
+
+    customer plays the plans catalog; explicitly broadcast — zero
+    shuffle of the fact side.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner"
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+SQL_J1 = (
+    "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
+    "FROM orders JOIN customer ON o_custkey = c_custkey"
+)
+
+
+def q_j2_left_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3: left lookup + existence flag (subscription_flow.py:177–179)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            "r_name",
+            F.col("r_name").isNotNull().alias("has_region"),
+        )
+    )
+
+
+SQL_J2 = (
+    "SELECT n_nationkey, n_name, r_name, (r_name IS NOT NULL) AS has_region "
+    "FROM nation LEFT JOIN region ON n_regionkey = r_regionkey"
+)
+
+
+def q_j4_latest_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: A1 top-1-per-key composed with the broadcast lookup
+    (subscription_flow.py:118–125) — the `change`/`view` intent shape
+    on the star schema: latest order per customer + customer attrs."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    latest = top1_per_key(
+        o, "o_custkey", [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    return latest.join(F.broadcast(c), latest["o_custkey"] == c["c_custkey"]).select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        iso_date_str(F.col("o_orderdate")).alias("o_orderdate_str"),
+        "o_totalprice",
+    )
+
+
+SQL_J4 = """
+WITH latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str, o_totalprice
+FROM latest JOIN customer ON o_custkey = c_custkey
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A: aggregations
+
+
+def q_a1_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: top-1 per key with deterministic tiebreak
+    (subscription_flow.py:93–103; decisions D1/D2)."""
+    o = _t(spark, sf_dir, "orders")
+    return top1_per_key(
+        o, "o_custkey", [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        iso_date_str(F.col("o_orderdate")).alias("o_orderdate_str"),
+        "o_totalprice",
+    )
+
+
+SQL_A1 = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str, o_totalprice
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_a2_next_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: global max+1 ID allocation (subscription_flow.py:214; D4)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        (F.coalesce(F.max("o_orderkey"), F.lit(1000)) + F.lit(1)).alias("next_id")
+    )
+
+
+SQL_A2 = "SELECT COALESCE(MAX(o_orderkey), 1000) + 1 AS next_id FROM orders"
+
+
+def q_a3_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: emptiness/existence as a count (subscription_flow.py:99–100)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+SQL_A3 = "SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus"
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped headline queries (bench + correctness)
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped aggregate over lineitem.
+
+    All sums via exact scaled-bigint (module doc); averages derived
+    from those exact sums → identical doubles in both engines.
+    Map-side partial agg + one 6-group shuffle; scan reads only 7 cols.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        money_sum(F.col("l_extendedprice"), 100, "sum_base_price"),
+        money_sum(disc, 10000, "sum_disc_price"),
+        money_sum(charge, 1000000, "sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+SQL_Q1 = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+         SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0
+           AS sum_disc_price,
+         SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000) AS BIGINT)) / 1000000.0
+           AS sum_charge,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+       CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+       sum_base_price / count_order AS avg_price,
+       count_order
+FROM agg
+"""
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10.
+
+    customer is broadcast (dim-sized); orders⋈lineitem shuffles on
+    o_orderkey — the natural co-partitioning key at scale.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return (
+        joined.groupBy(
+            "o_orderkey",
+            iso_date_str(F.col("o_orderdate")).alias("o_orderdate_str"),
+            "o_orderpriority",
+        )
+        .agg(money_sum(disc, 10000, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+       o_orderpriority,
+       SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, revenue per nation.
+
+    region/nation/supplier/customer all broadcast; the only shuffles
+    are lineitem⋈orders (on orderkey) and the final 25-group agg.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(c),
+            (o["o_custkey"] == c["c_custkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(money_sum(disc, 10000, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+SQL_Q5 = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(money_sum(disc, 10000, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, c_mktsegment,
+       SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# events: windowed / sessionized / JSON
+
+
+def q_ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event_type (batch form of the
+    streaming op; streaming path adds the watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_counts(ev, "10 minutes")
+    return out.select(
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start_str"),
+        "event_type",
+        "n_events",
+    )
+
+
+SQL_EV_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS w_start_str,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min / 5 min): each event lands in 2 windows."""
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_counts(ev, "10 minutes", "5 minutes")
+    return out.select(
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start_str"),
+        "event_type",
+        "n_events",
+    )
+
+
+SQL_EV_SLIDING = """
+WITH offsets AS (SELECT unnest([0, 1]) AS k)
+SELECT strftime(
+         time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes',
+         '%Y-%m-%d %H:%M:%S') AS w_start_str,
+       event_type, COUNT(*) AS n_events
+FROM events CROSS JOIN offsets
+GROUP BY 1, 2
+"""
+
+
+def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) — gaps-and-islands."""
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_batch(ev, 30)
+    return out.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start_str"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end_str"
+        ),
+        "n_events",
+    )
+
+
+SQL_EV_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, SUM(is_break) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start_str,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end_str,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column + grouped stats."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        )
+    )
+
+
+SQL_EV_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# documents: dedup + text analysis (north star)
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5(text) → keeper + multiplicity."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+SQL_DOC_EXACT_DEDUP = (
+    "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count "
+    "FROM documents GROUP BY md5(text)"
+)
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokens, distinct, chars, mean length)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_token_stats(docs)
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens,
+       length(text) AS n_chars_computed,
+       CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+         / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation/uppercase/stopword ratios + composite."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_quality_score(docs)
+
+
+SQL_DOC_QUALITY = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              x -> lower(x) IN ('the','and','of','to','is'))) AS DOUBLE) AS stop_hits
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n > 0 THEN n_upper / n ELSE 0.0 END AS upper_ratio,
+         CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END AS stopword_ratio,
+         least(n / 500.0, 1.0) AS length_score
+  FROM b
+)
+SELECT doc_id, punct_ratio, upper_ratio, stopword_ratio, length_score,
+       0.4 * length_score + 0.3 * (1.0 - punct_ratio)
+         + 0.2 * (1.0 - upper_ratio) + 0.1 * stopword_ratio AS quality_score
+FROM r
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword-marker hits."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_lang_id(docs)
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = "|".join(text.LANG_MARKERS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
+
+
+SQL_DOC_LANG_ID = rf"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_lang_hits('de')} AS hits_de,
+         {_sql_lang_hits('en')} AS hits_en,
+         {_sql_lang_hits('es')} AS hits_es,
+         {_sql_lang_hits('fr')} AS hits_fr
+  FROM documents
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM h
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs)
+
+
+SQL_DOC_FINGERPRINT = (
+    "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) "
+    "AS fingerprint FROM documents"
+)
+
+
+def q_doc_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for adjacent doc pairs (id, id+1) — the
+    verify stage of near-dup dedup, oracle-checkable because the pair
+    set is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", dedup.shingles(F.col("text"), 3).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_DOC_JACCARD_ADJ = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS sh
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS w
+    FROM documents
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (rows-only check — the
+    xxhash64 family isn't replicable in ANSI SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.4)
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=16)
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search (north star)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    return list(row["embedding"])
+
+
+def q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 against the min-vec_id query vector.
+
+    Exact baseline: map-only scoring + 20-row global top-k.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.brute_force_topk(emb, qv, k=20)
+
+
+SQL_EMB_TOPK = """
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS cosine_sim
+  FROM embeddings, q
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT 20
+"""
+
+
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: bucket membership
+    depends on xxhash64 hyperplanes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.ann_topk(emb, qv, k=20, n_planes=6)
+
+
+def q_emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.all_pairs_ann(emb, threshold=0.8, n_planes=10)
+
+
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (rows-only: FP summation order)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_per_label(emb)
+
+
+# --------------------------------------------------------------------------
+# registry
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "p1_projection": (q_p1_projection, SQL_P1),
+    "p2_label": (q_p2_label, SQL_P2),
+    "p3_filter": (q_p3_filter, SQL_P3),
+    "p5_p6_cast_default": (q_p5_p6_cast_default, SQL_P5_P6),
+    "e1_e2_case": (q_e1_e2_case, SQL_E1_E2),
+    "e5_e6_row_json": (q_e5_e6_row_json, SQL_E5_E6),
+    "j1_lookup": (q_j1_lookup, SQL_J1),
+    "j2_left_existence": (q_j2_left_existence, SQL_J2),
+    "j4_latest_enriched": (q_j4_latest_enriched, SQL_J4),
+    "a1_top1_per_key": (q_a1_top1, SQL_A1),
+    "a2_next_id": (q_a2_next_id, SQL_A2),
+    "a3_existence_counts": (q_a3_existence, SQL_A3),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
+    "q5_local_volume": (q_q5_local_volume, SQL_Q5),
+    "q10_returned_revenue": (q_q10_returned_revenue, SQL_Q10),
+    "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
+    "ev_sliding_counts": (q_ev_sliding, SQL_EV_SLIDING),
+    "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
+    "ev_json_props": (q_ev_json_props, SQL_EV_JSON),
+    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "doc_quality_score": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_jaccard_adjacent": (q_doc_jaccard_adjacent, SQL_DOC_JACCARD_ADJ),
+    "doc_minhash_pairs": (q_doc_minhash_pairs, None),
+    "doc_simhash_pairs": (q_doc_simhash_pairs, None),
+    "emb_topk_cosine": (q_emb_topk_cosine, SQL_EMB_TOPK),
+    "emb_ann_topk": (q_emb_ann_topk, None),
+    "emb_near_pairs": (q_emb_near_pairs, None),
+    "emb_centroids": (q_emb_centroids, None),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

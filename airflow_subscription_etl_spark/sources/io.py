@@ -1,0 +1,107 @@
+"""Sources & sinks (SURVEY.md §2.1, S1/S2).
+
+The reference's storage is whole-file JSON arrays (`_load_json` /
+`_save_json`, subscription_flow.py:27–34). Spark mapping:
+
+- S1 scan: ``spark.read.schema(S).option("multiLine", True).json(path)``
+  — the files are JSON *arrays*, not NDJSON, so ``multiLine`` is
+  required.
+- S2 sink: full overwrite. For catalog-sized tables we keep single-file
+  parity via ``coalesce(1)``; at scale the same interface writes
+  partitioned parquet (the caller picks the format).
+
+Parquet is the scale path: columnar, splittable, predicate-pushdown-
+and column-pruning-friendly — ``.explain`` on any filtered scan shows
+``PushedFilters`` / pruned ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import PLANS_SCHEMA, USER_SUBSCRIPTIONS_SCHEMA
+
+
+def read_json_table(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S1: JSON-array file → DataFrame (subscription_flow.py:27–29)."""
+    return spark.read.schema(schema).option("multiLine", True).json(path)
+
+
+def read_plans(spark: SparkSession, path: str) -> DataFrame:
+    return read_json_table(spark, path, PLANS_SCHEMA)
+
+
+def read_user_subscriptions(spark: SparkSession, path: str) -> DataFrame:
+    return read_json_table(spark, path, USER_SUBSCRIPTIONS_SCHEMA)
+
+
+def write_json_table(df: DataFrame, path: str) -> list[dict]:
+    """S2: full-file overwrite sink (subscription_flow.py:32–34).
+
+    The reference overwrites one JSON-array file in place. Spark's JSON
+    writer emits an NDJSON *directory*, and we must not read-and-write
+    the same path in one plan (self-overwrite reads zero rows). So:
+    collect the (catalog-sized, ≤ thousands of rows by construction)
+    table to the driver and atomically replace the file — single-writer
+    discipline, documented in SURVEY.md §7.4.1. Tables at 100 TB scale
+    use :func:`write_parquet_table` instead; this sink exists for
+    byte-parity with the reference's storage format.
+
+    Null fields are dropped per record, matching the ragged
+    ``payment_status`` column of the reference (seed rows lack the key
+    entirely; subscription_flow.py:222 adds it on new rows).
+
+    Returns the materialized rows. Callers MUST derive any post-write
+    results from this return value, not from DataFrames built over the
+    old file: Spark plans are lazy and re-read the (now mutated) source
+    on every later action — the read-overwrite-reread trap.
+    """
+    rows = [
+        {k: v for k, v in row.asDict().items() if v is not None}
+        for row in df.collect()
+    ]
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(rows, f, indent=2)
+        shutil.move(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return rows
+
+
+def write_parquet_table(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Scale-path sink: partitioned parquet, overwrite."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    reads (under ``spark.sql.legacy.parquet.nanosAsLong``) as a plain
+    nanos-since-epoch long; convert to a microsecond timestamp here,
+    truncating like DuckDB/Arrow do, so downstream semantics match the
+    oracle.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer `div` (not `/`): float division of an int64 epoch-nanos
+        # loses precision past 2^53 and can shift the microsecond value
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,158 @@
+"""Event-stream operators (north star; SURVEY.md §2.8, §7.6).
+
+The reference has no streaming surface; these are the Structured
+Streaming extensions over the ``events`` table. Every transform is
+written against a plain DataFrame, so the SAME function body serves
+batch (testdata parquet — and the DuckDB oracle) and streaming
+(``spark.readStream`` with EVENTS_SCHEMA) — the Structured Streaming
+unification. Watermarks only apply on the streaming path.
+
+State-store posture at scale: windowed aggs and
+dropDuplicatesWithinWatermark key state by (window/key) in the state
+store; watermarks bound state size. ``sessionize_batch`` is the
+batch gaps-and-islands equivalent of ``F.session_window``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type.
+
+    Batch: plain groupBy on the window struct. Streaming: add a
+    watermark so late rows beyond it are dropped and state expires.
+    """
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.window("ts", duration).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window event counts (each row lands in duration/slide
+    windows)."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows via F.session_window (streaming path).
+
+    Session state merges as events arrive; the watermark closes
+    sessions and evicts state.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization (gaps-and-islands), oracle-expressible.
+
+    session break when the gap to the previous event of the same user
+    exceeds ``gap_minutes``; session_id = cumulative count of breaks.
+    Two window functions over one shuffle on user_id; deterministic
+    order (ts, event_id).
+    """
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    # microsecond-exact gap test (a plain timestamp→long cast truncates
+    # to seconds and can misclassify borderline gaps)
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_break = events.withColumn(
+        "is_break",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us,
+            1,
+        )
+        .otherwise(0),
+    )
+    with_sess = with_break.withColumn(
+        "session_seq",
+        F.sum("is_break").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-event-id dedup with bounded state.
+
+    Streaming: dropDuplicatesWithinWatermark keeps only in-watermark
+    keys in the state store. Batch: plain dropDuplicates.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def read_events_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source streaming read of the events table (schema pinned —
+    streaming sources cannot infer)."""
+    from ..schemas import EVENTS_SCHEMA
+
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
