@@ -129,9 +129,18 @@ def minhash_lsh_pairs(
     across bands.
     """
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df, text_col, k_shingle, num_hashes).select(
-        F.col(id_col), "minhash"
-    )
+    # Materialize shingles, then signatures, at explicit plan boundaries:
+    # Catalyst's project-collapse would otherwise inline the (large)
+    # shingle+minhash expression into every band branch AND both join
+    # sides, recomputing it ~2·bands times per doc. persist() is also the
+    # right call at scale — signatures are reused by the banding stage,
+    # both join sides, and the Jaccard estimate.
+    shingled = df.select(
+        F.col(id_col), shingles(F.col(text_col), k_shingle).alias("sh")
+    ).persist()
+    sig = shingled.select(
+        F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("minhash")
+    ).persist()
     banded = sig.select(
         id_col,
         "minhash",
@@ -247,7 +256,10 @@ def simhash_near_pairs(
     ``max_hamming`` > 3 it is a recall-bounded approximation, the
     standard trade at corpus scale.
     """
-    sig = with_simhash(df, text_col).select(id_col, "simhash")
+    # persist: the 64-bit signature expression is wide (64 unrolled
+    # aggregates); without a materialization boundary it would be
+    # recomputed for all 4 chunk branches on both join sides
+    sig = with_simhash(df, text_col).select(id_col, "simhash").persist()
     chunks = sig.select(
         id_col,
         "simhash",
@@ -300,7 +312,7 @@ def ngram_jaccard_pairs(
     """
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), k_shingle).alias("sh")
-    )
+    ).persist()
     out = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

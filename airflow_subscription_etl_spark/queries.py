@@ -696,9 +696,11 @@ def q_doc_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage of near-dup dedup, oracle-checkable because the pair
     set is deterministic."""
     docs = _t(spark, sf_dir, "documents")
+    # persist: both join sides reuse the shingle arrays; without the
+    # boundary the shingle expression is inlined & recomputed per side
     sh = docs.select(
         "doc_id", dedup.shingles(F.col("text"), 3).alias("sh")
-    )
+    ).persist()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -1,0 +1,78 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan + execute + materialize counts) on
+a warm SparkSession; a tiny warmup action runs first so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from airflow_subscription_etl_spark import get_spark  # noqa: E402
+from airflow_subscription_etl_spark.queries import REGISTRY  # noqa: E402
+
+#: The headline set: the reference-lifecycle shapes + TPC-H-ish joins/aggs
+#: + one of each north-star family. Names must exist in queries.REGISTRY.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_volume",
+    "q10_returned_revenue",
+    "a1_top1_per_key",
+    "j4_latest_enriched",
+    "ev_tumbling_counts",
+    "ev_sessionize",
+    "doc_exact_dedup",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_minhash_pairs",
+    "emb_topk_cosine",
+    "emb_near_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    # warmup: JVM + codegen + parquet footer caches
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink: materializes every column of every row (a bare
+        # count() would let Catalyst prune the computed expressions)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

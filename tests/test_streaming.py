@@ -1,0 +1,104 @@
+"""Streaming + windowed-aggregation tests.
+
+One real Structured Streaming run (file source → memory sink) proves
+the streaming path; the rest exercise the shared batch/stream
+transform bodies on batch frames (the bodies are identical by
+construction).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_subscription_etl_spark.schemas import EVENTS_SCHEMA
+from airflow_subscription_etl_spark.streaming import events as EV
+
+
+def _ts(minute: float, base_hour: int = 10) -> dt.datetime:
+    whole = int(minute)
+    return dt.datetime(2024, 1, 1, base_hour, whole, int((minute - whole) * 60))
+
+
+@pytest.fixture()
+def ev(spark):
+    rows = [
+        (1, _ts(0), 1, "click", 1.0, '{"k": 1}'),
+        (2, _ts(4), 1, "click", 2.0, '{"k": 2}'),
+        (3, _ts(11), 1, "view", 3.0, '{"k": 3}'),
+        (4, _ts(50), 1, "click", 4.0, '{"k": 4}'),  # 39-min gap → new session
+        (5, _ts(2), 2, "click", 5.0, '{"k": 5}'),
+    ]
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def test_tumbling_counts_batch(ev):
+    out = {
+        (r["w_start"].minute, r["event_type"]): r["n_events"]
+        for r in EV.tumbling_counts(ev, "10 minutes").collect()
+    }
+    assert out[(0, "click")] == 3  # events at :00, :04 (u1) and :02 (u2)
+    assert out[(10, "view")] == 1
+    assert out[(50, "click")] == 1
+
+
+def test_sliding_counts_each_event_in_two_windows(ev):
+    rows = EV.sliding_counts(ev, "10 minutes", "5 minutes").collect()
+    total = sum(r["n_events"] for r in rows)
+    assert total == 2 * ev.count()
+
+
+def test_sessionize_batch_gap_splits(ev):
+    out = EV.sessionize_batch(ev, gap_minutes=30)
+    sessions = out.filter(F.col("user_id") == 1).orderBy("session_seq").collect()
+    assert len(sessions) == 2
+    assert sessions[0]["n_events"] == 3
+    assert sessions[1]["n_events"] == 1
+
+
+def test_stream_dedup_batch_path(spark, ev):
+    dup = ev.union(ev.limit(2))
+    assert EV.stream_dedup(dup).count() == ev.count()
+
+
+def test_streaming_end_to_end_tumbling(spark, ev, tmp_path):
+    """Real readStream → window agg with watermark → memory sink."""
+    src = str(tmp_path / "events_parquet")
+    ev.write.parquet(src)
+    stream = EV.read_events_stream(spark, src)
+    assert stream.isStreaming
+    agg = EV.tumbling_counts(stream, "10 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w_start"].minute, r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    assert got[(0, "click")] == 3
+    q.stop()
+
+
+def test_streaming_session_window(spark, ev, tmp_path):
+    src = str(tmp_path / "events_parquet2")
+    ev.write.parquet(src)
+    stream = EV.read_events_stream(spark, src)
+    agg = EV.session_windows_stream(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_sessions WHERE user_id = 1").collect()
+    assert len(rows) == 2  # 39-min gap splits user 1 into two sessions
+    q.stop()
