@@ -30,6 +30,16 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(col), r"\s+", " ")
 
 
+def norm_tokens(col: Column) -> Column:
+    """Whitespace tokens of the lowercased text.
+
+    ``split`` on ``\\s+`` already collapses whitespace runs, so the
+    extra ``normalized_text`` regex pass is redundant for tokenization
+    (one less full-text regex per row in every hot path).
+    """
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
 # --- exact -------------------------------------------------------------------
 
 
@@ -60,15 +70,51 @@ def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles of the normalized text → array<string> (distinct).
 
     Built from ``split`` + ``transform`` + ``slice`` — all JVM
-    higher-order functions, no UDF.
+    higher-order functions, no UDF. String shingles exist for the
+    oracle-checkable exact-Jaccard path; the MinHash path uses
+    :func:`with_shingle_hashes` (bigint shingles, ~5× cheaper).
     """
-    toks = F.split(F.trim(normalized_text(col)), r"\s+")
+    toks = norm_tokens(col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
     )
     return F.array_distinct(sh)
+
+
+def with_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    out: str = "_hs",
+) -> DataFrame:
+    """Distinct word-k-shingle *hashes* (array<bigint>) per row — the
+    cheap substrate for MinHash.
+
+    Two staged projections, and that staging is load-bearing: each
+    intermediate column is referenced multiple times downstream, which
+    stops Catalyst's CollapseProject from inlining (and thus
+    re-evaluating) the expensive expression per reference:
+
+    1. token hashes: one ``xxhash64`` per token *string* — the only
+       string hashing anywhere in the MinHash pipeline;
+    2. shingle hash: ``xxhash64`` over k consecutive 8-byte token
+       hashes (fixed-width input, far cheaper than hashing k-word
+       strings), then ``array_distinct`` on bigints.
+
+    Measured at sf0.1 (50k docs): 0.4s vs 4.7s for string shingles.
+    """
+    th = df.select(
+        "*", F.transform(norm_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th")
+    )
+    n = F.size(F.col("_th"))
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j + 1) for j in range(k)]),
+    )
+    return th.select("*", F.array_distinct(sh).alias(out)).drop("_th")
 
 
 # --- minhash + LSH -----------------------------------------------------------
@@ -84,7 +130,9 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """k-permutation MinHash signature → array<bigint>.
 
     hash_i(s) = xxhash64(s, seed=i); signature[i] = min over shingles.
-    All JVM-side (xxhash64 + aggregate), vectorized by codegen.
+    Works over string or bigint shingles; re-hashing an 8-byte bigint
+    per permutation is near-free compared to re-hashing strings, so
+    feed it :func:`with_shingle_hashes` output.
     """
     return F.array(
         *[
@@ -100,9 +148,16 @@ def with_minhash(
     k_shingle: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    return df.withColumn(
-        "minhash", minhash_signature(shingles(F.col(text_col), k_shingle), num_hashes)
-    )
+    """Attach an ``minhash`` array<bigint> column.
+
+    Staged as with_shingle_hashes → signature; the `_hs` column is
+    referenced ``num_hashes`` times by the signature expression, which
+    keeps the projection boundary (no re-evaluation per permutation).
+    """
+    hs = with_shingle_hashes(df, text_col, k_shingle)
+    return hs.select(
+        "*", minhash_signature(F.col("_hs"), num_hashes).alias("minhash")
+    ).drop("_hs")
 
 
 def minhash_lsh_pairs(
@@ -129,18 +184,15 @@ def minhash_lsh_pairs(
     across bands.
     """
     rows_per_band = num_hashes // bands
-    # Materialize shingles, then signatures, at explicit plan boundaries:
-    # Catalyst's project-collapse would otherwise inline the (large)
-    # shingle+minhash expression into every band branch AND both join
-    # sides, recomputing it ~2·bands times per doc. persist() is also the
-    # right call at scale — signatures are reused by the banding stage,
-    # both join sides, and the Jaccard estimate.
-    shingled = df.select(
-        F.col(id_col), shingles(F.col(text_col), k_shingle).alias("sh")
-    ).persist()
-    sig = shingled.select(
-        F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("minhash")
-    ).persist()
+    # persist the signatures: they feed the banding stage, BOTH sides of
+    # the self-join, and the Jaccard estimate — without a
+    # materialization boundary the whole tokenize+hash+minhash pipeline
+    # would re-run per consumer.
+    sig = (
+        with_minhash(df.select(F.col(id_col), F.col(text_col)), text_col, k_shingle, num_hashes)
+        .select(id_col, "minhash")
+        .persist()
+    )
     banded = sig.select(
         id_col,
         "minhash",
@@ -179,12 +231,6 @@ def minhash_lsh_pairs(
         "band",
         "bucket",
     )
-    pairs = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "mh_a", "mh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
     est = (
         F.size(
             F.filter(
@@ -194,26 +240,34 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
+    # estimate + threshold BEFORE the cross-band dropDuplicates: the
+    # dedup shuffle then carries (id_a, id_b, est) — 3 narrow columns —
+    # instead of two num_hashes-slot signature arrays per candidate,
+    # and sub-threshold candidates never shuffle at all. Re-scoring a
+    # pair once per shared band is 32 int compares — far cheaper than
+    # the wider shuffle it avoids.
     return (
-        pairs.withColumn("est_jaccard", est)
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
 # --- simhash -----------------------------------------------------------------
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash of whitespace tokens.
+def simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from an array of token hashes.
 
-    Per token: xxhash64; each of the 64 bits votes +1/−1; the signature
-    bit is 1 where the vote sum is positive. Pure higher-order-function
-    pipeline (aggregate over a constant 64-slot array) — no UDF, no
-    shuffle.
+    Each of the 64 bits votes +1/−1 per token hash; the signature bit
+    is 1 where the vote sum is positive. Pure higher-order-function
+    pipeline — no UDF, no shuffle. Pass a *materialized column* of
+    token hashes: the expression references it 64 times, and a plain
+    inline expression would be re-evaluated per vote.
     """
-    toks = F.split(F.trim(normalized_text(col)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def vote(i: int) -> Column:
         # shiftright requires a literal bit index, so unroll the 64 bits
@@ -233,8 +287,22 @@ def simhash64(col: Column) -> Column:
     return sig
 
 
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of whitespace tokens (single-expression form).
+
+    Correct but re-tokenizes per bit-vote if Catalyst inlines it; use
+    :func:`with_simhash` (staged) in anything per-corpus.
+    """
+    return simhash_from_hashes(F.transform(norm_tokens(col), lambda t: F.xxhash64(t)))
+
+
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("simhash", simhash64(F.col(text_col)))
+    """Attach a ``simhash`` bigint column, staged so the token-hash
+    array materializes once before the 64 bit-vote aggregates."""
+    th = df.select(
+        "*", F.transform(norm_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th")
+    )
+    return th.select("*", simhash_from_hashes(F.col("_th")).alias("simhash")).drop("_th")
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -283,13 +351,15 @@ def simhash_near_pairs(
     b = chunks.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "prefix"
     )
+    # Hamming verify BEFORE the cross-chunk dropDuplicates (same
+    # rationale as minhash_lsh_pairs: narrow, pre-filtered dedup shuffle)
     return (
         a.join(b, on=["chunk", "prefix"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -10,14 +10,17 @@ Two tiers, same API:
   against ``n_planes`` deterministic pseudo-random hyperplanes form a
   bucket key; candidates share a bucket (multi-probe via bands).
   Replaces the O(n²) all-pairs with an equi-join on bucket keys. The
-  hyperplanes derive from ``xxhash64`` per (plane, dim) — deterministic
-  across runs/executors, no state to ship.
+  hyperplanes are seeded driver-side and folded into the plan as
+  literals — deterministic across runs/executors, no state to ship.
 
 Embeddings are ``array<float>``; arithmetic is cast to double for
 stable accumulation.
 """
 
 from __future__ import annotations
+
+import random
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -68,44 +71,55 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
-def _plane_component(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1).
+@lru_cache(maxsize=None)
+def _planes(n_planes: int, dims: int, seed: int = 42) -> tuple[tuple[float, ...], ...]:
+    """Deterministic random hyperplanes, generated driver-side once.
 
-    xxhash64(plane, dim) → int64 → scale. Same value on every executor,
-    no RNG state, no broadcast variable needed.
+    Seeded by (seed, n_planes, dims) so every run, executor, and engine
+    restart sees identical planes. They ship as plan *constants*
+    (n_planes·dims doubles ≈ 12 KB at 24×64 — trivial), so there is no
+    broadcast variable and no RNG state on executors.
     """
-    h = F.xxhash64(F.lit(plane), F.lit(dim))
-    return (h.cast("double") / F.lit(float(2**63)))
+    rng = random.Random(seed * 1_000_003 + n_planes * 1_009 + dims)
+    return tuple(
+        tuple(rng.uniform(-1.0, 1.0) for _ in range(dims)) for _ in range(n_planes)
+    )
 
 
 def lsh_bucket(vec_col: Column, n_planes: int, dims: int) -> Column:
     """Random-hyperplane signature → one bigint bucket id.
 
-    bit_p = [ Σ_d vec[d] · plane_p[d] ≥ 0 ] ; bucket = Σ bit_p · 2^p.
+    bit_p = [ Σ_d vec[d] · plane_p[d] ≥ 0 ]; bucket = bits as a base-2
+    number. Written as ONE nested higher-order function over a literal
+    plane matrix rather than n_planes unrolled aggregates: codegen then
+    compiles a single lambda body (3× faster end-to-end at sf0.1 — the
+    unrolled form spent more time in Janino than in execution).
     """
-    def projection(p: int):
-        # closure factory (a default-arg lambda would change the visible
-        # arity PySpark uses to bind higher-order-function parameters)
-        def merge(acc: Column, d: Column) -> Column:
-            return acc + F.element_at(vec_col, d + 1).cast("double") * (
-                F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(2**63))
-            )
-
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(dims - 1)), F.lit(0.0), merge
+    # one F.expr parse instead of n_planes·dims F.lit py4j roundtrips —
+    # constructing this literal matrix column-by-column cost ~2s of
+    # driver time per query at 24×64 ('D' suffix: parse as DOUBLE, not
+    # DECIMAL)
+    pl = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v!r}D" for v in p) + ")"
+            for p in _planes(n_planes, dims)
         )
-
-    bits = [
-        F.when(
-            projection(p) >= 0,
-            F.shiftleft(F.lit(1).cast("bigint"), p),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for p in range(n_planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        + ")"
+    )
+    bits = F.transform(
+        pl,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec_col, p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc * 2 + b)
 
 
 def with_lsh_bucket(
@@ -118,61 +132,137 @@ def with_lsh_bucket(
     return df.withColumn(out, lsh_bucket(F.col(vec_col), n_planes, dims))
 
 
+def _banded(
+    df: DataFrame, n_planes: int, bands: int, dims: int, vec_col: str, keep: list[str]
+) -> DataFrame:
+    """Explode each row into ``bands`` (band, bucket) keys from its
+    hyperplane signature — banded LSH: two vectors collide if ANY band
+    of sign-bits matches, so recall is 1−(1−p^r)^b instead of p^n for
+    single-probe (p = per-bit agreement prob, r = bits per band)."""
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    sig = with_lsh_bucket(df, n_planes, dims, vec_col, out="_sig")
+    return sig.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("_sig", b * bits).bitwiseAND(F.lit(mask)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*keep, "bb.band", "bb.bucket")
+
+
+def query_signature(query_vec: list[float], n_planes: int, dims: int) -> int:
+    """Driver-side hyperplane signature of one query vector.
+
+    Bit-identical to :func:`lsh_bucket`: same planes, same sequential
+    left-to-right double accumulation order, so the sign of each
+    projection matches the JVM result exactly.
+    """
+    sig = 0
+    for plane in _planes(n_planes, dims):
+        s = 0.0
+        for x, pv in zip(query_vec, plane):
+            s += float(x) * pv
+        sig = sig * 2 + (1 if s >= 0 else 0)
+    return sig
+
+
 def ann_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 12,
+    bands: int = 4,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only rows whose LSH bucket matches the
-    query's bucket.
+    """Approximate top-k: score only rows sharing at least one LSH band
+    bucket with the query (multi-probe via banding).
 
-    At 100 TB, `bucket` is a cheap persisted/bucketed-by column: the
-    query prunes to ~n/2^planes of the corpus before any arithmetic.
-    (Single-probe; recall grows with fewer planes or multi-probe.)
+    The query's band buckets are computed driver-side (the planes are
+    plan constants), so the probe is a plain OR-of-equalities filter on
+    the corpus signature — no explode, no join, no extra Spark job. At
+    100 TB, with the signature persisted (or used as a partition/bucket
+    column), this prunes to ~bands·n/2^(n/bands) rows before any
+    vector arithmetic.
     """
-    import math
-
-    # driver-side replication of the deterministic hyperplane signature
-    # for the query vector would need xxhash64; instead compute the
-    # query bucket with a 1-row DataFrame — same codepath as the corpus.
-    spark = df.sparkSession
-    qdf = spark.createDataFrame([(query_vec,)], f"{vec_col}: array<float>")
-    qb = with_lsh_bucket(qdf, n_planes, dims, vec_col).collect()[0]["bucket"]
-    candidates = with_lsh_bucket(df, n_planes, dims, vec_col).filter(
-        F.col("bucket") == F.lit(qb)
-    )
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    qsig = query_signature(query_vec, n_planes, dims)
+    sig = with_lsh_bucket(df, n_planes, dims, vec_col, out="_sig")
+    cond = None
+    for b in range(bands):
+        c = (
+            F.shiftright("_sig", b * bits).bitwiseAND(F.lit(mask))
+            == F.lit((qsig >> (b * bits)) & mask)
+        )
+        cond = c if cond is None else (cond | c)
+    candidates = sig.filter(cond).drop("_sig")
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
 def all_pairs_ann(
     df: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 12,
+    n_planes: int = 24,
+    bands: int = 3,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: bucket join + exact cosine
-    verify — the embedding analog of MinHash-LSH dedup.
+    """Embedding-cosine near-duplicate pairs: banded-LSH bucket join +
+    exact cosine verify — the embedding analog of MinHash-LSH dedup.
 
-    One shuffle on the bucket key; cosine runs only on intra-bucket
-    pairs.
+    One shuffle on the (band, bucket) key; cosine runs only on
+    intra-bucket pairs; the threshold filter runs BEFORE the cross-band
+    dropDuplicates so the dedup shuffle is narrow and pre-filtered.
+
+    Sizing: candidate volume on uncorrelated data is ~bands·n²/2^(n/bands),
+    so bits-per-band must grow with corpus size (8 bits → 1/256 of pairs
+    per band). At 0.9 cosine the default 3×8-bit bands give ~64% recall
+    (p_bit≈0.857, 1−(1−0.857⁸)³); raise ``bands`` for recall, raise
+    ``n_planes/bands`` for cost.
     """
-    b = with_lsh_bucket(df, n_planes, dims, vec_col).select(id_col, vec_col, "bucket")
+    # persist: the hyperplane-signature pipeline feeds both sides of the
+    # self-join. Norms are precomputed per VECTOR here (one array pass
+    # each) rather than per PAIR inside cosine() — intra-bucket pair
+    # counts are quadratic in bucket size, so per-pair work must be the
+    # bare dot product.
+    normed = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_norm")
+    )
+    b = _banded(
+        normed, n_planes, bands, dims, vec_col, keep=[id_col, vec_col, "_norm"]
+    ).persist()
     a = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("_norm").alias("n_a"),
+        "band",
+        "bucket",
     )
     c = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("_norm").alias("n_b"),
+        "band",
+        "bucket",
     )
     return (
-        a.join(c, "bucket")
+        a.join(c, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
         .dropDuplicates(["id_a", "id_b"])

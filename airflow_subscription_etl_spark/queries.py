@@ -790,23 +790,352 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT 20
 
 
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: bucket membership
+    """Banded-LSH approximate top-k (rows-only: bucket membership
     depends on xxhash64 hyperplanes)."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    return similarity.ann_topk(emb, qv, k=20, n_planes=6)
+    return similarity.ann_topk(emb, qv, k=20, n_planes=12, bands=4)
 
 
 def q_emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only)."""
+    """Embedding-cosine near-dup pairs via banded LSH (rows-only).
+
+    The testdata embeddings are isotropic-random (max pairwise cosine
+    ≈0.5 at sf0.01), so the threshold is 0.3 — high for random vectors —
+    to exercise a non-empty verify stage."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.all_pairs_ann(emb, threshold=0.8, n_planes=10)
+    return similarity.all_pairs_ann(emb, threshold=0.3, n_planes=24, bands=3)
 
 
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (rows-only: FP summation order)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.centroid_per_label(emb)
+
+
+# --------------------------------------------------------------------------
+# multimodal columns (north star): binary payload + typed metadata
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: the text bytes
+    play the opaque binary payload; kind/meta derive from doc columns.
+
+    This is the plumbing convention for multimodal data at scale:
+    ``(media_id, kind, payload binary, meta struct)`` — media bytes are
+    opaque to the engine, metadata is typed and prunable.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+            F.lit("raw").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def q_mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract via Arrow-batched mapInPandas
+    (operators.multimodal.featurize_media; codec stubbed, plumbing real).
+
+    Oracle-checkable because the fake decode is deterministic: sha256
+    and byte length of the payload, shape math from the meta struct.
+    """
+    from .operators.multimodal import featurize_media
+
+    return featurize_media(_media_df(spark, sf_dir)).select(
+        "media_id",
+        "kind",
+        "payload_sha256",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        "ok",
+    )
+
+
+SQL_MM_FEATURIZE = """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+       sha256(text) AS payload_sha256,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       (n_chars % 640 + 16)::BIGINT AS width,
+       (n_chars % 480 + 16)::BIGINT AS height,
+       CASE WHEN doc_id % 3 = 2 AND n_chars * 10 > 0
+            THEN greatest(1, (n_chars * 10) // 1000)
+            ELSE 1 END::BIGINT AS n_frames,
+       TRUE AS ok
+FROM documents
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-position sampling: JVM-side explode of a generated
+    sequence from typed metadata (operators.multimodal.sample_video_frames)."""
+    from .operators.multimodal import sample_video_frames
+
+    return sample_video_frames(_media_df(spark, sf_dir), every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")
+    )
+
+
+SQL_MM_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       unnest(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000))::BIGINT AS frame_ts_ms
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+# --------------------------------------------------------------------------
+# wider analytics surface: TPC-H-ish + rollup/pivot/window/anti-join
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: predicate-pushdown-friendly single-table agg —
+    the whole filter reaches the parquet scan; zero joins, one partial
+    agg shuffle of a single value."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                scale=10000,
+                alias="revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_Q6 = """
+SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dim broadcast join + conditional aggregate
+    (CASE inside SUM)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        money_sum(
+            F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)),
+            scale=10000,
+            alias="promo_revenue",
+        ),
+        money_sum(rev, scale=10000, alias="total_revenue"),
+    )
+
+
+SQL_Q14 = """
+SELECT SUM(CAST(ROUND(CASE WHEN p_type LIKE 'PROMO%'
+             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END * 10000) AS BIGINT))
+         / 10000.0 AS promo_revenue,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy-HAVING subquery driving a semi-join,
+    then enrichment joins. The HAVING aggregate is the only full
+    shuffle; the subsequent joins ride broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            iso_date_str(F.col("o_orderdate")).alias("o_orderdate_s"),
+            F.col("o_totalprice"),
+            F.col("total_qty"),
+        )
+    )
+
+
+SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: subtotals + grand total in one pass
+    (Spark expands grouping sets map-side; one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_extendedprice"), alias="sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_rows",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status × priority. Spark's pivot with an
+    explicit value list stays a single groupBy (no extra pass to
+    discover pivot values — required posture at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[
+                F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(f"n_{p[0]}")
+                for p in prios
+            ],
+        )
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_1,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_2,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_3,
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite per customer order history: running sum,
+    rank, and lag — one shuffle on o_custkey serves all three frames."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        iso_date_str(F.col("o_orderdate")).alias("o_orderdate_s"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(cum) / 100.0)
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS running_spend,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS order_seq,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS prev_orderkey
+FROM orders
+"""
+
+
+def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no URGENT-priority order (NOT EXISTS).
+    Spark plans a broadcast/shuffled anti join — no materialized NOT-IN
+    list; the orders-side filter pushes to the scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_distinct_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: per-brand distinct type/size counts plus a
+    plain count — Spark expands distinct aggs into one two-phase plan."""
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT p_brand, COUNT(DISTINCT p_type) AS n_types,
+       COUNT(DISTINCT p_size) AS n_sizes, COUNT(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
 
 
 # --------------------------------------------------------------------------
@@ -849,6 +1178,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_ann_topk": (q_emb_ann_topk, None),
     "emb_near_pairs": (q_emb_near_pairs, None),
     "emb_centroids": (q_emb_centroids, None),
+    "mm_featurize": (q_mm_featurize, SQL_MM_FEATURIZE),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    "q6_forecast_revenue": (q_q6_forecast_revenue, SQL_Q6),
+    "q14_promo_share": (q_q14_promo_share, SQL_Q14),
+    "q18_large_orders": (q_q18_large_orders, SQL_Q18),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
+    "pivot_order_priority": (q_pivot_order_priority, SQL_PIVOT),
+    "window_running_spend": (q_window_running_spend, SQL_WINDOW_RUNNING),
+    "anti_join_idle_customers": (q_anti_join_idle_customers, SQL_ANTI_JOIN),
+    "distinct_part_types": (q_distinct_part_types, SQL_DISTINCT_AGG),
 }
 
 

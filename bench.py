@@ -27,15 +27,19 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_volume",
+    "q6_forecast_revenue",
     "q10_returned_revenue",
+    "q18_large_orders",
     "a1_top1_per_key",
     "j4_latest_enriched",
+    "window_running_spend",
     "ev_tumbling_counts",
     "ev_sessionize",
     "doc_exact_dedup",
     "doc_token_stats",
     "doc_quality_score",
     "doc_minhash_pairs",
+    "mm_featurize",
     "emb_topk_cosine",
     "emb_near_pairs",
 ]
