@@ -813,6 +813,22 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroid_per_label(emb)
 
 
+def q_ev_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the custom stateful operator
+    (streaming.events.stateful_user_totals / applyInPandasWithState).
+    The double value-sum stays out of the oracle hash (FP summation
+    order; module doc)."""
+    from .streaming.events import stateful_user_totals
+
+    ev = _t(spark, sf_dir, "events")
+    return stateful_user_totals(ev).select("user_id", "n_events")
+
+
+SQL_EV_USER_TOTALS = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal columns (north star): binary payload + typed metadata
 
@@ -1166,6 +1182,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_sliding_counts": (q_ev_sliding, SQL_EV_SLIDING),
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
     "ev_json_props": (q_ev_json_props, SQL_EV_JSON),
+    "ev_user_totals": (q_ev_user_totals, SQL_EV_USER_TOTALS),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "doc_quality_score": (q_doc_quality, SQL_DOC_QUALITY),

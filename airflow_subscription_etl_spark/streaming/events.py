@@ -146,6 +146,49 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value sum
+    maintained across micro-batches via ``applyInPandasWithState``.
+
+    The canonical "operator Spark lacks" escape hatch (SURVEY.md §2.8):
+    arbitrary per-key state with explicit update semantics. State is one
+    (count, sum) pair per user — O(keys) in the state store, bounded and
+    skew-free; batches arrive Arrow-encoded (no per-row Python objects).
+
+    Streaming only (state needs a state store); the batch equivalent of
+    the same result is a plain groupBy — provided here as the fallback
+    so the same call works in both modes.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        )
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, s = state.get
+        else:
+            n, s = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "sum_value": s}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def read_events_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source streaming read of the events table (schema pinned —
     streaming sources cannot infer)."""

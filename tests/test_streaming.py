@@ -86,6 +86,55 @@ def test_streaming_end_to_end_tumbling(spark, ev, tmp_path):
     q.stop()
 
 
+def test_streaming_stateful_user_totals(spark, ev, tmp_path):
+    """applyInPandasWithState accumulates per-user state ACROSS
+    micro-batches (2 files × maxFilesPerTrigger=1 → 2 batches)."""
+    src = str(tmp_path / "events_state")
+    ev.repartition(2).write.parquet(src)
+    stream = EV.read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        EV.stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT max(n_events) AS n FROM t_state WHERE user_id = 1"
+    ).collect()
+    assert rows[0]["n"] == 4  # all 4 user-1 events, accumulated across batches
+    q.stop()
+    # batch fallback: same logical result from a plain groupBy
+    got = {
+        r["user_id"]: r["n_events"] for r in EV.stateful_user_totals(ev).collect()
+    }
+    assert got == {1: 4, 2: 1}
+
+
+def test_streaming_dedup_within_watermark(spark, ev, tmp_path):
+    """dropDuplicatesWithinWatermark drops the cross-batch replay of the
+    same event_ids (bounded state keyed by event_id)."""
+    src = str(tmp_path / "events_dup")
+    ev.write.parquet(src)
+    ev.limit(3).write.mode("append").parquet(src)  # replay 3 event_ids
+    stream = EV.read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        EV.stream_dedup(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM t_dedup").collect()[0]
+    assert n["c"] == 5
+    assert n["n"] == 5  # replayed ids were dropped, not re-emitted
+    q.stop()
+
+
 def test_streaming_session_window(spark, ev, tmp_path):
     src = str(tmp_path / "events_parquet2")
     ev.write.parquet(src)
