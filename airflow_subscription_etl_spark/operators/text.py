@@ -53,8 +53,12 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     c = F.col(text_col)
     n = F.length(c).cast("double")
-    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
-    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double")
+    # char-class counts via translate-delete (length delta) — literal
+    # character tables, no regex engine in the hot path
+    n_punct = (n - F.length(F.translate(c, ".,;:!?", ""))).cast("double")
+    n_upper = (
+        n - F.length(F.translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", ""))
+    ).cast("double")
     toks = tokens(c)
     n_tok = F.size(toks).cast("double")
     stop_hits = F.size(
