@@ -1154,6 +1154,137 @@ FROM part GROUP BY p_brand
 """
 
 
+def q_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: customers having BOTH open and finished orders
+    (INTERSECT), minus those with any 'P' order (EXCEPT)."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return o.intersect(f).exceptAll(p.distinct()).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+SQL_SET_OPS = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def q_scalar_subquery_pricey_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: parts priced ≥ 1.5× the global average retail
+    price. The aggregate is a 1-row broadcast, not a driver round-trip."""
+    part = _t(spark, sf_dir, "part")
+    avg_price = part.agg(
+        (F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint")) / 100.0
+         / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        part.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") >= 1.04 * F.col("avg_price"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+SQL_SCALAR_SUBQ = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice >= 1.04 * (
+  SELECT SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) / 100.0 / COUNT(*)
+  FROM part)
+"""
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing: order counts + exact money sums per calendar
+    month (date_trunc)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice"), alias="sum_price"),
+        )
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of l_quantity per return flag —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share linear
+    interpolation semantics, so the oracle is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       MIN(l_quantity) AS q_min,
+       MAX(l_quantity) AS q_max
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function suite over one scan: LIKE filter, substring,
+    upper, length, lpad, replace, split-part."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_uc"),
+        F.substring(F.col("p_name"), 1, 10).alias("name10"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("name_head"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_uc,
+       substring(p_name, 1, 10) AS name10,
+       length(p_name) AS name_len,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+       replace(p_name, ' ', '_') AS name_snake,
+       split_part(p_name, ' ', 1) AS name_head
+FROM part WHERE p_name LIKE '%widget%'
+"""
+
+
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch: approx_count_distinct per supplier (rows-only — HLL
+    implementations differ across engines by construction). The exact
+    distinct count rides along so the approximation error is visible."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1205,6 +1336,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_running_spend": (q_window_running_spend, SQL_WINDOW_RUNNING),
     "anti_join_idle_customers": (q_anti_join_idle_customers, SQL_ANTI_JOIN),
     "distinct_part_types": (q_distinct_part_types, SQL_DISTINCT_AGG),
+    "set_ops_custkeys": (q_intersect_custkeys, SQL_SET_OPS),
+    "scalar_subquery_pricey_parts": (q_scalar_subquery_pricey_parts, SQL_SCALAR_SUBQ),
+    "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
+    "quantity_percentiles": (q_quantity_percentiles, SQL_PERCENTILES),
+    "string_functions": (q_string_functions, SQL_STRING_FUNCS),
+    "approx_distinct_parts": (q_approx_distinct_parts, None),
 }
 
 
