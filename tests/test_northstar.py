@@ -89,6 +89,36 @@ def test_ann_topk_contains_self(spark):
     assert 0 in {r["vec_id"] for r in out}
 
 
+def test_query_signature_matches_jvm(spark):
+    """Driver-side query_signature must be bit-identical to the JVM
+    lsh_bucket path — the ANN probe's correctness hinges on it (a single
+    flipped sign bit silently probes the wrong buckets)."""
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(8)]) for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    jvm = {
+        r["vec_id"]: r["_sig"]
+        for r in similarity.with_lsh_bucket(df, 12, 8, "embedding", out="_sig").collect()
+    }
+    for vid, vec in rows:
+        assert similarity.query_signature(vec, 12, 8) == jvm[vid], vid
+
+
+def test_all_pairs_ann_finds_duplicate(spark):
+    rows = [(0, [1.0, 2.0, 3.0, 4.0] * 2), (1, [1.0, 2.0, 3.0, 4.0] * 2)] + [
+        (i, [float((i * 13 + j * 5) % 17 - 8) for j in range(8)]) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.all_pairs_ann(
+            df, threshold=0.95, n_planes=12, bands=3, dims=8
+        ).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+
+
 def test_centroids(spark):
     rows = [(0, [1.0, 3.0], 1), (1, [3.0, 5.0], 1), (2, [10.0, 10.0], 2)]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
