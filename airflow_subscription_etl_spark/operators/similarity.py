@@ -158,6 +158,40 @@ def _banded(
     ).select(*keep, "bb.band", "bb.bucket")
 
 
+def brute_force_topk_pandas(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """numpy-vectorized cosine top-k via Arrow-batched ``mapInPandas``.
+
+    Same contract as :func:`brute_force_topk`; the scoring runs as one
+    BLAS matvec per Arrow batch instead of per-row JVM higher-order
+    functions. Crossover: the HOF form wins at small dims (no
+    Python/Arrow transfer); this form wins as dims grow (vectorized
+    math amortizes the transfer). Measure per workload — both are
+    map-only + k-row global sort, so the PLAN scales identically.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine_sim": sims})
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} bigint, cosine_sim double"
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def query_signature(query_vec: list[float], n_planes: int, dims: int) -> int:
     """Driver-side hyperplane signature of one query vector.
 

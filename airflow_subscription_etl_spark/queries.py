@@ -789,6 +789,37 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT 20
 """
 
 
+def q_emb_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k as emb_topk_cosine via the Arrow/numpy mapInPandas
+    scorer. Cosines round to 6dp for the oracle (numpy's SIMD/pairwise
+    summation differs from sequential aggregation in final ulps)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.brute_force_topk_pandas(emb, qv, k=20).select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_r6")
+    )
+
+
+SQL_EMB_TOPK_PANDAS = """
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS cosine_sim
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(cosine_sim, 6) AS cosine_r6 FROM scored
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT 20
+"""
+
+
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH approximate top-k (rows-only: bucket membership
     depends on xxhash64 hyperplanes)."""
@@ -1323,6 +1354,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_minhash_pairs": (q_doc_minhash_pairs, None),
     "doc_simhash_pairs": (q_doc_simhash_pairs, None),
     "emb_topk_cosine": (q_emb_topk_cosine, SQL_EMB_TOPK),
+    "emb_topk_cosine_pandas": (q_emb_topk_cosine_pandas, SQL_EMB_TOPK_PANDAS),
     "emb_ann_topk": (q_emb_ann_topk, None),
     "emb_near_pairs": (q_emb_near_pairs, None),
     "emb_centroids": (q_emb_centroids, None),

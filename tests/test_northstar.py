@@ -89,6 +89,17 @@ def test_ann_topk_contains_self(spark):
     assert 0 in {r["vec_id"] for r in out}
 
 
+def test_pandas_topk_agrees_with_hof(spark):
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = [0.3] * 8
+    hof = [r["vec_id"] for r in similarity.brute_force_topk(df, q, k=10).collect()]
+    pnd = [r["vec_id"] for r in similarity.brute_force_topk_pandas(df, q, k=10).collect()]
+    assert hof == pnd
+
+
 def test_query_signature_matches_jvm(spark):
     """Driver-side query_signature must be bit-identical to the JVM
     lsh_bucket path — the ANN probe's correctness hinges on it (a single
