@@ -22,7 +22,7 @@ from __future__ import annotations
 import random
 from functools import lru_cache
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -301,6 +301,126 @@ def all_pairs_ann(
         .select("id_a", "id_b", "cosine_sim")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def ivf_assignments(
+    df: DataFrame,
+    n_lists: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: k-means-lite lists over the corpus.
+
+    Returns ``(assignments, centroids)`` where assignments adds a
+    ``list_id`` column and centroids is ``(list_id, centroid)``.
+
+    Built entirely from joins/aggregations (no driver-side iteration
+    over vectors):
+
+    - seeds: the ``n_lists`` vectors with the smallest ``xxhash64(id)``
+      — deterministic, uniform, one pass;
+    - Lloyd iteration: broadcast the (tiny) centroid table, assign each
+      vector to its nearest centroid (one map-only pass), then recompute
+      centroids with a posexplode partial-agg (one shuffle of
+      (list, dim) partial sums — never whole vectors).
+
+    At 100 TB the assignment column is written once (partitioned or
+    bucketed by ``list_id``); queries probe ``nprobe`` lists and scan
+    only those partitions — the IVF pruning that makes exact per-list
+    scoring affordable.
+    """
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_lists)
+        .withColumn(
+            "list_id", F.row_number().over(Window.orderBy(F.xxhash64(F.col(id_col)))) - 1
+        )
+        .select("list_id", F.col(vec_col).alias("centroid"))
+    )
+    centroids = seeds
+    assigned = None
+    for _ in range(max(1, lloyd_iters)):
+        # nearest centroid per vector: broadcast join + argmin over
+        # squared L2 (monotone with cosine for normalized data; exact
+        # for the standard IVF-L2 formulation)
+        dist = (
+            df.select(id_col, vec_col)
+            .crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "_d2",
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.col("centroid"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("list_id").asc())
+        assigned = (
+            dist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, vec_col, "list_id")
+        )
+        # recompute centroids: (list, dim) partial means, re-assemble
+        exploded = assigned.select("list_id", F.posexplode(F.col(vec_col)).alias("dim", "val"))
+        centroids = (
+            exploded.groupBy("list_id", "dim")
+            .agg(F.avg("val").alias("avg_val"))
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "avg_val"))).alias("pairs")
+            )
+            .select(
+                "list_id",
+                F.transform("pairs", lambda s: s["avg_val"].cast("float")).alias(
+                    "centroid"
+                ),
+            )
+        )
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the ``nprobe`` lists
+    whose centroids are nearest the query.
+
+    Index build + probe in one call here; a persistent deployment would
+    write `assignments` partitioned by list_id and reuse it per query.
+    """
+    assigned, centroids = ivf_assignments(df, n_lists, id_col=id_col, vec_col=vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        centroids.withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("centroid"), q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .orderBy(F.col("_d2").asc(), F.col("list_id").asc())
+        .limit(nprobe)
+        .select("list_id")
+    )
+    candidates = assigned.join(F.broadcast(probe), "list_id").select(id_col, vec_col)
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
 def centroid_per_label(

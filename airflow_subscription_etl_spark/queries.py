@@ -828,6 +828,14 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, qv, k=20, n_planes=12, bands=4)
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse k-means lists + nprobe probing;
+    rows-only — list membership depends on the engine's seeding)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.ivf_topk(emb, qv, k=20, n_lists=16, nprobe=4)
+
+
 def q_emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded LSH (rows-only).
 
@@ -1356,6 +1364,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_topk_cosine": (q_emb_topk_cosine, SQL_EMB_TOPK),
     "emb_topk_cosine_pandas": (q_emb_topk_cosine_pandas, SQL_EMB_TOPK_PANDAS),
     "emb_ann_topk": (q_emb_ann_topk, None),
+    "emb_ivf_topk": (q_emb_ivf_topk, None),
     "emb_near_pairs": (q_emb_near_pairs, None),
     "emb_centroids": (q_emb_centroids, None),
     "mm_featurize": (q_mm_featurize, SQL_MM_FEATURIZE),

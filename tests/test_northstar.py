@@ -116,6 +116,29 @@ def test_query_signature_matches_jvm(spark):
         assert similarity.query_signature(vec, 12, 8) == jvm[vid], vid
 
 
+def test_ivf_topk_finds_exact_match(spark):
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    query = rows[5][1]  # exact corpus member → its own list must be probed
+    out = similarity.ivf_topk(df, query, k=5, n_lists=4, nprobe=2).collect()
+    got = [r["vec_id"] for r in out]
+    assert 5 in got
+    assert abs(out[0]["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_ivf_assignments_partition_corpus(spark):
+    rows = [
+        (i, [((i * 13 + j * 5) % 17 - 8) / 8.0 for j in range(8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assigned, centroids = similarity.ivf_assignments(df, n_lists=4)
+    assert assigned.count() == 64  # every vector lands in exactly one list
+    assert assigned.select("vec_id").distinct().count() == 64
+    assert centroids.count() <= 4
+
+
 def test_all_pairs_ann_finds_duplicate(spark):
     rows = [(0, [1.0, 2.0, 3.0, 4.0] * 2), (1, [1.0, 2.0, 3.0, 4.0] * 2)] + [
         (i, [float((i * 13 + j * 5) % 17 - 8) for j in range(8)]) for i in range(2, 30)
