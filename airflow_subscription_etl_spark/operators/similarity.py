@@ -168,22 +168,31 @@ def brute_force_topk_pandas(
     """numpy-vectorized cosine top-k via Arrow-batched ``mapInPandas``.
 
     Same contract as :func:`brute_force_topk`; the scoring runs as one
-    BLAS matvec per Arrow batch instead of per-row JVM higher-order
-    functions. Crossover: the HOF form wins at small dims (no
-    Python/Arrow transfer); this form wins as dims grow (vectorized
+    vectorized row-reduction per Arrow batch instead of per-row JVM
+    higher-order functions. Crossover: the HOF form wins at small dims
+    (no Python/Arrow transfer); this form wins as dims grow (vectorized
     math amortizes the transfer). Measure per workload — both are
     map-only + k-row global sort, so the PLAN scales identically.
+
+    Determinism note: the dot product is ``(m * q).sum(axis=1)`` (a
+    fixed-length per-row pairwise reduction), NOT ``m @ q`` — BLAS gemv
+    picks blocking/SIMD paths by matrix SHAPE, so the same row rounds
+    differently depending on how many rows its Arrow batch happened to
+    contain. That made scores depend on partitioning (identical vectors
+    scored 1 ulp apart in different partitions, flipping tie order).
+    Per-row reductions depend only on the row, so every partitioning of
+    the same data yields bit-identical scores.
     """
     import numpy as np  # noqa: PLC0415 — worker-side import
     import pandas as pd  # noqa: PLC0415
 
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.linalg.norm(q))
+    qn = float(np.sqrt((q * q).sum()))
 
     def score(batches):
         for pdf in batches:
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            sims = (m * q).sum(axis=1) / (np.sqrt((m * m).sum(axis=1)) * qn)
             yield pd.DataFrame({id_col: pdf[id_col], "cosine_sim": sims})
 
     scored = df.select(id_col, vec_col).mapInPandas(
