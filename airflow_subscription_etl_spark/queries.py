@@ -1325,6 +1325,731 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H remainder — every classic shape the testdata schema can express.
+# The star schema has no partsupp / shipmode / commit-receipt dates /
+# phone, so Q2/Q12/Q16/Q20/Q21/Q22 are ADAPTED: same relational shape
+# (correlated min, EXISTS, disjunctive predicates, nested-agg semi-join,
+# single-offender windows, anti-join + scalar subquery), columns mapped
+# onto what exists. Each docstring names the adaptation.
+
+
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp — unit cost derived as
+    min(l_extendedprice/l_quantity) per part×supplier from lineitem):
+    correlated-min supplier selection with deterministic tiebreak,
+    joined back to part/supplier/nation dims.
+
+    Plan: one shuffle for the (part,supp) agg, window argmin per part,
+    then broadcast dim joins — no correlated re-scan of the fact.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        unit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(
+            F.broadcast(part.filter(F.col("p_size") <= 10)),
+            best.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), best.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+    )
+
+
+SQL_Q2 = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
+  FROM unit
+)
+SELECT p_partkey, p_name, s_name, n_name, unit_cost
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1 AND p_size <= 10
+"""
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS as a left-semi join with a
+    cross-side predicate (adapted: "late" = shipped >30 days after
+    order date; no commit/receipt dates in the schema).
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by year.
+    Fact joins stay on the fact's keys; both nation lookups broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                alias="revenue",
+            )
+        )
+    )
+
+
+SQL_Q7 = """
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+    OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of ASIA's PROMO-part market by
+    order year. Share = bigint-scaled conditional sum / total sum —
+    both operands exact, so the double ratio hashes identically.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    n_cust = n.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    n_supp = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    scaled = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")),
+                li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", scaled).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(scaled).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+              AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so profit = revenue):
+    per supplier-nation × order-year revenue on '%widget%' parts.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%widget%"))),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                alias="sum_profit",
+            )
+        )
+    )
+
+
+SQL_Q9 = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/receiptdate — "late" =
+    shipped >60 days after order; grouped by l_linestatus): the
+    CASE-conditional count pair per group.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+SQL_Q12 = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join preserving order-less customers, per-
+    customer order count, then the distribution of those counts.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left").groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue-view per supplier over one quarter, then
+    the supplier(s) achieving the global max (scalar-subquery equality —
+    both sides exact scaled sums, so the equality is hash-safe).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                alias="total_revenue",
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("max_revenue"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier-per-part-attribute variety
+    from lineitem instead of partsupp; "complaint" suppliers =
+    negative account balance, excluded via anti-join).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(
+                p.filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+                )
+            ),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average driving a row filter
+    (decorrelated to one agg + self-join — Catalyst's plan for the
+    correlated form, written explicitly). Quantities are integral
+    doubles, so sum/count averages are exact in both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#3")),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.4) * F.col("avg_qty"))
+        .agg(
+            (money_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+SQL_Q17 = """
+SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS ap_partkey,
+             SUM(l_quantity) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY 1) a ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < 0.4 * avg_qty
+"""
+
+
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd conjunctive branches over the
+    fact⋈dim join (brand × size-band × quantity-band). Catalyst pushes
+    the common join key and prunes columns; the disjunction stays as a
+    post-join filter exactly as written.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(branch).agg(
+        money_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            alias="revenue",
+        ),
+        F.count("*").alias("line_count"),
+    )
+
+
+SQL_Q19 = """
+SELECT SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue,
+       COUNT(*) AS line_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: share of shipped quantity from
+    lineitem instead of partsupp availability): suppliers who shipped
+    >15% of some 'red%' part's total volume — nested agg feeding a
+    semi-join up to the supplier dim.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    red = F.broadcast(p.filter(F.col("p_name").like("red%")).select("p_partkey"))
+    red_lines = li.join(red, li.l_partkey == F.col("p_partkey"), "left_semi")
+    per_sp = red_lines.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = red_lines.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    dominant = (
+        per_sp.join(per_part, per_sp.l_partkey == F.col("t_partkey"))
+        .filter(F.col("supp_qty") > F.lit(0.15) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+SQL_Q20 = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY 1, 2
+  ) sp JOIN (
+    SELECT l_partkey AS t_partkey, SUM(l_quantity) AS total_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY 1
+  ) tp ON sp.l_partkey = tp.t_partkey
+  WHERE supp_qty > 0.15 * total_qty
+)
+"""
+
+
+def q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "kept the order waiting" = the ONLY
+    late-shipping supplier, late = >60 days after order date, on a
+    finished multi-supplier order; no commit/receipt dates). The
+    EXISTS / NOT-EXISTS pair is expressed as per-order conditional
+    distinct counts — one aggregation instead of two correlated
+    re-scans of the fact.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = j.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_pairs = (
+        j.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    waiting = (
+        late_pairs.join(per_order, late_pairs.l_orderkey == F.col("po_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+SQL_Q21 = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey AS po_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM j GROUP BY 1
+), late_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE is_late
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late_pairs
+JOIN per_order ON l_orderkey = po_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nation instead of phone country code,
+    and "idle" = no orders since 2000-01-01 because every synthetic
+    customer has at least one lifetime order): customers above the
+    positive-balance average with no RECENT orders — scalar subquery
+    threshold + anti-join, grouped per nation. The threshold is a
+    scaled-bigint average so both engines compare the identical double.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    n = _t(spark, sf_dir, "nation")
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")) / F.lit(100.0))
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            money_sum(F.col("c_acctbal"), alias="totacctbal"),
+        )
+    )
+
+
+SQL_Q22 = """
+SELECT n_name AS nation, COUNT(*) AS numcust,
+       SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT (SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# temporal joins (operators/temporal.py)
+
+
+def q_ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most recent
+    click at-or-before it (operators/temporal.py::asof_join — the
+    union+window single-shuffle formulation). The click side is pre-
+    collapsed to one row per (user, ts) so tie identity is pinned in
+    both engines. Timestamps surface as unix micros (exact bigints).
+    """
+    from .operators.temporal import asof_join  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_event_id"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        F.col("click_event_id"),
+    )
+
+
+SQL_EV_ASOF = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us, c.click_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+  SELECT user_id, ts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+) c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_ev_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-band join (operators/temporal.py::band_join): event values
+    classified into literal [lo, hi) bands via a broadcast nested-loop
+    join — map-only at any fact scale because the band side is tiny.
+    """
+    from .operators.temporal import band_join  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "micro"), (10.0, 50.0, "small"),
+         (50.0, 200.0, "mid"), (200.0, 1000.0, "large")],
+        "band_lo double, band_hi double, band_label string",
+    )
+    return (
+        band_join(ev, bands, "value")
+        .groupBy("band_label")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EV_BAND = """
+SELECT band_label, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events
+JOIN (VALUES (0.0, 10.0, 'micro'), (10.0, 50.0, 'small'),
+             (50.0, 200.0, 'mid'), (200.0, 1000.0, 'large'))
+     AS bands(band_lo, band_hi, band_label)
+  ON value >= band_lo AND value < band_hi
+GROUP BY band_label
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -1383,6 +2108,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "quantity_percentiles": (q_quantity_percentiles, SQL_PERCENTILES),
     "string_functions": (q_string_functions, SQL_STRING_FUNCS),
     "approx_distinct_parts": (q_approx_distinct_parts, None),
+    "q2_min_cost_supplier": (q_q2_min_cost_supplier, SQL_Q2),
+    "q4_order_priority": (q_q4_order_priority, SQL_Q4),
+    "q7_volume_shipping": (q_q7_volume_shipping, SQL_Q7),
+    "q8_market_share": (q_q8_market_share, SQL_Q8),
+    "q9_product_profit": (q_q9_product_profit, SQL_Q9),
+    "q12_late_lines": (q_q12_late_lines, SQL_Q12),
+    "q13_customer_distribution": (q_q13_customer_distribution, SQL_Q13),
+    "q15_top_supplier": (q_q15_top_supplier, SQL_Q15),
+    "q16_supplier_variety": (q_q16_supplier_variety, SQL_Q16),
+    "q17_small_quantity": (q_q17_small_quantity, SQL_Q17),
+    "q19_disjunctive_revenue": (q_q19_disjunctive_revenue, SQL_Q19),
+    "q20_part_share_suppliers": (q_q20_part_share_suppliers, SQL_Q20),
+    "q21_waiting_supplier": (q_q21_waiting_supplier, SQL_Q21),
+    "q22_idle_rich_customers": (q_q22_idle_rich_customers, SQL_Q22),
+    "ev_asof_join": (q_ev_asof_join, SQL_EV_ASOF),
+    "ev_band_join": (q_ev_band_join, SQL_EV_BAND),
 }
 
 
