@@ -1,0 +1,111 @@
+"""Deterministic sampling / splitting / quota operators for training-data
+pipelines.
+
+The reference has no sampling surface (its tables are 2–3 rows), but a
+100 TB corpus pipeline lives on these three ops: reproducible train/val/
+test splits, per-domain quota caps, and stratified downsampling. All
+three are built on a CONTENT-KEYED deterministic hash rather than
+``rand()`` so that:
+
+- re-running the pipeline (or re-running one failed partition — Spark
+  task retries!) assigns every row the same bucket;
+- the assignment survives repartitioning, cluster size changes, and
+  engine swaps (the same md5 arithmetic runs in DuckDB for the oracle);
+- dedup-then-split and split-then-dedup commute for exact duplicates.
+
+Scale posture: every op here is embarrassingly parallel (a map over
+rows) except :func:`quota_per_key`, which is one shuffle on the key —
+identical to any groupBy, AQE-skew-safe, no driver participation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Number of hash buckets used for split/sample decisions. 10_000 gives
+#: basis-point resolution; md5's top 15 hex chars (60 bits) feed it.
+BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in ``[0, buckets)`` from md5 of the column.
+
+    Portable arithmetic: ``conv(substr(md5(x), 1, 15), 16, 10) % buckets``
+    — 15 hex chars = 60 bits, exact in a bigint in both Spark and DuckDB
+    (``('0x' || substr(md5(x),1,15))::BIGINT`` there). NULL input → NULL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    weights: dict[str, int] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign a reproducible train/val/test split from a hash of ``key``.
+
+    ``weights`` maps split name → per-ten-thousand share (must sum to
+    ``BUCKETS``); default 9000/500/500. Keying on document TEXT (not id)
+    makes the split stable under re-ingestion and keeps exact duplicates
+    in the same split — the property LLM data pipelines need so that
+    near-identical eval rows can't leak into train via a different id.
+    """
+    weights = weights or {"train": 9000, "val": 500, "test": 500}
+    if sum(weights.values()) != BUCKETS:
+        raise ValueError(f"weights must sum to {BUCKETS}: {weights}")
+    b = hash_bucket(key)
+    expr: Column | None = None
+    hi = 0
+    for name, w in weights.items():
+        hi += w
+        expr = F.when(b < hi, F.lit(name)) if expr is None else expr.when(
+            b < hi, F.lit(name)
+        )
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    fraction_bp: int,
+) -> DataFrame:
+    """Keep a deterministic ``fraction_bp``/10000 sample keyed on ``key``.
+
+    Unlike ``df.sample()`` (seeded per-partition rand — NOT stable under
+    repartitioning) this is a pure filter, so Catalyst pushes it down
+    and retries/resizes can't change the sample.
+    """
+    return df.filter(hash_bucket(key) < fraction_bp)
+
+
+def quota_per_key(
+    df: DataFrame,
+    key: Sequence[str] | str,
+    n: int,
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Cap the rows kept per ``key`` at ``n``, preferring ``order_by``.
+
+    The domain-quota op of corpus curation ("at most N pages per host").
+    One shuffle on ``key``; rank is computed with ``row_number`` so the
+    cut is deterministic given a total ``order_by`` (include a unique id
+    as the last sort key). For heavy-hitter keys at 100 TB this windows
+    within each key partition only — no global sort — and AQE handles
+    the skewed-host case; a pre-filter ``hash_bucket < p`` can shrink
+    monster hosts before the shuffle when n ≪ key cardinality.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

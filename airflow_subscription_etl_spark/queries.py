@@ -2050,6 +2050,178 @@ GROUP BY band_label
 
 
 # --------------------------------------------------------------------------
+# deterministic sampling / splitting / quotas (operators/sampling.py)
+# — the training-corpus curation surface. Hash arithmetic is portable
+# (md5 hex → bigint) so DuckDB verifies the EXACT row assignment, not
+# just counts.
+
+
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible content-keyed train/val/test split
+    (operators/sampling.py::hash_split, 90/5/5 on md5(text)), rolled up
+    per (split, lang). Pure map + one agg shuffle; stable under
+    repartitioning and task retries, unlike rand()-based splits.
+    """
+    from .operators.sampling import hash_split  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, F.col("text"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_DOC_HASH_SPLIT = """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% downsample keyed on doc_id
+    (operators/sampling.py::stratified_sample) — a pushdown-able FILTER,
+    not df.sample(), so the kept set is identical across reruns,
+    repartitions, and engines. Summarized per lang.
+    """
+    from .operators.sampling import stratified_sample  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, F.col("doc_id"), 1000).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+SQL_DOC_STRATIFIED_SAMPLE = """
+SELECT lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_checksum
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 10000 < 1000
+GROUP BY 1
+"""
+
+
+def q_doc_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (operators/sampling.py::quota_per_key): keep
+    at most 40 docs per source, preferring longest text, doc_id as the
+    deterministic tiebreak. One shuffle on source; no global sort.
+    """
+    from .operators.sampling import quota_per_key  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = quota_per_key(
+        docs,
+        "source",
+        40,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+SQL_DOC_DOMAIN_QUOTA = """
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars,
+       SUM(doc_id) AS id_checksum
+FROM ranked WHERE rn <= 40 GROUP BY 1
+"""
+
+
+def q_q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp — "stock value" is lineitem
+    revenue per supplier; threshold is 1.05× the MEAN supplier value so
+    selectivity is scale-invariant — TPC-H's fraction/SF trick without
+    knowing SF): per-key agg filtered against a scalar subquery. Spark
+    plan: ONE aggregate pass reused for both sides via a broadcast of
+    the 1-row global stats — no second fact scan (the grand total is
+    the sum of the per-supplier sums).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            alias="value",
+        )
+    )
+    total = per_supp.agg(
+        ((F.sum("value") / F.count("*")) * 1.05).alias("threshold")
+    )
+    return (
+        per_supp.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_suppkey", "value")
+    )
+
+
+SQL_Q11 = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           / 100.0 AS value
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey, value FROM per_supp
+WHERE value > (SELECT (SUM(value) / COUNT(*)) * 1.05 FROM per_supp)
+"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (customer nation, order priority) with grouping_id —
+    all four grouping-set combinations in one shuffle (Spark expands
+    the cube map-side, then one hash agg). Extends the rollup query to
+    the full lattice; DuckDB's GROUPING() bit order matches Spark's
+    grouping_id() (verified: first column = MSB).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    enriched = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.o_custkey == F.col("c_custkey"),
+    ).join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        enriched.cube(F.col("n_name").alias("nation"), "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            money_sum(F.col("o_totalprice"), alias="revenue"),
+        )
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT n_name AS nation, o_orderpriority,
+       GROUPING(n_name, o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -2124,6 +2296,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q22_idle_rich_customers": (q_q22_idle_rich_customers, SQL_Q22),
     "ev_asof_join": (q_ev_asof_join, SQL_EV_ASOF),
     "ev_band_join": (q_ev_band_join, SQL_EV_BAND),
+    "doc_hash_split": (q_doc_hash_split, SQL_DOC_HASH_SPLIT),
+    "doc_stratified_sample": (q_doc_stratified_sample, SQL_DOC_STRATIFIED_SAMPLE),
+    "doc_domain_quota": (q_doc_domain_quota, SQL_DOC_DOMAIN_QUOTA),
+    "q11_important_suppliers": (q_q11_important_suppliers, SQL_Q11),
+    "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
 }
 
 

@@ -1,0 +1,127 @@
+"""Unit tests: temporal joins (as-of / band) and deterministic
+sampling / split / quota operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_subscription_etl_spark.operators.sampling import (
+    hash_bucket,
+    hash_split,
+    quota_per_key,
+    stratified_sample,
+)
+from airflow_subscription_etl_spark.operators.temporal import asof_join, band_join
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2025-01-01 10:00:00"), 100.0),
+            ("A", ts("2025-01-01 10:05:00"), 101.0),
+            ("A", ts("2025-01-01 10:10:00"), 102.0),
+            ("B", ts("2025-01-01 10:02:00"), 50.0),
+        ],
+        "sym string, qts timestamp, px double",
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", ts("2025-01-01 10:04:59")),  # → 10:00 quote
+            (2, "A", ts("2025-01-01 10:05:00")),  # tie: inclusive → 10:05
+            (3, "A", ts("2025-01-01 11:00:00")),  # → latest (10:10)
+            (4, "B", ts("2025-01-01 10:00:00")),  # before any quote → null
+            (5, "C", ts("2025-01-01 10:00:00")),  # key with no quotes → null
+        ],
+        "trade_id int, sym string, tts timestamp",
+    )
+
+
+def test_asof_join_semantics(quotes, trades):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts", right_cols=["px"]
+    )
+    got = {r["trade_id"]: r["px_asof"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 101.0, 3: 102.0, 4: None, 5: None}
+
+
+def test_asof_join_keeps_all_left_rows_and_columns(quotes, trades):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts", right_cols=["px"]
+    )
+    assert out.count() == trades.count()
+    assert set(out.columns) == {"trade_id", "sym", "tts", "px_asof"}
+
+
+def test_band_join_classifies_and_keeps_unmatched(spark):
+    fact = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 99.0), (4, -1.0)], "id int, value double"
+    )
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "lo"), (10.0, 100.0, "hi")],
+        "band_lo double, band_hi double, band_label string",
+    )
+    got = {
+        r["id"]: r["band_label"]
+        for r in band_join(fact, bands, "value").collect()
+    }
+    # [lo, hi): 10.0 falls in "hi"; -1.0 matches nothing → null (left join)
+    assert got == {1: "lo", 2: "hi", 3: "hi", 4: None}
+
+
+def test_hash_bucket_deterministic_and_in_range(spark):
+    df = spark.range(500).select(hash_bucket(F.col("id")).alias("b"))
+    rows = [r["b"] for r in df.collect()]
+    assert rows == [r["b"] for r in df.collect()]  # rerun → identical
+    assert all(0 <= b < 10_000 for b in rows)
+
+
+def test_hash_split_partitions_everything_exactly_once(spark):
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    out = hash_split(df, "k")
+    by_split = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert sum(by_split.values()) == 2000
+    assert set(by_split) == {"train", "val", "test"}
+    # 90/5/5 within loose tolerance on 2000 draws
+    assert 1600 < by_split["train"] < 1950
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        hash_split(df, F.col("id"), weights={"a": 1, "b": 2})
+
+
+def test_stratified_sample_is_a_stable_subset(spark):
+    df = spark.range(1000)
+    kept = stratified_sample(df, F.col("id"), 2000)
+    ids = {r["id"] for r in kept.collect()}
+    # stable across repartitioning (rand()-based sample would not be)
+    ids2 = {r["id"] for r in stratified_sample(df.repartition(7), F.col("id"), 2000).collect()}
+    assert ids == ids2
+    assert 100 < len(ids) < 320  # ~20% of 1000
+
+
+def test_quota_per_key_caps_and_prefers_order(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)] + [("b", 100, 1.0)],
+        "k string, id long, score double",
+    )
+    kept = quota_per_key(df, "k", 3, [F.col("score").desc(), F.col("id").asc()])
+    by_key = {
+        r["k"]: sorted(x["id"] for x in kept.filter(F.col("k") == r["k"]).collect())
+        for r in kept.select("k").distinct().collect()
+    }
+    assert by_key == {"a": [7, 8, 9], "b": [100]}
