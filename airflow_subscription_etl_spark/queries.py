@@ -2151,10 +2151,15 @@ def q_q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (adapted: no partsupp — "stock value" is lineitem
     revenue per supplier; threshold is 1.05× the MEAN supplier value so
     selectivity is scale-invariant — TPC-H's fraction/SF trick without
-    knowing SF): per-key agg filtered against a scalar subquery. Spark
-    plan: ONE aggregate pass reused for both sides via a broadcast of
-    the 1-row global stats — no second fact scan (the grand total is
-    the sum of the per-supplier sums).
+    knowing SF): per-key agg filtered against a scalar subquery.
+
+    Plan note: the naive ``per_supp.join(per_supp.agg(...))`` scans the
+    FACT TABLE TWICE in the static plan (DataFrame reuse ≠ CTE reuse;
+    exchange reuse is only a runtime AQE maybe). Instead the global
+    mean rides a partition-less window over the already-aggregated
+    per-supplier rows — one fact scan, and the single-partition step
+    touches only |suppliers| tiny rows, which stays dim-sized even at
+    100 TB of lineitem. ``test_plans.py`` pins the single-scan shape.
     """
     li = _t(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_suppkey").agg(
@@ -2163,11 +2168,11 @@ def q_q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             alias="value",
         )
     )
-    total = per_supp.agg(
-        ((F.sum("value") / F.count("*")) * 1.05).alias("threshold")
-    )
+    w = Window.partitionBy()
     return (
-        per_supp.join(F.broadcast(total))
+        per_supp.withColumn(
+            "threshold", (F.sum("value").over(w) / F.count("*").over(w)) * 1.05
+        )
         .filter(F.col("value") > F.col("threshold"))
         .select("l_suppkey", "value")
     )

@@ -69,6 +69,63 @@ def test_catalog_joins_broadcast(spark, name):
     assert "SortMergeJoin" not in plan  # at test scale everything fits broadcast
 
 
+def _tree(plan: str) -> str:
+    """Just the plan tree (formatted mode repeats node names in the
+    per-node detail section, which would double-count)."""
+    lines = []
+    for line in plan.splitlines():
+        if not line.strip():
+            break
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def test_asof_join_is_join_free_single_window_shuffle(spark):
+    """The union+window as-of formulation must plan NO join operator —
+    that's the whole point (a range-condition join would nested-loop)."""
+    tree = _tree(_formatted_plan(spark, "ev_asof_join"))
+    assert "Join" not in tree
+    assert "Window" in tree
+
+
+def test_band_join_broadcasts_the_band_side(spark):
+    """Range join against the tiny literal band table must be a
+    broadcast nested loop (map-only), never a cartesian product."""
+    tree = _tree(_formatted_plan(spark, "ev_band_join"))
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_q2_broadcasts_all_dims(spark):
+    tree = _tree(_formatted_plan(spark, "q2_min_cost_supplier"))
+    assert tree.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in tree
+
+
+def test_q11_scans_fact_once(spark):
+    """The scalar-subquery threshold must NOT rescan lineitem: the
+    global mean rides a window over the per-supplier aggregate."""
+    tree = _tree(_formatted_plan(spark, "q11_important_suppliers"))
+    assert tree.count("Scan parquet") == 1
+
+
+def test_quota_agg_reuses_window_partitioning(spark):
+    """quota_per_key windows on source and the follow-up agg groups on
+    source — same key, so Catalyst must plan exactly ONE Exchange."""
+    tree = _tree(_formatted_plan(spark, "doc_domain_quota"))
+    assert tree.count("Exchange") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_hash_split", "doc_stratified_sample"]
+)
+def test_sampling_is_map_plus_one_agg_shuffle(spark, name):
+    """Hash split/sample are pure maps; only the summary agg shuffles."""
+    tree = _tree(_formatted_plan(spark, name))
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+
+
 def test_column_pruning_reaches_scan(spark):
     """A 3-column projection must not read the whole part table."""
     plan = _formatted_plan(spark, "p1_projection")
