@@ -2049,6 +2049,41 @@ GROUP BY band_label
 """
 
 
+def q_ev_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-checked
+    (streaming/events.py::purchase_attribution_join): purchases matched
+    to same-user clicks in the preceding 30 minutes. In streaming mode
+    the identical transform runs with two watermarks and bounded state;
+    the batch plan is one shuffled equi join with a range residual.
+    Timestamps surface as unix micros (exact bigints) for the hash.
+    """
+    from .streaming.events import purchase_attribution_join  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    out = purchase_attribution_join(ev, "30 minutes")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+        "purchase_value",
+        "click_id",
+        F.unix_micros(F.col("click_ts")).alias("click_us"),
+    )
+
+
+SQL_EV_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us, p.value AS purchase_value,
+       c.event_id AS click_id, epoch_us(c.ts) AS click_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 # --------------------------------------------------------------------------
 # deterministic sampling / splitting / quotas (operators/sampling.py)
 # — the training-corpus curation surface. Hash arithmetic is portable
@@ -2301,6 +2336,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q22_idle_rich_customers": (q_q22_idle_rich_customers, SQL_Q22),
     "ev_asof_join": (q_ev_asof_join, SQL_EV_ASOF),
     "ev_band_join": (q_ev_band_join, SQL_EV_BAND),
+    "ev_attribution_join": (q_ev_attribution_join, SQL_EV_ATTRIBUTION),
     "doc_hash_split": (q_doc_hash_split, SQL_DOC_HASH_SPLIT),
     "doc_stratified_sample": (q_doc_stratified_sample, SQL_DOC_STRATIFIED_SAMPLE),
     "doc_domain_quota": (q_doc_domain_quota, SQL_DOC_DOMAIN_QUOTA),

@@ -105,3 +105,37 @@ def read_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # loses precision past 2^53 and can shift the microsecond value
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """CSV source with a PINNED schema — never ``inferSchema`` (a full
+    extra pass over 100 TB just to guess types)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def write_csv_table(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV sink (directory of part files; splittable on read)."""
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_ndjson_table(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """NDJSON (one object per line) source — unlike the reference's
+    JSON-array files this is splittable, so a single huge file still
+    parallelizes across the cluster. Schema pinned for the same
+    no-inference-pass reason as CSV."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_ndjson_table(df: DataFrame, path: str) -> None:
+    """NDJSON sink: Spark's native JSON writer (one object per line,
+    one file per partition) — the scale-path JSON format."""
+    df.write.mode("overwrite").json(path)

@@ -199,3 +199,49 @@ def read_events_stream(spark, path: str, max_files_per_trigger: int = 1) -> Data
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def purchase_attribution_join(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    clicks of the SAME user in the preceding ``attribution_window``.
+
+    The canonical stream-stream join shape: both sides watermarked (so
+    the click-side state store can evict rows older than watermark +
+    interval), equi key ``user_id`` plus a time-band condition. State
+    stays bounded at |active users within the window| — the 100 TB
+    posture is the watermark, not partition count.
+
+    Works identically on a batch frame (watermarks become no-ops and
+    the band condition is an ordinary range predicate on a shuffled
+    equi join), which is how the DuckDB oracle checks the semantics.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (purchases.user_id == clicks.click_user_id)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )

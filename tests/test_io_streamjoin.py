@@ -1,0 +1,110 @@
+"""Source-format round-trips (CSV / NDJSON / partitioned parquet) and
+the stream-stream attribution join (batch semantics + a real
+two-watermark streaming run)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_subscription_etl_spark.schemas import EVENTS_SCHEMA
+from airflow_subscription_etl_spark.sources import io as IO
+from airflow_subscription_etl_spark.streaming.events import (
+    purchase_attribution_join,
+)
+
+
+@pytest.fixture()
+def part_df(spark):
+    return IO.read_star_table(spark, "/root/testdata/sf0.001", "part").limit(200)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_round_trip_preserves_rows_and_schema(part_df, tmp_path):
+    p = str(tmp_path / "part_csv")
+    IO.write_csv_table(part_df, p)
+    back = IO.read_csv_table(part_df.sparkSession, p, part_df.schema)
+    assert back.schema == part_df.schema
+    assert _sorted_rows(back) == _sorted_rows(part_df)
+
+
+def test_ndjson_round_trip_preserves_rows(part_df, tmp_path):
+    p = str(tmp_path / "part_ndjson")
+    IO.write_ndjson_table(part_df, p)
+    back = IO.read_ndjson_table(part_df.sparkSession, p, part_df.schema)
+    assert _sorted_rows(back) == _sorted_rows(part_df)
+
+
+def test_partitioned_parquet_layout_and_pruning(part_df, tmp_path):
+    p = str(tmp_path / "part_parted")
+    IO.write_parquet_table(part_df, p, partition_by=["p_brand"])
+    # hive-style layout on disk
+    assert any(d.startswith("p_brand=") for d in os.listdir(p))
+    spark = part_df.sparkSession
+    brand = part_df.select("p_brand").first()["p_brand"]
+    pruned = spark.read.parquet(p).filter(F.col("p_brand") == brand)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan must carry a partition filter
+    assert "PartitionFilters: [" in plan
+    assert pruned.count() == part_df.filter(F.col("p_brand") == brand).count()
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+@pytest.fixture()
+def attrib_events(spark):
+    rows = [
+        # user 1: clicks at :00 and :25, purchase at :30 → both attach
+        (1, _ts(0), 1, "click", 0.0, "{}"),
+        (2, _ts(25), 1, "click", 0.0, "{}"),
+        (3, _ts(30), 1, "purchase", 99.0, "{}"),
+        # user 2: click 40 min before purchase → outside window
+        (4, _ts(0), 2, "click", 0.0, "{}"),
+        (5, _ts(45), 2, "purchase", 10.0, "{}"),
+        # user 3: click AFTER purchase → never attaches
+        (6, _ts(50), 3, "purchase", 5.0, "{}"),
+        (7, _ts(55), 3, "click", 0.0, "{}"),
+    ]
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def test_attribution_join_batch_semantics(attrib_events):
+    out = purchase_attribution_join(attrib_events, "30 minutes")
+    got = sorted(
+        (r["purchase_id"], r["click_id"]) for r in out.collect()
+    )
+    assert got == [(3, 1), (3, 2)]  # inclusive 30-min band, same user only
+
+
+def test_attribution_join_streaming_end_to_end(spark, attrib_events, tmp_path):
+    """Real two-sided watermarked stream-stream join via availableNow."""
+    src = str(tmp_path / "ev_src")
+    attrib_events.write.parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = purchase_attribution_join(stream, "30 minutes")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM t_attrib").collect()
+    )
+    assert got == [(3, 1), (3, 2)]
