@@ -2261,6 +2261,76 @@ GROUP BY CUBE (n_name, o_orderpriority)
 """
 
 
+def q_doc_cc_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components (operators/graph.py — the
+    large-star/small-star clustering stage of near-dup dedup) checked
+    against a DECLARATIVE oracle: docs in the same source are linked
+    when their 100-char length buckets are equal or adjacent, so
+    components are exactly the gaps-and-islands runs of occupied
+    buckets. That graph is chain-shaped (transitive closure through
+    many hops — cliques can't test that), yet plain SQL computes the
+    answer with two window passes; the iterative O(log n)-round
+    algorithm must hash-match it. Isolated docs label themselves.
+    """
+    from .operators.graph import connected_components  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.floor(F.col("n_chars") / F.lit(100)).alias("b")
+    )
+    a, bb = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        bb,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.abs(F.col("a.b") - F.col("b.b")) <= 1)
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    comp = connected_components(pairs)
+    return docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+SQL_DOC_CC_ISLANDS = """
+WITH b AS (
+  SELECT doc_id, source, n_chars // 100 AS bucket
+  FROM documents
+), marks AS (
+  SELECT doc_id, source, bucket,
+         CASE WHEN bucket - LAG(bucket) OVER
+                (PARTITION BY source ORDER BY bucket, doc_id) <= 1
+              THEN 0 ELSE 1 END AS brk
+  FROM b
+), isl AS (
+  SELECT doc_id, source, bucket,
+         SUM(brk) OVER (PARTITION BY source ORDER BY bucket, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM marks
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY source, island) AS cluster_id
+FROM isl
+"""
+
+
+def q_doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pipeline: MinHash-LSH candidate pairs →
+    connected components → cluster summary (size + canonical doc).
+    Rows-only: the banded minhash is not SQL-expressible; its pairwise
+    layer is separately recall-tested against exact Jaccard.
+    """
+    from .operators.dedup import minhash_lsh_pairs  # noqa: PLC0415
+    from .operators.graph import connected_components  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.groupBy(F.col("component").alias("canonical_doc_id")).agg(
+        F.count("*").alias("cluster_size"),
+        F.sum("node").alias("member_checksum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2342,6 +2412,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_domain_quota": (q_doc_domain_quota, SQL_DOC_DOMAIN_QUOTA),
     "q11_important_suppliers": (q_q11_important_suppliers, SQL_Q11),
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
+    "doc_cc_islands": (q_doc_cc_islands, SQL_DOC_CC_ISLANDS),
+    "doc_near_dup_clusters": (q_doc_near_dup_clusters, None),
 }
 
 

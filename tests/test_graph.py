@@ -1,0 +1,91 @@
+"""Connected-components (large-star/small-star) correctness against a
+driver-side union-find on randomized graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from airflow_subscription_etl_spark.operators.graph import (
+    canonical_docs,
+    connected_components,
+)
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize every node to its component MINIMUM
+    comp: dict[int, int] = {}
+    roots: dict[int, int] = {}
+    for n in list(parent):
+        r = find(n)
+        roots[r] = min(roots.get(r, r), n)
+    for n in list(parent):
+        comp[n] = roots[find(n)]
+    return comp
+
+
+def _cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1
+    }
+
+
+def test_two_components_and_self_loop(spark):
+    got = _cc(spark, [(10, 20), (30, 40), (40, 50), (7, 7)])
+    assert got[10] == got[20] == 10
+    assert got[30] == got[40] == got[50] == 30
+    assert 7 not in got  # self-loops are dropped; 7 is isolated
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for _ in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc(spark, edges) == _union_find(edges)
+
+
+def test_canonical_docs_keeps_one_per_component(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in canonical_docs(docs, pairs).collect()
+    )
+    assert kept == [0, 3, 4]  # 0 survives {0,1,2}; 3 isolated; 4 survives {4,5}
+
+
+def test_cc_is_deterministic_across_partitionings(spark):
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    b = {
+        (r["node"], r["component"])
+        for r in connected_components(df.repartition(13)).collect()
+    }
+    assert a == b
+    assert a == {(1, 1), (2, 1), (3, 1), (8, 1), (9, 1), (5, 5), (6, 5)}
