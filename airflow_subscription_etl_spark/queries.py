@@ -2331,6 +2331,87 @@ def q_doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: explode whitespace tokens, count, keep
+    the 50 most frequent (count desc, token asc tiebreak). The classic
+    corpus-statistics shape: one shuffle for the token counts
+    (map-side partial agg absorbs the per-doc duplication), then a
+    TakeOrderedAndProject top-k — NO global sort of the vocabulary.
+    """
+    from .operators.dedup import norm_tokens  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(norm_tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+SQL_DOC_VOCAB_TOPK = """
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
+def q_scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval build: each customer's order history becomes
+    validity intervals — valid_from = order date, valid_to = next
+    order's date (null while current). One window shuffle on custkey;
+    LEAD is whole-stage-codegen'd, no self-join. Restricted to a
+    two-nation customer slice to keep the result compact. Dates surface
+    as yyyy-MM-dd strings (o_orderdate is TIMESTAMP_NTZ — no epoch).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    slice_c = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("c_custkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(slice_c, o.o_custkey == slice_c.c_custkey, "left_semi")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias(
+                "valid_to"
+            ),
+            (F.lead("o_orderdate").over(w).isNull()).alias("is_current"),
+        )
+    )
+
+
+SQL_SCD2 = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+       (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2414,6 +2495,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
     "doc_cc_islands": (q_doc_cc_islands, SQL_DOC_CC_ISLANDS),
     "doc_near_dup_clusters": (q_doc_near_dup_clusters, None),
+    "doc_vocab_topk": (q_doc_vocab_topk, SQL_DOC_VOCAB_TOPK),
+    "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 
 
