@@ -457,3 +457,82 @@ def centroid_per_label(
             F.transform("pairs", lambda s: s["avg_val"]).alias("centroid"),
         )
     )
+
+
+# --- int8 quantization -------------------------------------------------------
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q", scale_col: str = "q_scale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: 4× smaller than float32
+    (16× vs the doubles Spark would otherwise widen to in shuffles).
+
+    Each vector stores ``round(x / s)`` with ``s = max|x| / 127`` — the
+    standard max-abs scheme. At 100 TB of embeddings this is the
+    difference between a corpus that fits executor memory for
+    bucket-local scoring and one that doesn't; recovered cosine error
+    is ~1e-2, which reorders only near-ties (recall test pins ≥0.8
+    overlap@10 on real vectors). All arithmetic is JVM higher-order
+    functions — no Python in the path.
+    """
+    s = F.greatest(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+        )
+        / F.lit(127.0),
+        F.lit(1e-30),  # all-zero vectors: keep s > 0 so q is well-defined
+    )
+    return df.withColumn(scale_col, s).withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.round(v.cast("double") / F.col(scale_col)).cast("tinyint"),
+        ),
+    )
+
+
+def dequant_cosine(q_a: Column, s_a: Column, q_b: Column, s_b: Column) -> Column:
+    """Cosine of two int8-quantized vectors. The integer dot product is
+    exact (|Σ qᵢ·qᵢ| ≤ d·127² ≪ 2⁵³); scales factor out of the
+    numerator and cancel in the norms, so only three aggregates run."""
+    num = F.aggregate(
+        F.zip_with(q_a, q_b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    na = F.sqrt(
+        F.aggregate(
+            q_a, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
+        ).cast("double")
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            q_b, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
+        ).cast("double")
+    )
+    return num / (na * nb)
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over the int8-quantized corpus: quantize both sides
+    (scales cancel in cosine), integer dot products, TakeOrdered top-k.
+    Same plan shape as :func:`brute_force_topk` at a quarter of the
+    scan bytes once the quantized column is materialized to storage.
+    """
+    m = max(abs(float(x)) for x in query_vec) / 127.0 or 1e-30
+    q = F.array(*[F.lit(int(round(float(x) / m))).cast("tinyint") for x in query_vec])
+    qdf = quantize_int8(df, vec_col=vec_col)
+    scored = qdf.select(
+        F.col(id_col),
+        dequant_cosine(F.col("q"), F.col("q_scale"), q, F.lit(m)).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)

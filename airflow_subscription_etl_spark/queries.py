@@ -2412,6 +2412,17 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-20 (similarity.py::quantized_topk):
+    per-vector max-abs scales, exact integer dot products, 4× smaller
+    scan bytes once materialized. Rows-only; quantization fidelity is
+    pinned by a recall-vs-exact test (tests/test_quantize.py).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.quantized_topk(emb, qv, k=20)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2496,6 +2507,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_cc_islands": (q_doc_cc_islands, SQL_DOC_CC_ISLANDS),
     "doc_near_dup_clusters": (q_doc_near_dup_clusters, None),
     "doc_vocab_topk": (q_doc_vocab_topk, SQL_DOC_VOCAB_TOPK),
+    "emb_quantized_topk": (q_emb_quantized_topk, None),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 
