@@ -1,0 +1,104 @@
+"""Streaming sinks: idempotent foreachBatch upsert into a keyed
+parquet snapshot.
+
+Structured Streaming's file sink is append-only; maintaining a
+CURRENT-STATE table (latest row per key — the streaming analog of the
+reference's M2/M3 in-place updates, subscription_flow.py:232/:240)
+needs ``foreachBatch``. Two scale-relevant guarantees:
+
+- **Idempotent on retry**: foreachBatch can re-deliver a batch after a
+  failure. The upsert is last-writer-wins per key, so replaying batch
+  N over a snapshot that already absorbed batch N is a no-op.
+- **Atomic swap**: each upsert writes a NEW snapshot directory then
+  flips a pointer file — readers never see a half-written table, and
+  the previous snapshot stays for time travel until compacted. This
+  is poor-man's Delta (the container has no Delta dep); the interface
+  is MERGE-shaped so a Delta writer can drop in.
+
+At 100 TB the full-snapshot rewrite is the wrong physical plan —
+that's what Delta/Iceberg MERGE with file skipping is for — but the
+operator SEMANTICS (keyed last-writer-wins upsert of each micro-batch)
+are exactly what those would run; document-and-swap, per SURVEY §7.4.1.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_POINTER = "_CURRENT"
+
+
+def _current_dir(root: str) -> str | None:
+    p = os.path.join(root, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        name = f.read().strip()
+    return os.path.join(root, name) if name else None
+
+
+def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
+    cur = _current_dir(root)
+    return spark.read.parquet(cur) if cur else None
+
+
+def upsert_batch(
+    batch: DataFrame,
+    root: str,
+    keys: list[str],
+    order_col: str,
+    batch_id: int,
+) -> None:
+    """Merge one micro-batch into the snapshot: per key keep the row
+    with the greatest ``order_col`` (ties → incoming batch wins).
+    """
+    spark = batch.sparkSession
+    prev = read_snapshot(spark, root)
+    prio = batch.withColumn("__new", F.lit(1))
+    merged = (
+        prev.withColumn("__new", F.lit(0)).unionByName(prio)
+        if prev is not None
+        else prio
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("__new").desc()
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__new")
+    )
+    out = os.path.join(root, f"snapshot_{batch_id}")
+    latest.write.mode("overwrite").parquet(out)
+    tmp = os.path.join(root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"snapshot_{batch_id}")
+    os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def start_keyed_snapshot_sink(
+    stream: DataFrame,
+    root: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Wire a streaming DataFrame into the snapshot upsert. Returns the
+    StreamingQuery; callers own awaitTermination/stop."""
+    os.makedirs(root, exist_ok=True)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        upsert_batch(batch, root, keys, order_col, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
