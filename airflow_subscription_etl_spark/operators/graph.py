@@ -61,9 +61,12 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
         .filter(F.col("v") != F.col("m"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
     )
+    # no distinct here: the next round's collect_set dedups anyway, and
+    # the symmetric doubling is bounded — one distinct per FULL round
+    # (in the driver loop) halves the shuffle count
     return out.unionByName(
         out.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
 
 
 def connected_components(
@@ -76,9 +79,12 @@ def connected_components(
     node id. Returns ``(node, component)``; isolated nodes (present in
     no pair) are the caller's to union in if needed.
 
-    Convergence is detected by an exact fixpoint check on the per-node
-    minimum-neighbor map (one extra count per round — cheap next to the
-    round's own shuffles).
+    Convergence is detected on the (deduped, checkpointed) edge set via
+    two scalar actions — row count plus an order-independent xxhash64
+    XOR — instead of a shuffle-heavy ``exceptAll``: equal (count, hash)
+    across rounds means the edge fixpoint is reached (hash collision is
+    ~2⁻⁶⁴ and ``max_rounds`` backstops it), and labels are derived once
+    after the loop.
     """
     spark = pairs.sparkSession
     sc = spark.sparkContext
@@ -98,21 +104,29 @@ def connected_components(
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
 
-    def labels(edge_df: DataFrame) -> DataFrame:
-        return edge_df.groupBy(F.col("src").alias("node")).agg(
-            F.least(F.min("dst"), F.col("src").cast("long")).alias("component")
-        )
+    def _signature(edge_df: DataFrame) -> tuple[int, int]:
+        row = edge_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent, overflow-free (ANSI-safe); the
+            # edge set is distinct so even-count cancellation can't occur
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        return (row["n"], row["h"] or 0)
 
-    prev = None
+    prev_sig = None
     for _ in range(max_rounds):
         edges = _star_round(edges, large=True)
-        edges = _star_round(edges, large=False).localCheckpoint(eager=True)
-        cur = labels(edges).localCheckpoint(eager=True)
-        if prev is not None and cur.exceptAll(prev).isEmpty():
+        edges = (
+            _star_round(edges, large=False).distinct().localCheckpoint(eager=True)
+        )
+        sig = _signature(edges)
+        if sig == prev_sig:
             break
-        prev = cur
-    assert prev is not None
-    return nodes.join(prev, "node", "left").select(
+        prev_sig = sig
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.min("dst"), F.col("src").cast("long")).alias("component")
+    )
+    return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", F.col("node").cast("long")).alias("component")
     )
 

@@ -42,6 +42,15 @@ HEADLINE = [
     "mm_featurize",
     "emb_topk_cosine",
     "emb_near_pairs",
+    # round-1 additions: one per new family so future rounds regress
+    # against a representative baseline
+    "q2_min_cost_supplier",
+    "cube_revenue",
+    "ev_asof_join",
+    "doc_hash_split",
+    "doc_cc_islands",
+    "emb_quantized_topk",
+    "scd2_customer_orders",
 ]
 
 
