@@ -2423,6 +2423,129 @@ def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(emb, qv, k=20)
 
 
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation suite: count_if / FILTER-clause
+    equivalents, null-safe aggregates, any/bool aggregates — all in ONE
+    grouped pass over lineitem (no per-condition scans).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 30).alias("n_bulk"),
+        F.count("*").alias("n_total"),
+        F.max(F.col("l_quantity") >= 49).alias("any_near_max"),
+        money_sum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                F.lit(0.0)
+            ),
+            alias="discounted_revenue",
+        ),
+    )
+
+
+SQL_CONDITIONAL_AGG = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       COUNT(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+       COUNT(*) AS n_total,
+       MAX(l_quantity >= 49) AS any_near_max,
+       SUM(CAST(round(CASE WHEN l_discount > 0.05 THEN l_extendedprice
+                           ELSE 0.0 END * 100) AS BIGINT)) / 100.0
+         AS discounted_revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q_array_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-nation sorted list of its supplier account
+    balances plus element-wise array ops (size, first/last via sorted
+    order). collect_list is order-nondeterministic under parallelism —
+    sort_array pins it, which is the only way an array agg can be
+    hash-checked across engines/partitionings at all.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.round(F.col("s_acctbal") * 100).cast("bigint"))
+            ).alias("balances_cents"),
+        )
+        .select(
+            "n_name",
+            F.size("balances_cents").alias("n_suppliers"),
+            F.element_at("balances_cents", 1).alias("min_cents"),
+            F.element_at("balances_cents", -1).alias("max_cents"),
+            F.aggregate(
+                "balances_cents", F.lit(0).cast("bigint"), lambda a, v: a + v
+            ).alias("sum_cents"),
+        )
+    )
+
+
+SQL_ARRAY_AGG = """
+WITH g AS (
+  SELECT n_name,
+         list_sort(list(CAST(round(s_acctbal * 100) AS BIGINT))) AS balances_cents
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, len(balances_cents) AS n_suppliers,
+       balances_cents[1] AS min_cents,
+       balances_cents[-1] AS max_cents,
+       list_sum(balances_cents) AS sum_cents
+FROM g
+"""
+
+
+def q_ev_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection: events whose value is > 2 population
+    standard deviations above that user's mean. Two window passes over
+    ONE shuffle on user_id (mean/stddev then filter — no self-join, no
+    second scan). The classic monitoring/outlier shape.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_pop("value").over(w).alias("sigma"),
+    )
+    return (
+        stats.filter(
+            (F.col("sigma") > 0)
+            & (F.col("value") > F.col("mu") + 2 * F.col("sigma"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "zscore"
+            ),
+        )
+    )
+
+
+SQL_EV_ZSCORE = """
+WITH stats AS (
+  SELECT event_id, user_id, value,
+         AVG(value) OVER (PARTITION BY user_id) AS mu,
+         STDDEV_POP(value) OVER (PARTITION BY user_id) AS sigma
+  FROM events
+)
+SELECT event_id, user_id, round(value, 6) AS value,
+       round((value - mu) / sigma, 6) AS zscore
+FROM stats
+WHERE sigma > 0 AND value > mu + 2 * sigma
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2508,6 +2631,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_near_dup_clusters": (q_doc_near_dup_clusters, None),
     "doc_vocab_topk": (q_doc_vocab_topk, SQL_DOC_VOCAB_TOPK),
     "emb_quantized_topk": (q_emb_quantized_topk, None),
+    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
+    "array_agg_stats": (q_array_agg_stats, SQL_ARRAY_AGG),
+    "ev_value_zscore_outliers": (q_ev_value_zscore_outliers, SQL_EV_ZSCORE),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 
