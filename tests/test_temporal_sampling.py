@@ -125,3 +125,52 @@ def test_quota_per_key_caps_and_prefers_order(spark):
         for r in kept.select("k").distinct().collect()
     }
     assert by_key == {"a": [7, 8, 9], "b": [100]}
+
+
+# --- hypothesis property tests ----------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                 max_size=40, unique=True)
+)
+def test_hash_split_is_total_and_disjoint(spark, ids):
+    """Every row lands in exactly one split, regardless of id set."""
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    out = hash_split(df, F.col("id").cast("string")).collect()
+    assert len(out) == len(ids)
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+    # same key → same split on a rerun (determinism)
+    again = {r["id"]: r["split"] for r in
+             hash_split(df, F.col("id").cast("string")).collect()}
+    assert {r["id"]: r["split"] for r in out} == again
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fraction_bp=st.integers(min_value=0, max_value=10_000),
+)
+def test_stratified_sample_is_monotone_in_fraction(spark, fraction_bp):
+    """A smaller fraction's sample is a SUBSET of a larger fraction's —
+    the property that makes hash sampling resumable/incremental."""
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    small = {r["id"] for r in stratified_sample(df, F.col("id"), fraction_bp).collect()}
+    large = {r["id"] for r in stratified_sample(
+        df, F.col("id"), min(fraction_bp + 500, 10_000)).collect()}
+    assert small <= large
+    if fraction_bp == 0:
+        assert small == set()
+    if fraction_bp == 10_000:
+        assert small == set(range(300))
