@@ -2546,6 +2546,47 @@ WHERE sigma > 0 AND value > mu + 2 * sigma
 """
 
 
+def q_m1_union_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1's ragged-schema INSERT semantics as a standalone query
+    (subscription_flow.py:224–225 appends rows carrying a column the
+    seed rows lack): two different projections of orders unioned by
+    NAME with missing columns null-filled —
+    ``unionByName(allowMissingColumns=True)`` vs DuckDB
+    ``UNION ALL BY NAME``. Null-fill is the observable: the "seed" side
+    has no o_clerk-analog column, the "new" side has no status.
+    """
+    o = _t(spark, sf_dir, "orders")
+    seed = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    new = o.filter(F.col("o_orderkey") % 1000 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("NEW").alias("ingest_tag"),
+    )
+    return seed.unionByName(new, allowMissingColumns=True).select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce("o_orderstatus", F.lit("?")).alias("o_orderstatus"),
+        F.coalesce("ingest_tag", F.lit("SEED")).alias("ingest_tag"),
+    )
+
+
+SQL_M1_UNION_RAGGED = """
+WITH u AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 1000 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_custkey, 'NEW' AS ingest_tag
+  FROM orders WHERE o_orderkey % 1000 = 1
+)
+SELECT o_orderkey, o_custkey,
+       COALESCE(o_orderstatus, '?') AS o_orderstatus,
+       COALESCE(ingest_tag, 'SEED') AS ingest_tag
+FROM u
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2634,6 +2675,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
     "array_agg_stats": (q_array_agg_stats, SQL_ARRAY_AGG),
     "ev_value_zscore_outliers": (q_ev_value_zscore_outliers, SQL_EV_ZSCORE),
+    "m1_union_ragged": (q_m1_union_ragged, SQL_M1_UNION_RAGGED),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 
