@@ -104,6 +104,18 @@ def connected_components(
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
 
+    # Right-size parallelism to the LIVE edge count each round: the edge
+    # set contracts geometrically, and dragging 32+ shuffle partitions
+    # through 4+ rounds of near-empty stages is pure scheduling overhead
+    # (measured 40% of wall time at test scale). ~200k edges per
+    # partition; big graphs keep the session's full parallelism.
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    def _parts(n_edges: int) -> int:
+        return max(1, min(default_parts, -(-n_edges // 200_000)))
+
+    n_live = edges.count()  # cheap: frame is checkpointed
+
     def _signature(edge_df: DataFrame) -> tuple[int, int]:
         row = edge_df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -117,12 +129,16 @@ def connected_components(
     for _ in range(max_rounds):
         edges = _star_round(edges, large=True)
         edges = (
-            _star_round(edges, large=False).distinct().localCheckpoint(eager=True)
+            _star_round(edges, large=False)
+            .distinct()
+            .coalesce(_parts(n_live))
+            .localCheckpoint(eager=True)
         )
         sig = _signature(edges)
         if sig == prev_sig:
             break
         prev_sig = sig
+        n_live = sig[0]
     labels = edges.groupBy(F.col("src").alias("node")).agg(
         F.least(F.min("dst"), F.col("src").cast("long")).alias("component")
     )
