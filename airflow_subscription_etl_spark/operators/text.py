@@ -128,3 +128,33 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fingerprint"),
     )
+
+
+#: Redaction patterns for corpus cleaning. Deliberately simple,
+#: deterministic regexes (JVM regexp_replace — no Python in the path);
+#: production pipelines would swap in stricter patterns behind the
+#: same column expression.
+SCRUB_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{3}[-.\s]\d{3}[-.\s]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_text(col: Column) -> Column:
+    """Redact emails, URLs, and phone-shaped numbers — the standard
+    pre-training text-cleaning pass. Chained JVM regexp_replace:
+    map-only, whole-stage-codegen'd, trivially partition-parallel."""
+    out = col
+    for pat, repl in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def with_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrubbed text plus redaction counts for pipeline monitoring."""
+    scrubbed = scrub_text(F.col(text_col))
+    return df.withColumn("scrubbed", scrubbed).withColumn(
+        "n_redactions",
+        F.size(F.split(F.col("scrubbed"), r"<(EMAIL|URL|PHONE)>")) - 1,
+    )

@@ -2587,6 +2587,41 @@ FROM u
 """
 
 
+def q_doc_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning (operators/text.py::scrub_text): redact
+    email/URL/phone patterns, surface redaction counts. Map-only
+    chained JVM regexp_replace. The synthetic corpus contains few or
+    no such patterns — the md5 of the scrubbed text still pins that
+    both engines transformed every document identically.
+    """
+    from .operators.text import with_scrubbed  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_scrubbed(docs).select(
+        "doc_id",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+        "n_redactions",
+    )
+
+
+SQL_DOC_SCRUB = """
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+           '\\b\\d{3}[-.\\s]\\d{3}[-.\\s]\\d{4}\\b', '<PHONE>', 'g') AS scrubbed
+  FROM documents
+)
+SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
+       len(regexp_split_to_array(scrubbed, '<(EMAIL|URL|PHONE)>')) - 1
+         AS n_redactions
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2676,6 +2711,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "array_agg_stats": (q_array_agg_stats, SQL_ARRAY_AGG),
     "ev_value_zscore_outliers": (q_ev_value_zscore_outliers, SQL_EV_ZSCORE),
     "m1_union_ragged": (q_m1_union_ragged, SQL_M1_UNION_RAGGED),
+    "doc_scrub_text": (q_doc_scrub_text, SQL_DOC_SCRUB),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 

@@ -209,3 +209,23 @@ def test_resize_images_is_stubbed(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         multimodal.resize_images(df, 2, 2).collect()
+
+
+def test_scrub_text_redacts_all_pattern_kinds(spark):
+    from airflow_subscription_etl_spark.operators.text import with_scrubbed
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@example.co.uk today"),
+            (2, "see https://example.com/a?b=1 and http://x.io"),
+            (3, "call 555-867-5309 or 555.123.4567 now"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["scrubbed"], r["n_redactions"])
+           for r in with_scrubbed(df).collect()}
+    assert got[1] == ("mail me at <EMAIL> today", 1)
+    assert got[2] == ("see <URL> and <URL>", 2)
+    assert got[3] == ("call <PHONE> or <PHONE> now", 2)
+    assert got[4] == ("nothing sensitive here", 0)
