@@ -2622,6 +2622,38 @@ FROM s
 """
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: keep each doc with probability
+    proportional to its length (min(n_chars/2000, 1)) by comparing the
+    content-independent hash bucket against a per-row threshold — the
+    up-weight-long-documents pass of corpus curation, still a pure
+    pushdown-able filter (no rand(), retry/repartition-stable).
+    """
+    from .operators.sampling import hash_bucket  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    thresh = F.least(F.col("n_chars") * 5, F.lit(10_000))
+    return (
+        docs.filter(hash_bucket(F.col("doc_id")) < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+SQL_DOC_WEIGHTED_SAMPLE = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       SUM(doc_id) AS id_checksum
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 10000 < LEAST(n_chars * 5, 10000)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2712,6 +2744,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_value_zscore_outliers": (q_ev_value_zscore_outliers, SQL_EV_ZSCORE),
     "m1_union_ragged": (q_m1_union_ragged, SQL_M1_UNION_RAGGED),
     "doc_scrub_text": (q_doc_scrub_text, SQL_DOC_SCRUB),
+    "doc_weighted_sample": (q_doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 

@@ -139,3 +139,29 @@ def write_ndjson_table(df: DataFrame, path: str) -> None:
     """NDJSON sink: Spark's native JSON writer (one object per line,
     one file per partition) — the scale-path JSON format."""
     df.write.mode("overwrite").json(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int
+) -> int:
+    """Compact a parquet directory to ``target_files`` files — the
+    small-files maintenance op every long-running ingest needs (a 100 TB
+    table fed by streaming micro-batches accretes millions of tiny
+    files; NameNode/liststatus and task-scheduling costs scale with
+    file COUNT, not bytes).
+
+    Rewrites to a sibling temp dir then atomically swaps, so readers
+    never observe a partial table. ``coalesce`` (not ``repartition``)
+    avoids a shuffle — merging files is a narrow dependency. Returns
+    the file count after compaction.
+    """
+    import glob  # noqa: PLC0415
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact.old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

@@ -108,3 +108,15 @@ def test_attribution_join_streaming_end_to_end(spark, attrib_events, tmp_path):
         for r in spark.sql("SELECT * FROM t_attrib").collect()
     )
     assert got == [(3, 1), (3, 2)]
+
+
+def test_compact_parquet_reduces_files_preserves_rows(part_df, tmp_path):
+    p = str(tmp_path / "frag")
+    # fragment: 37 tiny files
+    part_df.repartition(37).write.parquet(p)
+    import glob
+    assert len(glob.glob(p + "/*.parquet")) == 37
+    n_files = IO.compact_parquet(part_df.sparkSession, p, target_files=3)
+    assert n_files <= 3
+    back = part_df.sparkSession.read.parquet(p)
+    assert _sorted_rows(back) == _sorted_rows(part_df)
