@@ -83,20 +83,86 @@ def featurize_media(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return df.mapInPandas(process, schema=MEDIA_FEATURES_DDL)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — REAL plumbing, STUB codec.
+def _fake_raster_decode(payload: bytes, width: int, height: int):
+    """Deterministic fake CODEC (clearly marked): interprets the payload
+    as row-major uint8 grayscale pixels, zero-padded / truncated to
+    width×height. A real deployment swaps this one function for
+    PIL.Image.open → np.asarray; everything downstream (the resize
+    math, the batch plumbing, the schema) is real.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import
 
-    Keeps the payload column binary-in/binary-out so the operator chains
-    (decode → resize → encode) compose. The transformation itself
-    raises until an image library is available.
+    buf = np.frombuffer(payload or b"", dtype=np.uint8)
+    need = width * height
+    if buf.size < need:
+        buf = np.pad(buf, (0, need - buf.size))
+    return buf[:need].reshape(height, width)
+
+
+def _pool_resize(img, out_w: int, out_h: int):
+    """REAL resize math: exact box-average via an integral image. Each
+    output cell averages its source region [y0,y1)×[x0,x1) (regions
+    cover the image exactly on downscale and collapse to single pixels
+    on upscale → replication). Fully vectorized numpy, any ratio."""
+    import numpy as np  # noqa: PLC0415
+
+    in_h, in_w = img.shape
+    # target-cell source ranges; y1 ≥ y0+1 so upscale replicates
+    y0 = np.arange(out_h) * in_h // out_h
+    y1 = np.maximum(y0 + 1, (np.arange(out_h) + 1) * in_h // out_h)
+    x0 = np.arange(out_w) * in_w // out_w
+    x1 = np.maximum(x0 + 1, (np.arange(out_w) + 1) * in_w // out_w)
+    # integral image with a zero border: S[i,j] = sum of img[:i,:j]
+    s = np.zeros((in_h + 1, in_w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(img, axis=0), axis=1, out=s[1:, 1:])
+    sums = (
+        s[np.ix_(y1, x1)] - s[np.ix_(y0, x1)] - s[np.ix_(y1, x0)] + s[np.ix_(y0, x0)]
+    )
+    counts = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return np.rint(sums / counts).astype(np.uint8)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize operator: binary-in / binary-out so codec → resize →
+    encode chains compose; Arrow-batched ``mapInPandas``, partition-
+    parallel, no shuffle. The DECODE step is the deterministic fake
+    raster codec above (this container has no image libs); the resize
+    itself is real average-pooling math and is pixel-level tested.
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image codec not available in this environment; plug Pillow/"
-            "opencv into resize_images.process"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                meta = row.meta if isinstance(row.meta, dict) else (
+                    row.meta._asdict()
+                    if hasattr(row.meta, "_asdict")
+                    else dict(row.meta or {})
+                )
+                if row.kind != "image" or row.payload is None:
+                    continue
+                src_w = int(meta.get("width") or 1)
+                src_h = int(meta.get("height") or 1)
+                img = _fake_raster_decode(bytes(row.payload), src_w, src_h)
+                resized = _pool_resize(img, width, height)
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "kind": row.kind,
+                        "payload": resized.tobytes(),
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "sample_rate": meta.get("sample_rate"),
+                            "duration_ms": meta.get("duration_ms"),
+                            "format": "gray8",
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "payload", "meta"],
+            )
 
     return df.mapInPandas(
         process,

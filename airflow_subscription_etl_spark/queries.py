@@ -2654,6 +2654,25 @@ GROUP BY 1
 """
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over the media table (multimodal.py::resize_images):
+    deterministic fake raster decode → REAL integral-image box-average
+    to 16×16 → re-encode. Rows-only (pixel math isn't SQL-expressible);
+    the pooling itself is pixel-level unit-tested. Output is the
+    payload digest + shape so the check pins determinism end to end.
+    """
+    from .operators.multimodal import resize_images  # noqa: PLC0415
+
+    resized = resize_images(_media_df(spark, sf_dir), 16, 16)
+    return resized.select(
+        "media_id",
+        F.md5("payload").alias("resized_md5"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.col("meta.width").cast("bigint").alias("width"),
+        F.col("meta.height").cast("bigint").alias("height"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2745,6 +2764,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "m1_union_ragged": (q_m1_union_ragged, SQL_M1_UNION_RAGGED),
     "doc_scrub_text": (q_doc_scrub_text, SQL_DOC_SCRUB),
     "doc_weighted_sample": (q_doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
+    "mm_resize": (q_mm_resize, None),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 

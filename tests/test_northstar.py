@@ -204,11 +204,35 @@ def test_video_frame_sampling(spark):
     assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000]
 
 
-def test_resize_images_is_stubbed(spark):
-    rows = [(1, "image", bytearray(b"x"), (4, 4, None, None, "png"))]
+def test_resize_images_average_pools_exactly(spark):
+    """4×4 gray image with known quadrant values → 2×2 resize must be
+    the exact per-quadrant means (real math over the fake raster codec)."""
+    px = bytes(
+        [10, 10, 20, 20,
+         10, 10, 20, 20,
+         30, 30, 40, 40,
+         30, 30, 40, 40]
+    )
+    rows = [(1, "image", bytearray(px), (4, 4, None, None, "gray8"))]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
-        multimodal.resize_images(df, 2, 2).collect()
+    out = multimodal.resize_images(df, 2, 2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert list(bytes(r["payload"])) == [10, 20, 30, 40]
+    assert (r["meta"]["width"], r["meta"]["height"]) == (2, 2)
+    assert r["meta"]["format"] == "gray8"
+
+
+def test_resize_images_upscale_and_filtering(spark):
+    """Upscale replicates pixels; non-image rows are dropped."""
+    rows = [
+        (1, "image", bytearray(bytes([7])), (1, 1, None, None, "gray8")),
+        (2, "audio", bytearray(b"zz"), (None, None, 16000, 10, "wav")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = multimodal.resize_images(df, 3, 2).collect()
+    assert [r["media_id"] for r in out] == [1]
+    assert list(bytes(out[0]["payload"])) == [7] * 6
 
 
 def test_scrub_text_redacts_all_pattern_kinds(spark):
