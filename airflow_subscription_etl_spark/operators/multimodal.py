@@ -191,3 +191,44 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+def sample_audio_windows(
+    df: DataFrame, window_ms: int = 500, hop_ms: int = 250
+) -> DataFrame:
+    """Audio windowing operator: one row per (overlapping) analysis
+    window, positions computed JVM-side from typed metadata
+    (sample_rate, duration_ms) — the exact audio analog of
+    :func:`sample_video_frames`. Window *positions* are cheap and exact;
+    window *decoding* is the pluggable codec step. Start/end sample
+    indices ride along so a real decoder can slice the payload without
+    re-deriving timing.
+    """
+    audio = df.filter(
+        (F.col("kind") == "audio") & F.col("meta.sample_rate").isNotNull()
+    )
+    return audio.select(
+        "media_id",
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+                    - F.lit(window_ms),
+                    F.lit(0),
+                ),
+                F.lit(hop_ms),
+            )
+        ).alias("win_start_ms"),
+    ).select(
+        "media_id",
+        "win_start_ms",
+        (F.col("win_start_ms") + window_ms).alias("win_end_ms"),
+        (F.col("win_start_ms") * F.col("sample_rate") / 1000).cast("bigint").alias(
+            "start_sample"
+        ),
+        ((F.col("win_start_ms") + window_ms) * F.col("sample_rate") / 1000)
+        .cast("bigint")
+        .alias("end_sample"),
+    )

@@ -253,3 +253,18 @@ def test_scrub_text_redacts_all_pattern_kinds(spark):
     assert got[2] == ("see <URL> and <URL>", 2)
     assert got[3] == ("call <PHONE> or <PHONE> now", 2)
     assert got[4] == ("nothing sensitive here", 0)
+
+
+def test_audio_window_sampling(spark):
+    rows = [
+        (5, "audio", bytearray(b"pcm"), (None, None, 16000, 1200, "wav")),
+        (6, "image", bytearray(b"x"), (2, 2, None, None, "gray8")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = multimodal.sample_audio_windows(df, window_ms=500, hop_ms=250).collect()
+    assert {r["media_id"] for r in out} == {5}
+    starts = [r["win_start_ms"] for r in out]
+    # fixed-hop windows that fit entirely inside the 1200ms clip
+    assert starts == [0, 250, 500]
+    w0 = next(r for r in out if r["win_start_ms"] == 0)
+    assert (w0["start_sample"], w0["end_sample"]) == (0, 8000)
