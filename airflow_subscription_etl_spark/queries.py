@@ -2673,6 +2673,61 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in one pass per table: null-key counts,
+    duplicate-PK counts, and referential orphans (lineitem→orders,
+    orders→customer) via anti-joins. The dbt-style expectations an ETL
+    engine owes its tables, expressed as a single UNION of metrics —
+    every check is a scan-light aggregate or anti-join, no collects.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def metric(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check"), F.col("n").cast("bigint").alias("n")
+        )
+
+    checks = [
+        metric("lineitem_null_orderkey",
+               li.agg(F.count_if(F.col("l_orderkey").isNull()).alias("n"))),
+        metric("orders_null_custkey",
+               o.agg(F.count_if(F.col("o_custkey").isNull()).alias("n"))),
+        metric("orders_dup_pk",
+               o.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+               .agg(F.count(F.lit(1)).alias("n"))),
+        metric("lineitem_orphans",
+               li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+               .agg(F.count(F.lit(1)).alias("n"))),
+        metric("orders_orphans",
+               o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+               .agg(F.count(F.lit(1)).alias("n"))),
+    ]
+    out = checks[0]
+    for m in checks[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+SQL_DQ_AUDIT = """
+SELECT 'lineitem_null_orderkey' AS check,
+       COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS n FROM lineitem
+UNION ALL
+SELECT 'orders_null_custkey',
+       COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+UNION ALL
+SELECT 'orders_dup_pk', COUNT(*) FROM (
+  SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem_orphans', COUNT(*) FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'orders_orphans', COUNT(*) FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2765,6 +2820,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_scrub_text": (q_doc_scrub_text, SQL_DOC_SCRUB),
     "doc_weighted_sample": (q_doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
     "mm_resize": (q_mm_resize, None),
+    "dq_audit": (q_dq_audit, SQL_DQ_AUDIT),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 

@@ -1,0 +1,34 @@
+"""Driver-contract consistency: the __spark_entry__ surface must stay
+well-formed (every oracle key has a query, callables are callable,
+names are unique and stable-ish)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E
+
+
+def test_every_oracle_key_has_a_query():
+    q = E.queries()
+    o = E.oracle_sql()
+    assert set(o) <= set(q), set(o) - set(q)
+
+
+def test_queries_are_callables_and_nonempty():
+    q = E.queries()
+    assert len(q) >= 80
+    assert all(callable(f) for f in q.values())
+
+
+def test_oracle_sql_are_nonempty_strings():
+    o = E.oracle_sql()
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+
+
+def test_entry_returns_dataframe(spark):
+    df = E.entry(spark)
+    assert df.schema is not None
+    assert df.count() > 0
