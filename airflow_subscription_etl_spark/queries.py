@@ -2728,6 +2728,122 @@ WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
 """
 
 
+def q_doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency top-30: adjacent-token pairs built JVM-side by
+    zipping the token array against its own tail (no UDF, no
+    self-join), then the same partial-agg + TakeOrdered shape as the
+    unigram vocabulary query.
+    """
+    from .operators.dedup import norm_tokens  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = norm_tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.filter(n >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(30)
+    )
+
+
+SQL_DOC_BIGRAM_TOPK = """
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM b GROUP BY 1
+ORDER BY n DESC, bigram ASC
+LIMIT 30
+"""
+
+
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel per user: first view → first click
+    AFTER that view → first purchase AFTER that click. One shuffle on
+    user_id; the three stage timestamps come from conditional min-over-
+    window aggregates (no self-joins, no re-scans), then counts roll up
+    into a single funnel row. Timestamps compare as unix micros.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t_view")
+    )
+    with_click = (
+        ev.join(per_user, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("us") >= F.col("t_view")),
+                    F.col("us"),
+                )
+            ).alias("t_click")
+        )
+    )
+    funnel = (
+        ev.join(with_click, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("t_click")),
+                    F.col("us"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return funnel.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(F.col("t_view").isNotNull()).alias("n_viewed"),
+        F.count_if(F.col("t_click").isNotNull()).alias("n_clicked_after_view"),
+        F.count_if(F.col("t_purchase").isNotNull()).alias("n_purchased_after_click"),
+    )
+
+
+SQL_EV_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), v AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view
+  FROM ev GROUP BY 1
+), c AS (
+  SELECT ev.user_id, t_view,
+         MIN(CASE WHEN event_type = 'click' AND us >= t_view THEN us END)
+           AS t_click
+  FROM ev JOIN v ON ev.user_id = v.user_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT ev.user_id, t_view, t_click,
+         MIN(CASE WHEN event_type = 'purchase' AND us >= t_click THEN us END)
+           AS t_purchase
+  FROM ev JOIN c ON ev.user_id = c.user_id
+  GROUP BY 1, 2, 3
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_viewed,
+       COUNT(t_click) AS n_clicked_after_view,
+       COUNT(t_purchase) AS n_purchased_after_click
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2821,6 +2937,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_weighted_sample": (q_doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
     "mm_resize": (q_mm_resize, None),
     "dq_audit": (q_dq_audit, SQL_DQ_AUDIT),
+    "doc_bigram_topk": (q_doc_bigram_topk, SQL_DOC_BIGRAM_TOPK),
+    "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 
