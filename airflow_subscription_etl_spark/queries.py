@@ -2844,6 +2844,49 @@ FROM p
 """
 
 
+def q_ev_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME suite per user event stream — the three frame kinds
+    beyond unbounded-running: bounded ROWS (4-event moving average),
+    RANGE over event-time (sum of the trailing 10 minutes, frame keyed
+    on unix micros so range arithmetic is exact), and ntile quartiles.
+    All three share ONE shuffle on user_id.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    rows4 = wo.rowsBetween(-3, 0)
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-10 * 60 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.round(F.avg("value").over(rows4), 6).alias("moving_avg4"),
+        F.round(F.sum("value").over(wr), 6).alias("sum_10min"),
+        F.ntile(4).over(wo).alias("quartile"),
+    )
+
+
+SQL_EV_WINDOW_FRAMES = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+)
+SELECT event_id, user_id, us,
+       round(AVG(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg4,
+       round(SUM(value) OVER (PARTITION BY user_id ORDER BY us
+                              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6)
+         AS sum_10min,
+       NTILE(4) OVER (PARTITION BY user_id ORDER BY us, event_id) AS quartile
+FROM ev
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2939,6 +2982,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dq_audit": (q_dq_audit, SQL_DQ_AUDIT),
     "doc_bigram_topk": (q_doc_bigram_topk, SQL_DOC_BIGRAM_TOPK),
     "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
+    "ev_window_frames": (q_ev_window_frames, SQL_EV_WINDOW_FRAMES),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 
