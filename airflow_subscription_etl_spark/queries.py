@@ -2887,6 +2887,43 @@ FROM ev
 """
 
 
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-count SKETCH MERGE: per-nation HLL sketches of
+    customer ids built in one pass, then UNIONED (not recomputed) up to
+    region level. This is the re-aggregatable-sketch pattern that makes
+    distinct counts cheap at 100 TB — the raw data is touched once and
+    only kilobyte sketches move between levels. Rows-only (DuckDB's HLL
+    internals differ); the exact distinct count rides along at nation
+    level for error sanity (HLL default ≈1.6%).
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sketch"),
+            F.countDistinct("c_custkey").alias("exact_nation"),
+        )
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_region_customers"
+            ),
+            F.sum("exact_nation").alias("exact_region_customers"),
+            F.count("*").alias("n_nations"),
+        )
+        .select(
+            F.col("n_regionkey").cast("bigint").alias("regionkey"),
+            "approx_region_customers",
+            "exact_region_customers",
+            "n_nations",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2983,6 +3020,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_bigram_topk": (q_doc_bigram_topk, SQL_DOC_BIGRAM_TOPK),
     "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
     "ev_window_frames": (q_ev_window_frames, SQL_EV_WINDOW_FRAMES),
+    "hll_sketch_rollup": (q_hll_sketch_rollup, None),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 
