@@ -2924,6 +2924,59 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched KNN join: the 5 lowest-id vectors as a QUERY SET, each
+    matched to its 5 nearest corpus neighbors by cosine. Plan: broadcast
+    the tiny query side, score in one map pass over the corpus (|Q|·d
+    work per row), then ONE window shuffle on query_id for the per-query
+    top-k. This is the shape of batch retrieval at scale — queries
+    broadcast, corpus never replicated, no |corpus|×|corpus| blow-up.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from .operators.similarity import cosine  # noqa: PLC0415
+
+    scored = emb.join(F.broadcast(queries_df)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "cosine_sim", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+SQL_EMB_KNN_JOIN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT query_id, e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))), 9) AS cosine_sim
+  FROM embeddings e, q
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3021,6 +3074,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
     "ev_window_frames": (q_ev_window_frames, SQL_EV_WINDOW_FRAMES),
     "hll_sketch_rollup": (q_hll_sketch_rollup, None),
+    "emb_knn_join": (q_emb_knn_join, SQL_EMB_KNN_JOIN),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 
