@@ -2977,6 +2977,111 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_mode_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode + median per group with PINNED tie semantics: the most
+    common order priority per customer nation (ties broken by priority
+    string asc via count-window argmax — engine `mode()` builtins have
+    engine-specific tie rules, so the deterministic formulation is the
+    portable one) alongside interpolated median order value.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    enriched = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.o_custkey == F.col("c_custkey"),
+    ).join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    counts = enriched.groupBy("n_name", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    med = enriched.groupBy("n_name").agg(
+        F.round(F.median("o_totalprice"), 6).alias("median_order_value"),
+        F.count("*").alias("n_orders"),
+    )
+    return med.join(mode, "n_name")
+
+
+SQL_MODE_MEDIAN = """
+WITH enriched AS (
+  SELECT n_name, o_orderpriority, o_totalprice
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+), counts AS (
+  SELECT n_name, o_orderpriority, COUNT(*) AS cnt
+  FROM enriched GROUP BY 1, 2
+), mode AS (
+  SELECT n_name, o_orderpriority AS mode_priority
+  FROM (SELECT *, row_number() OVER (PARTITION BY n_name
+            ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM counts)
+  WHERE rn = 1
+)
+SELECT m.n_name, round(median(o_totalprice), 6) AS median_order_value,
+       COUNT(*) AS n_orders, ANY_VALUE(mode_priority) AS mode_priority
+FROM enriched e JOIN mode m ON e.n_name = m.n_name
+GROUP BY 1
+"""
+
+
+def q_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: wide per-nation metrics (customer count, supplier
+    count, total balance) melted to long (nation, metric, value) —
+    Spark's ``unpivot``/``melt`` vs DuckDB ``UNPIVOT``. Map-only after
+    the aggregates; the melt itself never shuffles.
+    """
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cm = c.groupBy("c_nationkey").agg(
+        F.count("*").cast("double").alias("n_customers"),
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")) / 100.0
+        ).alias("customer_balance"),
+    )
+    sm = s.groupBy("s_nationkey").agg(
+        F.count("*").cast("double").alias("n_suppliers")
+    )
+    wide = (
+        n.join(cm, n.n_nationkey == cm.c_nationkey, "left")
+        .join(sm, n.n_nationkey == sm.s_nationkey, "left")
+        .select("n_name", "n_customers", "customer_balance", "n_suppliers")
+    )
+    return wide.unpivot(
+        "n_name",
+        ["n_customers", "customer_balance", "n_suppliers"],
+        "metric",
+        "value",
+    )
+
+
+SQL_UNPIVOT = """
+WITH cm AS (
+  SELECT c_nationkey, COUNT(*)::DOUBLE AS n_customers,
+         SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS customer_balance
+  FROM customer GROUP BY 1
+), sm AS (
+  SELECT s_nationkey, COUNT(*)::DOUBLE AS n_suppliers
+  FROM supplier GROUP BY 1
+), wide AS (
+  SELECT n_name, n_customers, customer_balance, n_suppliers
+  FROM nation
+  LEFT JOIN cm ON n_nationkey = c_nationkey
+  LEFT JOIN sm ON n_nationkey = s_nationkey
+)
+SELECT n_name, metric, value
+FROM (UNPIVOT wide ON n_customers, customer_balance, n_suppliers
+      INTO NAME metric VALUE value)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3075,6 +3180,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_window_frames": (q_ev_window_frames, SQL_EV_WINDOW_FRAMES),
     "hll_sketch_rollup": (q_hll_sketch_rollup, None),
     "emb_knn_join": (q_emb_knn_join, SQL_EMB_KNN_JOIN),
+    "mode_median_per_group": (q_mode_median_per_group, SQL_MODE_MEDIAN),
+    "unpivot_nation_metrics": (q_unpivot_nation_metrics, SQL_UNPIVOT),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 
