@@ -3082,6 +3082,42 @@ FROM (UNPIVOT wide ON n_customers, customer_balance, n_suppliers
 """
 
 
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval scalar suite over a compact order slice: extract
+    year/quarter/month, ISO day-of-week (pinned to Monday=1 in BOTH
+    engines — Spark's ``dayofweek`` is Sunday=1 and DuckDB's ``dow`` is
+    Sunday=0, so the portable form is ``isodow``/``weekday``+1), month
+    arithmetic, end-of-month, and day diffs against a fixed epoch.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("y"),
+        F.quarter(d).cast("bigint").alias("q"),
+        F.month(d).cast("bigint").alias("m"),
+        F.weekday(d).cast("bigint").alias("isodow0"),  # Monday=0
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch"),
+    )
+
+
+SQL_DATE_FUNCTIONS = """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS y,
+       EXTRACT(quarter FROM o_orderdate) AS q,
+       EXTRACT(month FROM o_orderdate) AS m,
+       EXTRACT(isodow FROM o_orderdate) - 1 AS isodow0,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+       date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_epoch
+FROM orders WHERE o_orderkey % 500 = 0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3182,6 +3218,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_knn_join": (q_emb_knn_join, SQL_EMB_KNN_JOIN),
     "mode_median_per_group": (q_mode_median_per_group, SQL_MODE_MEDIAN),
     "unpivot_nation_metrics": (q_unpivot_nation_metrics, SQL_UNPIVOT),
+    "date_functions": (q_date_functions, SQL_DATE_FUNCTIONS),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
 }
 
