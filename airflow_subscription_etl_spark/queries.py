@@ -3052,7 +3052,16 @@ def q_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         n.join(cm, n.n_nationkey == cm.c_nationkey, "left")
         .join(sm, n.n_nationkey == sm.s_nationkey, "left")
-        .select("n_name", "n_customers", "customer_balance", "n_suppliers")
+        # coalesce to 0: a nation with no suppliers has ZERO of them,
+        # and (engine parity) DuckDB's UNPIVOT silently DROPS null
+        # cells while Spark's keeps them — nulls here would diverge
+        # exactly when some nation is missing a side (small SFs)
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0.0)).alias("n_customers"),
+            F.coalesce("customer_balance", F.lit(0.0)).alias("customer_balance"),
+            F.coalesce("n_suppliers", F.lit(0.0)).alias("n_suppliers"),
+        )
     )
     return wide.unpivot(
         "n_name",
@@ -3071,7 +3080,10 @@ WITH cm AS (
   SELECT s_nationkey, COUNT(*)::DOUBLE AS n_suppliers
   FROM supplier GROUP BY 1
 ), wide AS (
-  SELECT n_name, n_customers, customer_balance, n_suppliers
+  SELECT n_name,
+         COALESCE(n_customers, 0.0) AS n_customers,
+         COALESCE(customer_balance, 0.0) AS customer_balance,
+         COALESCE(n_suppliers, 0.0) AS n_suppliers
   FROM nation
   LEFT JOIN cm ON n_nationkey = c_nationkey
   LEFT JOIN sm ON n_nationkey = s_nationkey
