@@ -80,29 +80,22 @@ def connected_components(
     no pair) are the caller's to union in if needed.
 
     Convergence is detected on the (deduped, checkpointed) edge set via
-    two scalar actions — row count plus an order-independent xxhash64
-    XOR — instead of a shuffle-heavy ``exceptAll``: equal (count, hash)
-    across rounds means the edge fixpoint is reached (hash collision is
-    ~2⁻⁶⁴ and ``max_rounds`` backstops it), and labels are derived once
-    after the loop.
+    a single scalar action per round — row count plus an
+    order-independent xxhash64 XOR — instead of a shuffle-heavy
+    ``exceptAll``: equal (count, hash) across rounds means the edge
+    fixpoint is reached (hash collision is ~2⁻⁶⁴ and ``max_rounds``
+    backstops it), and labels are derived once after the loop. The
+    per-round ``localCheckpoint`` is LAZY, so the signature agg is the
+    action that materializes it — one job per round, not two (halves
+    the fixed per-round overhead that dominated the r1 bench).
+    ``localCheckpoint`` keeps lineage truncation executor-local (no
+    checkpoint dir needed; at production scale with lossy executors,
+    swap for reliable ``checkpoint()`` on durable storage).
     """
     spark = pairs.sparkSession
-    sc = spark.sparkContext
-    if not sc.getCheckpointDir():
-        import tempfile  # noqa: PLC0415
-
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc_ckpt_"))
-
     e = pairs.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
-    edges = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
 
     # Right-size parallelism to the LIVE edge count each round: the edge
     # set contracts geometrically, and dragging 32+ shuffle partitions
@@ -114,8 +107,6 @@ def connected_components(
     def _parts(n_edges: int) -> int:
         return max(1, min(default_parts, -(-n_edges // 200_000)))
 
-    n_live = edges.count()  # cheap: frame is checkpointed
-
     def _signature(edge_df: DataFrame) -> tuple[int, int]:
         row = edge_df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -125,14 +116,25 @@ def connected_components(
         ).first()
         return (row["n"], row["h"] or 0)
 
-    prev_sig = None
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # baseline signature doubles as the initial live-edge count (one
+    # action materializes the checkpoint AND measures it)
+    prev_sig = _signature(edges)
+    n_live = prev_sig[0]
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+
     for _ in range(max_rounds):
         edges = _star_round(edges, large=True)
         edges = (
             _star_round(edges, large=False)
             .distinct()
             .coalesce(_parts(n_live))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sig = _signature(edges)
         if sig == prev_sig:

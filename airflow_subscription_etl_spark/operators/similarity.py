@@ -19,6 +19,7 @@ stable accumulation.
 
 from __future__ import annotations
 
+import math
 import random
 from functools import lru_cache
 
@@ -459,6 +460,49 @@ def centroid_per_label(
     )
 
 
+def centroid_components(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact, engine-portable centroid projection: per ``(label, dim)``,
+    the vector count and the sum of components quantized to ``1/scale``.
+
+    Unlike a raw double mean (whose value depends on summation order —
+    different per partitioning and per engine), all aggregation here is
+    integer, so the result is bit-deterministic and hash-matches a
+    DuckDB oracle; ``centroid_q = sum_scaled / (n_vecs * scale)`` is a
+    single double division of identical exact operands, hence also
+    identical. Quantization uses ``floor(x*scale + 0.5)`` (not
+    ``round``) so no rounding-mode/tie-break rule can diverge between
+    engines. Shuffles (label, dim, bigint) partial sums with map-side
+    combine — never whole vectors. ``dim`` is 1-based (array-subscript
+    convention, matching SQL oracles).
+    """
+    exploded = df.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("dim0", "val")
+    )
+    agg = exploded.groupBy(
+        label_col, (F.col("dim0") + 1).cast("int").alias("dim")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.floor(F.col("val").cast("double") * scale + F.lit(0.5)).cast("bigint")
+        ).alias("sum_scaled"),
+    )
+    return agg.select(
+        label_col,
+        "dim",
+        "n_vecs",
+        "sum_scaled",
+        (
+            F.col("sum_scaled").cast("double")
+            / (F.col("n_vecs").cast("double") * F.lit(float(scale)))
+        ).alias("centroid_q"),
+    )
+
+
 # --- int8 quantization -------------------------------------------------------
 
 
@@ -528,8 +572,21 @@ def quantized_topk(
     Same plan shape as :func:`brute_force_topk` at a quarter of the
     scan bytes once the quantized column is materialized to storage.
     """
-    m = max(abs(float(x)) for x in query_vec) / 127.0 or 1e-30
-    q = F.array(*[F.lit(int(round(float(x) / m))).cast("tinyint") for x in query_vec])
+    if not query_vec:
+        raise ValueError("quantized_topk: query_vec must be non-empty")
+    mx = max(abs(float(x)) for x in query_vec)
+    m = mx / 127.0 if mx > 0.0 else 1e-30
+    # mirror the corpus side's F.round (HALF_UP = ties away from zero) —
+    # Python's built-in round() is banker's rounding and would disagree
+    # on exact .5 boundaries
+    q = F.array(
+        *[
+            F.lit(int(math.copysign(math.floor(abs(float(x) / m) + 0.5), float(x) / m))).cast(
+                "tinyint"
+            )
+            for x in query_vec
+        ]
+    )
     qdf = quantize_int8(df, vec_col=vec_col)
     scored = qdf.select(
         F.col(id_col),

@@ -332,7 +332,7 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q1 = """
 WITH agg AS (
   SELECT l_returnflag, l_linestatus,
-         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
          SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0
            AS sum_disc_price,
@@ -547,9 +547,9 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), s AS (
-  SELECT *, SUM(is_break) OVER (
+  SELECT *, CAST(SUM(is_break) OVER (
     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM g
 )
 SELECT user_id, session_seq,
@@ -580,7 +580,7 @@ SQL_EV_JSON = """
 SELECT event_type, COUNT(*) AS n,
        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -847,9 +847,27 @@ def q_emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid vectors (rows-only: FP summation order)."""
+    """Per-label centroid components, exact-integer projection.
+
+    Emits (label, dim, n_vecs, sum_scaled, centroid_q) rows instead of
+    raw array<float> centroids — integer-deterministic under any
+    partitioning, hashable by the driver, and DuckDB-expressible (the
+    array-valued API remains ``similarity.centroid_per_label``).
+    """
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.centroid_per_label(emb)
+    return similarity.centroid_components(emb)
+
+
+SQL_EMB_CENTROIDS = """
+SELECT label, CAST(i AS INTEGER) AS dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_scaled,
+       CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE
+         / (COUNT(*)::DOUBLE * 1000000.0) AS centroid_q
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+GROUP BY label, i
+"""
 
 
 def q_ev_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1612,10 +1630,10 @@ def q_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q12 = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
   AND o_orderdate >= TIMESTAMP '1996-01-01'
@@ -2119,7 +2137,7 @@ WITH b AS (
 SELECT CASE WHEN bucket < 9000 THEN 'train'
             WHEN bucket < 9500 THEN 'val'
             ELSE 'test' END AS split,
-       lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM b GROUP BY 1, 2
 """
 
@@ -2140,7 +2158,7 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_STRATIFIED_SAMPLE = """
-SELECT lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_checksum
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM documents
 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
       % 10000 < 1000
@@ -2176,8 +2194,8 @@ WITH ranked AS (
                             ORDER BY n_chars DESC, doc_id ASC) AS rn
   FROM documents
 )
-SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars,
-       SUM(doc_id) AS id_checksum
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM ranked WHERE rn <= 40 GROUP BY 1
 """
 
@@ -2496,7 +2514,7 @@ WITH g AS (
 SELECT n_name, len(balances_cents) AS n_suppliers,
        balances_cents[1] AS min_cents,
        balances_cents[-1] AS max_cents,
-       list_sum(balances_cents) AS sum_cents
+       CAST(list_sum(balances_cents) AS BIGINT) AS sum_cents
 FROM g
 """
 
@@ -2645,8 +2663,8 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_WEIGHTED_SAMPLE = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       SUM(doc_id) AS id_checksum
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM documents
 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
       % 10000 < LEAST(n_chars * 5, 10000)
@@ -3137,57 +3155,22 @@ FROM orders WHERE o_orderkey % 500 = 0
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
+# Registry order matters: the correctness driver checks the FIRST ~50
+# entries per round. Entries are therefore ordered by verification
+# priority — (1) queries fixed this round that need a fresh green row,
+# (2) queries with no CORRECTNESS row from any prior round, (3) queries
+# already green in round 1. Re-tier each round so every query gets a
+# driver row as early as possible.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    "p1_projection": (q_p1_projection, SQL_P1),
-    "p2_label": (q_p2_label, SQL_P2),
-    "p3_filter": (q_p3_filter, SQL_P3),
-    "p5_p6_cast_default": (q_p5_p6_cast_default, SQL_P5_P6),
-    "e1_e2_case": (q_e1_e2_case, SQL_E1_E2),
-    "e5_e6_row_json": (q_e5_e6_row_json, SQL_E5_E6),
-    "j1_lookup": (q_j1_lookup, SQL_J1),
-    "j2_left_existence": (q_j2_left_existence, SQL_J2),
-    "j4_latest_enriched": (q_j4_latest_enriched, SQL_J4),
-    "a1_top1_per_key": (q_a1_top1, SQL_A1),
-    "a2_next_id": (q_a2_next_id, SQL_A2),
-    "a3_existence_counts": (q_a3_existence, SQL_A3),
-    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
-    "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
-    "q5_local_volume": (q_q5_local_volume, SQL_Q5),
-    "q10_returned_revenue": (q_q10_returned_revenue, SQL_Q10),
+    # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
     "ev_sliding_counts": (q_ev_sliding, SQL_EV_SLIDING),
     "ev_sessionize": (q_ev_sessionize, SQL_EV_SESSIONIZE),
     "ev_json_props": (q_ev_json_props, SQL_EV_JSON),
     "ev_user_totals": (q_ev_user_totals, SQL_EV_USER_TOTALS),
-    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
-    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
-    "doc_quality_score": (q_doc_quality, SQL_DOC_QUALITY),
-    "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "doc_jaccard_adjacent": (q_doc_jaccard_adjacent, SQL_DOC_JACCARD_ADJ),
-    "doc_minhash_pairs": (q_doc_minhash_pairs, None),
-    "doc_simhash_pairs": (q_doc_simhash_pairs, None),
-    "emb_topk_cosine": (q_emb_topk_cosine, SQL_EMB_TOPK),
-    "emb_topk_cosine_pandas": (q_emb_topk_cosine_pandas, SQL_EMB_TOPK_PANDAS),
-    "emb_ann_topk": (q_emb_ann_topk, None),
-    "emb_ivf_topk": (q_emb_ivf_topk, None),
-    "emb_near_pairs": (q_emb_near_pairs, None),
-    "emb_centroids": (q_emb_centroids, None),
-    "mm_featurize": (q_mm_featurize, SQL_MM_FEATURIZE),
-    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
-    "q6_forecast_revenue": (q_q6_forecast_revenue, SQL_Q6),
-    "q14_promo_share": (q_q14_promo_share, SQL_Q14),
-    "q18_large_orders": (q_q18_large_orders, SQL_Q18),
-    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
-    "pivot_order_priority": (q_pivot_order_priority, SQL_PIVOT),
-    "window_running_spend": (q_window_running_spend, SQL_WINDOW_RUNNING),
-    "anti_join_idle_customers": (q_anti_join_idle_customers, SQL_ANTI_JOIN),
-    "distinct_part_types": (q_distinct_part_types, SQL_DISTINCT_AGG),
-    "set_ops_custkeys": (q_intersect_custkeys, SQL_SET_OPS),
-    "scalar_subquery_pricey_parts": (q_scalar_subquery_pricey_parts, SQL_SCALAR_SUBQ),
-    "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
-    "quantity_percentiles": (q_quantity_percentiles, SQL_PERCENTILES),
-    "string_functions": (q_string_functions, SQL_STRING_FUNCS),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),
+    # -- tier 2: registered in round 1, never driver-checked yet --
     "approx_distinct_parts": (q_approx_distinct_parts, None),
     "q2_min_cost_supplier": (q_q2_min_cost_supplier, SQL_Q2),
     "q4_order_priority": (q_q4_order_priority, SQL_Q4),
@@ -3221,7 +3204,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "m1_union_ragged": (q_m1_union_ragged, SQL_M1_UNION_RAGGED),
     "doc_scrub_text": (q_doc_scrub_text, SQL_DOC_SCRUB),
     "doc_weighted_sample": (q_doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
-    "mm_resize": (q_mm_resize, None),
     "dq_audit": (q_dq_audit, SQL_DQ_AUDIT),
     "doc_bigram_topk": (q_doc_bigram_topk, SQL_DOC_BIGRAM_TOPK),
     "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
@@ -3232,6 +3214,51 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot_nation_metrics": (q_unpivot_nation_metrics, SQL_UNPIVOT),
     "date_functions": (q_date_functions, SQL_DATE_FUNCTIONS),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
+    "mm_resize": (q_mm_resize, None),
+    # -- tier 3: green in round 1 --
+    "p1_projection": (q_p1_projection, SQL_P1),
+    "p2_label": (q_p2_label, SQL_P2),
+    "p3_filter": (q_p3_filter, SQL_P3),
+    "p5_p6_cast_default": (q_p5_p6_cast_default, SQL_P5_P6),
+    "e1_e2_case": (q_e1_e2_case, SQL_E1_E2),
+    "e5_e6_row_json": (q_e5_e6_row_json, SQL_E5_E6),
+    "j1_lookup": (q_j1_lookup, SQL_J1),
+    "j2_left_existence": (q_j2_left_existence, SQL_J2),
+    "j4_latest_enriched": (q_j4_latest_enriched, SQL_J4),
+    "a1_top1_per_key": (q_a1_top1, SQL_A1),
+    "a2_next_id": (q_a2_next_id, SQL_A2),
+    "a3_existence_counts": (q_a3_existence, SQL_A3),
+    "q3_shipping_priority": (q_q3_shipping_priority, SQL_Q3),
+    "q5_local_volume": (q_q5_local_volume, SQL_Q5),
+    "q10_returned_revenue": (q_q10_returned_revenue, SQL_Q10),
+    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "doc_quality_score": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_jaccard_adjacent": (q_doc_jaccard_adjacent, SQL_DOC_JACCARD_ADJ),
+    "doc_minhash_pairs": (q_doc_minhash_pairs, None),
+    "doc_simhash_pairs": (q_doc_simhash_pairs, None),
+    "emb_topk_cosine": (q_emb_topk_cosine, SQL_EMB_TOPK),
+    "emb_topk_cosine_pandas": (q_emb_topk_cosine_pandas, SQL_EMB_TOPK_PANDAS),
+    "emb_ann_topk": (q_emb_ann_topk, None),
+    "emb_ivf_topk": (q_emb_ivf_topk, None),
+    "emb_near_pairs": (q_emb_near_pairs, None),
+    "mm_featurize": (q_mm_featurize, SQL_MM_FEATURIZE),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    "q6_forecast_revenue": (q_q6_forecast_revenue, SQL_Q6),
+    "q14_promo_share": (q_q14_promo_share, SQL_Q14),
+    "q18_large_orders": (q_q18_large_orders, SQL_Q18),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
+    "pivot_order_priority": (q_pivot_order_priority, SQL_PIVOT),
+    "window_running_spend": (q_window_running_spend, SQL_WINDOW_RUNNING),
+    "anti_join_idle_customers": (q_anti_join_idle_customers, SQL_ANTI_JOIN),
+    "distinct_part_types": (q_distinct_part_types, SQL_DISTINCT_AGG),
+    "set_ops_custkeys": (q_intersect_custkeys, SQL_SET_OPS),
+    "scalar_subquery_pricey_parts": (q_scalar_subquery_pricey_parts, SQL_SCALAR_SUBQ),
+    "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
+    "quantity_percentiles": (q_quantity_percentiles, SQL_PERCENTILES),
+    "string_functions": (q_string_functions, SQL_STRING_FUNCS),
 }
 
 

@@ -88,6 +88,23 @@ def write_parquet_table(
     w.parquet(path)
 
 
+def ensure_query_confs(spark: SparkSession) -> None:
+    """Pin the semantic SQL confs every query depends on, on THE PASSED
+    session — never assume :func:`..session.get_spark` built it.  The
+    correctness driver runs queries under its own default-config
+    SparkSession; both confs below are runtime-settable, so setting them
+    here (the chokepoint every query reads through) makes the whole
+    query surface session-proof:
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which
+      Spark's vectorized reader otherwise rejects (PARQUET_TYPE_ILLEGAL).
+    - ``timeZone=UTC``: timestamp rendering (``date_format``) must agree
+      with the DuckDB oracle regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 
@@ -99,6 +116,7 @@ def read_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    ensure_query_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div` (not `/`): float division of an int64 epoch-nanos
@@ -150,17 +168,27 @@ def compact_parquet(
     files; NameNode/liststatus and task-scheduling costs scale with
     file COUNT, not bytes).
 
-    Rewrites to a sibling temp dir then atomically swaps, so readers
-    never observe a partial table. ``coalesce`` (not ``repartition``)
-    avoids a shuffle — merging files is a narrow dependency. Returns
-    the file count after compaction.
+    Rewrites to a sibling temp dir then swaps via two ``os.rename``
+    calls. NOT fully atomic: there is a window between the renames where
+    ``path`` does not exist, and a crash inside it strands the live data
+    in ``.compact.old`` (recoverable by hand; we also clean any stale
+    ``.compact.old``/``.compact.tmp`` from a prior crash before
+    starting). ``os.rename`` also only works on a local/POSIX
+    filesystem — on HDFS/S3 the production pattern is the pointer-file
+    swap used by :mod:`..streaming.sinks` (write new dir, atomically
+    update a manifest that readers resolve). ``coalesce`` (not
+    ``repartition``) avoids a shuffle — merging files is a narrow
+    dependency. Returns the file count after compaction.
     """
     import glob  # noqa: PLC0415
 
-    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compact.tmp"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + ".compact.old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    df = spark.read.parquet(path)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
