@@ -117,6 +117,64 @@ def with_shingle_hashes(
     return th.select("*", F.array_distinct(sh).alias(out)).drop("_th")
 
 
+def exact_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via an inverted-index self-join —
+    the deterministic, engine-portable counterpart to the probabilistic
+    :func:`minhash_lsh_pairs` (candidate recall < 1) path.
+
+    Plan: explode distinct word-shingles, equi-join on the shingle
+    (ONE shuffle keyed on shingle — candidate pairs materialize only
+    for documents that actually share a shingle, never all-pairs), then
+    a (id_a, id_b) count-agg gives |A∩B| and Jaccard follows from the
+    pre-computed set sizes. Cost is Σ_s df(s)², so frequent
+    "stop-shingles" dominate at scale: pass ``max_df`` to drop shingles
+    appearing in more than that many docs (the standard cap; it can
+    only LOWER recall for pairs whose overlap is exclusively
+    stop-shingles — at that point they are not near-dups worth finding,
+    but the exactness claim then holds only for the capped index, which
+    is why the oracle-checked query runs uncapped). Prefer the MinHash
+    path when Σ df² is unaffordable.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
+    )
+    ex = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    if max_df is not None:
+        keep = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        ex = ex.join(keep, "s", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 # --- minhash + LSH -----------------------------------------------------------
 
 

@@ -1,0 +1,144 @@
+"""Engine-portable distinct-count sketches (KMV / k-minimum-values).
+
+Spark's native ``approx_count_distinct`` / ``hll_sketch_agg`` are
+HyperLogLog sketches whose exact estimates are implementation-defined —
+no other engine reproduces them bit-for-bit, so queries built on them
+can only ever get a weak rows-only correctness check. This module
+implements the classic KMV estimator (Bar-Yossef et al., "Counting
+distinct elements in a data stream", RANDOM 2002; the θ-sketch family)
+on top of a *portable* hash — md5, truncated to 60 bits — so the same
+estimate is computable, bit-identically, in any engine with md5 and
+integer arithmetic (DuckDB, Trino, Postgres, …):
+
+- hash each value to a uniform 60-bit integer ``h``;
+- per group keep the ``k`` smallest *distinct* hashes;
+- if fewer than ``k`` distinct hashes exist the count is exact, else
+  ``estimate = (k-1) * 2^60 / (h_k + 1)`` where ``h_k`` is the k-th
+  smallest (expected relative error ≈ 1/sqrt(k-2), ~13% at k=64).
+
+KMV sketches are MERGEABLE: the k smallest of a union equals the k
+smallest of the union of each side's k smallest, so rollups touch the
+raw data once and only k-element arrays move between levels — the same
+re-aggregation contract as HLL, with ~4× the error per byte, bought
+back by cross-engine determinism. All arithmetic is integer until one
+final double division of identical operands, so the result is
+bit-deterministic under any partitioning.
+
+The hash is the repo-standard md5-prefix trick
+(``conv(substring(md5(cast(v as string)), 1, 15), 16, 10)``), the same
+construction the sampling operators use — DuckDB parity is
+``CAST(('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+#: 2^60 — the hash domain size; exact as a double (power of two).
+_DOMAIN = float(1 << 60)
+
+
+def hash60(col: Column) -> Column:
+    """Uniform 60-bit hash of any value via md5 — portable across
+    engines, unlike xxhash64 (whose seeds/finalization are
+    Spark-specific). 15 hex chars = 60 bits keeps the value positive
+    and well inside bigint range."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def _estimate(n_distinct: Column, h_k: Column, k: int) -> Column:
+    """(k-1)·2^60/(h_k+1) when ≥k distinct hashes exist, exact count
+    below that. ``(k-1)·2^60`` is a small-int × power-of-two product —
+    exactly representable, so the single division is the only rounding
+    step and both engines perform it on identical operands."""
+    return F.when(
+        n_distinct < k, n_distinct.cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(_DOMAIN) / (h_k + F.lit(1)))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct estimate of ``value_col``.
+
+    Plan: one shuffle to dedupe ``(group, hash)``, one window pass to
+    rank hashes per group (at scale the rank-k truncation is what keeps
+    sketch state at k values per group; the exact ``n_distinct`` column
+    rides along here for error visibility — drop it in a true 100 TB
+    run, it is the expensive part). Output:
+    ``group_cols…, n_distinct (hash-distinct, exact), kmv_estimate``.
+    """
+    hashed = df.select(
+        *group_cols, hash60(F.col(value_col)).alias("h")
+    ).dropDuplicates([*group_cols, "h"])
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("h_k"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_distinct",
+        _estimate(F.col("n_distinct"), F.col("h_k"), k).alias("kmv_estimate"),
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    sketch_col: str = "kmv_sketch",
+    exact_col: str = "n_distinct",
+) -> DataFrame:
+    """Build a per-group KMV sketch: the sorted array of the k smallest
+    distinct hashes (≤ k·8 bytes of state per group). Feed the result
+    to :func:`kmv_merge` to roll groups up without re-reading data."""
+    hashed = df.select(
+        *group_cols, hash60(F.col(value_col)).alias("h")
+    ).dropDuplicates([*group_cols, "h"])
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(exact_col),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rn") <= k, F.col("h")))
+        ).alias(sketch_col),
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+    sketch_col: str = "kmv_sketch",
+    estimate_col: str = "kmv_estimate",
+) -> DataFrame:
+    """Merge per-subgroup sketches up to ``group_cols`` and estimate.
+
+    Correctness of the merge: every hash among the k smallest of the
+    union is, within its own subgroup, also among that subgroup's k
+    smallest (a subgroup's hash set is a subset of the union's), so
+    truncated sketches lose nothing — the merged estimate equals the
+    estimate computed directly from the raw data. Only k-element arrays
+    shuffle here; the raw table is not touched.
+    """
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+        1,
+        k,
+    )
+    agg = sketches.groupBy(*group_cols).agg(merged.alias("_m"))
+    n = F.size(F.col("_m"))
+    # F.get is 0-based and null (not ANSI error) when the merged array
+    # is shorter than k — the exact-count branch of _estimate covers it
+    return agg.select(
+        *group_cols,
+        _estimate(n, F.get(F.col("_m"), k - 1), k).alias(estimate_col),
+    )

@@ -152,9 +152,21 @@ def scrub_text(col: Column) -> Column:
 
 
 def with_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Scrubbed text plus redaction counts for pipeline monitoring."""
-    scrubbed = scrub_text(F.col(text_col))
-    return df.withColumn("scrubbed", scrubbed).withColumn(
-        "n_redactions",
-        F.size(F.split(F.col("scrubbed"), r"<(EMAIL|URL|PHONE)>")) - 1,
-    )
+    """Scrubbed text plus redaction counts for pipeline monitoring.
+
+    Each pattern is counted on the text it is actually applied to (the
+    intermediate after the previous replacements), so ``n_redactions``
+    equals the number of replacements performed — robust to source text
+    that already contains ``<EMAIL>``/``<URL>``/``<PHONE>`` literals
+    (which a sentinel-split count would miscount). Null text yields
+    null scrubbed and 0 redactions.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for pat, repl in SCRUB_PATTERNS:
+        counts.append(F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, repl)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return df.withColumn("scrubbed", cur).withColumn("n_redactions", total)

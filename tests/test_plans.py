@@ -97,9 +97,13 @@ def test_band_join_broadcasts_the_band_side(spark):
 
 
 def test_q2_broadcasts_all_dims(spark):
+    # 3 dim joins + the p_size semi-join pushed ahead of the agg
     tree = _tree(_formatted_plan(spark, "q2_min_cost_supplier"))
-    assert tree.count("BroadcastHashJoin") == 3
+    assert tree.count("BroadcastHashJoin") == 4
     assert "SortMergeJoin" not in tree
+    # the semi-join must sit on the fact scan, BELOW the aggregate —
+    # formatted plans print root-first, so deeper = later in the text
+    assert tree.index("LeftSemi") > tree.index("HashAggregate")
 
 
 def test_q11_scans_fact_once(spark):

@@ -1,0 +1,105 @@
+"""KMV sketch properties: estimate accuracy, merge==direct equivalence
+(the claim that makes the rollup oracle-checkable), determinism under
+repartitioning, and the exact-below-k branch. Plus the native-HLL demo
+error band and exact_jaccard_pairs sanity vs a brute-force computation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_subscription_etl_spark.operators import sketch as SK
+from airflow_subscription_etl_spark.operators.dedup import exact_jaccard_pairs, shingles
+from airflow_subscription_etl_spark.sources.io import read_star_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def li(spark):
+    return read_star_table(spark, SF, "lineitem")
+
+
+def test_kmv_estimate_error_band(spark, li):
+    """k=64 → expected rel. error ~1/sqrt(62) ≈ 13%; allow 4 sigma."""
+    out = SK.kmv_distinct(li, ["l_returnflag"], "l_orderkey", k=64).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["kmv_estimate"] == pytest.approx(r["n_distinct"], rel=0.52)
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(40).select(F.col("id").alias("g"), F.col("id").alias("v"))
+    out = SK.kmv_distinct(df.withColumn("g", F.lit(0)), ["g"], "v", k=64).collect()
+    assert out[0]["n_distinct"] == 40
+    assert out[0]["kmv_estimate"] == 40.0
+
+
+def test_kmv_merge_equals_direct(spark, li):
+    """Merged per-subgroup sketches must reproduce the direct estimate
+    bit-for-bit — this is what the rollup's DuckDB oracle relies on."""
+    per_sub = SK.kmv_sketch(li, ["l_returnflag", "l_linestatus"], "l_orderkey", k=64)
+    merged = {
+        r["l_returnflag"]: r["kmv_estimate"]
+        for r in SK.kmv_merge(per_sub, ["l_returnflag"], k=64).collect()
+    }
+    direct = {
+        r["l_returnflag"]: r["kmv_estimate"]
+        for r in SK.kmv_distinct(li, ["l_returnflag"], "l_orderkey", k=64).collect()
+    }
+    assert merged == direct
+
+
+def test_kmv_partitioning_invariant(spark, li):
+    a = SK.kmv_distinct(li, ["l_returnflag"], "l_partkey", k=64).collect()
+    b = SK.kmv_distinct(li.repartition(13), ["l_returnflag"], "l_partkey", k=64).collect()
+    assert {r["l_returnflag"]: r["kmv_estimate"] for r in a} == {
+        r["l_returnflag"]: r["kmv_estimate"] for r in b
+    }
+
+
+def test_hll_native_error_band(spark, li):
+    from airflow_subscription_etl_spark.queries import q_hll_native_distinct
+
+    out = q_hll_native_distinct(spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["approx_parts"] == pytest.approx(r["exact_parts"], rel=0.15)
+
+
+def test_exact_jaccard_pairs_vs_bruteforce(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different document about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    # brute force over the same shingle sets
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select("doc_id", shingles(F.col("text")).alias("sh")).collect()
+    }
+    expect = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= 0.3:
+                expect[(a, b)] = j
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
+    assert got[(1, 4)] == 1.0  # exact dup pair survives
+
+
+def test_exact_jaccard_max_df_cap(spark):
+    rows = [(i, "common shingle words everywhere " + ("x%d " % i) * 3) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = exact_jaccard_pairs(df, threshold=0.1).count()
+    capped = exact_jaccard_pairs(df, threshold=0.1, max_df=2).count()
+    assert capped <= uncapped
