@@ -452,3 +452,104 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def span_dedup(
+    df: DataFrame,
+    span: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact SPAN dedup stats (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22 — their 50-token exact
+    substring dedup, here over non-overlapping ``span``-word chunks):
+    per document, how many of its chunks occur ≥2 times corpus-wide.
+    Corpus curation drops or trims docs above a duplicated-span
+    threshold; this operator computes the signal.
+
+    Plan: map-only chunking (HOF slice — no Python), md5 per chunk, ONE
+    shuffle keyed on the chunk digest to count global occurrences
+    (uniform 128-bit key — no skew), then a doc-keyed re-agg. The
+    digest shuffle carries (digest, doc_id) only, never text. Output:
+    ``doc_id, n_chunks, n_dup_chunks, dup_chunk_frac``.
+    """
+    toks = norm_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(span - 1)) / F.lit(span)).cast("int")
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * span + 1, span))),
+            )
+        ).alias("chunk_md5"),
+    )
+    global_counts = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    per_doc = (
+        chunks.join(global_counts, "chunk_md5")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_occurrences") >= 2).cast("long")).alias("n_dup_chunks"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_chunks",
+        "n_dup_chunks",
+        (
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double")
+        ).alias("dup_chunk_frac"),
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    frac_threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark-contamination screen: for every training document, the
+    fraction of its distinct word-shingles that appear anywhere in the
+    ``benchmark`` corpus (the eval set), plus a boolean flag at
+    ``frac_threshold`` — the standard n-gram-overlap decontamination
+    check run before pre-training (GPT-3 appendix C / PaLM §7 style).
+
+    Plan: benchmark shingles are DISTINCT'd then broadcast when small
+    (an eval set is KBs–MBs against a 100 TB corpus — always broadcast
+    in practice); each training doc's distinct shingles inner-join the
+    benchmark set map-side and re-agg per doc. Nothing quadratic, no
+    shuffle of corpus text.
+    """
+    doc_sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k_shingle)).alias("s")
+    )
+    bench_sh = benchmark.select(
+        F.explode(shingles(F.col(text_col), k_shingle)).alias("s")
+    ).distinct()
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(overlap, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contam_frac"),
+        )
+        .withColumn(
+            "contaminated", (F.col("contam_frac") >= F.lit(frac_threshold))
+        )
+    )

@@ -11,7 +11,7 @@ heuristic), document fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword marker sets for the heuristic language ID.
@@ -170,3 +170,152 @@ def with_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
     for c in counts[1:]:
         total = total + c
     return df.withColumn("scrubbed", cur).withColumn("n_redactions", total)
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/quality signals per document (Rae et al.
+    2021 §A1.1 "repetition filters", adapted to word granularity — the
+    corpus has no line structure): type–token ratio, most-common-word
+    mass, duplicate-bigram fraction, longest consecutive same-word run,
+    and mean word length. The standard pre-training corpus filters
+    ("remove docs whose top word is >20% of tokens", "whose dup-2gram
+    mass is >X%", …) are thresholds over exactly these columns.
+
+    Plan: one posexplode + (doc, word) count-agg + per-doc window argmax
+    for the top word (shuffle keyed on doc_id — uniform); the run-length
+    signal is a classic gaps-and-islands over (doc_id, pos). All ratios
+    are exact int/int divisions of identical operands, so the output is
+    engine-portable bit-for-bit.
+    """
+    toks = df.select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w"))
+    # per-(doc, word) counts -> top word (count desc, word asc tiebreak)
+    wc = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    w_top = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("w").asc())
+    tops = (
+        wc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("w").alias("top_word"),
+            F.col("c").alias("top_word_count"),
+        )
+    )
+    per_doc = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+    )
+    # longest same-word run: island id = pos - rank_within_word
+    w_word = Window.partitionBy(id_col, "w").orderBy("pos")
+    runs = (
+        toks.withColumn("grp", F.col("pos") - F.row_number().over(w_word))
+        .groupBy(id_col, "w", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy(id_col)
+        .agg(F.max("run").alias("max_word_run"))
+    )
+    # duplicate-bigram fraction + mean word length from the raw stream
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("w").over(w_doc))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, F.concat_ws(" ", "w", "w2").alias("bg"))
+    )
+    bg_stats = big.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_distinct("bg").alias("n_distinct_bigrams"),
+    )
+    lens = toks.groupBy(id_col).agg(F.sum(F.length("w")).alias("sum_word_len"))
+    return (
+        per_doc.join(tops, id_col)
+        .join(runs, id_col)
+        .join(bg_stats, id_col)
+        .join(lens, id_col)
+        .select(
+            id_col,
+            "n_words",
+            (
+                F.col("n_distinct_words").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("type_token_ratio"),
+            "top_word",
+            (
+                F.col("top_word_count").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("top_word_frac"),
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("dup_bigram_frac"),
+            "max_word_run",
+            (
+                F.col("sum_word_len").cast("double") / F.col("n_words").cast("double")
+            ).alias("mean_word_len"),
+        )
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean log-likelihood under the corpus's own bigram
+    MLE model — the classic "perplexity filter" signal for pre-training
+    corpora (docs scoring far below the corpus mean are boilerplate or
+    noise), self-trained so no external model artifact is needed.
+
+    p(w2|w1) = c(w1 w2) / c(w1), both counts over the whole corpus; the
+    per-doc score is the mean of log p over its bigrams. Every doc
+    bigram occurs in the corpus (it contributed to the counts), so the
+    MLE probability is never zero and no backoff is needed.
+
+    Determinism: each log p is quantized to integer MICROS before the
+    per-doc sum, so aggregation is exact integer math under any
+    partitioning/engine (a raw double sum would differ by summation
+    order); the mean is one final division of identical operands.
+
+    Plan: two count-aggs over the token stream (shuffles keyed on
+    bigram/unigram — Zipf-skewed, but partial aggregation collapses
+    each hot key map-side), one bigram-keyed join of doc bigrams to the
+    model, one doc-keyed re-agg. Counts tables at 100 TB are
+    vocab-sized, not corpus-sized.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w1")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w1").over(w_doc))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    model = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("logp_micro"),
+    )
+    return (
+        bigrams.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_micro").alias("logp_micro_sum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "logp_micro_sum",
+            (
+                F.col("logp_micro_sum").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1_000_000.0))
+            ).alias("avg_logprob"),
+        )
+    )

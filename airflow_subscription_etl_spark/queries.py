@@ -3373,6 +3373,189 @@ FROM orders WHERE o_orderkey % 500 = 0
 # registry
 
 
+def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (text.py::repetition_signals):
+    type–token ratio, top-word mass, duplicate-bigram fraction, longest
+    same-word run, mean word length — the threshold inputs of standard
+    pre-training corpus filtering."""
+    from .operators.text import repetition_signals  # noqa: PLC0415
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, w[i] AS word
+  FROM t, unnest(range(1, len(w) + 1)) AS u(i)
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), tops AS (
+  SELECT doc_id, word AS top_word, c AS top_word_count
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, word ASC) AS rn
+        FROM wc)
+  WHERE rn = 1
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         COUNT(*) AS n_distinct_words
+  FROM wc GROUP BY 1
+), runs AS (
+  SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_word_run FROM (
+    SELECT doc_id, word, grp, COUNT(*) AS run FROM (
+      SELECT doc_id, word,
+             pos - row_number() OVER (PARTITION BY doc_id, word
+                                      ORDER BY pos) AS grp
+      FROM tok) GROUP BY 1, 2, 3) GROUP BY 1
+), bgf AS (
+  SELECT doc_id, bg FROM (
+    SELECT doc_id, word || ' ' || lead(word) OVER (PARTITION BY doc_id
+                                                   ORDER BY pos) AS bg
+    FROM tok) WHERE bg IS NOT NULL
+), bg_stats AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         COUNT(DISTINCT bg) AS n_distinct_bigrams
+  FROM bgf GROUP BY 1
+), lens AS (
+  SELECT doc_id, CAST(SUM(len(word)) AS BIGINT) AS sum_word_len
+  FROM tok GROUP BY 1
+)
+SELECT p.doc_id, p.n_words,
+       CAST(p.n_distinct_words AS DOUBLE) / CAST(p.n_words AS DOUBLE)
+         AS type_token_ratio,
+       tp.top_word,
+       CAST(tp.top_word_count AS DOUBLE) / CAST(p.n_words AS DOUBLE)
+         AS top_word_frac,
+       1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+         AS dup_bigram_frac,
+       r.max_word_run,
+       CAST(l.sum_word_len AS DOUBLE) / CAST(p.n_words AS DOUBLE)
+         AS mean_word_len
+FROM per_doc p
+JOIN tops tp USING (doc_id)
+JOIN runs r USING (doc_id)
+JOIN bg_stats b USING (doc_id)
+JOIN lens l USING (doc_id)
+"""
+
+
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-word-span dedup stats (dedup.py::span_dedup — the
+    Lee et al. exact-substring dedup signal at chunk granularity)."""
+    from .operators.dedup import span_dedup  # noqa: PLC0415
+
+    return span_dedup(_t(spark, sf_dir, "documents"), span=8)
+
+
+SQL_DOC_SPAN_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' '))
+           AS chunk_md5
+  FROM t, unnest(range(0, (len(w) + 7) // 8)) AS u(i)
+), g AS (
+  SELECT chunk_md5, COUNT(*) AS n_occ FROM ch GROUP BY 1
+)
+SELECT ch.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN g.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(SUM(CASE WHEN g.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         / CAST(COUNT(*) AS BIGINT)::DOUBLE AS dup_chunk_frac
+FROM ch JOIN g USING (chunk_md5)
+GROUP BY 1
+"""
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen (dedup.py::contamination_check):
+    docs with doc_id % 97 == 0 stand in for the eval set; every other
+    doc reports its shingle-overlap fraction against that set."""
+    from .operators.dedup import contamination_check  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(corpus, bench)
+
+
+SQL_DOC_CONTAMINATION = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS sh
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS w
+    FROM documents
+  )
+), bench AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0)
+), docsh AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM docsh GROUP BY 1
+), ov AS (
+  SELECT d.doc_id, COUNT(*) AS n_overlap
+  FROM docsh d JOIN bench b ON d.s = b.s GROUP BY 1
+)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(ov.n_overlap, 0) AS n_overlap,
+       CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+         AS contam_frac,
+       CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+         >= 0.2 AS contaminated
+FROM totals t LEFT JOIN ov USING (doc_id)
+"""
+
+
+def q_doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM mean log-likelihood per doc (text.py::
+    bigram_lm_scores) — the perplexity-filter signal, with log-probs
+    quantized to integer micros so the sum is engine/partitioning-
+    deterministic."""
+    from .operators.text import bigram_lm_scores  # noqa: PLC0415
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_BIGRAM_LM = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, w[i] AS w1
+  FROM t, unnest(range(1, len(w) + 1)) AS u(i)
+), bgf AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok) WHERE w2 IS NOT NULL
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bgf GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM tok GROUP BY 1
+), model AS (
+  SELECT c2.w1, c2.w2,
+         CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS logp_micro
+  FROM c2 JOIN c1 USING (w1)
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(m.logp_micro) AS BIGINT) AS logp_micro_sum,
+       CAST(SUM(m.logp_micro) AS BIGINT)::DOUBLE
+         / (CAST(COUNT(*) AS BIGINT)::DOUBLE * 1000000.0) AS avg_logprob
+FROM bgf b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+GROUP BY 1
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -3436,6 +3619,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "date_functions": (q_date_functions, SQL_DATE_FUNCTIONS),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
     "mm_resize": (q_mm_resize, None),
+    # -- tier 2b: new in round 2 (locally verified; first driver row
+    #    lands when they rotate into the window next round) --
+    "doc_repetition_signals": (q_doc_repetition_signals, SQL_DOC_REPETITION),
+    "doc_span_dedup": (q_doc_span_dedup, SQL_DOC_SPAN_DEDUP),
+    "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
+    "doc_bigram_lm": (q_doc_bigram_lm, SQL_DOC_BIGRAM_LM),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),
