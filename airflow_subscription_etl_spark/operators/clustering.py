@@ -1,0 +1,142 @@
+"""Distributed k-means (Lloyd's algorithm) with ENGINE-EXACT arithmetic.
+
+The canonical distributed k-means shape (same as Spark MLlib's): the
+k·d centroid matrix is driver state broadcast into a map-only
+assignment pass; the update is one (cluster, dim) aggregation shuffle
+per iteration. What this implementation adds is bit-determinism:
+
+- distances are per-dimension squared diffs ROUNDED TO INTEGER MICROS
+  and summed as bigints — the fold order (and the engine) cannot
+  change the result, unlike a raw double sum;
+- centroid updates sum micro-quantized components as integers and do
+  ONE double division — identical operands, identical result,
+  everywhere;
+- ties in the argmin break on cluster id.
+
+So the whole iterative algorithm — init, 3 assignment/update rounds,
+final cluster summary — reproduces exactly in any engine with floor/
+round and 64-bit ints, which is what lets a DuckDB oracle (unrolled
+iterations, see ``queries.kmeans_oracle_sql``) hash-match the Spark
+run. Quantization at 1e-6 perturbs assignments only for points nearly
+equidistant between centroids — the points where k-means assignment is
+arbitrary anyway.
+
+At scale: assignment is embarrassingly parallel (k·d flops per row, no
+shuffle); the update shuffles (cluster, dim, partial-sum) triples with
+map-side combine — k·d·partitions rows, never vectors. Driver traffic
+per iteration is the k·d centroid matrix: kilobytes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000
+
+
+def _quant(x: float) -> float:
+    """floor(x·1e6 + 0.5)/1e6 — HALF_UP micro grid, identical to the
+    SQL ``floor(x * 1000000 + 0.5)/1000000.0``."""
+    return math.floor(x * _SCALE + 0.5) / _SCALE
+
+
+def _dist_micro(vec_col: str, cvec: list[float]):
+    """Σ_d round((x_d − c_d)² · 1e6) as bigint — order-free."""
+    carr = F.array(*[F.lit(float(v)) for v in cvec])
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            carr,
+            lambda a, b: F.round(
+                (a.cast("double") - b) * (a.cast("double") - b) * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment against driver-held
+    centroids (1-based cluster ids; ties → lowest id). Returns
+    ``(id, cluster_id, dist_micro)``."""
+    candidates = F.array(
+        *[
+            F.struct(
+                _dist_micro(vec_col, cvec).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in enumerate(centroids, start=1)
+        ]
+    )
+    best = F.array_min(candidates)
+    return df.select(
+        F.col(id_col),
+        best["cid"].alias("cluster_id"),
+        best["d"].alias("dist_micro"),
+    )
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, ``iters`` rounds from a deterministic init (the
+    k lowest-id vectors, micro-quantized). Returns the FINAL-round
+    assignment ``(id, cluster_id, dist_micro)``.
+
+    The per-iteration driver collect is the k·d centroid matrix only —
+    the same driver state every distributed k-means keeps; data-sized
+    frames never leave the cluster. Empty clusters keep their previous
+    centroid.
+    """
+    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [[_quant(float(x)) for x in r[vec_col]] for r in init_rows]
+    dim = len(cents[0])
+    # iters assignments interleaved with iters-1 updates:
+    # a_i = assign(c_{i-1}); c_i = update(a_i); return a_iters
+    for _ in range(iters - 1):
+        assigned = assign_clusters(df, cents, id_col, vec_col)
+        sums = (
+            df.join(assigned.select(id_col, "cluster_id"), id_col)
+            .select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim0", "x"))
+            .groupBy("cluster_id", "dim0")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("x").cast("double") * F.lit(float(_SCALE)) + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in sums:
+            new.setdefault(r["cluster_id"], [0.0] * dim)[r["dim0"]] = float(
+                r["s"]
+            ) / (float(r["n"]) * float(_SCALE))
+        # empty clusters (absent from `new`) keep their previous centroid
+        cents = [new.get(cid, cents[cid - 1]) for cid in range(1, k + 1)]
+    return assign_clusters(df, cents, id_col, vec_col)
+
+
+def kmeans_cluster_summary(assigned: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-cluster summary of an assignment: size, member-id checksum,
+    total micro-distance — a hashable projection of the full result."""
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(id_col).alias("member_checksum"),
+        F.sum("dist_micro").alias("sum_dist_micro"),
+    )

@@ -319,3 +319,92 @@ def bigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (Robertson–Spärck Jones):
+    top-k docs for a bag of query terms — the lexical-retrieval
+    counterpart to the embedding top-k operators.
+
+    Determinism for oracle parity: idf is micro-quantized after the log
+    (engine libm rounding dies there) and each term's whole
+    contribution is micro-quantized before the per-doc sum, so
+    aggregation is exact integer math in any engine/partitioning.
+
+    Plan: one token explode filtered TO THE QUERY TERMS at the scan
+    (term list is tiny → an IN filter, so the shuffle carries only
+    matching (doc, term) rows), per-term df counts, per-doc tf, one
+    doc-keyed agg. Corpus-level constants (N, avg len) are single-row
+    broadcasts.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    doclen = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    hits = toks.filter(F.col("w").isin(*terms))
+    tf = hits.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # idf quantized to micros right after the log
+    idf_q = (
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.lit(1_000_000.0)
+        ).cast("bigint")
+        / F.lit(1_000_000.0)
+    )
+    avg_dl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    contrib = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .join(doclen, id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                idf_q
+                * (
+                    F.col("tf").cast("double")
+                    * F.lit(k1 + 1.0)
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl").cast("double") / avg_dl
+                        )
+                    )
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.sum("score_micro").alias("score_micro"))
+        .select(
+            id_col,
+            "score_micro",
+            (F.col("score_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "bm25_score"
+            ),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

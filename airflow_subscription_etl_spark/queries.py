@@ -3556,6 +3556,136 @@ GROUP BY 1
 """
 
 
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (text.py::bm25_topk): top-25 docs for a
+    3-term keyword query, idf and per-term contributions micro-quantized
+    for engine-exact scores."""
+    from .operators.text import bm25_topk  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "window", "customer"], k=25)
+
+
+SQL_DOC_BM25 = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), doclen AS (
+  SELECT doc_id, len(w) AS dl FROM t
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM doclen
+), tok AS (
+  SELECT doc_id, unnest(w) AS word FROM t
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok
+  WHERE word IN ('spark', 'window', 'customer') GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (CAST(round(ln((n_docs - df + 0.5) / (df + 0.5)) * 1000000.0)
+                 AS BIGINT) / 1000000.0)
+           * (tf::DOUBLE * (1.2 + 1.0)
+              / (tf::DOUBLE
+                 + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * dl::DOUBLE
+                            / (sum_dl::DOUBLE / n_docs::DOUBLE))))
+           * 1000000.0) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN dfreq USING (word)
+  CROSS JOIN stats
+  JOIN doclen USING (doc_id)
+)
+SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS score_micro,
+       CAST(SUM(score_micro) AS BIGINT)::DOUBLE / 1000000.0 AS bm25_score
+FROM contrib GROUP BY 1
+ORDER BY score_micro DESC, doc_id ASC LIMIT 25
+"""
+
+
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, k=8, 3 assignment rounds (operators/
+    clustering.py) — iterative Lloyd's with micro-quantized integer
+    accumulators, so even this loop hash-matches a DuckDB oracle (the
+    oracle unrolls the iterations as CTEs; see kmeans_oracle_sql)."""
+    from .operators.clustering import (  # noqa: PLC0415
+        kmeans_cluster_summary,
+        kmeans_fit_predict,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_cluster_summary(kmeans_fit_predict(emb, k=8, iters=3))
+
+
+def kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Generate the unrolled-iteration DuckDB oracle for q_emb_kmeans.
+
+    Mirrors clustering.py exactly: micro-quantized init from the k
+    lowest vec_ids, per-iteration argmin assignment on integer-micro
+    distances (ties → lowest cid), integer-sum centroid updates with
+    COALESCE fallback for empty clusters, final-assignment summary.
+    """
+    parts = [
+        f"""WITH ex AS (
+  SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+), c0 AS (
+  SELECT init.cid, ex.dim, floor(ex.x * 1000000 + 0.5) / 1000000.0 AS val
+  FROM init JOIN ex USING (vec_id)
+)"""
+    ]
+    for i in range(1, iters):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""", d{i} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(SUM(CAST(round((e.x - c.val) * (e.x - c.val) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS dist_micro
+  FROM ex e JOIN {prev} c USING (dim) GROUP BY 1, 2
+), a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist_micro ASC, cid ASC) AS rn
+    FROM d{i}) WHERE rn = 1
+), s{i} AS (
+  SELECT a.cid, e.dim,
+         CAST(SUM(CAST(floor(e.x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM a{i} a JOIN ex e USING (vec_id) GROUP BY 1, 2
+), c{i} AS (
+  SELECT c.cid, c.dim,
+         COALESCE(s.s::DOUBLE / (s.n::DOUBLE * 1000000.0), c.val) AS val
+  FROM {prev} c LEFT JOIN s{i} s ON s.cid = c.cid AND s.dim = c.dim
+)"""
+        )
+    last = f"c{iters - 1}"
+    parts.append(
+        f""", dfin AS (
+  SELECT e.vec_id, c.cid,
+         CAST(SUM(CAST(round((e.x - c.val) * (e.x - c.val) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS dist_micro
+  FROM ex e JOIN {last} c USING (dim) GROUP BY 1, 2
+), afin AS (
+  SELECT vec_id, cid, dist_micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist_micro ASC, cid ASC) AS rn
+    FROM dfin) WHERE rn = 1
+)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(vec_id) AS BIGINT) AS member_checksum,
+       CAST(SUM(dist_micro) AS BIGINT) AS sum_dist_micro
+FROM afin GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+SQL_EMB_KMEANS = kmeans_oracle_sql(k=8, iters=3)
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -3625,6 +3755,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_span_dedup": (q_doc_span_dedup, SQL_DOC_SPAN_DEDUP),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
     "doc_bigram_lm": (q_doc_bigram_lm, SQL_DOC_BIGRAM_LM),
+    "doc_bm25_topk": (q_doc_bm25_topk, SQL_DOC_BM25),
+    "emb_kmeans": (q_emb_kmeans, SQL_EMB_KMEANS),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),

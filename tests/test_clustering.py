@@ -1,0 +1,59 @@
+"""k-means properties: assignment covers every vector, distortion is
+non-increasing across iterations, and results are partitioning-
+invariant (the determinism claim the DuckDB oracle relies on)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_subscription_etl_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_cluster_summary,
+    kmeans_fit_predict,
+)
+from airflow_subscription_etl_spark.sources.io import read_star_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def emb(spark):
+    return read_star_table(spark, SF, "embeddings")
+
+
+def test_kmeans_covers_all_vectors(emb):
+    n = emb.count()
+    out = kmeans_fit_predict(emb, k=4, iters=2)
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    cids = {r["cluster_id"] for r in out.select("cluster_id").distinct().collect()}
+    assert cids <= set(range(1, 5)) and len(cids) >= 1
+
+
+def test_kmeans_distortion_non_increasing(emb):
+    def total_dist(iters):
+        s = kmeans_cluster_summary(kmeans_fit_predict(emb, k=4, iters=iters))
+        return s.agg(F.sum("sum_dist_micro")).collect()[0][0]
+
+    d1, d2, d3 = total_dist(1), total_dist(2), total_dist(3)
+    assert d2 <= d1
+    assert d3 <= d2
+
+
+def test_kmeans_partitioning_invariant(emb):
+    a = kmeans_cluster_summary(kmeans_fit_predict(emb, k=4, iters=3)).collect()
+    b = kmeans_cluster_summary(
+        kmeans_fit_predict(emb.repartition(11), k=4, iters=3)
+    ).collect()
+    key = lambda rows: {r["cluster_id"]: tuple(r) for r in rows}  # noqa: E731
+    assert key(a) == key(b)
+
+
+def test_assign_clusters_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], ["vec_id", "embedding"]
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    # two identical centroids -> tie -> lowest cid wins
+    out = assign_clusters(df, [[1.0, 1.0], [1.0, 1.0]]).collect()
+    assert out[0]["cluster_id"] == 1
