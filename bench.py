@@ -51,6 +51,12 @@ HEADLINE = [
     "doc_cc_islands",
     "emb_quantized_topk",
     "scd2_customer_orders",
+    # round-2 additions: corpus filters, retrieval, sketch, clustering
+    "doc_span_dedup",
+    "doc_bigram_lm",
+    "doc_bm25_topk",
+    "approx_distinct_parts",
+    "emb_kmeans",
 ]
 
 
