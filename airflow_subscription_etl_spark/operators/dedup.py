@@ -22,7 +22,7 @@ Scale design notes (the point of each implementation):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -468,10 +468,12 @@ def span_dedup(
     threshold; this operator computes the signal.
 
     Plan: map-only chunking (HOF slice — no Python), md5 per chunk, ONE
-    shuffle keyed on the chunk digest to count global occurrences
-    (uniform 128-bit key — no skew), then a doc-keyed re-agg. The
-    digest shuffle carries (digest, doc_id) only, never text. Output:
-    ``doc_id, n_chunks, n_dup_chunks, dup_chunk_frac``.
+    shuffle keyed on the chunk digest where a WINDOW count attaches the
+    global occurrence count to each row (an agg-and-join-back would
+    re-scan the corpus for the second side; the window shares the one
+    shuffle), then a doc-keyed re-agg. The digest shuffle carries
+    (digest, doc_id) only, never text; the 128-bit key is uniform — no
+    skew. Output: ``doc_id, n_chunks, n_dup_chunks, dup_chunk_frac``.
     """
     toks = norm_tokens(F.col(text_col))
     n = F.size(toks)
@@ -485,16 +487,12 @@ def span_dedup(
             )
         ).alias("chunk_md5"),
     )
-    global_counts = chunks.groupBy("chunk_md5").agg(
-        F.count(F.lit(1)).alias("n_occurrences")
+    counted = chunks.withColumn(
+        "n_occurrences", F.count(F.lit(1)).over(Window.partitionBy("chunk_md5"))
     )
-    per_doc = (
-        chunks.join(global_counts, "chunk_md5")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("n_occurrences") >= 2).cast("long")).alias("n_dup_chunks"),
-        )
+    per_doc = counted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("n_occurrences") >= 2).cast("long")).alias("n_dup_chunks"),
     )
     return per_doc.select(
         id_col,
@@ -520,33 +518,34 @@ def contamination_check(
     ``frac_threshold`` — the standard n-gram-overlap decontamination
     check run before pre-training (GPT-3 appendix C / PaLM §7 style).
 
-    Plan: benchmark shingles are DISTINCT'd then broadcast when small
-    (an eval set is KBs–MBs against a 100 TB corpus — always broadcast
-    in practice); each training doc's distinct shingles inner-join the
-    benchmark set map-side and re-agg per doc. Nothing quadratic, no
-    shuffle of corpus text.
+    Plan: benchmark shingles are DISTINCT'd then broadcast (an eval set
+    is KBs–MBs against a 100 TB corpus — always broadcast in practice);
+    each training doc's distinct shingles LEFT-join the benchmark set
+    map-side with a hit marker, and ONE per-doc aggregate counts both
+    totals and hits — a separate totals branch would scan the corpus
+    twice. Nothing quadratic, no shuffle of corpus text.
     """
     doc_sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k_shingle)).alias("s")
     )
-    bench_sh = benchmark.select(
-        F.explode(shingles(F.col(text_col), k_shingle)).alias("s")
-    ).distinct()
-    overlap = (
-        doc_sh.join(F.broadcast(bench_sh), "s")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), k_shingle)).alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    marked = doc_sh.join(F.broadcast(bench_sh), "s", "left")
     return (
-        totals.join(overlap, id_col, "left")
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
         .select(
             id_col,
             "n_shingles",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            "n_overlap",
             (
-                F.coalesce("n_overlap", F.lit(0)).cast("double")
-                / F.col("n_shingles").cast("double")
+                F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
             ).alias("contam_frac"),
         )
         .withColumn(

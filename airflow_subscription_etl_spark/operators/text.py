@@ -183,77 +183,68 @@ def repetition_signals(
     ("remove docs whose top word is >20% of tokens", "whose dup-2gram
     mass is >X%", …) are thresholds over exactly these columns.
 
-    Plan: one posexplode + (doc, word) count-agg + per-doc window argmax
-    for the top word (shuffle keyed on doc_id — uniform); the run-length
-    signal is a classic gaps-and-islands over (doc_id, pos). All ratios
-    are exact int/int divisions of identical operands, so the output is
-    engine-portable bit-for-bit.
+    Plan — ONE corpus scan, ONE exchange: every per-row annotation
+    (bigram lead, run id, run length, word count) is a window over a
+    ``(doc_id, …)`` partitioning, and ``HashPartitioning(doc_id)``
+    satisfies every such clustering requirement, so all four window
+    specs plus the final per-doc aggregate share a single shuffle of
+    the token stream (sorts chain, no re-exchange, no re-scan — a
+    branch-and-rejoin formulation re-reads the corpus per branch).
+    Top word = ``min(struct(-count, word))`` (argmax with count-desc,
+    word-asc tiebreak as one order-free aggregate). All ratios are
+    exact int/int divisions, engine-portable bit-for-bit.
     """
-    toks = df.select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w"))
-    # per-(doc, word) counts -> top word (count desc, word asc tiebreak)
-    wc = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
-    w_top = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("w").asc())
-    tops = (
-        wc.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col("w").alias("top_word"),
-            F.col("c").alias("top_word_count"),
-        )
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
     )
-    per_doc = wc.groupBy(id_col).agg(
-        F.sum("c").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct_words"),
-    )
-    # longest same-word run: island id = pos - rank_within_word
-    w_word = Window.partitionBy(id_col, "w").orderBy("pos")
-    runs = (
-        toks.withColumn("grp", F.col("pos") - F.row_number().over(w_word))
-        .groupBy(id_col, "w", "grp")
-        .agg(F.count(F.lit(1)).alias("run"))
-        .groupBy(id_col)
-        .agg(F.max("run").alias("max_word_run"))
-    )
-    # duplicate-bigram fraction + mean word length from the raw stream
     w_doc = Window.partitionBy(id_col).orderBy("pos")
-    big = (
-        toks.withColumn("w2", F.lead("w").over(w_doc))
-        .filter(F.col("w2").isNotNull())
-        .select(id_col, F.concat_ws(" ", "w", "w2").alias("bg"))
+    w_word = Window.partitionBy(id_col, "w").orderBy("pos")
+    t2 = toks.select(
+        id_col,
+        "pos",
+        "w",
+        F.lead("w").over(w_doc).alias("w2"),
+        (F.col("pos") - F.row_number().over(w_word)).alias("grp"),
     )
-    bg_stats = big.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.count_distinct("bg").alias("n_distinct_bigrams"),
+    t3 = t2.select(
+        id_col,
+        "w",
+        "w2",
+        F.count(F.lit(1)).over(Window.partitionBy(id_col, "w", "grp")).alias("run_len"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col, "w")).alias("word_cnt"),
     )
-    lens = toks.groupBy(id_col).agg(F.sum(F.length("w")).alias("sum_word_len"))
-    return (
-        per_doc.join(tops, id_col)
-        .join(runs, id_col)
-        .join(bg_stats, id_col)
-        .join(lens, id_col)
-        .select(
-            id_col,
-            "n_words",
-            (
-                F.col("n_distinct_words").cast("double")
-                / F.col("n_words").cast("double")
-            ).alias("type_token_ratio"),
-            "top_word",
-            (
-                F.col("top_word_count").cast("double")
-                / F.col("n_words").cast("double")
-            ).alias("top_word_frac"),
-            (
-                F.lit(1.0)
-                - F.col("n_distinct_bigrams").cast("double")
-                / F.col("n_bigrams").cast("double")
-            ).alias("dup_bigram_frac"),
-            "max_word_run",
-            (
-                F.col("sum_word_len").cast("double") / F.col("n_words").cast("double")
-            ).alias("mean_word_len"),
-        )
+    agg = t3.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.count_distinct("w").alias("n_distinct_words"),
+        F.sum(F.length("w")).alias("sum_word_len"),
+        F.count("w2").alias("n_bigrams"),
+        F.count_distinct(
+            F.when(F.col("w2").isNotNull(), F.concat_ws(" ", "w", "w2"))
+        ).alias("n_distinct_bigrams"),
+        F.max("run_len").alias("max_word_run"),
+        F.min(F.struct((-F.col("word_cnt")).alias("nc"), F.col("w").alias("w"))).alias(
+            "_top"
+        ),
+    )
+    return agg.select(
+        id_col,
+        "n_words",
+        (
+            F.col("n_distinct_words").cast("double") / F.col("n_words").cast("double")
+        ).alias("type_token_ratio"),
+        F.col("_top.w").alias("top_word"),
+        (
+            (-F.col("_top.nc")).cast("double") / F.col("n_words").cast("double")
+        ).alias("top_word_frac"),
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_bigrams").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("dup_bigram_frac"),
+        "max_word_run",
+        (F.col("sum_word_len").cast("double") / F.col("n_words").cast("double")).alias(
+            "mean_word_len"
+        ),
     )
 
 
@@ -290,21 +281,29 @@ def bigram_lm_scores(
         .filter(F.col("w2").isNotNull())
         .select(id_col, "w1", "w2")
     )
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # c(w1 w2) as a WINDOW over the bigram stream instead of a count-agg
+    # joined back — the join formulation re-scans the corpus for the
+    # model side; the window shares one shuffle with the scoring rows.
+    # c(w1) is a vocab-sized aggregate (one extra scan of the token
+    # stream, output ~|vocab| rows) and joins back via broadcast.
     c1 = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    model = c2.join(c1, "w1").select(
-        "w1",
-        "w2",
-        F.round(
-            F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
-            * F.lit(1_000_000.0)
+    scored = (
+        bigrams.withColumn(
+            "c12", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
         )
-        .cast("bigint")
-        .alias("logp_micro"),
+        .join(F.broadcast(c1), "w1")
+        .select(
+            id_col,
+            F.round(
+                F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
     )
     return (
-        bigrams.join(model, ["w1", "w2"])
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("logp_micro").alias("logp_micro_sum"),
@@ -339,24 +338,30 @@ def bm25_topk(
     contribution is micro-quantized before the per-doc sum, so
     aggregation is exact integer math in any engine/partitioning.
 
-    Plan: one token explode filtered TO THE QUERY TERMS at the scan
-    (term list is tiny → an IN filter, so the shuffle carries only
-    matching (doc, term) rows), per-term df counts, per-doc tf, one
-    doc-keyed agg. Corpus-level constants (N, avg len) are single-row
-    broadcasts.
+    Plan — two corpus scans total: (1) the token explode filtered TO
+    THE QUERY TERMS right at the scan, carrying the doc length as a
+    per-row column (computed map-side from the same split — no second
+    granularity, no doclen re-join of the corpus); (2) a scalar
+    single-row aggregate for N and avg length. tf/df/doclen all derive
+    from scan (1)'s one (doc, term) shuffle; df and the scalar stats
+    are broadcast back.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        F.col(id_col), F.size("_t").alias("dl"), F.explode("_t").alias("w")
     )
-    doclen = df.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl")
-    )
-    stats = doclen.agg(
+    stats = df.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    hits = toks.filter(F.col("w").isin(*terms))
-    tf = hits.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    hits = toked.filter(F.col("w").isin(*terms))
+    # df(term) as a window over the (doc, term) tf rows — an agg-and-
+    # join-back would re-derive (and re-scan) the tf subtree
+    tf = (
+        hits.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("w")))
+    )
     # idf quantized to micros right after the log
     idf_q = (
         F.round(
@@ -370,9 +375,7 @@ def bm25_topk(
     )
     avg_dl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     contrib = (
-        tf.join(F.broadcast(dfreq), "w")
-        .crossJoin(F.broadcast(stats))
-        .join(doclen, id_col)
+        tf.crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
             F.round(
