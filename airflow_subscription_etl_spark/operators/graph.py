@@ -182,3 +182,76 @@ def canonical_docs(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list, ENGINE-EXACT: ranks live as
+    integer MICROS between iterations, every per-edge contribution is
+    micro-rounded before the destination sum, so the bigint aggregation
+    is immune to ordering/partitioning and the whole iterative run
+    reproduces bit-for-bit in any engine (DuckDB oracle unrolls the
+    iterations — see queries.pagerank_oracle_sql).
+
+    Per iteration: rank/out-degree contributions flow along edges (one
+    shuffle keyed on dst with map-side combine), then
+    ``new = round(0.15·1e6 + d·Σ contrib)``. Dangling nodes keep only
+    the teleport term (their rank is not redistributed — the common
+    simplified formulation). Nodes = every src or dst endpoint; initial
+    rank 1.0 (= 1e6 micros). Returns ``(node, rank_micro, rank)``.
+
+    At 100 TB: the edge list partitions by dst for the sum; out-degrees
+    are a node-sized table joined map-side after the degree agg. Driver
+    holds nothing — unlike k-means there is no small-state collect; the
+    loop just chains DataFrames with per-iteration localCheckpoint to
+    keep lineage O(1).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank_micro", F.lit(1_000_000).cast("bigint"))
+    dm = float(damping)
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.col("rank_micro").cast("double") / F.col("outdeg").cast("double")
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - dm) * 1_000_000.0)
+                    + F.lit(dm) * F.coalesce("inflow", F.lit(0)).cast("double")
+                )
+                .cast("bigint")
+                .alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        "rank_micro",
+        (F.col("rank_micro").cast("double") / F.lit(1_000_000.0)).alias("rank"),
+    )

@@ -3686,6 +3686,73 @@ FROM afin GROUP BY 1"""
 SQL_EMB_KMEANS = kmeans_oracle_sql(k=8, iters=3)
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 iterations, over the customer→supplier purchase
+    graph (operators/graph.py::pagerank — integer-micro ranks, so the
+    iterative run hash-matches the unrolled DuckDB oracle). Suppliers
+    offset by 1e6 to keep the node spaces disjoint. Top-20 by rank."""
+    from .operators.graph import pagerank  # noqa: PLC0415
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        pagerank(edges, iters=3)
+        .orderBy(F.col("rank_micro").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+def pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unrolled-iteration DuckDB oracle for q_graph_pagerank, mirroring
+    graph.py::pagerank exactly (micro-rounded per-edge contributions,
+    teleport term computed as the same float expression)."""
+    parts = [
+        """WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(round(r.rank_micro::DOUBLE / o.outdeg::DOUBLE)
+                       AS BIGINT)) AS BIGINT) AS inflow
+  FROM e JOIN r{i - 1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+  GROUP BY 1
+), r{i} AS (
+  SELECT n.node,
+         CAST(round((1.0 - 0.85) * 1000000.0
+                    + 0.85 * COALESCE(c.inflow, 0)::DOUBLE) AS BIGINT)
+           AS rank_micro
+  FROM nodes n LEFT JOIN c{i} c USING (node)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, rank_micro, rank_micro::DOUBLE / 1000000.0 AS rank
+FROM r{iters} ORDER BY rank_micro DESC, node ASC LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+SQL_GRAPH_PAGERANK = pagerank_oracle_sql(3)
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -3757,6 +3824,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_bigram_lm": (q_doc_bigram_lm, SQL_DOC_BIGRAM_LM),
     "doc_bm25_topk": (q_doc_bm25_topk, SQL_DOC_BM25),
     "emb_kmeans": (q_emb_kmeans, SQL_EMB_KMEANS),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),

@@ -89,3 +89,32 @@ def test_cc_is_deterministic_across_partitionings(spark):
     }
     assert a == b
     assert a == {(1, 1), (2, 1), (3, 1), (8, 1), (9, 1), (5, 5), (6, 5)}
+
+
+def test_pagerank_crafted(spark):
+    from airflow_subscription_etl_spark.operators.graph import pagerank
+
+    # star: nodes 2,3,4 all point at 1; 1 points at 2
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (1, 2)], ["src", "dst"]
+    )
+    out = {r["node"]: r for r in pagerank(edges, iters=5).collect()}
+    # hub 1 collects three inflows -> highest rank; 3 and 4 (no inflow)
+    # sit at the teleport floor
+    assert out[1]["rank_micro"] > out[2]["rank_micro"] > out[3]["rank_micro"]
+    assert out[3]["rank_micro"] == out[4]["rank_micro"]
+    assert abs(out[3]["rank"] - 0.15) < 1e-5
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from airflow_subscription_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(60)], ["src", "dst"]
+    ).filter("src != dst")
+    a = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=3).collect()}
+    b = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges.repartition(9), iters=3).collect()
+    }
+    assert a == b
