@@ -3753,6 +3753,239 @@ FROM r{iters} ORDER BY rank_micro DESC, node ASC LIMIT 20"""
 SQL_GRAPH_PAGERANK = pagerank_oracle_sql(3)
 
 
+def q_ev_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE with gap fill: per user, an hourly grid from
+    first to last event hour; empty hours get 0 counts and the last
+    observed value forward-filled. Grid via sequence+explode (no
+    driver-side range), money sums as cents-bigints, last-in-hour value
+    by (ts, event_id) tiebreak — all engine-deterministic.
+
+    Plan: one (user, hour) agg over the events scan, a bounds agg, the
+    exploded grid left-joined back (user-keyed — co-partitioned with
+    the forward-fill window's requirement), one window pass.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w_last = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    per_hour = (
+        ev.select("user_id", hour.alias("hour"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_last))
+        .groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("last_value"),
+        )
+    )
+    bounds = per_hour.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_hour, ["user_id", "hour"], "left")
+        .withColumn("ffill_value", F.last("last_value", ignorenulls=True).over(wff))
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+            "ffill_value",
+        )
+    )
+
+
+SQL_EV_RESAMPLE = """
+WITH ph AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+         MAX(CASE WHEN rn = 1 THEN value END) AS last_value
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM ph GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT g.user_id,
+       strftime(g.hour, '%Y-%m-%d %H:00') AS hour,
+       COALESCE(ph.n_events, 0) AS n_events,
+       COALESCE(ph.value_cents, 0) AS value_cents,
+       last_value(ph.last_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.hour = g.hour
+"""
+
+
+def q_ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week, counted
+    per week-offset of later activity — the standard cohort-retention
+    analytics shape. First-seen via window min (one scan, no self-join).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e2 = ev.select("user_id", "ts", F.min("ts").over(w).alias("first_ts"))
+    return (
+        e2.select(
+            F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("first_ts").cast("date"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_EV_RETENTION = """
+WITH f AS (
+  SELECT user_id, ts, MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+       CAST((CAST(ts AS DATE) - CAST(first_ts AS DATE)) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f GROUP BY 1, 2
+"""
+
+
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation FUNNEL — the composition a real
+    pre-training pipeline runs, as one query: quality filter → exact
+    dedup → near-dup collapse (exact-Jaccard graph + connected
+    components), reporting survivors and bytes per stage. Every stage
+    reuses an already-oracled operator, so the whole funnel is
+    hash-checked end to end (DuckDB mirrors the quality expression, the
+    md5 dedup, and the cluster collapse via recursive CTE).
+
+    Stages branch from shared frames — a production run would persist
+    each survivor set (they are the pipeline's outputs); the funnel
+    report itself is catalog-sized.
+    """
+    from .operators.dedup import exact_dedup, exact_jaccard_pairs  # noqa: PLC0415
+    from .operators.graph import canonical_docs  # noqa: PLC0415
+    from .operators.text import with_quality_score  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = with_quality_score(docs).select("doc_id", "quality_score")
+    s1 = docs.join(
+        quality.filter(F.col("quality_score") >= 0.5).select("doc_id"), "doc_id"
+    ).cache()  # each survivor set feeds both its stage row and the next stage
+    s2 = exact_dedup(s1).cache()
+    s3 = canonical_docs(s2, exact_jaccard_pairs(s2, threshold=0.4))
+
+    def stage(ordinal: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        ).select(
+            F.lit(ordinal).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs",
+            "total_chars",
+        )
+
+    return (
+        stage(0, "raw", docs)
+        .unionByName(stage(1, "quality", s1))
+        .unionByName(stage(2, "exact_dedup", s2))
+        .unionByName(stage(3, "near_dup_collapse", s3))
+    )
+
+
+SQL_DOC_CURATION = r"""
+WITH RECURSIVE q AS (
+  SELECT doc_id,
+         0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         + 0.3 * (1.0 - CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+         + 0.2 * (1.0 - CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+         + 0.1 * (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+             THEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  x -> lower(x) IN ('the','and','of','to','is'))) AS DOUBLE)
+                  / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+             ELSE 0.0 END) AS quality_score
+  FROM documents
+), s1 AS (
+  SELECT d.* FROM documents d
+  JOIN q ON d.doc_id = q.doc_id AND q.quality_score >= 0.5
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(text)
+), s2 AS (
+  SELECT s1.* FROM s1 JOIN keep USING (doc_id)
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS sh
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS w
+    FROM s2
+  )
+), exsh AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+  FROM exsh a JOIN exsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.4
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(node, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.node
+), comp AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+), losers AS (
+  SELECT node AS doc_id FROM comp WHERE node <> component
+), s3 AS (
+  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT 0 AS stage, 'raw' AS stage_name, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+UNION ALL
+SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM s1
+UNION ALL
+SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'near_dup_collapse', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM s3
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -3825,6 +4058,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_bm25_topk": (q_doc_bm25_topk, SQL_DOC_BM25),
     "emb_kmeans": (q_emb_kmeans, SQL_EMB_KMEANS),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "ev_resample_hourly": (q_ev_resample_hourly, SQL_EV_RESAMPLE),
+    "ev_retention_cohorts": (q_ev_retention_cohorts, SQL_EV_RETENTION),
+    "doc_curation_pipeline": (q_doc_curation_pipeline, SQL_DOC_CURATION),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),
