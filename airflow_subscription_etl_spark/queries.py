@@ -3230,22 +3230,33 @@ def q_mode_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(c.select("c_custkey", "c_nationkey")),
         o.o_custkey == F.col("c_custkey"),
     ).join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-    counts = enriched.groupBy("n_name", "o_orderpriority").agg(
-        F.count("*").alias("cnt")
+    # ONE scan: per-(nation, priority) counts ride each row as a window,
+    # then a single nation-level aggregate computes median, count, and
+    # the mode as min(struct(-cnt, priority)) — the branch-and-rejoin
+    # form scanned the fact (and re-joined the dims) once per branch
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("n_name", "o_orderpriority"))
+    annotated = enriched.select(
+        "n_name", "o_orderpriority", "o_totalprice", cnt.alias("cnt")
     )
-    w = Window.partitionBy("n_name").orderBy(
-        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    return (
+        annotated.groupBy("n_name")
+        .agg(
+            F.round(F.median("o_totalprice"), 6).alias("median_order_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("o_orderpriority").alias("p"),
+                )
+            ).alias("_m"),
+        )
+        .select(
+            "n_name",
+            "median_order_value",
+            "n_orders",
+            F.col("_m.p").alias("mode_priority"),
+        )
     )
-    mode = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("n_name", F.col("o_orderpriority").alias("mode_priority"))
-    )
-    med = enriched.groupBy("n_name").agg(
-        F.round(F.median("o_totalprice"), 6).alias("median_order_value"),
-        F.count("*").alias("n_orders"),
-    )
-    return med.join(mode, "n_name")
 
 
 SQL_MODE_MEDIAN = """
