@@ -3997,6 +3997,42 @@ SELECT 3, 'near_dup_collapse', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BI
 """
 
 
+def q_quantile_sketch_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory quantile sketch (sketch.py::sampled_quantile_
+    sketch): per order priority, quartiles of order value from a 256-row
+    k-min-hash uniform sample — the mergeable O(k)-state alternative to
+    an exact full-sort percentile, engine-exact by construction."""
+    from .operators.sketch import sampled_quantile_sketch  # noqa: PLC0415
+
+    o = _t(spark, sf_dir, "orders")
+    return sampled_quantile_sketch(
+        o, ["o_orderpriority"], "o_orderkey", "o_totalprice", k=256
+    )
+
+
+SQL_QUANTILE_SKETCH = """
+WITH h AS (
+  SELECT o_orderpriority, o_totalprice AS v,
+         CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS h
+  FROM orders
+), s AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM h) WHERE rn <= 256
+), g AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         list_sort(list(v)) AS vs
+  FROM s GROUP BY 1
+)
+SELECT o_orderpriority, n_sampled,
+       vs[CAST(floor(0.25 * (n_sampled - 1)) AS INT) + 1] AS q25,
+       vs[CAST(floor(0.5 * (n_sampled - 1)) AS INT) + 1] AS q50,
+       vs[CAST(floor(0.75 * (n_sampled - 1)) AS INT) + 1] AS q75
+FROM g
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -4072,6 +4108,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_resample_hourly": (q_ev_resample_hourly, SQL_EV_RESAMPLE),
     "ev_retention_cohorts": (q_ev_retention_cohorts, SQL_EV_RETENTION),
     "doc_curation_pipeline": (q_doc_curation_pipeline, SQL_DOC_CURATION),
+    "quantile_sketch_by_priority": (q_quantile_sketch_by_priority, SQL_QUANTILE_SKETCH),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),

@@ -103,3 +103,28 @@ def test_exact_jaccard_max_df_cap(spark):
     uncapped = exact_jaccard_pairs(df, threshold=0.1).count()
     capped = exact_jaccard_pairs(df, threshold=0.1, max_df=2).count()
     assert capped <= uncapped
+
+
+def test_sampled_quantiles_accuracy_and_invariance(spark, li):
+    from airflow_subscription_etl_spark.operators.sketch import (
+        sampled_quantile_sketch,
+    )
+
+    out = sampled_quantile_sketch(
+        li, ["l_returnflag"], "l_orderkey", "l_extendedprice", k=256
+    ).collect()
+    exact = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+        .collect()
+    }
+    for r in out:
+        assert r["q25"] <= r["q50"] <= r["q75"]
+        # 256-row sample: median within ~15% of exact
+        assert abs(r["q50"] - exact[r["l_returnflag"]]) / exact[r["l_returnflag"]] < 0.15
+    # partitioning invariance (sample membership is hash-determined)
+    again = sampled_quantile_sketch(
+        li.repartition(13), ["l_returnflag"], "l_orderkey", "l_extendedprice", k=256
+    ).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in again}
