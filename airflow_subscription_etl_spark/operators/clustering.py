@@ -99,8 +99,11 @@ def kmeans_fit_predict(
     The per-iteration driver collect is the k·d centroid matrix only —
     the same driver state every distributed k-means keeps; data-sized
     frames never leave the cluster. Empty clusters keep their previous
-    centroid.
+    centroid. The input is cached for the iterations (the standard
+    iterative-ML posture — MLlib does the same; at 100 TB you cache a
+    sample or accept the re-scan).
     """
+    df = df.select(id_col, vec_col).cache()
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[_quant(float(x)) for x in r[vec_col]] for r in init_rows]
     dim = len(cents[0])

@@ -4033,6 +4033,53 @@ FROM g
 """
 
 
+def q_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL FRONT-END exercised end to end: temp views + a multi-CTE
+    ``spark.sql`` query (join, money-exact agg, two window shapes) —
+    proving the engine's Spark-SQL dialect surface, not just the
+    DataFrame API, against the same DuckDB oracle."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT c.c_mktsegment AS segment,
+                 SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
+          FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment
+        )
+        SELECT segment,
+               rev_cents,
+               CAST(rev_cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue,
+               CAST(rev_cents AS DOUBLE) / CAST(SUM(rev_cents) OVER () AS DOUBLE)
+                 AS revenue_share,
+               CAST(RANK() OVER (ORDER BY rev_cents DESC, segment ASC) AS BIGINT)
+                 AS rev_rank
+        FROM rev
+        """
+    )
+
+
+SQL_SQL_SEGMENT_REVENUE = """
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT segment,
+       rev_cents,
+       CAST(rev_cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue,
+       CAST(rev_cents AS DOUBLE)
+         / CAST(CAST(SUM(rev_cents) OVER () AS BIGINT) AS DOUBLE)
+         AS revenue_share,
+       CAST(RANK() OVER (ORDER BY rev_cents DESC, segment ASC) AS BIGINT)
+         AS rev_rank
+FROM rev
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -4109,6 +4156,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_retention_cohorts": (q_ev_retention_cohorts, SQL_EV_RETENTION),
     "doc_curation_pipeline": (q_doc_curation_pipeline, SQL_DOC_CURATION),
     "quantile_sketch_by_priority": (q_quantile_sketch_by_priority, SQL_QUANTILE_SKETCH),
+    "sql_segment_revenue": (q_sql_segment_revenue, SQL_SQL_SEGMENT_REVENUE),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),

@@ -245,3 +245,28 @@ def purchase_attribution_join(
         "purchase_id", "user_id", "purchase_ts", "purchase_value",
         "click_id", "click_ts",
     )
+
+
+def enrich_stream_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """STREAM-STATIC join: enrich each event with a slow-changing
+    dimension (here customer attributes) — the remaining Structured
+    Streaming join shape next to the stream-stream attribution join.
+
+    The static side needs no watermark and holds no state: Spark
+    re-plans the dim per micro-batch (so an updated snapshot table is
+    picked up batch-over-batch) and broadcasts it when small — at
+    100 TB of stream the dim is catalog-sized, so this stays a
+    broadcast hash join in every micro-batch. Works identically on a
+    batch frame, which is how the equivalence test checks it.
+    """
+    d = dim.select(
+        F.col(dim_key).alias(stream_key),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return events.join(F.broadcast(d), stream_key, "left")

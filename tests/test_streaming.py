@@ -151,3 +151,32 @@ def test_streaming_session_window(spark, ev, tmp_path):
     rows = spark.sql("SELECT * FROM t_sessions WHERE user_id = 1").collect()
     assert len(rows) == 2  # 39-min gap splits user 1 into two sessions
     q.stop()
+
+
+def test_stream_static_enrich_end_to_end(spark, ev, tmp_path):
+    """Real readStream joined to a static dim == the batch join."""
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    src = str(tmp_path / "events_enrich")
+    ev.write.parquet(src)
+    dim = read_star_table(spark, "/root/testdata/sf0.001", "customer")
+    stream = EV.read_events_stream(spark, src)
+    out = EV.enrich_stream_with_dim(stream, dim)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(customer_name) AS named FROM t_enrich"
+    ).collect()[0]
+    q.stop()
+    batch = EV.enrich_stream_with_dim(ev, dim)
+    expect_n = batch.count()
+    expect_named = batch.filter("customer_name IS NOT NULL").count()
+    assert (got["n"], got["named"]) == (expect_n, expect_named)
+    assert expect_named > 0
