@@ -115,3 +115,49 @@ def band_join(
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return fact.join(F.broadcast(bands), cond, "left")
+
+
+def binned_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    delta_seconds: int,
+) -> DataFrame:
+    """BIG-BIG interval join: pairs with equal ``key`` whose timestamps
+    lie within ±``delta_seconds`` — via BIN EXPANSION, the standard
+    trick that turns an inequality join into an equi-join so it scales
+    as an ordinary shuffled hash/sort-merge join instead of a broadcast
+    nested loop (which :func:`band_join` uses and which requires one
+    tiny side).
+
+    Each left row explodes to the 2–3 time bins its ±δ window can
+    touch (bin width = δ); the right side maps to its single bin; the
+    equi-join on ``(key, bin)`` produces every candidate exactly once
+    per touched bin, and the exact interval filter keeps true pairs.
+    Duplicate elimination is structural — a (left, right) pair is
+    joined only in the right row's own bin — so no distinct is needed.
+    Shuffle volume: 3×|left| + |right| rows keyed on (key, bin); both
+    sides arbitrarily large.
+    """
+    w = int(delta_seconds)
+    le = F.col(left_ts).cast("long")
+    re_ = F.col(right_ts).cast("long")
+    lb = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor((le - F.lit(w)) / F.lit(w)),
+                F.floor((le + F.lit(w)) / F.lit(w)),
+            )
+        ),
+    )
+    rb = right.withColumn("_bin", F.floor(re_ / F.lit(w)))
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {w} SECOND")
+    hi = F.col(left_ts) + F.expr(f"INTERVAL {w} SECOND")
+    return (
+        lb.join(rb, [key, "_bin"])
+        .filter((F.col(right_ts) >= lo) & (F.col(right_ts) <= hi))
+        .drop("_bin")
+    )

@@ -4080,6 +4080,36 @@ FROM rev
 """
 
 
+def q_ev_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval join via bin expansion (temporal.py::
+    binned_interval_join): click↔purchase pairs of the same user within
+    ±10 minutes, as a shuffled equi-join on (user, time-bin) — the
+    scale path when NEITHER side broadcasts (band_join's nested-loop
+    needs a tiny side). Per-user pair counts."""
+    from .operators.temporal import binned_interval_join  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pairs = binned_interval_join(purchases, clicks, "user_id", "p_ts", "c_ts", 600)
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+SQL_EV_INTERVAL_BINNED = """
+SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 600 SECOND
+ AND c.c_ts <= p.p_ts + INTERVAL 600 SECOND
+GROUP BY 1
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -4157,6 +4187,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_curation_pipeline": (q_doc_curation_pipeline, SQL_DOC_CURATION),
     "quantile_sketch_by_priority": (q_quantile_sketch_by_priority, SQL_QUANTILE_SKETCH),
     "sql_segment_revenue": (q_sql_segment_revenue, SQL_SQL_SEGMENT_REVENUE),
+    "ev_interval_join_binned": (q_ev_interval_join_binned, SQL_EV_INTERVAL_BINNED),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),

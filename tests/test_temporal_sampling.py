@@ -174,3 +174,38 @@ def test_stratified_sample_is_monotone_in_fraction(spark, fraction_bp):
         assert small == set()
     if fraction_bp == 10_000:
         assert small == set(range(300))
+
+
+def test_binned_interval_join_equals_direct(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from airflow_subscription_etl_spark.operators.temporal import (
+        binned_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=s)) for s in (0, 500, 1200, 3000)]
+        + [(2, base)],
+        ["k", "lts"],
+    )
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=s)) for s in (-700, -600, -1, 599, 600, 601, 1800)]
+        + [(3, base)],
+        ["k", "rts"],
+    )
+    got = binned_interval_join(left, right, "k", "lts", "rts", 600)
+    direct = left.join(right, "k").filter(
+        (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 600 SECOND"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 600 SECOND"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+    # boundary inclusivity: |dt| == 600 included on both ends
+    assert got.filter("lts = timestamp'2024-01-01 10:00:00' AND rts = timestamp'2024-01-01 09:50:00'").count() == 1
+    # no duplicate pair emissions from bin expansion
+    assert got.count() == got.distinct().count()
+    # the plan is an equi-join shuffle, not a broadcast nested loop
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
