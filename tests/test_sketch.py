@@ -128,3 +128,51 @@ def test_sampled_quantiles_accuracy_and_invariance(spark, li):
         li.repartition(13), ["l_returnflag"], "l_orderkey", "l_extendedprice", k=256
     ).collect()
     assert {tuple(r) for r in out} == {tuple(r) for r in again}
+
+
+# --- hypothesis property tests ----------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=120
+    ),
+    n_groups=st.integers(min_value=1, max_value=4),
+)
+def test_kmv_merge_equals_direct_property(spark, vals, n_groups):
+    """For ANY value multiset and ANY grouping of it into subgroups,
+    merging subgroup sketches reproduces the direct estimate exactly —
+    the algebraic property the rollup oracle depends on."""
+    rows = [(v % n_groups, v) for v in vals]
+    df = spark.createDataFrame(rows, ["sub", "v"]).withColumn(
+        "top", F.lit(0)
+    )
+    per_sub = SK.kmv_sketch(df, ["top", "sub"], "v", k=16)
+    merged = SK.kmv_merge(per_sub, ["top"], k=16).collect()[0]["kmv_estimate"]
+    direct = SK.kmv_distinct(df, ["top"], "v", k=16).collect()[0]["kmv_estimate"]
+    assert merged == direct
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10**4), min_size=1, max_size=50)
+)
+def test_kmv_exact_when_small_property(spark, vals):
+    """Below k distinct values the estimate IS the exact distinct count
+    (modulo md5 collisions, impossible in this value range at 60 bits)."""
+    df = spark.createDataFrame([(0, v) for v in vals], ["g", "v"])
+    out = SK.kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    if out["n_distinct"] < 64:
+        assert out["kmv_estimate"] == float(len(set(vals)))
