@@ -109,3 +109,48 @@ def quota_per_key(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    n_items: int,
+    k: int = 2,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive/recommender
+    training: for every positive (user, item) pair, emit ``k``
+    pseudo-random candidate items drawn by hashing
+    ``user#item#draw-index`` into the item-id space ``[1, n_items]`` —
+    content-keyed like every sampler here, so the same positives yield
+    the same negatives under any partitioning, retry, or engine (md5,
+    not rand()). A drawn item that collides with the pair's own
+    positive is flagged, not silently resampled — the training pipeline
+    downstream decides (filter or keep), and the count stays exactly k
+    per positive either way.
+
+    Map-only: explode k draw indices per row, no shuffle, no join
+    against the item catalog (the id space is dense here; a sparse
+    catalog would add one broadcast join to map dense draws to ids).
+    """
+    draw = F.concat_ws(
+        "#",
+        F.col(user_col).cast("string"),
+        F.col(item_col).cast("string"),
+        F.col("_i").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(draw), 1, 15), 16, 10).cast("bigint")
+    return (
+        positives.select(
+            user_col,
+            item_col,
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+        )
+        .select(
+            user_col,
+            item_col,
+            F.col("_i").alias("draw_idx"),
+            (h % F.lit(n_items) + F.lit(1)).alias("neg_item_id"),
+        )
+        .withColumn("collides_positive", F.col("neg_item_id") == F.col(item_col))
+    )

@@ -4110,6 +4110,52 @@ GROUP BY 1
 """
 
 
+def q_neg_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (sampling.py::negative_samples):
+    2 hash-drawn negative parts per (customer, part) purchase pair from
+    lineitem/orders, summarized per customer (pair/negative/collision
+    counts + negative-id checksum)."""
+    from .operators.sampling import negative_samples  # noqa: PLC0415
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n_parts = _t(spark, sf_dir, "part").count()
+    positives = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    neg = negative_samples(positives, n_items=n_parts, k=2)
+    return neg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.sum("neg_item_id").alias("neg_checksum"),
+        F.sum(F.col("collides_positive").cast("long")).alias("n_collisions"),
+    )
+
+
+SQL_NEG_SAMPLING = """
+WITH pos AS (
+  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), np AS (
+  SELECT COUNT(*) AS n_parts FROM part
+), neg AS (
+  SELECT user_id, item_id, i AS draw_idx,
+         CAST(('0x' || substring(md5(
+             CAST(user_id AS VARCHAR) || '#' || CAST(item_id AS VARCHAR)
+             || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+           % n_parts + 1 AS neg_item_id
+  FROM pos, np, unnest(range(0, 2)) AS u(i)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_negatives,
+       CAST(SUM(neg_item_id) AS BIGINT) AS neg_checksum,
+       CAST(SUM(CASE WHEN neg_item_id = item_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_collisions
+FROM neg GROUP BY 1
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -4188,6 +4234,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "quantile_sketch_by_priority": (q_quantile_sketch_by_priority, SQL_QUANTILE_SKETCH),
     "sql_segment_revenue": (q_sql_segment_revenue, SQL_SQL_SEGMENT_REVENUE),
     "ev_interval_join_binned": (q_ev_interval_join_binned, SQL_EV_INTERVAL_BINNED),
+    "neg_sampling": (q_neg_sampling, SQL_NEG_SAMPLING),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),
