@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .sketch import hash60
+
 
 def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(col), r"\s+", " ")
@@ -218,39 +220,24 @@ def with_minhash(
     ).drop("_hs")
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    k_shingle: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
+def banded_pairs_from_signatures(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
     id_col: str = "doc_id",
+    bucket_hash=F.xxhash64,
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash LSH, scored by
-    signature-estimated Jaccard.
+    """Banded-LSH candidate pairs from an ``(id, minhash)`` frame.
 
-    Plan shape (scale rationale):
-    1. signature per doc (map-only);
-    2. explode to ``bands`` rows each, hash the band slice → bucket key
-       (map-only; output is bands× ids, not texts);
-    3. self-equi-join on (band, bucket) → candidates (one shuffle on a
-       uniform 64-bit key — this is the step that replaces O(n²));
-    4. estimate Jaccard as matching-minhash fraction; filter ≥ threshold.
-
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b, de-duplicated
-    across bands.
+    Shared tail of every MinHash variant (fast xxhash64 and portable
+    md5): band the signature, self-join on (band, bucket), estimate
+    Jaccard from matching slots, threshold, de-duplicate across bands.
+    ``bucket_hash`` maps the band-slice CSV string to the bucket key —
+    callers pick the engine-specific (fast) or portable (oracle-able)
+    hash.
     """
     rows_per_band = num_hashes // bands
-    # persist the signatures: they feed the banding stage, BOTH sides of
-    # the self-join, and the Jaccard estimate — without a
-    # materialization boundary the whole tokenize+hash+minhash pipeline
-    # would re-run per consumer.
-    sig = (
-        with_minhash(df.select(F.col(id_col), F.col(text_col)), text_col, k_shingle, num_hashes)
-        .select(id_col, "minhash")
-        .persist()
-    )
     banded = sig.select(
         id_col,
         "minhash",
@@ -259,7 +246,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        bucket_hash(
                             F.concat_ws(
                                 ",",
                                 F.transform(
@@ -311,6 +298,96 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, scored by
+    signature-estimated Jaccard.
+
+    Plan shape (scale rationale):
+    1. signature per doc (map-only);
+    2. explode to ``bands`` rows each, hash the band slice → bucket key
+       (map-only; output is bands× ids, not texts);
+    3. self-equi-join on (band, bucket) → candidates (one shuffle on a
+       uniform 64-bit key — this is the step that replaces O(n²));
+    4. estimate Jaccard as matching-minhash fraction; filter ≥ threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, de-duplicated
+    across bands.
+    """
+    # persist the signatures: they feed the banding stage, BOTH sides of
+    # the self-join, and the Jaccard estimate — without a
+    # materialization boundary the whole tokenize+hash+minhash pipeline
+    # would re-run per consumer.
+    sig = (
+        with_minhash(df.select(F.col(id_col), F.col(text_col)), text_col, k_shingle, num_hashes)
+        .select(id_col, "minhash")
+        .persist()
+    )
+    return banded_pairs_from_signatures(
+        sig, num_hashes, bands, threshold, id_col
+    )
+
+
+def _portable_seeded_hash(i: int):
+    # closure factory (same arity trap as _seeded_hash): hash60 of the
+    # "<seed>:<shingle>" string — one md5 per (seed, shingle)
+    pref = f"{i}:"
+    return lambda s: hash60(F.concat(F.lit(pref), s))
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash LSH pairs with an ENGINE-PORTABLE hash family — the
+    oracle-checkable twin of :func:`minhash_lsh_pairs`.
+
+    The fast path seeds ``xxhash64``, whose constants are Spark-JVM
+    internals no other engine reproduces, so its output can only be
+    rows-checked. This variant derives every hash from md5
+    (:func:`..sketch.hash60`): ``h_i(shingle) = hash60(f"{i}:{shingle}")``
+    over string shingles, and band buckets are ``hash60`` of the
+    band-slice CSV. md5 is standardized, so DuckDB replays the entire
+    pipeline — signature, banding, candidate join, Jaccard estimate —
+    bit-for-bit in SQL (recursive shingling via ``generate_series``,
+    ``string_agg`` band slices), giving a full value-hash oracle for the
+    LSH *algorithm*, not just its row count.
+
+    Cost: one md5 per (seed, shingle) vs one 8-byte xxhash64 — ~10×
+    more hashing work, all map-side. Use the fast variant in production;
+    this one exists to pin the algorithm's semantics (and is why
+    ``num_hashes`` defaults lower here). Plan shape is identical:
+    map-only signatures, one (band, bucket) shuffle, never all-pairs.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), k_shingle).alias("_sh")
+    )
+    sig = sh.select(
+        id_col,
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("_sh"), _portable_seeded_hash(i)))
+                for i in range(num_hashes)
+            ]
+        ).alias("minhash"),
+    ).persist()
+    return banded_pairs_from_signatures(
+        sig, num_hashes, bands, threshold, id_col, bucket_hash=hash60
     )
 
 

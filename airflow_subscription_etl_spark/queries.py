@@ -4156,6 +4156,115 @@ FROM neg GROUP BY 1
 """
 
 
+def q_doc_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash MinHash LSH (dedup.py::portable_minhash_pairs):
+    the full banded-LSH pipeline — shingle, 16-seed md5 minhash
+    signature, 4-band bucket join, signature-estimated Jaccard — on a
+    hash family DuckDB replays exactly, so unlike `doc_minhash_pairs`
+    (xxhash64, rows-only) the ALGORITHM gets a value-hash oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.portable_minhash_pairs(docs, threshold=0.5)
+
+
+SQL_DOC_MINHASH_PORTABLE = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[(i+1):(i+3)], ' ') AS s
+  FROM tok, LATERAL (SELECT unnest(generate_series(0, greatest(len(t)-3, 0))) AS i) g
+), sig AS (
+  SELECT doc_id, seed,
+         MIN(CAST(('0x' || substring(md5(seed || ':' || s), 1, 15)) AS BIGINT)) AS mh
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS seed) sd
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         CAST(('0x' || substring(md5(
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)), 1, 15)) AS BIGINT)
+           AS bucket
+  FROM sig GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), est AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (packing.py::pack_sequences):
+    every doc placed at (seq_id, seq_offset) under a 256-token budget,
+    packed independently within 8 content-hashed shards — the
+    training-batch assembly op, deterministic across engines."""
+    from .operators.packing import pack_sequences  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256, n_shards=8)
+
+
+SQL_DOC_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+           AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_excl
+  FROM t
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(shard * 1000000 + cum_excl // 256 AS BIGINT) AS seq_id,
+       CAST(cum_excl % 256 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (packing.py::chunk_documents):
+    32-token windows at stride 24, per-chunk md5 + actual token count —
+    map-only explode, no shuffle."""
+    from .operators.packing import chunk_documents  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_size=32, stride=24)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "chunk_tokens",
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, tok, len(tok) AS n FROM d
+)
+SELECT doc_id, i AS chunk_idx,
+       md5(array_to_string(tok[(i*24+1):(i*24+32)], ' ')) AS chunk_md5,
+       least(32, n - i*24) AS chunk_tokens
+FROM s, LATERAL (
+  SELECT unnest(generate_series(0, (greatest(n-32, 0)+23)//24)) AS i
+) g
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -4235,6 +4344,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sql_segment_revenue": (q_sql_segment_revenue, SQL_SQL_SEGMENT_REVENUE),
     "ev_interval_join_binned": (q_ev_interval_join_binned, SQL_EV_INTERVAL_BINNED),
     "neg_sampling": (q_neg_sampling, SQL_NEG_SAMPLING),
+    "doc_minhash_portable": (q_doc_minhash_portable, SQL_DOC_MINHASH_PORTABLE),
+    "doc_pack_sequences": (q_doc_pack_sequences, SQL_DOC_PACK),
+    "doc_chunk_windows": (q_doc_chunk_windows, SQL_DOC_CHUNKS),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),
