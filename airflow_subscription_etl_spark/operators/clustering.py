@@ -64,10 +64,14 @@ def assign_clusters(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Map-only nearest-centroid assignment against driver-held
     centroids (1-based cluster ids; ties → lowest id). Returns
-    ``(id, cluster_id, dist_micro)``."""
+    ``(id, cluster_id, dist_micro)``; with ``keep_vec`` the vector
+    column rides along so the centroid-update stage can consume the
+    assignment directly instead of re-joining it to the input (one
+    whole join shuffle saved per Lloyd iteration)."""
     candidates = F.array(
         *[
             F.struct(
@@ -78,11 +82,14 @@ def assign_clusters(
         ]
     )
     best = F.array_min(candidates)
-    return df.select(
+    cols = [
         F.col(id_col),
         best["cid"].alias("cluster_id"),
         best["d"].alias("dist_micro"),
-    )
+    ]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    return df.select(*cols)
 
 
 def kmeans_fit_predict(
@@ -110,9 +117,9 @@ def kmeans_fit_predict(
     # iters assignments interleaved with iters-1 updates:
     # a_i = assign(c_{i-1}); c_i = update(a_i); return a_iters
     for _ in range(iters - 1):
-        assigned = assign_clusters(df, cents, id_col, vec_col)
+        assigned = assign_clusters(df, cents, id_col, vec_col, keep_vec=True)
         sums = (
-            df.join(assigned.select(id_col, "cluster_id"), id_col)
+            assigned
             .select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim0", "x"))
             .groupBy("cluster_id", "dim0")
             .agg(
