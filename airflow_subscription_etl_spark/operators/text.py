@@ -44,6 +44,45 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: the GPT-2-style split classes — contraction
+#: suffixes, letter runs, digit runs, other-symbol runs — restricted to
+#: the regex subset Java (Spark) and RE2 (DuckDB) evaluate identically:
+#: explicit char classes, ordered alternation, no lookaround (RE2 has
+#: none, so GPT-2's trailing-space lookahead is dropped). Whitespace is
+#: a separator, not a token.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Subword-style tokens per :data:`BPE_ISH_PATTERN` → array<string>.
+
+    Real BPE applies learned merges to these pre-tokens; for corpus
+    budgeting, the pre-token count is the standard cheap proxy (true
+    token count = pre-tokens × a near-constant fertility per language).
+    Pure JVM ``regexp_extract_all`` — map-only, no UDF.
+    """
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def with_bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting, BPE-ish flavor: subword-style token count next
+    to the whitespace word count, plus their ratio (tokens-per-word
+    "fertility" — the number that converts corpus word counts into
+    model token budgets)."""
+    bpe = bpe_ish_tokens(F.col(text_col))
+    ws = tokens(F.col(text_col))
+    staged = df.select(
+        "doc_id", F.size(bpe).alias("n_bpe_tokens"), F.size(ws).alias("n_words")
+    )
+    return staged.select(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_words",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words"))
+        .alias("fertility"),
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio,
     uppercase ratio → a [0,1] composite.

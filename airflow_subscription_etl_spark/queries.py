@@ -4265,6 +4265,63 @@ FROM s, LATERAL (
 """
 
 
+def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counting (text.py::with_bpe_token_stats):
+    GPT-2-style pre-token classes via one JVM regexp_extract_all, with
+    whitespace word count and tokens-per-word fertility alongside —
+    the corpus-budgeting stat of the brief's 'token counting' item."""
+    from .operators.text import with_bpe_token_stats  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_bpe_token_stats(docs)
+
+
+SQL_DOC_BPE_TOKENS = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'))
+           AS n_bpe_tokens,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens, n_words,
+       CAST(n_bpe_tokens AS DOUBLE) / n_words AS fertility
+FROM t
+"""
+
+
+def q_mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis-window sampling (multimodal.py::
+    sample_audio_windows): overlapping 500ms/250ms-hop window positions
+    and payload sample indices from typed metadata — JVM sequence
+    explode, map-only."""
+    from .operators.multimodal import sample_audio_windows  # noqa: PLC0415
+
+    win = sample_audio_windows(_media_df(spark, sf_dir), window_ms=500, hop_ms=250)
+    return win.select(
+        "media_id",
+        F.col("win_start_ms").cast("bigint").alias("win_start_ms"),
+        F.col("win_end_ms").cast("bigint").alias("win_end_ms"),
+        "start_sample",
+        "end_sample",
+    )
+
+
+SQL_MM_AUDIO_WINDOWS = """
+WITH w AS (
+  SELECT doc_id AS media_id,
+         unnest(range(0, greatest(n_chars * 10 - 500, 0) + 1, 250))::BIGINT
+           AS win_start_ms
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT media_id, win_start_ms, win_start_ms + 500 AS win_end_ms,
+       CAST(win_start_ms * 16 AS BIGINT) AS start_sample,
+       CAST((win_start_ms + 500) * 16 AS BIGINT) AS end_sample
+FROM w
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -4347,6 +4404,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_minhash_portable": (q_doc_minhash_portable, SQL_DOC_MINHASH_PORTABLE),
     "doc_pack_sequences": (q_doc_pack_sequences, SQL_DOC_PACK),
     "doc_chunk_windows": (q_doc_chunk_windows, SQL_DOC_CHUNKS),
+    "doc_bpe_token_stats": (q_doc_bpe_token_stats, SQL_DOC_BPE_TOKENS),
+    "mm_audio_windows": (q_mm_audio_windows, SQL_MM_AUDIO_WINDOWS),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),

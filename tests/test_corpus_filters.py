@@ -94,3 +94,20 @@ def test_bigram_lm_partitioning_invariant(spark):
         for r in bigram_lm_scores(docs.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_bpe_ish_tokens_crafted(spark):
+    from airflow_subscription_etl_spark.operators.text import with_bpe_token_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "don't stop"),          # don + 't + stop
+            (2, "abc123 x-y!!"),        # abc + 123 + x + - + y + !!
+            (3, "hello"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in with_bpe_token_stats(df).collect()}
+    assert got[1]["n_bpe_tokens"] == 3 and got[1]["n_words"] == 2
+    assert got[2]["n_bpe_tokens"] == 6 and got[2]["n_words"] == 2
+    assert got[3]["n_bpe_tokens"] == 1 and got[3]["fertility"] == 1.0
