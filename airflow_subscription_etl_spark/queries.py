@@ -4322,6 +4322,58 @@ FROM w
 """
 
 
+def q_salted_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (scale.py::salted_distribution_agg):
+    hot grouping keys split over 16 salt reducers, then combined. The
+    result is salt-invariant, so the oracle is the plain GROUP BY —
+    checking that the skew armor changes the PLAN, never the answer.
+    l_quantity is integral, so the two-phase double sum is exact."""
+    from .operators.scale import salted_distribution_agg  # noqa: PLC0415
+
+    li = _t(spark, sf_dir, "lineitem")
+    agg = salted_distribution_agg(li, "l_suppkey", "l_quantity", salt=16)
+    return agg.select(
+        "l_suppkey",
+        "n_rows",
+        F.col("sum_l_quantity").cast("bigint").alias("total_qty"),
+    )
+
+
+SQL_SALTED_SUPPLIER_VOLUME = """
+SELECT l_suppkey, COUNT(*) AS n_rows,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_salted_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-scattered skew join (scale.py::salted_join): the big side
+    keeps one salt per row, the small side replicates ×16, and the
+    joined output is provably the plain join (oracle = unsalted SQL).
+    Orders⋈customer rolled up to market segment."""
+    from .operators.scale import salted_join  # noqa: PLC0415
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, "c_custkey", salt=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice"), alias="total_price"),
+    )
+
+
+SQL_SALTED_JOIN_SEGMENTS = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -4406,6 +4458,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_chunk_windows": (q_doc_chunk_windows, SQL_DOC_CHUNKS),
     "doc_bpe_token_stats": (q_doc_bpe_token_stats, SQL_DOC_BPE_TOKENS),
     "mm_audio_windows": (q_mm_audio_windows, SQL_MM_AUDIO_WINDOWS),
+    "salted_supplier_volume": (q_salted_supplier_volume, SQL_SALTED_SUPPLIER_VOLUME),
+    "salted_join_segments": (q_salted_join_segment_counts, SQL_SALTED_JOIN_SEGMENTS),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),
