@@ -57,6 +57,11 @@ HEADLINE = [
     "doc_bm25_topk",
     "approx_distinct_parts",
     "emb_kmeans",
+    # round-2 additions, second wave: training-batch assembly + portable LSH
+    "doc_pack_sequences",
+    "doc_chunk_windows",
+    "doc_bpe_token_stats",
+    "doc_minhash_portable",
 ]
 
 
