@@ -338,11 +338,43 @@ def minhash_lsh_pairs(
     )
 
 
-def _portable_seeded_hash(i: int):
-    # closure factory (same arity trap as _seeded_hash): hash60 of the
-    # "<seed>:<shingle>" string — one md5 per (seed, shingle)
-    pref = f"{i}:"
-    return lambda s: hash60(F.concat(F.lit(pref), s))
+#: 2^31 − 1 (Mersenne prime) — modulus of the portable affine MinHash
+#: family. With x < 2^31 and a < 2^31, ``a*x + b`` stays under 2^62:
+#: exact in int64 on every engine, no overflow, no HUGEINT promotion.
+MERSENNE31 = (1 << 31) - 1
+
+
+def portable_hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) params for the portable affine MinHash
+    family ``h_i(x) = (a_i·x + b_i) mod (2^31−1)``.
+
+    Derived from fixed odd multiplicative constants (Knuth / splitmix
+    mixers) — pure integer arithmetic, so the identical literals can be
+    inlined into the DuckDB oracle and both engines replay the exact
+    same permutations.
+    """
+    params = []
+    for i in range(num_hashes):
+        a = (i * 2654435761 + 2654435769) % MERSENNE31
+        b = (i * 1779033703 + 1013904242) % MERSENNE31
+        params.append((a or 1, b))
+    return params
+
+
+def portable_shingle_coeffs(k: int) -> list[int]:
+    """Deterministic per-position coefficients for the portable shingle
+    hash ``s(t_1..t_k) = Σ_j (t_j·c_j mod M) mod M`` over 31-bit token
+    hashes (M = 2^31−1). Position-dependent coefficients keep the
+    combination non-commutative ("a b c" ≠ "c b a")."""
+    return [((j + 1) * 2654435761 + 40503) % MERSENNE31 or 1 for j in range(k)]
+
+
+def _affine_min(x_col: Column, a: int, b: int) -> Column:
+    # closure-free form (the `lambda x, a=a:` default-arg arity trap
+    # documented at _seeded_hash applies to transform callables)
+    return F.array_min(
+        F.transform(x_col, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
+    )
 
 
 def portable_minhash_pairs(
@@ -359,31 +391,53 @@ def portable_minhash_pairs(
 
     The fast path seeds ``xxhash64``, whose constants are Spark-JVM
     internals no other engine reproduces, so its output can only be
-    rows-checked. This variant derives every hash from md5
-    (:func:`..sketch.hash60`): ``h_i(shingle) = hash60(f"{i}:{shingle}")``
-    over string shingles, and band buckets are ``hash60`` of the
-    band-slice CSV. md5 is standardized, so DuckDB replays the entire
-    pipeline — signature, banding, candidate join, Jaccard estimate —
-    bit-for-bit in SQL (recursive shingling via ``generate_series``,
-    ``string_agg`` band slices), giving a full value-hash oracle for the
-    LSH *algorithm*, not just its row count.
+    rows-checked. This variant hashes each shingle ONCE with md5
+    (:func:`..sketch.hash60`, truncated to 31 bits) and derives the k
+    permutations with the affine family ``h_i(x) = (a_i·x + b_i) mod
+    (2^31−1)`` (:func:`portable_hash_params`); band buckets are
+    ``hash60`` of the band-slice CSV. Everything is standardized md5 +
+    int64 arithmetic, so DuckDB replays the entire pipeline —
+    signature, banding, candidate join, Jaccard estimate — bit-for-bit
+    in SQL, giving a full value-hash oracle for the LSH *algorithm*,
+    not just its row count.
 
-    Cost: one md5 per (seed, shingle) vs one 8-byte xxhash64 — ~10×
-    more hashing work, all map-side. Use the fast variant in production;
-    this one exists to pin the algorithm's semantics (and is why
-    ``num_hashes`` defaults lower here). Plan shape is identical:
-    map-only signatures, one (band, bucket) shuffle, never all-pairs.
+    Cost mirrors the fast path's shape (one string hash per TOKEN, then
+    integer-only shingle/permutation math — the md5-per-(seed,shingle)
+    form this replaced was ~7× slower at sf0.1):
+
+    1. token hashes: one ``hash60`` (md5) per token, folded to 31 bits;
+    2. shingle hash: position-weighted polynomial over k consecutive
+       token hashes mod 2^31−1 (:func:`portable_shingle_coeffs`) —
+       missing tail tokens contribute 0 via coalesce, matching DuckDB's
+       out-of-range ``list[i] → NULL`` under the same COALESCE;
+    3. k affine permutations, array_min each.
+
+    Plan shape is identical: map-only signatures, one (band, bucket)
+    shuffle, never all-pairs. ``F.get`` (not ``element_at``) keeps the
+    tail-shingle access legal under ANSI mode.
     """
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), k_shingle).alias("_sh")
+    th = df.select(
+        F.col(id_col),
+        F.transform(
+            norm_tokens(F.col(text_col)), lambda t: hash60(t) % F.lit(1 << 31)
+        ).alias("_th"),
     )
-    sig = sh.select(
+    n = F.size(F.col("_th"))
+    idx = F.sequence(F.lit(0), F.greatest(n - k_shingle, F.lit(0)))
+    coeffs = portable_shingle_coeffs(k_shingle)
+
+    def shingle_hash(i: Column) -> Column:
+        acc = F.lit(0).cast("bigint")
+        for j, c in enumerate(coeffs):
+            t = F.coalesce(F.get(F.col("_th"), i + j), F.lit(0).cast("bigint"))
+            acc = acc + (t * F.lit(c)) % F.lit(MERSENNE31)
+        return acc % F.lit(MERSENNE31)
+
+    hx = th.select(id_col, F.transform(idx, shingle_hash).alias("_x"))
+    sig = hx.select(
         id_col,
         F.array(
-            *[
-                F.array_min(F.transform(F.col("_sh"), _portable_seeded_hash(i)))
-                for i in range(num_hashes)
-            ]
+            *[_affine_min(F.col("_x"), a, b) for a, b in portable_hash_params(num_hashes)]
         ).alias("minhash"),
     ).persist()
     return banded_pairs_from_signatures(

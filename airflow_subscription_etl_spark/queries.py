@@ -4158,25 +4158,48 @@ FROM neg GROUP BY 1
 
 def q_doc_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable-hash MinHash LSH (dedup.py::portable_minhash_pairs):
-    the full banded-LSH pipeline — shingle, 16-seed md5 minhash
-    signature, 4-band bucket join, signature-estimated Jaccard — on a
-    hash family DuckDB replays exactly, so unlike `doc_minhash_pairs`
-    (xxhash64, rows-only) the ALGORITHM gets a value-hash oracle."""
+    the full banded-LSH pipeline — shingle, one md5 per shingle, 16
+    affine permutations mod 2^31−1, 4-band bucket join,
+    signature-estimated Jaccard — on a hash family DuckDB replays
+    exactly, so unlike `doc_minhash_pairs` (xxhash64, rows-only) the
+    ALGORITHM gets a value-hash oracle."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.portable_minhash_pairs(docs, threshold=0.5)
 
 
-SQL_DOC_MINHASH_PORTABLE = r"""
+#: (seed, a, b) VALUES rows — the same literals
+#: dedup.portable_hash_params(16) feeds the Spark side.
+_PORTABLE_MH_PARAMS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.portable_hash_params(16))
+)
+
+#: position-weighted polynomial over the k=3 token hashes — the same
+#: literals dedup.portable_shingle_coeffs(3) feeds the Spark side.
+#: DuckDB lists are 1-based and out-of-range indexing yields NULL,
+#: which COALESCE(…, 0) maps to the same 0 the Spark side uses.
+_PORTABLE_SH_EXPR = " + ".join(
+    f"(COALESCE(h[i + {j + 1}], 0) * {c}) % 2147483647"
+    for j, c in enumerate(dedup.portable_shingle_coeffs(3))
+)
+
+SQL_DOC_MINHASH_PORTABLE = rf"""
 WITH tok AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
   FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, array_to_string(t[(i+1):(i+3)], ' ') AS s
-  FROM tok, LATERAL (SELECT unnest(generate_series(0, greatest(len(t)-3, 0))) AS i) g
+), th AS (
+  SELECT doc_id,
+         list_transform(t, s ->
+             CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % 2147483648) AS h,
+         len(t) AS n
+  FROM tok
+), hx AS (
+  SELECT doc_id, ({_PORTABLE_SH_EXPR}) % 2147483647 AS x
+  FROM th, LATERAL (SELECT unnest(generate_series(0, greatest(n - 3, 0))) AS i) g
+), par AS (
+  SELECT * FROM (VALUES {_PORTABLE_MH_PARAMS}) AS p(seed, a, b)
 ), sig AS (
-  SELECT doc_id, seed,
-         MIN(CAST(('0x' || substring(md5(seed || ':' || s), 1, 15)) AS BIGINT)) AS mh
-  FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS seed) sd
+  SELECT doc_id, seed, MIN((a * x + b) % 2147483647) AS mh
+  FROM hx, par
   GROUP BY doc_id, seed
 ), bands AS (
   SELECT doc_id, seed // 4 AS band,
