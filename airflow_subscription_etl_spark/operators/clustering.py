@@ -43,13 +43,14 @@ def _quant(x: float) -> float:
     return math.floor(x * _SCALE + 0.5) / _SCALE
 
 
-def _dist_micro(vec_col: str, cvec: list[float]):
-    """Σ_d round((x_d − c_d)² · 1e6) as bigint — order-free."""
-    carr = F.array(*[F.lit(float(v)) for v in cvec])
+def _dist_micro(vec_col: str, cvec) -> "F.Column":
+    """Σ_d round((x_d − c_d)² · 1e6) as bigint — order-free. ``cvec``
+    is an array<double> Column (a slot of the broadcast centroid
+    matrix)."""
     return F.aggregate(
         F.zip_with(
             F.col(vec_col),
-            carr,
+            cvec,
             lambda a, b: F.round(
                 (a.cast("double") - b) * (a.cast("double") - b) * F.lit(1_000_000.0)
             ).cast("bigint"),
@@ -71,17 +72,39 @@ def assign_clusters(
     ``(id, cluster_id, dist_micro)``; with ``keep_vec`` the vector
     column rides along so the centroid-update stage can consume the
     assignment directly instead of re-joining it to the input (one
-    whole join shuffle saved per Lloyd iteration)."""
-    candidates = F.array(
-        *[
-            F.struct(
-                _dist_micro(vec_col, cvec).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec in enumerate(centroids, start=1)
-        ]
+    whole join shuffle saved per Lloyd iteration).
+
+    The k·d centroid matrix enters as DATA — a broadcast one-row
+    frame cross-joined in — not as literals baked into the expression.
+    An unrolled-literal form would give every Lloyd iteration a unique
+    expression tree: ~1s of Janino codegen per round on a plan whose
+    actual compute is milliseconds. With the matrix as data the plan
+    (and its generated code) is byte-identical across iterations, so
+    codegen compiles once; this is also exactly how the matrix would
+    ship to 1000 executors at scale (one broadcast, not a megabyte
+    plan)."""
+    spark = df.sparkSession
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    cents_df = spark.createDataFrame(
+        [([list(map(float, c)) for c in centroids],)],
+        T.StructType(
+            [
+                T.StructField(
+                    "_cents", T.ArrayType(T.ArrayType(T.DoubleType()))
+                )
+            ]
+        ),
     )
-    best = F.array_min(candidates)
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c, i: F.struct(
+                _dist_micro(vec_col, c).alias("d"),
+                (i + F.lit(1)).cast("int").alias("cid"),
+            ),
+        )
+    )
     cols = [
         F.col(id_col),
         best["cid"].alias("cluster_id"),
@@ -89,7 +112,7 @@ def assign_clusters(
     ]
     if keep_vec:
         cols.append(F.col(vec_col))
-    return df.select(*cols)
+    return df.crossJoin(F.broadcast(cents_df)).select(*cols)
 
 
 def kmeans_fit_predict(
