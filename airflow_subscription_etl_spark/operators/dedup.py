@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .sketch import hash60
+from .sketch import MERSENNE31, hash60, portable_hash_params
 
 
 def normalized_text(col: Column) -> Column:
@@ -336,29 +336,6 @@ def minhash_lsh_pairs(
     return banded_pairs_from_signatures(
         sig, num_hashes, bands, threshold, id_col
     )
-
-
-#: 2^31 − 1 (Mersenne prime) — modulus of the portable affine MinHash
-#: family. With x < 2^31 and a < 2^31, ``a*x + b`` stays under 2^62:
-#: exact in int64 on every engine, no overflow, no HUGEINT promotion.
-MERSENNE31 = (1 << 31) - 1
-
-
-def portable_hash_params(num_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic (a_i, b_i) params for the portable affine MinHash
-    family ``h_i(x) = (a_i·x + b_i) mod (2^31−1)``.
-
-    Derived from fixed odd multiplicative constants (Knuth / splitmix
-    mixers) — pure integer arithmetic, so the identical literals can be
-    inlined into the DuckDB oracle and both engines replay the exact
-    same permutations.
-    """
-    params = []
-    for i in range(num_hashes):
-        a = (i * 2654435761 + 2654435769) % MERSENNE31
-        b = (i * 1779033703 + 1013904242) % MERSENNE31
-        params.append((a or 1, b))
-    return params
 
 
 def portable_shingle_coeffs(k: int) -> list[int]:

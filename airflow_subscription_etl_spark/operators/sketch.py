@@ -39,6 +39,12 @@ from pyspark.sql.column import Column
 #: 2^60 — the hash domain size; exact as a double (power of two).
 _DOMAIN = float(1 << 60)
 
+#: 2^31 − 1 (Mersenne prime) — modulus of the portable affine hash
+#: family shared by MinHash (operators.dedup) and the count-min sketch
+#: below. With x < 2^31 and a < 2^31, ``a*x + b`` stays under 2^62:
+#: exact in int64 on every engine, no overflow, no HUGEINT promotion.
+MERSENNE31 = (1 << 31) - 1
+
 
 def hash60(col: Column) -> Column:
     """Uniform 60-bit hash of any value via md5 — portable across
@@ -46,6 +52,23 @@ def hash60(col: Column) -> Column:
     Spark-specific). 15 hex chars = 60 bits keeps the value positive
     and well inside bigint range."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) params for the portable affine family
+    ``h_i(x) = (a_i·x + b_i) mod (2^31−1)``.
+
+    Derived from fixed odd multiplicative constants (Knuth / splitmix
+    mixers) — pure integer arithmetic, so the identical literals can be
+    inlined into a DuckDB oracle and both engines replay the exact
+    same permutations.
+    """
+    params = []
+    for i in range(num_hashes):
+        a = (i * 2654435761 + 2654435769) % MERSENNE31
+        b = (i * 1779033703 + 1013904242) % MERSENNE31
+        params.append((a or 1, b))
+    return params
 
 
 def _estimate(n_distinct: Column, h_k: Column, k: int) -> Column:
@@ -141,6 +164,108 @@ def kmv_merge(
     return agg.select(
         *group_cols,
         _estimate(n, F.get(F.col("_m"), k - 1), k).alias(estimate_col),
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of value
+    frequencies per group, in rows-of-counters form:
+    ``group_cols…, r, c, cnt`` with ``r < depth``, ``c < width``.
+
+    Row r's column for a value is ``((a_r·x + b_r) mod (2^31−1)) mod
+    width`` over ``x = hash60(value) mod 2^31`` — the repo's portable
+    affine family, so any engine with md5 + int64 replays the sketch
+    bit-for-bit. Counters are SUMS, so the sketch is (a) independent of
+    row order and partitioning, and (b) MERGEABLE by plain addition
+    (:func:`cms_merge`): per-source sketches roll up to the global
+    sketch without re-reading data — depth·width bigints of state per
+    group, however many distinct values stream through. That bounded,
+    addable state is the 100 TB story: frequency tracking as a
+    map-side-combinable groupBy on (group, r, c), never a per-value
+    ledger.
+
+    Estimates (:func:`cms_estimate`) are biased high (hash collisions
+    only ever ADD) with the classic guarantee: overestimate ≤
+    ``e·N/width`` with probability ``1 − e^(−depth)``.
+    """
+    params = portable_hash_params(depth)
+    x = hash60(F.col(value_col)) % F.lit(1 << 31)
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    ((x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31) % F.lit(width)).alias(
+                        "c"
+                    ),
+                )
+                for r, (a, b) in enumerate(params)
+            ]
+        )
+    )
+    return (
+        df.select(*group_cols, rc.alias("_rc"))
+        .select(*group_cols, "_rc.r", "_rc.c")
+        .groupBy(*group_cols, "r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll per-subgroup sketches up to ``group_cols`` — counter-wise
+    addition, the defining mergeability of CMS. Only (r, c, cnt)
+    triples shuffle; estimates after merging equal estimates from a
+    direct sketch of the union (sums commute)."""
+    return sketches.groupBy(*group_cols, "r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 512,
+    out: str = "cms_count",
+) -> DataFrame:
+    """Point-query the sketch: for each item, min over the depth rows
+    of the addressed counters (absent counter ⇒ 0 ⇒ estimate 0).
+
+    Plan: map items to their depth (r, c) addresses, broadcast-join the
+    (small, ≤ depth·width rows per group) sketch, min-agg back to one
+    row per item — the item side is never shuffled on data size.
+    """
+    params = portable_hash_params(depth)
+    x = hash60(F.col(item_col)) % F.lit(1 << 31)
+    gcols = list(group_cols or [])
+    addr = items.select(
+        *gcols,
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            (x * F.lit(a) + F.lit(b))
+                            % F.lit(MERSENNE31)
+                            % F.lit(width)
+                        ).alias("c"),
+                    )
+                    for r, (a, b) in enumerate(params)
+                ]
+            )
+        ).alias("_rc"),
+    ).select(*gcols, item_col, "_rc.r", "_rc.c")
+    joined = addr.join(F.broadcast(sketch), [*gcols, "r", "c"], "left")
+    return joined.groupBy(*gcols, item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(out)
     )
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.expressions import iso_date_str, label_expr
-from .operators import dedup, similarity, text
+from .operators import dedup, similarity, sketch, text
 from .operators.relational import top1_per_key
 from .sources.io import read_star_table
 from .streaming.events import sessionize_batch, sliding_counts, tumbling_counts
@@ -4223,6 +4223,64 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def q_doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (sketch.py::cms_sketch/
+    cms_estimate): sketch every document token into a 4×512 counter
+    matrix (portable affine hashes), then point-query the exact top-20
+    tokens — output (token, true_count, cms_count) with cms_count ≥
+    true_count by construction. The whole sketch-build + estimate
+    pipeline hash-matches the DuckDB replay."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(dedup.norm_tokens(F.col("text"))).alias("token"))
+    sk = sketch.cms_sketch(toks, [], "token", depth=4, width=512)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("token"))
+        .limit(20)
+    )
+    est = sketch.cms_estimate(sk, top.select("token"), "token", depth=4, width=512)
+    return top.join(est, "token").select("token", "true_count", "cms_count")
+
+
+#: (seed, a, b) rows for the CMS depth-4 affine family — same literals
+#: sketch.portable_hash_params(4) feeds the Spark side.
+_CMS_PARAMS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(sketch.portable_hash_params(4))
+)
+
+SQL_DOC_CMS = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), x AS (
+  SELECT token,
+         CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 2147483648 AS x
+  FROM tok
+), par AS (
+  SELECT * FROM (VALUES {_CMS_PARAMS}) AS p(r, a, b)
+), sk AS (
+  SELECT r, (a * x + b) % 2147483647 % 512 AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM x, par
+  GROUP BY 1, 2
+), top AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count,
+         CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 2147483648 AS x
+  FROM tok
+  GROUP BY 1
+  ORDER BY 2 DESC, 1
+  LIMIT 20
+), addr AS (
+  SELECT t.token, t.true_count, p.r, (p.a * t.x + p.b) % 2147483647 % 512 AS c
+  FROM top t, par p
+)
+SELECT a.token, a.true_count,
+       CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cms_count
+FROM addr a LEFT JOIN sk s ON a.r = s.r AND a.c = s.c
+GROUP BY 1, 2
+"""
+
+
 def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing (packing.py::pack_sequences):
     every doc placed at (seq_id, seq_offset) under a 256-token budget,
@@ -4483,6 +4541,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm_audio_windows": (q_mm_audio_windows, SQL_MM_AUDIO_WINDOWS),
     "salted_supplier_volume": (q_salted_supplier_volume, SQL_SALTED_SUPPLIER_VOLUME),
     "salted_join_segments": (q_salted_join_segment_counts, SQL_SALTED_JOIN_SEGMENTS),
+    "doc_cms_heavy_hitters": (q_doc_cms_heavy_hitters, SQL_DOC_CMS),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),

@@ -176,3 +176,46 @@ def test_kmv_exact_when_small_property(spark, vals):
     out = SK.kmv_distinct(df, ["g"], "v", k=64).collect()[0]
     if out["n_distinct"] < 64:
         assert out["kmv_estimate"] == float(len(set(vals)))
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+def test_cms_overestimates_never_under(spark, li):
+    """CMS point estimates are ≥ true counts (collisions only add)."""
+    toks = li.select(F.col("l_returnflag").alias("v"))
+    sk = SK.cms_sketch(toks, [], "v", depth=4, width=64)
+    true = toks.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    est = SK.cms_estimate(sk, true.select("v"), "v", depth=4, width=64)
+    rows = {r["v"]: r for r in true.join(est, "v").collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r["cms_count"] >= r["n"]
+
+
+def test_cms_exact_when_sparse(spark):
+    """With far fewer distinct values than width, no collisions →
+    estimates are exact."""
+    df = spark.range(100).select((F.col("id") % 10).alias("v"))
+    sk = SK.cms_sketch(df, [], "v", depth=4, width=512)
+    est = SK.cms_estimate(
+        sk, df.select("v").distinct(), "v", depth=4, width=512
+    ).collect()
+    assert all(r["cms_count"] == 10 for r in est)
+
+
+def test_cms_merge_equals_direct(spark, li):
+    """Sketching per-subgroup then cms_merge must equal sketching the
+    union directly — counters are sums, so merge is plain addition."""
+    toks = li.select(F.col("l_linestatus").alias("src"), F.col("l_partkey").alias("v"))
+    per_src = SK.cms_sketch(toks, ["src"], "v", depth=4, width=128)
+    merged = SK.cms_merge(per_src.drop("src"), [])
+    direct = SK.cms_sketch(toks, [], "v", depth=4, width=128)
+    assert merged.exceptAll(direct).isEmpty() and direct.exceptAll(merged).isEmpty()
+
+
+def test_cms_partitioning_invariant(spark, li):
+    toks = li.select(F.col("l_partkey").alias("v"))
+    a = SK.cms_sketch(toks.repartition(1), [], "v", depth=2, width=64)
+    b = SK.cms_sketch(toks.repartition(17), [], "v", depth=2, width=64)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
