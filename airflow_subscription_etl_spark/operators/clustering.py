@@ -121,6 +121,7 @@ def kmeans_fit_predict(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means, ``iters`` rounds from a deterministic init (the
     k lowest-id vectors, micro-quantized). Returns the FINAL-round
@@ -162,7 +163,96 @@ def kmeans_fit_predict(
             ) / (float(r["n"]) * float(_SCALE))
         # empty clusters (absent from `new`) keep their previous centroid
         cents = [new.get(cid, cents[cid - 1]) for cid in range(1, k + 1)]
-    return assign_clusters(df, cents, id_col, vec_col)
+    return assign_clusters(df, cents, id_col, vec_col, keep_vec=keep_vec)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): k-means partition the corpus, compute pairwise
+    cosine similarity ONLY within clusters, and drop every vector with
+    a near-identical lower-id neighbor.
+
+    The clustering is the scale move: pairwise work is Σ_c |c|² instead
+    of n² — the paper's trick for running dedup over web-scale
+    embedding sets, here as k-means (one shuffle per Lloyd round) plus
+    one within-cluster self-join keyed on cluster_id. Everything is
+    engine-exact: assignments come from the micro-quantized
+    :func:`kmeans_fit_predict`, and cosine is computed over
+    micro-quantized components — integer dot products and norms, one
+    IEEE sqrt/divide on identical operands — so a DuckDB oracle replays
+    the whole pipeline. Keep-rule divergence from the paper: we keep
+    the LOWEST id of each near-duplicate pair (deterministic,
+    join-free) instead of the vector farthest from the centroid.
+
+    Returns ``(id, cluster_id, is_dropped)`` for every input row.
+    """
+    assigned = kmeans_fit_predict(df, k, iters, id_col, vec_col, keep_vec=True)
+    # quantize + self-norm map-side, BEFORE the pair join: per-pair
+    # work is then a bare integer dot product (same staging as
+    # similarity.all_pairs_ann). |q| ≤ ~1e6 ⇒ dot ≤ dims·1e12 — int64-
+    # safe; norms likewise. n_a·n_b would overflow, so the denominator
+    # is sqrt(n_a)·sqrt(n_b) in double — exact conversions (< 2^53),
+    # correctly-rounded IEEE sqrt: identical on every engine.
+    q = assigned.select(
+        F.col(id_col),
+        "cluster_id",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("_q"),
+    ).withColumn(
+        "_n2",
+        F.aggregate(
+            F.col("_q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ),
+    )
+    a = q.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster_id"),
+        F.col("_q").alias("qa"),
+        F.col("_n2").alias("na"),
+    )
+    b = q.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster_id"),
+        F.col("_q").alias("qb"),
+        F.col("_n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    dropped = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(dropped.withColumn("_d", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(F.col("_d"), F.lit(False)).alias("is_dropped"),
+        )
+    )
 
 
 def kmeans_cluster_summary(assigned: DataFrame, id_col: str = "vec_id") -> DataFrame:

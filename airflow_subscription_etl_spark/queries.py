@@ -3628,13 +3628,16 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_summary(kmeans_fit_predict(emb, k=8, iters=3))
 
 
-def kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
-    """Generate the unrolled-iteration DuckDB oracle for q_emb_kmeans.
+def _kmeans_unrolled_ctes(k: int = 8, iters: int = 3) -> str:
+    """The WITH-chain of the unrolled-iteration DuckDB k-means replay,
+    ending in CTE ``afin(vec_id, cid, dist_micro)`` — the final-round
+    assignment. Shared by the k-means summary oracle and the
+    semantic-dedup oracle.
 
     Mirrors clustering.py exactly: micro-quantized init from the k
     lowest vec_ids, per-iteration argmin assignment on integer-micro
     distances (ties → lowest cid), integer-sum centroid updates with
-    COALESCE fallback for empty clusters, final-assignment summary.
+    COALESCE fallback for empty clusters.
     """
     parts = [
         f"""WITH ex AS (
@@ -3685,16 +3688,73 @@ def kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     SELECT *, row_number() OVER (PARTITION BY vec_id
                                  ORDER BY dist_micro ASC, cid ASC) AS rn
     FROM dfin) WHERE rn = 1
-)
+)"""
+    )
+    return "".join(parts)
+
+
+def kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled DuckDB oracle for q_emb_kmeans: final-assignment
+    per-cluster summary."""
+    return (
+        _kmeans_unrolled_ctes(k, iters)
+        + """
 SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(SUM(vec_id) AS BIGINT) AS member_checksum,
        CAST(SUM(dist_micro) AS BIGINT) AS sum_dist_micro
 FROM afin GROUP BY 1"""
     )
-    return "".join(parts)
 
 
 SQL_EMB_KMEANS = kmeans_oracle_sql(k=8, iters=3)
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (clustering.py::semantic_dedup):
+    2-round k-means partition, within-cluster quantized-cosine pairs at
+    ≥ 0.9, drop the higher id of each pair; summarized per cluster.
+    The whole pipeline — clustering, pair generation, keep/drop — is
+    engine-exact, so the oracle unrolls it in SQL."""
+    from .operators.clustering import semantic_dedup  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, k=8, iters=2, threshold=0.45)
+    return out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("is_dropped").cast("bigint")).alias("n_dropped"),
+        F.sum(F.when(~F.col("is_dropped"), F.col("vec_id"))).alias("kept_checksum"),
+    )
+
+
+SQL_EMB_SEMANTIC_DEDUP = (
+    _kmeans_unrolled_ctes(k=8, iters=2)
+    + """, q AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS qx
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), n2 AS (
+  SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS nn FROM q GROUP BY 1
+), pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(SUM(qa.qx * qb.qx) AS BIGINT) AS dot
+  FROM afin a
+  JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id
+  JOIN q qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+  GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT p.id_b
+  FROM pr p JOIN n2 na ON na.vec_id = p.id_a JOIN n2 nb ON nb.vec_id = p.id_b
+  WHERE p.dot::DOUBLE / (sqrt(na.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)) >= 0.45
+)
+SELECT a.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN d.id_b IS NULL THEN a.vec_id END) AS BIGINT)
+         AS kept_checksum
+FROM afin a LEFT JOIN dropped d ON d.id_b = a.vec_id
+GROUP BY 1"""
+)
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4542,6 +4602,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "salted_supplier_volume": (q_salted_supplier_volume, SQL_SALTED_SUPPLIER_VOLUME),
     "salted_join_segments": (q_salted_join_segment_counts, SQL_SALTED_JOIN_SEGMENTS),
     "doc_cms_heavy_hitters": (q_doc_cms_heavy_hitters, SQL_DOC_CMS),
+    "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),

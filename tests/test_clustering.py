@@ -57,3 +57,40 @@ def test_assign_clusters_tiebreak(spark):
     # two identical centroids -> tie -> lowest cid wins
     out = assign_clusters(df, [[1.0, 1.0], [1.0, 1.0]]).collect()
     assert out[0]["cluster_id"] == 1
+
+
+# --- semantic dedup ----------------------------------------------------------
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    """Exact duplicates land in one cluster; the higher ids of each
+    near-identical set are dropped, the lowest survives."""
+    from airflow_subscription_etl_spark.operators.clustering import semantic_dedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1 -> dropped
+        (3, [0.99, 0.01, 0.0, 0.0]),    # near dup of 1 -> dropped
+        (4, far),
+        (5, [0.0, 0.0, 1.0, 0.0]),      # orthogonal -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = {r["vec_id"]: r["is_dropped"] for r in
+           semantic_dedup(df, k=2, iters=2, threshold=0.95).collect()}
+    assert out[1] is False
+    assert out[2] is True
+    assert out[3] is True
+    assert out[4] is False
+    assert out[5] is False
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    from airflow_subscription_etl_spark.operators.clustering import semantic_dedup
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    emb = read_star_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = semantic_dedup(emb.repartition(1), k=4, iters=2, threshold=0.45)
+    b = semantic_dedup(emb.repartition(13), k=4, iters=2, threshold=0.45)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
