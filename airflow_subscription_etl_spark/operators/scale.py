@@ -92,3 +92,55 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+#: measure ops whose states merge by re-applying themselves (sum of
+#: sums, min of mins, max of maxes); COUNT merges by SUM.
+_MERGE_OP = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def agg_state(
+    df: DataFrame, keys: list[str], measures: list[tuple[str, str]]
+) -> DataFrame:
+    """Build a mergeable aggregate state: one row per key with columns
+    ``{op}_{col}`` for each (col, op) measure, op ∈ {sum, count, min,
+    max} — the commutative-monoid aggregates whose partial states
+    combine losslessly. (avg is derivable as sum/count; distinct-count
+    needs a sketch — see :mod:`.sketch`.)"""
+    aggs = []
+    for col, op in measures:
+        name = f"{op}_{col}"
+        if op == "count":
+            aggs.append(F.count(F.lit(1)).alias(name))
+        elif op in ("sum", "min", "max"):
+            aggs.append(getattr(F, op)(col).alias(name))
+        else:  # pragma: no cover - guarded by tests
+            raise ValueError(f"unmergeable op: {op}")
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_state(
+    running: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    measures: list[tuple[str, str]],
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch's partial
+    state (:func:`agg_state` of the batch) into the running state
+    WITHOUT re-scanning history.
+
+    This is the materialized-view maintenance contract every long-lived
+    ingest needs at 100 TB: the history table is petabytes, but its agg
+    state is one row per key — so each arriving batch costs one scan of
+    the BATCH plus a key-wise merge of two small states (one shuffle on
+    the keys, both sides already aggregated). Merge rules: sum/count
+    re-sum, min/mins min, max/maxes max — by the monoid property the
+    result is bit-identical to re-aggregating history ∪ batch from
+    scratch (the oracle and tests assert exactly that). Keys present in
+    only one side pass through via the full outer union.
+    """
+    merged = running.unionByName(delta, allowMissingColumns=False)
+    aggs = [
+        _MERGE_OP[op](f"{op}_{col}").alias(f"{op}_{col}") for col, op in measures
+    ]
+    return merged.groupBy(*keys).agg(*aggs)

@@ -4283,6 +4283,50 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def q_incremental_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (scale.py::agg_state/
+    merge_agg_state): aggregate orders before 1997 as the "running"
+    state, the rest as the arriving "batch", and fold the batch's
+    partial state into the running state — the materialized-view merge
+    that avoids re-scanning history. The oracle aggregates the FULL
+    table from scratch; hash-matching it proves merge == direct."""
+    from .operators.scale import agg_state, merge_agg_state  # noqa: PLC0415
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    keys = ["o_orderpriority"]
+    measures = [
+        ("price_cents", "count"),
+        ("price_cents", "sum"),
+        ("o_orderdate", "min"),
+        ("o_orderdate", "max"),
+    ]
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    hist = agg_state(o.filter(F.col("o_orderdate") < cutoff), keys, measures)
+    batch = agg_state(o.filter(F.col("o_orderdate") >= cutoff), keys, measures)
+    merged = merge_agg_state(hist, batch, keys, measures)
+    return merged.select(
+        "o_orderpriority",
+        F.col("count_price_cents").alias("n_orders"),
+        (F.col("sum_price_cents") / 100.0).alias("total_price"),
+        F.col("min_o_orderdate").alias("first_order"),
+        F.col("max_o_orderdate").alias("last_order"),
+    )
+
+
+SQL_INCREMENTAL_ORDER_STATS = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_price,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY 1
+"""
+
+
 def q_doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates (sketch.py::cms_sketch/
     cms_estimate): sketch every document token into a 4×512 counter
@@ -4603,6 +4647,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "salted_join_segments": (q_salted_join_segment_counts, SQL_SALTED_JOIN_SEGMENTS),
     "doc_cms_heavy_hitters": (q_doc_cms_heavy_hitters, SQL_DOC_CMS),
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
+    "incremental_order_stats": (q_incremental_order_stats, SQL_INCREMENTAL_ORDER_STATS),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),

@@ -74,3 +74,57 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
             )
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+# --- incremental aggregate maintenance ---------------------------------------
+
+
+def test_merge_agg_state_equals_direct(spark):
+    """Folding batch state into running state must reproduce the
+    from-scratch aggregate bit-for-bit (monoid merge)."""
+    import pyspark.sql.functions as F
+
+    from airflow_subscription_etl_spark.operators.scale import (
+        agg_state,
+        merge_agg_state,
+    )
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    o = read_star_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    keys, measures = ["o_orderstatus"], [
+        ("cents", "count"),
+        ("cents", "sum"),
+        ("o_orderkey", "min"),
+        ("o_orderkey", "max"),
+    ]
+    split = F.col("o_orderkey") % 3 == 0
+    merged = merge_agg_state(
+        agg_state(o.filter(split), keys, measures),
+        agg_state(o.filter(~split), keys, measures),
+        keys,
+        measures,
+    )
+    direct = agg_state(o, keys, measures)
+    assert merged.exceptAll(direct).isEmpty() and direct.exceptAll(merged).isEmpty()
+
+
+def test_merge_agg_state_key_only_in_one_side(spark):
+    import pyspark.sql.functions as F
+
+    from airflow_subscription_etl_spark.operators.scale import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    a = spark.createDataFrame([("x", 1), ("y", 2)], "k: string, v: long")
+    b = spark.createDataFrame([("y", 5), ("z", 9)], "k: string, v: long")
+    m = {r["k"]: r for r in merge_agg_state(
+        agg_state(a, ["k"], [("v", "sum"), ("v", "count")]),
+        agg_state(b, ["k"], [("v", "sum"), ("v", "count")]),
+        ["k"], [("v", "sum"), ("v", "count")],
+    ).collect()}
+    assert m["x"]["sum_v"] == 1 and m["x"]["count_v"] == 1
+    assert m["y"]["sum_v"] == 7 and m["y"]["count_v"] == 2
+    assert m["z"]["sum_v"] == 9 and m["z"]["count_v"] == 1
