@@ -62,6 +62,9 @@ HEADLINE = [
     "doc_chunk_windows",
     "doc_bpe_token_stats",
     "doc_minhash_portable",
+    # round-2 additions, third wave: frequency sketch + view maintenance
+    "doc_cms_heavy_hitters",
+    "incremental_order_stats",
 ]
 
 
