@@ -144,3 +144,80 @@ def merge_agg_state(
         _MERGE_OP[op](f"{op}_{col}").alias(f"{op}_{col}") for col, op in measures
     ]
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def bloom_semi_prune(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    small_key: str | None = None,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Row-level bloom-filter pruning of ``big`` against ``small``'s
+    key set — the explicit form of the runtime filter a selective join
+    wants at 100 TB: probe rows that cannot match are dropped AT THE
+    SCAN, before they pay the join shuffle. False positives only leak
+    extra rows through to the real join (which re-checks exactly);
+    false negatives are impossible, so downstream results are
+    bit-identical with or without the prune — which is why the
+    registered query's oracle is simply the plain join.
+
+    Mechanics: ``num_hashes`` seeded xxhash64 positions per key over a
+    ``num_bits`` bitmap packed 63 bits per bigint (bit 63 never set —
+    no sign games). The bitmap is collected to the driver — O(num_bits)
+    = kilobytes, independent of data size, same contract as a k-means
+    centroid matrix — and rejoined as a broadcast one-row frame so the
+    probe-side plan stays constant-shape. Probe cost is ``num_hashes``
+    hash+mask ops per row, map-only.
+
+    Spark's own AQE runtime bloom (``runtime.bloomFilter.enabled``)
+    does this transparently when statistics cooperate; this operator is
+    the deterministic, always-on version with a tunable bitmap.
+    """
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    n_words = (num_bits + 62) // 63
+
+    def positions(col: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+
+    pos = small.select(
+        F.explode(F.array(*positions(F.col(small_key or key)))).alias("pos")
+    ).distinct()
+    words = (
+        pos.groupBy((F.col("pos") / F.lit(63)).cast("int").alias("w"))
+        .agg(
+            # SQL form: the PySpark shiftleft wrapper only takes a
+            # literal shift distance
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    filled = dict((r["w"], r["bits"]) for r in words)
+    bitmap = [filled.get(w, 0) for w in range(n_words)]
+    bloom_df = big.sparkSession.createDataFrame(
+        [(bitmap,)],
+        T.StructType([T.StructField("_bloom", T.ArrayType(T.LongType()))]),
+    )
+
+    # variable-distance shiftright needs the SQL form (the PySpark
+    # wrapper only takes a literal shift); position columns get names
+    # so the expr can address them
+    probe = big.crossJoin(F.broadcast(bloom_df))
+    pcols = []
+    for i, p in enumerate(positions(F.col(key))):
+        pc = f"_bloom_p{i}"
+        pcols.append(pc)
+        probe = probe.withColumn(pc, p).filter(
+            F.expr(
+                f"(shiftright(_bloom[CAST({pc} / 63 AS INT)],"
+                f" CAST({pc} % 63 AS INT)) & 1) = 1"
+            )
+        )
+    return probe.drop("_bloom", *pcols)

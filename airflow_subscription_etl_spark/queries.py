@@ -4283,6 +4283,38 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned selective join (scale.py::bloom_semi_prune):
+    lineitem rows are pre-filtered by a bloom bitmap of the qualifying
+    suppliers' keys before the join shuffle — the explicit runtime-
+    filter pattern. Bloom false positives are re-checked by the real
+    join, so the result is bit-identical to the plain join the DuckDB
+    oracle runs."""
+    from .operators.scale import bloom_semi_prune  # noqa: PLC0415
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 8000.0)
+    pruned = bloom_semi_prune(li, s, "l_suppkey", small_key="s_suppkey")
+    j = pruned.join(s, pruned["l_suppkey"] == s["s_suppkey"])
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("revenue_cents"),
+    )
+
+
+SQL_BLOOM_PRUNED_JOIN = """
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_acctbal > 8000.0
+GROUP BY 1
+"""
+
+
 def q_incremental_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (scale.py::agg_state/
     merge_agg_state): aggregate orders before 1997 as the "running"
@@ -4648,6 +4680,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_cms_heavy_hitters": (q_doc_cms_heavy_hitters, SQL_DOC_CMS),
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
     "incremental_order_stats": (q_incremental_order_stats, SQL_INCREMENTAL_ORDER_STATS),
+    "bloom_pruned_join": (q_bloom_pruned_join, SQL_BLOOM_PRUNED_JOIN),
     # -- tier 3: green in round 1 --
     "p1_projection": (q_p1_projection, SQL_P1),
     "p2_label": (q_p2_label, SQL_P2),

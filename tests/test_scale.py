@@ -128,3 +128,45 @@ def test_merge_agg_state_key_only_in_one_side(spark):
     assert m["x"]["sum_v"] == 1 and m["x"]["count_v"] == 1
     assert m["y"]["sum_v"] == 7 and m["y"]["count_v"] == 2
     assert m["z"]["sum_v"] == 9 and m["z"]["count_v"] == 1
+
+
+# --- bloom semi-prune --------------------------------------------------------
+
+
+def test_bloom_prune_keeps_all_matches_and_prunes(spark):
+    """No false negatives (every joinable row survives) and real
+    pruning happens for a selective key set."""
+    import pyspark.sql.functions as F
+
+    from airflow_subscription_etl_spark.operators.scale import bloom_semi_prune
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    sf = "/root/testdata/sf0.001"
+    li = read_star_table(spark, sf, "lineitem")
+    s = read_star_table(spark, sf, "supplier").filter(F.col("s_suppkey") <= 3)
+    pruned = bloom_semi_prune(li, s, "l_suppkey", small_key="s_suppkey")
+    true_semi = li.join(
+        s.select(F.col("s_suppkey").alias("l_suppkey")), "l_suppkey", "left_semi"
+    )
+    # every true match survives the prune (align column order —
+    # exceptAll is positional and the semi join moves the key first)
+    assert true_semi.select(*li.columns).exceptAll(pruned.select(*li.columns)).isEmpty()
+    # and the prune actually removes the bulk of non-matching rows
+    n_all, n_pruned, n_true = li.count(), pruned.count(), true_semi.count()
+    assert n_pruned < n_all * 0.5
+    assert n_pruned >= n_true
+
+
+def test_bloom_prune_join_equals_plain_join(spark):
+    import pyspark.sql.functions as F
+
+    from airflow_subscription_etl_spark.operators.scale import bloom_semi_prune
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    sf = "/root/testdata/sf0.001"
+    li = read_star_table(spark, sf, "lineitem")
+    s = read_star_table(spark, sf, "supplier").filter(F.col("s_acctbal") > 8000.0)
+    pruned = bloom_semi_prune(li, s, "l_suppkey", small_key="s_suppkey")
+    a = pruned.join(s, pruned["l_suppkey"] == s["s_suppkey"])
+    b = li.join(s, li["l_suppkey"] == s["s_suppkey"])
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
