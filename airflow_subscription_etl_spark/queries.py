@@ -4728,9 +4728,60 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+#: Round-3 verification priority (the driver checks only the first ~50
+#: entries of queries() per round). Tier 1: errored in round 2 (the
+#: TIMESTAMP_NTZ testdata regeneration, fixed in sources/io.py) — need a
+#: fresh green row. Tier 2: registered in round 2, never driver-checked.
+#: Everything else follows in REGISTRY order (all green in r1/r2).
+#: Re-tier each round.
+_PRIORITY_R3 = [
+    # tier 1 — fixed this round
+    "ev_sessionize",
+    "ev_asof_join",
+    "ev_attribution_join",
+    "ev_funnel",
+    "ev_window_frames",
+    # tier 2 — no CORRECTNESS row from any prior round
+    "mm_resize",
+    "doc_repetition_signals",
+    "doc_span_dedup",
+    "doc_contamination",
+    "doc_bigram_lm",
+    "doc_bm25_topk",
+    "emb_kmeans",
+    "graph_pagerank",
+    "ev_resample_hourly",
+    "ev_retention_cohorts",
+    "doc_curation_pipeline",
+    "quantile_sketch_by_priority",
+    "sql_segment_revenue",
+    "ev_interval_join_binned",
+    "neg_sampling",
+    "doc_minhash_portable",
+    "doc_pack_sequences",
+    "doc_chunk_windows",
+    "doc_bpe_token_stats",
+    "mm_audio_windows",
+    "salted_supplier_volume",
+    "salted_join_segments",
+    "doc_cms_heavy_hitters",
+    "emb_semantic_dedup",
+    "incremental_order_stats",
+    "bloom_pruned_join",
+]
+
+
+def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
+    out = {name: REGISTRY[name] for name in _PRIORITY_R3 if name in REGISTRY}
+    out.update({name: v for name, v in REGISTRY.items() if name not in out})
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: sql for name, (_, sql) in _ordered_registry().items() if sql is not None
+    }

@@ -108,20 +108,28 @@ def ensure_query_confs(spark: SparkSession) -> None:
 def read_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    reads (under ``spark.sql.legacy.parquet.nanosAsLong``) as a plain
-    nanos-since-epoch long; convert to a microsecond timestamp here,
-    truncating like DuckDB/Arrow do, so downstream semantics match the
-    oracle.
+    ``events.ts`` has been observed in two physical encodings across
+    driver testdata generations: parquet TIMESTAMP(NANOS) (reads as a
+    nanos-since-epoch long under ``nanosAsLong``) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ).  Normalize both to
+    a session-TZ TIMESTAMP here so every downstream consumer
+    (``unix_micros``, range frames, window()) sees one stable type
+    regardless of which generation of testdata — or whose SparkSession —
+    is in play.  With the UTC session timezone pinned above, the
+    NTZ→TZ cast is an identity reinterpretation of the instant.
     """
     from pyspark.sql import functions as F
 
     ensure_query_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer `div` (not `/`): float division of an int64 epoch-nanos
-        # loses precision past 2^53 and can shift the microsecond value
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer `div` (not `/`): float division of an int64 epoch-nanos
+            # loses precision past 2^53 and can shift the microsecond value
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -86,28 +86,35 @@ def main() -> None:
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink: materializes every column of every row (a bare
-        # count() would let Catalyst prune the computed expressions)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            # noop sink: materializes every column of every row (a bare
+            # count() would let Catalyst prune the computed expressions)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # zero out the whole bench (round 2 lost ALL numbers to one
+            # AnalysisException); record it and keep timing the rest
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
