@@ -221,3 +221,58 @@ def bloom_semi_prune(
             )
         )
     return probe.drop("_bloom", *pcols)
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Globally-ordered running sum WITHOUT a single-partition window.
+
+    A bare ``Window.orderBy(...)`` (no partitionBy) funnels the whole
+    table through ONE task — the classic scale-killer Spark even warns
+    about ("Moving all data to a single partition"). This operator is
+    the distributed formulation: range-repartition on the global order,
+    per-partition window cumsum, then add each partition's starting
+    offset (the exclusive prefix of per-partition totals). The only
+    driver-side data is one row PER PARTITION (bounded by cluster
+    size, never by data size), and the result is independent of where
+    the sampled range boundaries land because within-partition order ∘
+    cross-partition range = the same total order.
+
+    ``order_cols`` must be a deterministic total order (include a
+    tiebreak key) — pass Column objects (e.g. ``F.col("x").desc()``).
+    """
+    d = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # tiny collect: one row per partition, O(cluster), never O(data)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in d.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), float(o)) for p, o in offsets.items()], "_pid int, _off double"
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(off_df, "_pid")
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

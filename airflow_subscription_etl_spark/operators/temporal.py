@@ -102,6 +102,96 @@ def asof_join(
     )
 
 
+def multi_touch_weights(
+    pairs: DataFrame,
+    group_col: str = "purchase_id",
+    event_ts: str = "purchase_ts",
+    touch_ts: str = "click_ts",
+    half_life_minutes: int = 10,
+) -> DataFrame:
+    """Multi-touch attribution weights over (conversion, touch) pairs —
+    the step after the interval join (streaming/events.py::
+    purchase_attribution_join): split each conversion's credit across
+    its touches, linearly and with exponential time decay.
+
+    Determinism at scale: each touch's decay term ``0.5^(age/half_life)``
+    is quantized to integer micros BEFORE the per-conversion sum, so the
+    window aggregation is exact integer arithmetic — independent of
+    partitioning/summation order on any cluster size — and the final
+    shares are exact-int ÷ exact-int, reproducible bit-for-bit in any
+    engine (same trick as text.py::bigram_lm_scores). One window shuffle
+    keyed on the conversion id; no driver-side work.
+    """
+    w = Window.partitionBy(group_col)
+    age_us = (F.unix_micros(F.col(event_ts)) - F.unix_micros(F.col(touch_ts))).alias(
+        "age_us"
+    )
+    decay_micro = F.round(
+        F.pow(
+            F.lit(0.5),
+            F.col("age_us") / F.lit(half_life_minutes * 60.0 * 1_000_000.0),
+        )
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    return (
+        pairs.withColumn("age_us", age_us)
+        .withColumn("decay_micro", decay_micro)
+        .withColumn("n_touches", F.count(F.lit(1)).over(w))
+        .withColumn("decay_micro_sum", F.sum("decay_micro").over(w))
+        .withColumn("w_linear", F.lit(1.0) / F.col("n_touches"))
+        .withColumn(
+            "w_decay",
+            F.col("decay_micro").cast("double")
+            / F.col("decay_micro_sum").cast("double"),
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style snapshot diff: classify every key as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` between two table
+    snapshots — the change-detection primitive behind incremental loads
+    and SCD maintenance.
+
+    One full-outer shuffled equi join on the key columns; change
+    detection is column-wise null-safe equality (``eqNullSafe``), NOT a
+    serialized-row hash, so it is engine-portable (no dependence on any
+    engine's float/JSON formatting) and Catalyst prunes ``compare_cols``
+    to exactly the columns compared. Both sides arbitrarily large: this
+    is a plain sort-merge join at scale, AQE handles skew.
+    """
+    keys = list(keys)
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    for c in compare_cols:
+        o = o.withColumnRenamed(c, f"{c}_old")
+        n = n.withColumnRenamed(c, f"{c}_new")
+    # presence: "any compare col non-null" is not a safe presence test
+    # (legitimately-null attributes); use a sentinel from each side.
+    j = o.withColumn("_old_present", F.lit(True)).join(
+        n.withColumn("_new_present", F.lit(True)), keys, "full_outer"
+    )
+    old_present = F.coalesce(F.col("_old_present"), F.lit(False))
+    new_present = F.coalesce(F.col("_new_present"), F.lit(False))
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    change = (
+        F.when(old_present & ~new_present, F.lit("removed"))
+        .when(new_present & ~old_present, F.lit("added"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, *[f"{c}_old" for c in compare_cols],
+                    *[f"{c}_new" for c in compare_cols],
+                    change.alias("change_type"))
+
+
 def band_join(
     fact: DataFrame,
     bands: DataFrame,

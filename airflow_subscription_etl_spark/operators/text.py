@@ -450,3 +450,43 @@ def bm25_topk(
         .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon character entropy per document — the cheap gibberish /
+    binary-spill / mojibake screen of corpus quality filtering (low
+    entropy ⇒ repeated filler, high entropy ⇒ random bytes).
+
+    Per-character frequencies come from one partial-aggregated groupBy
+    keyed (doc, char) — shuffle rows bounded by |distinct chars per
+    doc| ≤ alphabet size, NOT document length, so 100 TB of text
+    shuffles a few hundred rows per document. Each frequency's
+    ``-p·log2(p)`` term is quantized to integer micros BEFORE the
+    per-doc sum (exact integer addition in any summation order — the
+    bigram_lm_scores trick), making the result bit-stable across
+    engines and cluster sizes.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.explode(F.split(text_col, "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy(id_col, "n_chars", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n_chars").cast("double")
+    term_micro = F.round(-p * F.log2(p) * F.lit(1_000_000.0)).cast("bigint")
+    return (
+        freq.withColumn("term_micro", term_micro)
+        .groupBy(id_col, "n_chars")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.sum("term_micro").alias("entropy_micro"),
+        )
+        .withColumn(
+            "entropy_bits",
+            F.col("entropy_micro").cast("double") / F.lit(1_000_000.0),
+        )
+    )

@@ -4591,6 +4591,338 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Round-3 wave: attribution weights, CDC diff, graph shape, entropy,
+# robust outliers, distributed Pareto, histogram
+
+
+def q_ev_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (temporal.py::multi_touch_weights over
+    streaming/events.py::purchase_attribution_join run batch-mode):
+    each purchase's credit split across its preceding 30-minute clicks,
+    linear and exponential-time-decay. Decay terms are quantized to
+    integer micros before the per-purchase window sum, so the weights
+    are bit-stable in any engine / partitioning (bigram_lm trick)."""
+    from .operators.temporal import multi_touch_weights  # noqa: PLC0415
+    from .streaming.events import purchase_attribution_join  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = purchase_attribution_join(ev, "30 minutes")
+    return multi_touch_weights(pairs).select(
+        "purchase_id",
+        "click_id",
+        "n_touches",
+        "age_us",
+        "decay_micro",
+        "w_linear",
+        "w_decay",
+    )
+
+
+SQL_EV_MULTI_TOUCH = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), pairs AS (
+  SELECT p.purchase_id, c.click_id,
+         epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS age_us
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+), t AS (
+  SELECT purchase_id, click_id, age_us,
+         CAST(round(pow(0.5, age_us / 600000000.0) * 1000000.0) AS BIGINT)
+           AS decay_micro
+  FROM pairs
+)
+SELECT purchase_id, click_id,
+       COUNT(*) OVER w AS n_touches,
+       age_us, decay_micro,
+       1.0 / COUNT(*) OVER w AS w_linear,
+       CAST(decay_micro AS DOUBLE) / CAST(SUM(decay_micro) OVER w AS DOUBLE)
+         AS w_decay
+FROM t
+WINDOW w AS (PARTITION BY purchase_id)
+"""
+
+
+def q_cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (temporal.py::snapshot_diff): classify each
+    order key added/removed/changed/unchanged between two simulated
+    snapshots of the orders table (old = pre-1998 orders; new = 1996+
+    orders with urgent orders repriced +10% — so all four classes
+    appear: pre-1996 removed, 1998+ added, overlap changed/unchanged).
+    One full-outer sort-merge join on the key; change test is
+    column-wise null-safe equality — no row-hash, so no
+    engine-formatting dependence."""
+    from .operators.temporal import snapshot_diff  # noqa: PLC0415
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    new = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.round(F.col("o_totalprice") * 1.1, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    d = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+
+
+SQL_CDC_ORDERS_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+), j AS (
+  SELECT old.o_orderkey AS ko, new.o_orderkey AS kn,
+         old.o_orderstatus AS so, new.o_orderstatus AS sn,
+         old.o_totalprice AS po, new.o_totalprice AS pn
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT CASE WHEN kn IS NULL THEN 'removed'
+            WHEN ko IS NULL THEN 'added'
+            WHEN so IS NOT DISTINCT FROM sn
+             AND po IS NOT DISTINCT FROM pn THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM j GROUP BY 1
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count (graph.py::triangle_count) over the
+    supplier co-occurrence graph: an edge joins two suppliers that ship
+    lines of the same order. Degree-oriented wedge join — per-node
+    out-degree bounded O(sqrt|E|), candidates O(|E|^1.5) — vs the
+    oracle's naive a<b<c 3-way self-join (fine at oracle SF, dead at
+    100 TB; the asymmetry is the point)."""
+    from .operators.graph import triangle_count  # noqa: PLC0415
+
+    los = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = los.select("o", F.col("s").alias("src"))
+    b = los.select("o", F.col("s").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH los AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+), e AS (
+  SELECT DISTINCT a.s AS a, b.s AS b
+  FROM los a JOIN los b ON a.o = b.o AND a.s < b.s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per doc (text.py::char_entropy) — the
+    gibberish/binary-spill quality screen. Shuffle keyed (doc, char):
+    rows bounded by alphabet size per doc, not text length; entropy
+    terms micro-quantized pre-sum for engine-stable results."""
+    from .operators.text import char_entropy  # noqa: PLC0415
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_CHAR_ENTROPY = """
+WITH pos AS (
+  SELECT doc_id, len(text) AS n_chars, substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents, unnest(range(1, len(text) + 1)) AS u(i)
+), freq AS (
+  SELECT doc_id, n_chars, ch, COUNT(*) AS c FROM pos GROUP BY 1, 2, 3
+), terms AS (
+  SELECT doc_id, n_chars,
+         CAST(round(-(CAST(c AS DOUBLE) / n_chars)
+                    * log2(CAST(c AS DOUBLE) / n_chars) * 1000000.0)
+              AS BIGINT) AS tm
+  FROM freq
+)
+SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(SUM(tm) AS BIGINT) AS entropy_micro,
+       CAST(SUM(tm) AS BIGINT) / 1000000.0 AS entropy_bits
+FROM terms GROUP BY 1, 2
+"""
+
+
+def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via median absolute deviation per event type —
+    the heavy-tail-safe alternative to the z-score filter
+    (ev_value_zscore_outliers). Two grouped EXACT medians (both engines
+    interpolate even-count medians identically) + one broadcast join
+    back; modified z = 0.6745·(v−med)/MAD, |z| > 3.5."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    z = (
+        F.lit(0.6745)
+        * (F.col("value") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", F.round(z, 6))
+        .filter(F.abs(F.col("robust_z")) > 3.5)
+        .select("event_id", "event_type", "value", "robust_z")
+    )
+
+
+SQL_EV_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.value,
+       round(0.6745 * (d.value - d.med) / m.mad, 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0
+  AND abs(round(0.6745 * (d.value - d.med) / m.mad, 6)) > 3.5
+"""
+
+
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share analysis: customers ranked by revenue
+    with running share of total — WITHOUT the single-partition global
+    window (scale.py::distributed_prefix_sum: range repartition +
+    per-partition window + per-partition offsets; driver data is one
+    row per partition). Revenue in exact bigint cents so every sum is
+    order-independent integer arithmetic."""
+    from .operators.scale import distributed_prefix_sum  # noqa: PLC0415
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            )
+        )
+    )
+    total = rev.agg(F.sum("revenue_cents")).collect()[0][0]
+    cum = distributed_prefix_sum(
+        rev,
+        [F.col("revenue_cents").desc(), F.col("o_custkey").asc()],
+        "revenue_cents",
+        out_col="cum_cents",
+    )
+    return cum.select(
+        "o_custkey",
+        (F.col("revenue_cents") / 100.0).alias("revenue"),
+        F.col("cum_cents").cast("bigint").alias("cum_cents"),
+        F.round(F.col("cum_cents") / F.lit(float(total)), 6).alias("cum_share"),
+        (F.col("cum_cents") / F.lit(float(total)) <= 0.8).alias("is_top80"),
+    )
+
+
+SQL_PARETO_CUSTOMERS = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+  FROM orders GROUP BY 1
+), c AS (
+  SELECT o_custkey, revenue_cents,
+         SUM(revenue_cents) OVER (
+           ORDER BY revenue_cents DESC, o_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+         SUM(revenue_cents) OVER () AS total_cents
+  FROM rev
+)
+SELECT o_custkey,
+       revenue_cents / 100.0 AS revenue,
+       CAST(cum_cents AS BIGINT) AS cum_cents,
+       round(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+         AS cum_share,
+       CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) <= 0.8
+         AS is_top80
+FROM c
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — equi-width binning as a
+    pure map-side expression + one small groupBy (the profiling
+    primitive behind range-partition planning and DQ dashboards).
+    Bucket arithmetic on exact cents; out-of-range clamps to edge
+    buckets."""
+    lo_c, hi_c, nb = 0, 600_000_00, 24  # cents: $0 .. $600k, $25k buckets
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    width = (hi_c - lo_c) // nb
+    raw = F.floor((cents - F.lit(lo_c)) / F.lit(width))
+    bucket = F.least(F.lit(nb - 1), F.greatest(F.lit(0), raw)).cast("int")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(bucket.alias("bucket"), cents.alias("cents"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("total_price"),
+            (F.min("cents") / 100.0).alias("min_price"),
+            (F.max("cents") / 100.0).alias("max_price"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * width / 100.0))
+        .withColumn("bucket_hi", ((F.col("bucket") + 1) * width / 100.0))
+    )
+
+
+SQL_PRICE_HISTOGRAM = """
+WITH b AS (
+  SELECT CAST(least(23, greatest(0,
+           CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 2500000)
+                AS BIGINT))) AS INT) AS bucket,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(cents) / 100.0 AS total_price,
+       MIN(cents) / 100.0 AS min_price,
+       MAX(cents) / 100.0 AS max_price,
+       bucket * 2500000 / 100.0 AS bucket_lo,
+       (bucket + 1) * 2500000 / 100.0 AS bucket_hi
+FROM b GROUP BY 1
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -4725,6 +5057,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
     "quantity_percentiles": (q_quantity_percentiles, SQL_PERCENTILES),
     "string_functions": (q_string_functions, SQL_STRING_FUNCS),
+    # -- round-3 wave --
+    "ev_multi_touch": (q_ev_multi_touch, SQL_EV_MULTI_TOUCH),
+    "cdc_orders_diff": (q_cdc_orders_diff, SQL_CDC_ORDERS_DIFF),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "doc_char_entropy": (q_doc_char_entropy, SQL_DOC_CHAR_ENTROPY),
+    "ev_mad_outliers": (q_ev_mad_outliers, SQL_EV_MAD_OUTLIERS),
+    "pareto_customers": (q_pareto_customers, SQL_PARETO_CUSTOMERS),
+    "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
 }
 
 
@@ -4735,6 +5075,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: Everything else follows in REGISTRY order (all green in r1/r2).
 #: Re-tier each round.
 _PRIORITY_R3 = [
+    # tier 0 — new this round, never checked
+    "ev_multi_touch",
+    "cdc_orders_diff",
+    "graph_triangles",
+    "doc_char_entropy",
+    "ev_mad_outliers",
+    "pareto_customers",
+    "price_histogram",
     # tier 1 — fixed this round
     "ev_sessionize",
     "ev_asof_join",

@@ -1,0 +1,111 @@
+"""Round-3 operators: multi-touch attribution, snapshot diff, triangle
+count, char entropy, distributed prefix sum."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from airflow_subscription_etl_spark.operators.graph import triangle_count
+from airflow_subscription_etl_spark.operators.scale import distributed_prefix_sum
+from airflow_subscription_etl_spark.operators.temporal import (
+    multi_touch_weights,
+    snapshot_diff,
+)
+from airflow_subscription_etl_spark.operators.text import char_entropy
+
+
+def test_multi_touch_weights_sum_to_one(spark):
+    pairs = spark.createDataFrame(
+        [
+            (1, 10, "2025-01-01 10:00:00", "2025-01-01 09:50:00"),
+            (1, 11, "2025-01-01 10:00:00", "2025-01-01 09:55:00"),
+            (1, 12, "2025-01-01 10:00:00", "2025-01-01 10:00:00"),
+            (2, 13, "2025-01-01 11:00:00", "2025-01-01 10:59:00"),
+        ],
+        "purchase_id int, click_id int, purchase_ts string, click_ts string",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("purchase_ts").cast("timestamp").alias("purchase_ts"),
+        F.col("click_ts").cast("timestamp").alias("click_ts"),
+    )
+    out = multi_touch_weights(pairs).collect()
+    by_purchase: dict[int, list] = {}
+    for r in out:
+        by_purchase.setdefault(r["purchase_id"], []).append(r)
+    assert len(by_purchase[1]) == 3 and len(by_purchase[2]) == 1
+    for rows in by_purchase.values():
+        assert abs(sum(r["w_linear"] for r in rows) - 1.0) < 1e-9
+        assert abs(sum(r["w_decay"] for r in rows) - 1.0) < 1e-9
+    # zero-age touch has the max decay term (1.0 → 1_000_000 micros)
+    zero_age = next(r for r in out if r["click_id"] == 12)
+    assert zero_age["decay_micro"] == 1_000_000
+    # 10-min-old touch at 10-min half-life decays to exactly half
+    ten_min = next(r for r in out if r["click_id"] == 10)
+    assert ten_min["decay_micro"] == 500_000
+    # single-touch purchase gets full credit both ways
+    solo = by_purchase[2][0]
+    assert solo["w_linear"] == 1.0 and solo["w_decay"] == 1.0
+
+
+def test_snapshot_diff_classes(spark):
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", None)],
+        "k int, status string, price double",
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 25.0), (3, "C", None), (4, "D", 40.0)],
+        "k int, status string, price double",
+    )
+    rows = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["status", "price"]).collect()
+    }
+    # 1 only in old; 2 repriced; 3 identical incl. null==null; 4 only in new
+    assert rows == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 minus one edge = 2 triangles; plus a disjoint edge = still 2
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4), (10, 11), (2, 1)],
+        "src int, dst int",
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 2
+
+
+def test_triangle_count_complete_graph(spark):
+    nodes = range(6)
+    edges = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a < b], "src int, dst int"
+    )
+    # C(6,3) = 20 triangles in K6
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 20
+
+
+def test_char_entropy_exact_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["entropy_micro"] == 0  # single symbol → zero entropy
+    assert abs(out[2]["entropy_bits"] - 1.0) < 1e-5  # two equiprobable
+    assert abs(out[3]["entropy_bits"] - 2.0) < 1e-5  # four equiprobable
+    assert out[3]["n_distinct_chars"] == 4 and out[3]["n_chars"] == 4
+
+
+def test_distributed_prefix_sum_matches_sequential(spark):
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(500)], "k int, v double"
+    )
+    out = distributed_prefix_sum(
+        df, [F.col("v").desc(), F.col("k").asc()], "v", out_col="cum",
+        num_partitions=8,
+    ).collect()
+    rows = sorted(out, key=lambda r: (-r["v"], r["k"]))
+    acc = 0.0
+    for r in rows:
+        acc += r["v"]
+        assert math.isclose(r["cum"], acc, rel_tol=1e-9), (r, acc)
