@@ -276,3 +276,42 @@ def distributed_prefix_sum(
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )
+
+
+def zorder_value(cols: list, bits: int = 16) -> "F.Column":
+    """Morton (Z-order) interleave of 2+ non-negative integer columns
+    into one sortable bigint — the multi-dimensional clustering key
+    behind data-skipping layouts (Delta OPTIMIZE ZORDER BY, Hudi
+    clustering): sorting by the interleaved key keeps rows that are
+    close in EVERY dimension close in file order, so per-file min/max
+    stats prune scans on any of the dimensions, not just the first
+    sort column.
+
+    Pure JVM bit arithmetic (shiftleft/shiftright/bitwise or) — no UDF,
+    whole-stage-codegen friendly. ``bits`` per dimension; values are
+    masked into range, so pre-scale real columns to [0, 2^bits).
+    """
+    z = F.lit(0).cast("bigint")
+    n = len(cols)
+    mask = (1 << bits) - 1
+    for d, c in enumerate(cols):
+        v = F.col(c).cast("bigint").bitwiseAND(F.lit(mask))
+        for b in range(bits):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + d))
+    return z
+
+
+def zorder_repartition(
+    df: DataFrame, cols: list[str], num_partitions: int = 32, bits: int = 16
+) -> DataFrame:
+    """Rewrite a frame in Z-order layout: range-partition + sort on the
+    Morton key of ``cols``. Write the result partitioned/bucketed and
+    every subsequent scan filtering on ANY of ``cols`` prunes files by
+    min/max stats instead of reading everything."""
+    return (
+        df.withColumn("_z", zorder_value(cols, bits))
+        .repartitionByRange(num_partitions, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )

@@ -490,3 +490,33 @@ def char_entropy(
             F.col("entropy_micro").cast("double") / F.lit(1_000_000.0),
         )
     )
+
+
+def term_vector_udtf():
+    """Python UDTF (Spark 4 user-defined TABLE function) emitting one
+    ``(doc_id, word, cnt)`` row per distinct word of a document — the
+    set-returning-function API surface, registered for SQL ``LATERAL``
+    use.
+
+    This exists for API parity, and the semantics are verified against
+    a DuckDB oracle — but note the posture: a Python UDTF is a
+    row-at-a-time Python-process hop, the SLOW path. The same term
+    vector is expressible JVM-side as
+    ``explode(split(...)) → groupBy`` (see queries.doc_vocab_topk);
+    prefer that in any hot path. Use a UDTF only for set-returning
+    logic the built-ins genuinely cannot express (recursive descent,
+    stateful per-row expansion, external library calls).
+    """
+    from collections import Counter  # noqa: PLC0415
+
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="doc_id: bigint, word: string, cnt: bigint")
+    class TermVector:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            if text is None:
+                return
+            for w, c in sorted(Counter(text.split()).items()):
+                yield doc_id, w, c
+
+    return TermVector

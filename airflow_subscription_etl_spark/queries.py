@@ -4923,6 +4923,107 @@ FROM b GROUP BY 1
 """
 
 
+def q_ev_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: ``parse_json``
+    once into the binary-encoded variant, then typed ``variant_get``
+    field reads — the scale story vs per-access string re-parsing
+    (get_json_object re-tokenizes the JSON text on every call; variant
+    decodes once into a columnar-friendly binary). Per-user rollup of
+    the extracted metric."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("user_id", k.alias("k"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EV_VARIANT_PROPS = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def q_doc_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term vectors through a Python UDTF + SQL LATERAL
+    (text.py::term_vector_udtf) — the Spark 4 set-returning-function
+    API surface. Deliberately capped to doc_id < 50: a Python UDTF is
+    the slow path (row-at-a-time Python hop); the hot-path equivalent
+    is explode(split())→groupBy (doc_vocab_topk). Oracle-checked so
+    the UDTF semantics, not just its signature, are pinned."""
+    from .operators.text import term_vector_udtf  # noqa: PLC0415
+
+    spark.udtf.register("term_vector", term_vector_udtf())
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "_docs_tv"
+    )
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.word, t.cnt
+        FROM _docs_tv d, LATERAL term_vector(d.doc_id, d.text) t
+        """
+    )
+
+
+SQL_DOC_TERM_VECTORS = r"""
+SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE doc_id < 50
+)
+GROUP BY 1, 2
+"""
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    """Generate the DuckDB Morton-interleave expression matching
+    scale.py::zorder_value bit-for-bit (non-overlapping bits → sum)."""
+    mask = (1 << bits) - 1
+    terms = []
+    for d, c in enumerate(["l_orderkey", "l_partkey"]):
+        for b in range(bits):
+            terms.append(f"((({c} & {mask}) >> {b}) & 1) * {1 << (b * 2 + d)}")
+    expr = " + ".join(terms)
+    return f"""
+SELECT l_orderkey, l_partkey, CAST({expr} AS BIGINT) AS z
+FROM lineitem WHERE l_orderkey < 1000
+"""
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key (scale.py::zorder_value): pure JVM
+    bit interleaving of two join/filter dimensions into one sortable
+    bigint — sort by it and per-file min/max stats prune on EITHER
+    dimension. The layout rewrite itself is zorder_repartition;
+    this query pins the key computation against an unrolled-bit-ops
+    DuckDB oracle."""
+    from .operators.scale import zorder_value  # noqa: PLC0415
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            zorder_value(["l_orderkey", "l_partkey"]).alias("z"),
+        )
+    )
+
+
+SQL_ZORDER_KEY = _zorder_oracle_sql()
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -5065,6 +5166,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_mad_outliers": (q_ev_mad_outliers, SQL_EV_MAD_OUTLIERS),
     "pareto_customers": (q_pareto_customers, SQL_PARETO_CUSTOMERS),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
+    "ev_variant_props": (q_ev_variant_props, SQL_EV_VARIANT_PROPS),
+    "doc_term_vectors": (q_doc_term_vectors, SQL_DOC_TERM_VECTORS),
+    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
 }
 
 
@@ -5083,6 +5187,9 @@ _PRIORITY_R3 = [
     "ev_mad_outliers",
     "pareto_customers",
     "price_histogram",
+    "ev_variant_props",
+    "doc_term_vectors",
+    "zorder_key",
     # tier 1 — fixed this round
     "ev_sessionize",
     "ev_asof_join",

@@ -109,3 +109,48 @@ def test_distributed_prefix_sum_matches_sequential(spark):
     for r in rows:
         acc += r["v"]
         assert math.isclose(r["cum"], acc, rel_tol=1e-9), (r, acc)
+
+
+def test_zorder_value_known_bits(spark):
+    from airflow_subscription_etl_spark.operators.scale import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], "x int, y int"
+    )
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_value(["x", "y"]).alias("z")).collect()
+    }
+    # interleave: x takes even bit positions, y odd
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1
+    assert out[(0, 1)] == 2
+    assert out[(1, 1)] == 3
+    # x=3 (0b11) -> bits 0,2 ; y=5 (0b101) -> bits 1,5  => 0b100111 = 39
+    assert out[(3, 5)] == 0b100111
+
+
+def test_zorder_repartition_improves_two_dim_locality(spark):
+    from airflow_subscription_etl_spark.operators.scale import zorder_repartition
+
+    # grid data: sorted by x alone, each partition spans ALL of y;
+    # z-ordered, per-partition spans shrink in BOTH dims
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x int, y int"
+    )
+    z = zorder_repartition(df, ["x", "y"], num_partitions=16, bits=6)
+    spans = (
+        z.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    avg_sx = sum(r["sx"] for r in spans) / len(spans)
+    avg_sy = sum(r["sy"] for r in spans) / len(spans)
+    # naive x-sort gives avg_sy == 63 (full span); z-order must beat it
+    # comfortably in y while keeping x bounded
+    assert avg_sy < 40, (avg_sx, avg_sy)
+    assert avg_sx < 40, (avg_sx, avg_sy)
