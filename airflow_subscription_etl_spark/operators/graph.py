@@ -280,6 +280,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # e is referenced 4× downstream (degrees ×2, orientation,
+        # closing edges); without lineage truncation Spark re-runs the
+        # whole upstream edge derivation for each reference (measured:
+        # 112 exchanges on the supplier co-occurrence graph, most of
+        # them the lineitem self-join recomputed)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
@@ -299,6 +305,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
+        .localCheckpoint(eager=False)  # referenced twice (both wedge legs)
     )
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
