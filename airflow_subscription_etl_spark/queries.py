@@ -5024,6 +5024,122 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ZORDER_KEY = _zorder_oracle_sql()
 
 
+def q_sql_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 ``WITH RECURSIVE``) date spine:
+    generate every month in the data's range, left-join monthly
+    revenue so ZERO-order months still appear — the gap-filling shape
+    reporting needs and a plain GROUP BY cannot produce. Bounds are
+    static literals (the recursion's fixpoint must not depend on a
+    scan). Revenue in exact cents."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < DATE '2001-08-01'
+        ),
+        rev AS (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS ym,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM _orders_rc GROUP BY 1
+        )
+        SELECT date_format(m, 'yyyy-MM') AS ym,
+               CAST(coalesce(rev.n_orders, 0) AS BIGINT) AS n_orders,
+               coalesce(rev.cents, 0) / CAST(100 AS DOUBLE) AS revenue
+        FROM months LEFT JOIN rev ON date_format(m, 'yyyy-MM') = rev.ym
+        """
+    )
+
+
+SQL_RECURSIVE_MONTHS = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < DATE '2001-08-01'
+),
+rev AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         COUNT(*) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT strftime(m, '%Y-%m') AS ym,
+       CAST(coalesce(rev.n_orders, 0) AS BIGINT) AS n_orders,
+       coalesce(rev.cents, 0) / 100.0 AS revenue
+FROM months LEFT JOIN rev ON strftime(m, '%Y-%m') = rev.ym
+"""
+
+
+def q_sql_pipe_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators) — the linear
+    FROM→WHERE→AGGREGATE form of a returned-lines rollup. Same logical
+    plan as the nested-SELECT equivalent (the oracle): pipe syntax is
+    parse-level sugar, so this pins that the surface exists AND that it
+    optimizes identically."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_lineitem_pipe")
+    return spark.sql(
+        """
+        FROM _lineitem_pipe
+        |> WHERE l_returnflag = 'R'
+        |> AGGREGATE
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) / CAST(100 AS DOUBLE) AS returned_value
+           GROUP BY l_linestatus
+        |> SELECT l_linestatus, n_lines, returned_value
+        """
+    )
+
+
+SQL_PIPE_RETURNS = """
+SELECT l_linestatus, COUNT(*) AS n_lines,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+         AS returned_value
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY 1
+"""
+
+
+def q_collated_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated strings (Spark 4 ``collate``): case-insensitive
+    DISTINCT via the UTF8_LCASE collation instead of lower() rewrites —
+    collation-aware comparison happens inside the hash aggregate, so
+    Catalyst keeps pushdown/codegen (and at scale avoids materializing
+    a second lowered column). Doubled-case words (name + UPPER(name))
+    make the collated count provably half the binary count."""
+    p = _t(spark, sf_dir, "part")
+    words = p.select(
+        "p_brand",
+        F.explode(
+            F.split(F.concat_ws(" ", "p_name", F.upper("p_name")), " ")
+        ).alias("w"),
+    )
+    return words.groupBy("p_brand").agg(
+        F.count_distinct(F.col("w")).alias("n_binary_distinct"),
+        F.count_distinct(F.collate(F.col("w"), "UTF8_LCASE")).alias(
+            "n_ci_distinct"
+        ),
+    )
+
+
+SQL_COLLATED_WORDS = r"""
+SELECT p_brand,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_binary_distinct,
+       CAST(COUNT(DISTINCT lower(w)) AS BIGINT) AS n_ci_distinct
+FROM (
+  SELECT p_brand,
+         unnest(string_split(p_name || ' ' || upper(p_name), ' ')) AS w
+  FROM part
+)
+GROUP BY 1
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -5169,6 +5285,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_variant_props": (q_ev_variant_props, SQL_EV_VARIANT_PROPS),
     "doc_term_vectors": (q_doc_term_vectors, SQL_DOC_TERM_VECTORS),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
+    "sql_recursive_months": (q_sql_recursive_months, SQL_RECURSIVE_MONTHS),
+    "sql_pipe_returns": (q_sql_pipe_returns, SQL_PIPE_RETURNS),
+    "collated_distinct_words": (q_collated_distinct_words, SQL_COLLATED_WORDS),
 }
 
 
@@ -5190,6 +5309,9 @@ _PRIORITY_R3 = [
     "ev_variant_props",
     "doc_term_vectors",
     "zorder_key",
+    "sql_recursive_months",
+    "sql_pipe_returns",
+    "collated_distinct_words",
     # tier 1 — fixed this round
     "ev_sessionize",
     "ev_asof_join",

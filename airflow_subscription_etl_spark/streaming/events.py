@@ -189,6 +189,56 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_user_totals(events: DataFrame) -> DataFrame:
+    """Running per-user totals on Spark 4's NEW-GENERATION stateful API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``) — the
+    successor to ``applyInPandasWithState`` (kept above for parity):
+    named state variables with independent schemas/TTL, explicit
+    lifecycle (init/handleInputRows/close), timers, and RocksDB-backed
+    state. Same semantics as :func:`stateful_user_totals`, so the two
+    APIs are directly comparable in tests.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` Python package (the TWS state-server protocol) when
+    streaming. Batch fallback: plain groupBy, same logical result.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        )
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, s DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "sum_value": s}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def read_events_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source streaming read of the events table (schema pinned —
     streaming sources cannot infer)."""

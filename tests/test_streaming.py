@@ -180,3 +180,64 @@ def test_stream_static_enrich_end_to_end(spark, ev, tmp_path):
     expect_named = batch.filter("customer_name IS NOT NULL").count()
     assert (got["n"], got["named"]) == (expect_n, expect_named)
     assert expect_named > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_streaming_tws_user_totals(spark, ev, tmp_path):
+    """transformWithStateInPandas (new-gen stateful API) accumulates
+    per-user state across micro-batches and matches the
+    applyInPandasWithState operator's semantics.
+
+    The streaming leg needs the ``protobuf`` package (the TWS state
+    server speaks protobuf to the Python worker); environments without
+    it still verify the batch fallback below."""
+    if not _has_protobuf():
+        a = {r["user_id"]: r["n_events"] for r in EV.tws_user_totals(ev).collect()}
+        b = {
+            r["user_id"]: r["n_events"]
+            for r in EV.stateful_user_totals(ev).collect()
+        }
+        assert a == b == {1: 4, 2: 1}
+        pytest.skip("protobuf not installed — TWS streaming leg unavailable")
+    src = str(tmp_path / "events_tws")
+    ev.repartition(2).write.parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = EV.read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            EV.tws_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT max(n_events) AS n FROM t_tws WHERE user_id = 1"
+        ).collect()
+        assert rows[0]["n"] == 4
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # batch fallback mirrors the old-API operator exactly
+    a = {r["user_id"]: r["n_events"] for r in EV.tws_user_totals(ev).collect()}
+    b = {
+        r["user_id"]: r["n_events"] for r in EV.stateful_user_totals(ev).collect()
+    }
+    assert a == b == {1: 4, 2: 1}
