@@ -65,6 +65,14 @@ HEADLINE = [
     # round-2 additions, third wave: frequency sketch + view maintenance
     "doc_cms_heavy_hitters",
     "incremental_order_stats",
+    # round-3 additions: one per new family (attribution, CDC, entropy,
+    # distributed prefix-sum Pareto, VARIANT, Z-order)
+    "ev_multi_touch",
+    "cdc_orders_diff",
+    "doc_char_entropy",
+    "pareto_customers",
+    "ev_variant_props",
+    "zorder_key",
 ]
 
 
