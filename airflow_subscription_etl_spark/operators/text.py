@@ -520,3 +520,89 @@ def term_vector_udtf():
                 yield doc_id, w, c
 
     return TermVector
+
+
+def feature_hashing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """The hashing trick: project an unbounded vocabulary into a fixed
+    ``num_buckets``-dimensional sparse count vector per document — the
+    constant-memory featurizer for linear models / fast similarity at
+    corpus scale (no vocabulary dictionary to build, broadcast, or keep
+    consistent across training runs).
+
+    Bucket ids come from the PORTABLE md5-based 60-bit hash
+    (sketch.hash60), not Spark's xxhash64, so the exact bucketing is
+    reproducible in any engine (and DuckDB-oracle-checkable). One
+    explode + one partial-aggregated groupBy keyed (doc, bucket):
+    shuffle rows per doc ≤ min(tokens, buckets).
+    """
+    from .sketch import hash60  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    return (
+        toks.withColumn("bucket", (hash60(F.col("w")) % num_buckets).cast("int"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword extractor
+    (smoothed idf = ln((N+1)/(df+1)) + 1, sklearn's convention).
+
+    Plan: one token explode → (doc, term) tf counts; document
+    frequency as a second agg over the SAME shuffled frame (not a
+    rescan); corpus size N rides in via a broadcast 1-row frame (never
+    a driver round-trip inside the plan). Scores micro-quantized so
+    the per-doc top-k ordering is engine-exact; ties broken by term.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_micro",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+                * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_micro").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("w").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "tfidf_micro",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -5140,6 +5140,123 @@ GROUP BY 1
 """
 
 
+def q_doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (text.py::feature_hashing): fixed
+    256-dim sparse count vectors per doc via the portable md5 hash —
+    no vocabulary to build/broadcast; bucketing reproducible in any
+    engine. Capped to doc_id < 100 for the check."""
+    from .operators.text import feature_hashing  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return feature_hashing(docs)
+
+
+SQL_DOC_FEATURE_HASHING = r"""
+SELECT doc_id,
+       CAST(CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 256 AS INT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE doc_id < 100
+)
+GROUP BY 1, 2
+"""
+
+
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (text.py::tfidf_topk) — keyword
+    extraction with smoothed idf; scores micro-quantized, ties by
+    term, corpus size N broadcast as a 1-row frame."""
+    from .operators.text import tfidf_topk  # noqa: PLC0415
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+         CAST(round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                    * 1000000.0) AS BIGINT) AS tfidf_micro
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_micro DESC, w ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf_micro, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-similarity join: part-name pairs within Levenshtein
+    distance 8, BLOCKED on (first token, name length ÷ 4) so candidate
+    generation is an equi-join per block instead of the all-pairs
+    cross product — the edit-distance analogue of LSH banding (same
+    recall tradeoff: cross-block matches are deliberately out of
+    scope; at 100 TB add more blocking keys or q-gram prefixes, never
+    widen to n²). Distance itself is the JVM levenshtein built-in.
+    Capped to p_partkey ≤ 500 to keep the per-round check's output
+    proportionate (the plan shape is cap-independent)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 500)
+        .select("p_partkey", "p_name")
+    )
+    blocked = p.select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("b1"),
+        F.floor(F.length("p_name") / 4).alias("b2"),
+    )
+    a = blocked.select(
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("n1"),
+        "b1",
+        "b2",
+    )
+    b = blocked.select(
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("n2"),
+        "b1",
+        "b2",
+    )
+    return (
+        a.join(b, ["b1", "b2"])
+        .filter(F.col("k1") < F.col("k2"))
+        .withColumn("dist", F.levenshtein("n1", "n2"))
+        .filter(F.col("dist") <= 8)
+        .select("k1", "k2", "n1", "n2", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+SQL_PART_FUZZY_PAIRS = r"""
+WITH blocked AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] AS b1,
+         CAST(floor(len(p_name) / 4.0) AS BIGINT) AS b2
+  FROM part WHERE p_partkey <= 500
+)
+SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+       a.p_name AS n1, b.p_name AS n2,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM blocked a JOIN blocked b
+  ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -5288,6 +5405,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sql_recursive_months": (q_sql_recursive_months, SQL_RECURSIVE_MONTHS),
     "sql_pipe_returns": (q_sql_pipe_returns, SQL_PIPE_RETURNS),
     "collated_distinct_words": (q_collated_distinct_words, SQL_COLLATED_WORDS),
+    "doc_feature_hashing": (q_doc_feature_hashing, SQL_DOC_FEATURE_HASHING),
+    "doc_tfidf_topk": (q_doc_tfidf_topk, SQL_DOC_TFIDF_TOPK),
+    "part_fuzzy_pairs": (q_part_fuzzy_pairs, SQL_PART_FUZZY_PAIRS),
 }
 
 
@@ -5312,6 +5432,9 @@ _PRIORITY_R3 = [
     "sql_recursive_months",
     "sql_pipe_returns",
     "collated_distinct_words",
+    "doc_feature_hashing",
+    "doc_tfidf_topk",
+    "part_fuzzy_pairs",
     # tier 1 — fixed this round
     "ev_sessionize",
     "ev_asof_join",
