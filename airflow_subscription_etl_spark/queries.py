@@ -5257,6 +5257,55 @@ WHERE levenshtein(a.p_name, b.p_name) <= 8
 """
 
 
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window function suite over each customer's order
+    history: lag/lead, rank vs dense_rank, percent_rank, cume_dist,
+    ntile(4), and first/last value with explicit frames — the §2.8
+    window family in one per-key (never global) window. Percent
+    metrics are exact rationals of bigints (deterministic doubles);
+    money in exact cents. Capped to o_custkey < 100."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            cents.alias("cents"),
+            F.lag(cents).over(w).alias("prev_cents"),
+            F.lead(cents).over(w).alias("next_cents"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.first("o_orderkey").over(wf).alias("first_order"),
+            F.last("o_orderkey").over(wf).alias("last_order"),
+        )
+    )
+
+
+SQL_WINDOW_SUITE = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS prev_cents,
+       lead(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS next_cents,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       first_value(o_orderkey) OVER wf AS first_order,
+       last_value(o_orderkey) OVER wf AS last_order
+FROM orders WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -5408,6 +5457,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_feature_hashing": (q_doc_feature_hashing, SQL_DOC_FEATURE_HASHING),
     "doc_tfidf_topk": (q_doc_tfidf_topk, SQL_DOC_TFIDF_TOPK),
     "part_fuzzy_pairs": (q_part_fuzzy_pairs, SQL_PART_FUZZY_PAIRS),
+    "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
 }
 
 
@@ -5435,6 +5485,7 @@ _PRIORITY_R3 = [
     "doc_feature_hashing",
     "doc_tfidf_topk",
     "part_fuzzy_pairs",
+    "window_suite",
     # tier 1 — fixed this round
     "ev_sessionize",
     "ev_asof_join",

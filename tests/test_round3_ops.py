@@ -154,3 +154,28 @@ def test_zorder_repartition_improves_two_dim_locality(spark):
     # comfortably in y while keeping x bounded
     assert avg_sy < 40, (avg_sx, avg_sy)
     assert avg_sx < 40, (avg_sx, avg_sy)
+
+
+def test_plan_lint_representative_queries(spark):
+    """The plan linter (tools/plan_lint.py) stays green on a
+    representative slice: windowed, joined, iterative, and
+    prefix-sum-based plans. Guards against scale-killer regressions
+    (single-partition windows, cartesian products, unpushed filters)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_lint import lint_plan, render_plan
+
+    from airflow_subscription_etl_spark.queries import REGISTRY
+
+    for name in [
+        "pareto_customers",
+        "window_running_spend",
+        "q2_min_cost_supplier",
+        "ev_multi_touch",
+        "graph_triangles",
+        "doc_tfidf_topk",
+    ]:
+        fn, _ = REGISTRY[name]
+        flags = lint_plan(render_plan(fn(spark, "/root/testdata/sf0.001")))
+        assert not flags, (name, flags)
