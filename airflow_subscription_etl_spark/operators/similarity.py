@@ -663,3 +663,45 @@ def quantized_topk(
         dequant_cosine(F.col("q"), F.col("q_scale"), q, F.lit(m)).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def matryoshka_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    prefix_dims: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage MRL-style retrieval: rank the corpus by cosine on the
+    FIRST ``prefix_dims`` dimensions (Matryoshka-trained embeddings
+    front-load information), keep a ``shortlist``, then rerank only the
+    shortlist with full-dimension cosine.
+
+    The 100 TB arithmetic: stage 1 reads prefix_dims/dims of the vector
+    bytes per row (a 4× scan-and-FLOP cut at 16/64) and ends in a
+    TakeOrdered of `shortlist` rows — never a global materialization;
+    stage 2 does full-width work on `shortlist` rows only, joined back
+    broadcast. Same shape as quantized_topk's scan-cheap→exact-rerank
+    split, trading dimensions instead of precision.
+    Deterministic: both stages tiebreak (score desc, id asc).
+    """
+    q_full = F.array(*[F.lit(float(x)) for x in query_vec])
+    q_pre = F.array(*[F.lit(float(x)) for x in query_vec[:prefix_dims]])
+    pre = F.slice(F.col(vec_col), 1, prefix_dims)
+    stage1 = (
+        df.select(F.col(id_col), cosine(pre, q_pre).alias("pre_sim"))
+        .orderBy(F.col("pre_sim").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    return (
+        df.join(F.broadcast(stage1), id_col)
+        .select(
+            F.col(id_col),
+            F.col("pre_sim"),
+            cosine(F.col(vec_col), q_full).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -5306,6 +5306,52 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 """
 
 
+def q_emb_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRL two-stage retrieval (similarity.py::matryoshka_topk):
+    16-dim-prefix cosine shortlist (4× scan/FLOP cut) → full-64-dim
+    rerank of 50 candidates → top-10. Exact arithmetic both stages, so
+    fully oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.matryoshka_topk(
+        emb, qv, prefix_dims=16, shortlist=50, k=10
+    )
+
+
+SQL_EMB_MATRYOSHKA = """
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+pre AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, 17),
+            i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 17),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 17),
+              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS pre_sim
+  FROM embeddings, q
+),
+shortlist AS (
+  SELECT vec_id, pre_sim FROM pre
+  ORDER BY pre_sim DESC, vec_id ASC LIMIT 50
+),
+rerank AS (
+  SELECT e.vec_id, s.pre_sim,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS cosine_sim
+  FROM embeddings e JOIN shortlist s USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, pre_sim, cosine_sim FROM rerank
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -5458,6 +5504,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_tfidf_topk": (q_doc_tfidf_topk, SQL_DOC_TFIDF_TOPK),
     "part_fuzzy_pairs": (q_part_fuzzy_pairs, SQL_PART_FUZZY_PAIRS),
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
+    "emb_matryoshka_topk": (q_emb_matryoshka_topk, SQL_EMB_MATRYOSHKA),
 }
 
 
@@ -5486,6 +5533,7 @@ _PRIORITY_R3 = [
     "doc_tfidf_topk",
     "part_fuzzy_pairs",
     "window_suite",
+    "emb_matryoshka_topk",
     # tier 1 — fixed this round
     "ev_sessionize",
     "ev_asof_join",

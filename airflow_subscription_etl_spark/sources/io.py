@@ -201,3 +201,27 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def read_orc_table(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC source — the other columnar format with predicate pushdown,
+    column pruning, and stripe-level min/max skipping (parity matters
+    for warehouses that standardized on ORC/Hive). Schema optional:
+    ORC files carry their schema, so no inference pass happens either
+    way; pass one to FAIL FAST on drift instead of at first action."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc_table(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (snappy, overwrite), optionally hive-partitioned."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -120,3 +120,28 @@ def test_compact_parquet_reduces_files_preserves_rows(part_df, tmp_path):
     assert n_files <= 3
     back = part_df.sparkSession.read.parquet(p)
     assert _sorted_rows(back) == _sorted_rows(part_df)
+
+
+def test_orc_round_trip_preserves_rows_and_pushdown(part_df, tmp_path, spark):
+    from airflow_subscription_etl_spark.sources.io import (
+        read_orc_table,
+        write_orc_table,
+    )
+
+    path = str(tmp_path / "part_orc")
+    write_orc_table(part_df, path)
+    back = read_orc_table(spark, path, part_df.schema)
+    assert back.count() == part_df.count()
+    assert {f.name for f in back.schema.fields} == {
+        f.name for f in part_df.schema.fields
+    }
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter(F.col("p_partkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "p_partkey" in plan.split(
+        "PushedFilters"
+    )[1][:120]
