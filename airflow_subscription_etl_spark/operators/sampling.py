@@ -20,6 +20,7 @@ identical to any groupBy, AQE-skew-safe, no driver participation.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -153,4 +154,58 @@ def negative_samples(
             (h % F.lit(n_items) + F.lit(1)).alias("neg_item_id"),
         )
         .withColumn("collides_positive", F.col("neg_item_id") == F.col(item_col))
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-weighted source mixing — the corpus-mixing step of
+    LLM data prep (GPT-3/Pile-style): sample source s at a rate
+    ∝ count(s)^alpha, so alpha=1 preserves natural proportions, alpha=0
+    equalizes sources, and 0<alpha<1 up-weights small high-quality
+    sources without drowning in the big crawl.
+
+    Plan: one tiny per-source count agg (broadcast back), per-source
+    keep-probability = target·w_s/count_s clamped to 1, then the usual
+    deterministic content-hash threshold filter — a pushdown-able,
+    retry/repartition-stable predicate, no rand(). ``target_rows``
+    defaults to the input size (pure re-weighting).
+
+    Rates are micro-quantized (integer basis points of the hash-bucket
+    space) so the SAME rows are kept in any engine.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    rows = counts.collect()  # |sources| rows — catalog-sized
+    total_target = target_rows or sum(r["_n"] for r in rows)
+    ns = {r[source_col]: int(r["_n"]) for r in rows}
+    # micro-quantize each weight, then EVERYTHING downstream is exact
+    # integer arithmetic (arbitrary-precision in Python, HUGEINT in the
+    # DuckDB oracle) — no float-sum-order or ulp dependence anywhere
+    w_micro = {
+        s: int(round(math.pow(n, alpha) * 1_000_000)) for s, n in ns.items()
+    }
+    wsum_micro = sum(w_micro[s] for s in sorted(w_micro))
+    thresholds = {
+        s: min(
+            BUCKETS,
+            (BUCKETS * total_target * w_micro[s]) // (wsum_micro * ns[s]),
+        )
+        for s in w_micro
+    }
+    spark = df.sparkSession
+    thr_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(thresholds.items()),
+            f"{source_col} string, _thr bigint",
+        )
+    )
+    return (
+        df.join(thr_df, source_col)
+        .filter(hash_bucket(F.col(key_col)) < F.col("_thr"))
+        .drop("_thr")
     )

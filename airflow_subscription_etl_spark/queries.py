@@ -5352,6 +5352,51 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (sampling.py::mixture_sample,
+    α=0.5, target = half the corpus): per-source keep-rates ∝ √count —
+    up-weights small sources, down-weights the dominant crawl — applied
+    as the deterministic hash-threshold filter. Threshold math is exact
+    integer arithmetic end to end, replayed by the oracle in HUGEINT.
+    Returns per-source kept/input counts."""
+    from .operators.sampling import mixture_sample  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.count() // 2
+    kept = mixture_sample(docs, alpha=0.5, target_rows=target)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_MIXTURE_SAMPLE = """
+WITH n AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) // 2 AS HUGEINT) AS target FROM n
+), w AS (
+  SELECT source, n,
+         CAST(round(pow(n, 0.5) * 1000000) AS HUGEINT) AS w_micro
+  FROM n
+), ws AS (
+  SELECT CAST(SUM(w_micro) AS HUGEINT) AS wsum_micro FROM w
+), thr AS (
+  SELECT w.source,
+         least(CAST(10000 AS HUGEINT),
+               (CAST(10000 AS HUGEINT) * tot.target * w.w_micro)
+                 // (ws.wsum_micro * w.n)) AS _thr
+  FROM w, tot, ws
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 10000 < thr._thr
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -5505,6 +5550,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "part_fuzzy_pairs": (q_part_fuzzy_pairs, SQL_PART_FUZZY_PAIRS),
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
     "emb_matryoshka_topk": (q_emb_matryoshka_topk, SQL_EMB_MATRYOSHKA),
+    "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
 }
 
 
@@ -5534,6 +5580,7 @@ _PRIORITY_R3 = [
     "part_fuzzy_pairs",
     "window_suite",
     "emb_matryoshka_topk",
+    "doc_mixture_sample",
     # tier 1 — fixed this round
     "ev_sessionize",
     "ev_asof_join",

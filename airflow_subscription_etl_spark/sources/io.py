@@ -225,3 +225,27 @@ def write_orc_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def read_ndjson_relaxed(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """PERMISSIVE NDJSON source: malformed lines land in a
+    ``_corrupt_record`` column instead of failing the job — the
+    real-world web-crawl ingestion posture where one broken line in
+    100 TB must not kill the pipeline (contrast ``read_ndjson_table``,
+    which is strict-by-schema, and CSV's FAILFAST).
+
+    Callers split the frame on ``_corrupt_record IS NULL``: clean rows
+    continue, corrupt ones go to a quarantine sink with full fidelity
+    (the raw line is preserved verbatim for replay after a parser fix).
+    """
+    s = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(s)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

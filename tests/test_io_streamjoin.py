@@ -145,3 +145,32 @@ def test_orc_round_trip_preserves_rows_and_pushdown(part_df, tmp_path, spark):
     assert "PushedFilters: [" in plan and "p_partkey" in plan.split(
         "PushedFilters"
     )[1][:120]
+
+
+def test_ndjson_relaxed_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from airflow_subscription_etl_spark.sources.io import read_ndjson_relaxed
+
+    p = tmp_path / "mixed.ndjson"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 3, "name": "fine"}\n'
+        '{"id": "not-an-int", "name": "typed-wrong"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    df = read_ndjson_relaxed(spark, str(p), schema).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["id"] for r in clean.collect()} == {1, 3}
+    # corrupt lines survive verbatim for quarantine/replay
+    bad_lines = {r["_corrupt_record"] for r in bad.collect()}
+    assert "{this is not json}" in bad_lines
+    assert any("not-an-int" in line for line in bad_lines)
+    df.unpersist()
