@@ -33,3 +33,24 @@ def test_entry_returns_dataframe(spark):
     df = E.entry(spark)
     assert df.schema is not None
     assert df.count() > 0
+
+
+def test_priority_list_names_all_registered():
+    """_PRIORITY_R3 silently skips unknown names (by design, so a
+    removed query can't break import) — this test makes a typo loud."""
+    from airflow_subscription_etl_spark.queries import _PRIORITY_R3, REGISTRY
+
+    missing = [n for n in _PRIORITY_R3 if n not in REGISTRY]
+    assert not missing, missing
+    assert len(set(_PRIORITY_R3)) == len(_PRIORITY_R3), "duplicates"
+
+
+def test_ordered_registry_preserves_full_surface():
+    from airflow_subscription_etl_spark.queries import REGISTRY, oracle_sql, queries
+
+    q = queries()
+    assert set(q) == set(REGISTRY)
+    o = oracle_sql()
+    assert set(o) <= set(q)
+    # every oracled name has non-empty SQL
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
