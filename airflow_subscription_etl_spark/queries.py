@@ -5397,6 +5397,158 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation/phrase detector of corpus analysis (word2vec-era phrase
+    mining). PMI = ln(p(a,b) / (p(a)p(b))), micro-quantized; pairs from
+    the bigram zip (no self-join); unigram/bigram totals ride through
+    broadcast 1-row frames. Top-30 by (pmi desc, pair) among pairs seen
+    ≥ 5 times."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    unis = toks.select(F.explode("ws").alias("w"))
+    uni = unis.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cab"))
+    n_uni = unis.agg(F.count(F.lit(1)).alias("nu"))
+    n_big = pairs.agg(F.count(F.lit(1)).alias("nb"))
+    scored = (
+        big.filter(F.col("cab") >= 5)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2"), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .withColumn(
+            "pmi_micro",
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.select(
+            "w1", "w2",
+            F.col("cab").cast("bigint").alias("pair_count"),
+            "pmi_micro",
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+SQL_DOC_PMI = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), uni AS (
+  SELECT unnest(ws) AS w FROM t
+), pairs AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM t, unnest(range(1, len(ws))) AS u(i)
+), cu AS (
+  SELECT w, COUNT(*) AS cw FROM uni GROUP BY 1
+), cb AS (
+  SELECT w1, w2, COUNT(*) AS cab FROM pairs GROUP BY 1, 2
+), nu AS (SELECT COUNT(*) AS nu FROM uni),
+   nb AS (SELECT COUNT(*) AS nb FROM pairs)
+SELECT w1, w2, CAST(cab AS BIGINT) AS pair_count,
+       CAST(round(ln((CAST(cab AS DOUBLE) / nb.nb)
+                 / ((CAST(c1.cw AS DOUBLE) / nu.nu)
+                    * (CAST(c2.cw AS DOUBLE) / nu.nu))) * 1000000.0)
+            AS BIGINT) AS pmi_micro
+FROM cb
+JOIN cu c1 ON cb.w1 = c1.w
+JOIN cu c2 ON cb.w2 = c2.w
+CROSS JOIN nu CROSS JOIN nb
+WHERE cab >= 5
+ORDER BY pmi_micro DESC, w1, w2 LIMIT 30
+"""
+
+
+def q_ev_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between event types WITHIN
+    a user session (30-min gap sessionization feeds a lead() over the
+    session window) — the path-analysis primitive behind funnel mining.
+    The per-event session label (gaps-and-islands, same definition as
+    streaming/events.py::sessionize_batch) and the transition lead()
+    share ONE user-keyed shuffle; probabilities are exact count
+    ratios."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = 30 * 60 * 1_000_000
+    sess = ev.withColumn(
+        "is_break",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu) > gap_us, 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_break").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    trans = (
+        sess.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+SQL_EV_SESSION_TRANSITIONS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+), trans AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM sess
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM trans WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -5551,6 +5703,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
     "emb_matryoshka_topk": (q_emb_matryoshka_topk, SQL_EMB_MATRYOSHKA),
     "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
+    "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
+    "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
 }
 
 
