@@ -705,3 +705,72 @@ def matryoshka_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension mean/variance over an embedding column — the
+    feature-scaling statistics pass (standardization, whitening
+    diagnostics, dead-dimension detection) of ML data prep.
+
+    One posexplode → (dim)-keyed aggregation: shuffle rows = dims ×
+    partitions after map-side combine, never n·d. Components are
+    micro-quantized before summation (exact bigint Σx and Σx²), so
+    mean and variance are identical in any engine: var = (Σx² −
+    (Σx)²/n)/n evaluated on exact integers with one final double
+    division. (Σx² of micro ints fits bigint up to ~10⁶ unit-variance
+    rows per dim per partial; beyond that swap the sums to
+    DECIMAL(38,0) — same algebra, wider accumulator.)"""
+    q = F.floor(F.col("x").cast("double") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .select("dim", q.alias("xm"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xm").alias("s"),
+            F.sum(F.col("xm") * F.col("xm")).alias("ss"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("s") / F.col("n") / F.lit(1_000_000.0)).alias("mean"),
+            (
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double") * F.col("s").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / F.col("n").cast("double")
+                / F.lit(1_000_000.0 * 1_000_000.0)
+            ).alias("variance"),
+        )
+    )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    stats: list[tuple[float, float]],
+    vec_col: str = "embedding",
+    out_col: str = "embedding_std",
+) -> DataFrame:
+    """Map-only (x−mean)/std per dimension against driver-held stats
+    (k·d doubles — the same bounded state as k-means centroids). Zero
+    shuffles; zero-variance dims pass through unscaled."""
+    means = F.array(*[F.lit(float(m)) for m, _ in stats])
+    stds = F.array(
+        *[F.lit(float(v) ** 0.5 if v > 0 else 1.0) for _, v in stats]
+    )
+    idx = F.transform(F.col(vec_col), lambda _, i: i)
+    return df.withColumn(
+        out_col,
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            idx,
+            lambda x, i: (x - F.element_at(means, i + 1))
+            / F.element_at(stds, i + 1),
+        ),
+    )

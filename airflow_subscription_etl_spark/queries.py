@@ -5549,6 +5549,33 @@ FROM counts
 """
 
 
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus
+    (similarity.py::embedding_dim_stats) — the feature-scaling /
+    dead-dimension statistics pass. Exact-integer Σx and Σx² with one
+    final double evaluation, replayed verbatim by the oracle."""
+    from .operators.similarity import embedding_dim_stats  # noqa: PLC0415
+
+    return embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMB_DIM_STATS = """
+WITH x AS (
+  SELECT i - 1 AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS xm
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), agg AS (
+  SELECT dim, COUNT(*) AS n, SUM(xm) AS s, SUM(xm * xm) AS ss FROM x GROUP BY 1
+)
+SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) / CAST(n AS BIGINT) / 1000000.0 AS mean,
+       (CAST(ss AS DOUBLE)
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       / CAST(n AS DOUBLE) / 1000000000000.0 AS variance
+FROM agg
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -5705,6 +5732,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
+    "emb_dim_stats": (q_emb_dim_stats, SQL_EMB_DIM_STATS),
 }
 
 
