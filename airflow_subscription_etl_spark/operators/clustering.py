@@ -115,17 +115,19 @@ def assign_clusters(
     return df.crossJoin(F.broadcast(cents_df)).select(*cols)
 
 
-def kmeans_fit_predict(
+def kmeans_fit(
     df: DataFrame,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
-) -> DataFrame:
+) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means, ``iters`` rounds from a deterministic init (the
     k lowest-id vectors, micro-quantized). Returns the FINAL-round
-    assignment ``(id, cluster_id, dist_micro)``.
+    assignment ``(id, cluster_id, dist_micro)`` AND the centroid matrix
+    that produced it (the driver-held k·d state — callers like IVF
+    probe against it).
 
     The per-iteration driver collect is the k·d centroid matrix only —
     the same driver state every distributed k-means keeps; data-sized
@@ -163,7 +165,19 @@ def kmeans_fit_predict(
             ) / (float(r["n"]) * float(_SCALE))
         # empty clusters (absent from `new`) keep their previous centroid
         cents = [new.get(cid, cents[cid - 1]) for cid in range(1, k + 1)]
-    return assign_clusters(df, cents, id_col, vec_col, keep_vec=keep_vec)
+    return assign_clusters(df, cents, id_col, vec_col, keep_vec=keep_vec), cents
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Assignment-only wrapper of :func:`kmeans_fit`."""
+    return kmeans_fit(df, k, iters, id_col, vec_col, keep_vec)[0]
 
 
 def semantic_dedup(

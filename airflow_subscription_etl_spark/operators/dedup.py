@@ -494,6 +494,38 @@ def simhash_near_pairs(
     # aggregates); without a materialization boundary it would be
     # recomputed for all 4 chunk branches on both join sides
     sig = with_simhash(df, text_col).select(id_col, "simhash").persist()
+    return _simhash_band_pairs(sig, max_hamming, id_col)
+
+
+def portable_simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs with the PORTABLE md5-based token hash
+    (sketch.hash60) instead of xxhash64 — same votes/banding/Hamming
+    pipeline as :func:`simhash_near_pairs`, but every intermediate is
+    reproducible in any engine, so the WHOLE algorithm (not just row
+    counts) is DuckDB-oracle-checkable. hash60 yields 60-bit values:
+    bits 60–63 vote uniformly negative and stay 0 in every signature,
+    leaving a 60-bit effective SimHash — identical discriminative
+    behavior, chunk banding unchanged."""
+    from .sketch import hash60  # noqa: PLC0415
+
+    th = df.select(
+        F.col(id_col),
+        F.transform(norm_tokens(F.col(text_col)), lambda t: hash60(t)).alias("_th"),
+    )
+    sig = th.select(
+        id_col, simhash_from_hashes(F.col("_th")).alias("simhash")
+    ).persist()
+    return _simhash_band_pairs(sig, max_hamming, id_col)
+
+
+def _simhash_band_pairs(
+    sig: DataFrame, max_hamming: int, id_col: str
+) -> DataFrame:
     chunks = sig.select(
         id_col,
         "simhash",

@@ -821,11 +821,74 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT 20
 
 
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH approximate top-k (rows-only: bucket membership
-    depends on xxhash64 hyperplanes)."""
+    """Banded-LSH approximate top-k. The hyperplanes are seeded plan
+    constants (similarity._planes) and both engines fold the projection
+    sums sequentially, so the ENTIRE probe — signatures, band match,
+    candidate cosine top-k — replays in DuckDB: full value-hash oracle
+    (generated SQL with the plane matrix inlined as literals)."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
     return similarity.ann_topk(emb, qv, k=20, n_planes=12, bands=4)
+
+
+def _ann_oracle_sql(
+    n_planes: int = 12, bands: int = 4, dims: int = 64, k: int = 20
+) -> str:
+    from .operators.similarity import _planes  # noqa: PLC0415
+
+    planes = _planes(n_planes, dims)
+    plane_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(v) for v in p) + "]" for p in planes
+        )
+        + "]"
+    )
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    band_match = " OR ".join(
+        f"((s.sig >> {b * bits}) & {mask}) = ((qs.qsig >> {b * bits}) & {mask})"
+        for b in range(bands)
+    )
+    sig_expr = (
+        f"CAST(list_sum(list_transform(range(1, {n_planes + 1}), p -> "
+        f"CASE WHEN list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> v[i]::DOUBLE * planes[p][i])) >= 0 "
+        f"THEN (CAST(1 AS BIGINT) << ({n_planes} - p)) ELSE 0 END)) AS BIGINT)"
+    )
+    return f"""
+WITH pl AS (SELECT {plane_lit} AS planes),
+q AS (
+  SELECT embedding AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+sigs AS (
+  SELECT e.vec_id, e.embedding,
+         {sig_expr.replace("v[i]", "e.embedding[i]")} AS sig
+  FROM embeddings e, pl
+),
+qs AS (
+  SELECT {sig_expr.replace("v[i]", "q.qv[i]")} AS qsig FROM q, pl
+),
+cand AS (
+  SELECT s.vec_id, s.embedding FROM sigs s, qs WHERE {band_match}
+),
+scored AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+            i -> c.embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+              i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS cosine_sim
+  FROM cand c, q
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
+SQL_EMB_ANN_TOPK = _ann_oracle_sql()
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,13 +900,65 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via banded LSH (rows-only).
+    """Embedding-cosine near-dup pairs via banded LSH. Like
+    emb_ann_topk, the hyperplanes are seeded plan constants, so the
+    full band join + cosine verify replays in DuckDB (generated SQL) —
+    value-hash oracle-checked.
 
     The testdata embeddings are isotropic-random (max pairwise cosine
     ≈0.5 at sf0.01), so the threshold is 0.3 — high for random vectors —
     to exercise a non-empty verify stage."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.all_pairs_ann(emb, threshold=0.3, n_planes=24, bands=3)
+
+
+def _near_pairs_oracle_sql(
+    n_planes: int = 24, bands: int = 3, dims: int = 64, threshold: float = 0.3
+) -> str:
+    from .operators.similarity import _planes  # noqa: PLC0415
+
+    planes = _planes(n_planes, dims)
+    plane_lit = (
+        "["
+        + ", ".join("[" + ", ".join(repr(v) for v in p) + "]" for p in planes)
+        + "]"
+    )
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    bands_lit = "[" + ", ".join(str(b) for b in range(bands)) + "]"
+    sig_expr = (
+        f"CAST(list_sum(list_transform(range(1, {n_planes + 1}), p -> "
+        f"CASE WHEN list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> e.embedding[i]::DOUBLE * planes[p][i])) >= 0 "
+        f"THEN (CAST(1 AS BIGINT) << ({n_planes} - p)) ELSE 0 END)) AS BIGINT)"
+    )
+    return f"""
+WITH pl AS (SELECT {plane_lit} AS planes),
+sigs AS (
+  SELECT e.vec_id, e.embedding,
+         sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm,
+         {sig_expr} AS sig
+  FROM embeddings e, pl
+),
+bb AS (
+  SELECT vec_id, embedding, nrm, band,
+         (sig >> (band * {bits})) & {mask} AS bucket
+  FROM sigs, unnest({bands_lit}) AS u(band)
+)
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+       list_sum(list_transform(range(1, len(a.embedding) + 1),
+          i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+         / (a.nrm * c.nrm) AS cosine_sim
+FROM bb a JOIN bb c ON a.band = c.band AND a.bucket = c.bucket
+       AND a.vec_id < c.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+          i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        / (a.nrm * c.nrm) >= {threshold}
+"""
+
+
+SQL_EMB_NEAR_PAIRS = _near_pairs_oracle_sql()
 
 
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5576,6 +5691,132 @@ FROM agg
 """
 
 
+def q_doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash SimHash near-dup pairs (dedup.py::
+    portable_simhash_pairs): the full vote → signature → 16-bit-band →
+    Hamming-verify pipeline on md5-based token hashes, value-hash
+    oracle-checked end to end (the xxhash64 variant doc_simhash_pairs
+    stays rows-only — its hash family is Spark-internal)."""
+    from .operators.dedup import portable_simhash_pairs  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return portable_simhash_pairs(docs, max_hamming=8)
+
+
+def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 8) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY 1
+), sig AS (
+  SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sh FROM votes
+), chunks AS (
+  SELECT doc_id, sh, c, (sh >> (c * 16)) & 65535 AS prefix
+  FROM sig, unnest([0, 1, 2, 3]) AS u(c)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.c = b.c AND a.prefix = b.prefix AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+SQL_DOC_SIMHASH_PORTABLE = _simhash_oracle_sql()
+
+
+def q_emb_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE IVF top-k: coarse lists from the engine-exact k-means
+    (clustering.kmeans_fit — micro-quantized, deterministic init),
+    driver-side probe of the 4 nearest lists with the same integer-
+    micro distance arithmetic, exact cosine top-20 over probed lists
+    only. Every stage replays in DuckDB (unrolled k-means CTEs +
+    probe + rerank) — the fully-oracled sibling of emb_ivf_topk
+    (whose xxhash64 seeding keeps it rows-only)."""
+    import math  # noqa: PLC0415
+
+    from .operators.clustering import kmeans_fit  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_fit(
+        emb.select("vec_id", "embedding"), k=8, iters=2, keep_vec=True
+    )
+    qv = _query_vector(spark, sf_dir)
+
+    def dist_micro(c: list[float]) -> int:
+        # same HALF_UP micro arithmetic as clustering._dist_micro
+        return sum(
+            int(math.floor((x - v) * (x - v) * 1_000_000.0 + 0.5))
+            for x, v in zip(qv, c)
+        )
+
+    ranked = sorted(
+        (dist_micro(c), cid + 1) for cid, c in enumerate(cents)
+    )
+    probe = [cid for _, cid in ranked[:4]]
+    candidates = assigned.filter(F.col("cluster_id").isin(probe)).select(
+        "vec_id", "embedding"
+    )
+    return similarity.brute_force_topk(candidates, qv, k=20)
+
+
+def _ivf_portable_oracle_sql(
+    k_lists: int = 8, iters: int = 2, nprobe: int = 4, k: int = 20
+) -> str:
+    last = f"c{iters - 1}"
+    return (
+        _kmeans_unrolled_ctes(k_lists, iters)
+        + f""", qvv AS (
+  SELECT embedding AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+), qd AS (
+  SELECT c.cid,
+         CAST(SUM(CAST(floor((qv[c.dim + 1]::DOUBLE - c.val)
+                             * (qv[c.dim + 1]::DOUBLE - c.val)
+                             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
+  FROM {last} c, qvv GROUP BY 1
+), probe AS (
+  SELECT cid FROM qd ORDER BY d ASC, cid ASC LIMIT {nprobe}
+), cand AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e
+  JOIN afin a ON a.vec_id = e.vec_id
+  JOIN probe p ON a.cid = p.cid
+), scored AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+            i -> c.embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+              i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS cosine_sim
+  FROM cand c, qvv
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
+"""
+    )
+
+
+SQL_EMB_IVF_PORTABLE = _ivf_portable_oracle_sql()
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -5692,9 +5933,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_simhash_pairs": (q_doc_simhash_pairs, None),
     "emb_topk_cosine": (q_emb_topk_cosine, SQL_EMB_TOPK),
     "emb_topk_cosine_pandas": (q_emb_topk_cosine_pandas, SQL_EMB_TOPK_PANDAS),
-    "emb_ann_topk": (q_emb_ann_topk, None),
+    "emb_ann_topk": (q_emb_ann_topk, SQL_EMB_ANN_TOPK),
     "emb_ivf_topk": (q_emb_ivf_topk, None),
-    "emb_near_pairs": (q_emb_near_pairs, None),
+    "emb_near_pairs": (q_emb_near_pairs, SQL_EMB_NEAR_PAIRS),
     "mm_featurize": (q_mm_featurize, SQL_MM_FEATURIZE),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "q6_forecast_revenue": (q_q6_forecast_revenue, SQL_Q6),
@@ -5733,6 +5974,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
     "emb_dim_stats": (q_emb_dim_stats, SQL_EMB_DIM_STATS),
+    "doc_simhash_portable": (q_doc_simhash_portable, SQL_DOC_SIMHASH_PORTABLE),
+    "emb_ivf_portable": (q_emb_ivf_portable, SQL_EMB_IVF_PORTABLE),
 }
 
 
