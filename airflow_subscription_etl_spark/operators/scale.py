@@ -246,8 +246,16 @@ def distributed_prefix_sum(
     ``order_cols`` must be a deterministic total order (include a
     tiebreak key) — pass Column objects (e.g. ``F.col("x").desc()``).
     """
-    d = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # EAGER checkpoint before anything reads _pid: repartitionByRange
+    # picks its boundaries by SAMPLING, independently per job — without
+    # pinning the physical partitioning, the per-partition totals
+    # (collected below, job 1) and the final windowed frame (job 2)
+    # can see DIFFERENT boundaries, silently corrupting the offsets
+    # (observed at sf0.1: matching sf0.01 runs, wrong cums at 10×).
+    d = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # tiny collect: one row per partition, O(cluster), never O(data)
     totals = {

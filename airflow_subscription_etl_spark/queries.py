@@ -5817,6 +5817,44 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
 SQL_EMB_IVF_PORTABLE = _ivf_portable_oracle_sql()
 
 
+def q_ev_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the LEFT OUTER stream-stream interval join
+    (streaming/events.py::purchase_attribution_left): organic
+    purchases (no preceding click in 30 min) surface with null click
+    columns. Timestamps as unix micros for the hash."""
+    from .streaming.events import purchase_attribution_left  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    out = purchase_attribution_left(ev, "30 minutes")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+        "purchase_value",
+        "click_id",
+        F.unix_micros(F.col("click_ts")).alias("click_us"),
+    )
+
+
+SQL_EV_ATTRIBUTION_LEFT = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id AS click_user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id,
+       epoch_us(p.purchase_ts) AS purchase_us, p.purchase_value,
+       c.click_id, epoch_us(c.click_ts) AS click_us
+FROM p LEFT OUTER JOIN c
+  ON p.user_id = c.click_user_id
+ AND c.click_ts <= p.purchase_ts
+ AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -5976,6 +6014,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_dim_stats": (q_emb_dim_stats, SQL_EMB_DIM_STATS),
     "doc_simhash_portable": (q_doc_simhash_portable, SQL_DOC_SIMHASH_PORTABLE),
     "emb_ivf_portable": (q_emb_ivf_portable, SQL_EMB_IVF_PORTABLE),
+    "ev_attribution_left": (q_ev_attribution_left, SQL_EV_ATTRIBUTION_LEFT),
 }
 
 

@@ -297,6 +297,52 @@ def purchase_attribution_join(
     )
 
 
+def purchase_attribution_left(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits,
+    with click columns null when no click preceded it in the window —
+    the semantics :func:`purchase_attribution_join` (inner) cannot
+    give ("which conversions were organic?").
+
+    The streaming-specific part: an outer stream-stream join REQUIRES
+    both watermarks plus the time-band condition, because the engine
+    can only emit the null-padded row once the watermark proves no
+    matching click can still arrive — unmatched results are therefore
+    delayed by the watermark, a correctness-for-latency trade inner
+    joins don't make. Same batch/stream duality as the inner form
+    (batch: ordinary left join), which is how the oracle checks it.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (purchases.user_id == clicks.click_user_id)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return purchases.join(clicks, cond, "left_outer").select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+
+
 def enrich_stream_with_dim(
     events: DataFrame,
     dim: DataFrame,

@@ -174,3 +174,65 @@ def test_ndjson_relaxed_quarantines_corrupt_lines(spark, tmp_path):
     assert "{this is not json}" in bad_lines
     assert any("not-an-int" in line for line in bad_lines)
     df.unpersist()
+
+
+def test_attribution_left_join_streaming_emits_unmatched(
+    spark, attrib_events, tmp_path
+):
+    """Stream-stream LEFT OUTER interval join: organic purchases (no
+    click in window) emit with null click columns — but ONLY once a
+    LATER batch's watermark proves no matching click can still arrive.
+    Two far-future heartbeat batches advance the watermark so the
+    unmatched state flushes within the run (the latency-for-correctness
+    trade outer stream joins make)."""
+    import time as _time
+
+    from airflow_subscription_etl_spark.streaming.events import (
+        purchase_attribution_left,
+        read_events_stream,
+    )
+
+    src = str(tmp_path / "events_left")
+    attrib_events.coalesce(1).write.parquet(src)
+    # heartbeats: watermark computed from batch N's max ts applies in
+    # batch N+1 — two advancing batches flush all earlier state
+    # each heartbeat advances BOTH sides: the global watermark is the
+    # MIN over the two per-side watermarks, so a click-only heartbeat
+    # would leave the purchase watermark (and thus eviction) stuck
+    for i, hour in enumerate([13, 16]):
+        _time.sleep(1.1)  # file-source batches follow modification time
+        hb = spark.createDataFrame(
+            [
+                (100 + i, dt.datetime(2024, 1, 1, hour, 0), 99, "click", 0.0, "{}"),
+                (200 + i, dt.datetime(2024, 1, 1, hour, 0), 99, "purchase", 0.0, "{}"),
+            ],
+            EVENTS_SCHEMA,
+        )
+        hb.coalesce(1).write.mode("append").parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        purchase_attribution_left(stream, "30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_left")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql("SELECT * FROM t_left WHERE user_id != 99").collect()
+    batch = purchase_attribution_left(attrib_events, "30 minutes")
+    got_matched = {
+        (r["purchase_id"], r["click_id"]) for r in rows if r["click_id"] is not None
+    }
+    exp_matched = {
+        (r["purchase_id"], r["click_id"])
+        for r in batch.collect()
+        if r["click_id"] is not None
+    }
+    assert got_matched == exp_matched
+    exp_organic = {
+        r["purchase_id"] for r in batch.collect() if r["click_id"] is None
+    }
+    got_organic = {r["purchase_id"] for r in rows if r["click_id"] is None}
+    assert exp_organic and got_organic == exp_organic
