@@ -41,7 +41,13 @@ def driver_like_session() -> SparkSession:
     return (
         SparkSession.builder.appName("oracle-check-driverlike")
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", "32")  # perf-only
+        # perf-only — but overridable (SPARK_GRAFT_SHUFFLE) so sweeps can
+        # prove results are partition-count-INDEPENDENT (a class of bug
+        # the fixed count would mask, e.g. sampled range boundaries)
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
