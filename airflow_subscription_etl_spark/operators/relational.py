@@ -209,3 +209,70 @@ def payment_status_for_price(price: Column) -> Column:
 def row_json(df: DataFrame) -> DataFrame:
     """E6: record → JSON string (subscription_flow.py:256)."""
     return df.select(F.to_json(F.struct(*df.columns)).alias("row_json"))
+
+
+def enforce_expectations(
+    df: DataFrame, expectations: dict[str, Column]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Declarative data-quality expectations (the DLT/Great-Expectations
+    pattern): evaluate every named boolean rule in ONE pass, split the
+    frame into (clean, violations), and emit per-rule metrics.
+
+    - clean: rows satisfying every rule (nulls count as failures —
+      an expectation must be provably true);
+    - violations: failing rows plus a ``failed_rules`` array naming
+      which rules broke (quarantine-with-diagnosis, not just a drop);
+    - metrics: one row per rule with exact violation counts.
+
+    All three come from the same projected frame: map-side rule
+    evaluation, one aggregation for metrics — no per-rule re-scan, so
+    the cost at 100 TB is one pass + one tiny agg regardless of how
+    many rules are attached.
+    """
+    flagged = df
+    for name, cond in expectations.items():
+        flagged = flagged.withColumn(
+            f"__ok_{name}", F.coalesce(cond, F.lit(False))
+        )
+    ok_cols = [F.col(f"__ok_{n}") for n in expectations]
+    all_ok = ok_cols[0]
+    for c in ok_cols[1:]:
+        all_ok = all_ok & c
+    failed = F.filter(
+        F.array(
+            *[
+                F.when(~F.col(f"__ok_{n}"), F.lit(n))
+                for n in expectations
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    clean = flagged.filter(all_ok).drop(*[f"__ok_{n}" for n in expectations])
+    violations = (
+        flagged.filter(~all_ok)
+        .withColumn("failed_rules", failed)
+        .drop(*[f"__ok_{n}" for n in expectations])
+    )
+    metrics = flagged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(~F.col(f"__ok_{n}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__v_{n}")
+            for n in expectations
+        ],
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("rule"),
+                        F.col(f"__v_{n}").alias("n_violations"),
+                        F.col("__n").cast("bigint").alias("n_rows"),
+                    )
+                    for n in expectations
+                ]
+            )
+        ).alias("m")
+    ).select("m.rule", "m.n_violations", "m.n_rows")
+    return clean, violations, metrics

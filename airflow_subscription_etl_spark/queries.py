@@ -5855,6 +5855,60 @@ FROM p LEFT OUTER JOIN c
 """
 
 
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over orders (relational.py::
+    enforce_expectations): four named rules evaluated in one pass,
+    exact per-rule violation counts (plus the clean/violations split
+    exercised by the consistency columns). The price_under_200k rule
+    fails on real rows so the quarantine path is non-trivial."""
+    from .operators.relational import enforce_expectations  # noqa: PLC0415
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = {
+        "positive_price": F.col("o_totalprice") > 0,
+        "price_under_200k": F.col("o_totalprice") < 200_000,
+        "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+    }
+    clean, violations, metrics = enforce_expectations(orders, rules)
+    return (
+        metrics.withColumn(
+            "violation_rate_micro",
+            F.floor(
+                F.col("n_violations") * 1_000_000 / F.col("n_rows")
+            ).cast("bigint"),
+        )
+        .orderBy("rule")
+    )
+
+
+SQL_DQ_EXPECTATIONS = """
+WITH f AS (
+  SELECT
+    CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END AS v1,
+    CASE WHEN coalesce(o_totalprice < 200000, FALSE) THEN 0 ELSE 1 END AS v2,
+    CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1
+      END AS v3,
+    CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
+      THEN 0 ELSE 1 END AS v4
+  FROM orders
+), a AS (
+  SELECT COUNT(*) AS n, SUM(v1) AS s1, SUM(v2) AS s2, SUM(v3) AS s3,
+         SUM(v4) AS s4
+  FROM f
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(floor(n_violations * 1000000 / n) AS BIGINT)
+         AS violation_rate_micro
+FROM a, (VALUES ('positive_price', 1), ('price_under_200k', 2),
+                ('known_status', 3), ('priority_format', 4)) r(rule, i),
+LATERAL (SELECT CASE r.i WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+                         ELSE s4 END AS n_violations) v
+ORDER BY rule
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -6015,6 +6069,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_simhash_portable": (q_doc_simhash_portable, SQL_DOC_SIMHASH_PORTABLE),
     "emb_ivf_portable": (q_emb_ivf_portable, SQL_EMB_IVF_PORTABLE),
     "ev_attribution_left": (q_ev_attribution_left, SQL_EV_ATTRIBUTION_LEFT),
+    "dq_expectations": (q_dq_expectations, SQL_DQ_EXPECTATIONS),
 }
 
 

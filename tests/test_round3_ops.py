@@ -207,3 +207,30 @@ def test_standardize_embeddings_round_trip(spark):
     assert abs(out[3][0] - (5.0 - 3.0) / sd0) < 1e-9
     assert out[2][0] == 0.0
     assert out[2][1] == 0.0  # (10-10)/1.0 for the zero-variance dim
+
+
+def test_enforce_expectations_split_and_diagnosis(spark):
+    from airflow_subscription_etl_spark.operators.relational import (
+        enforce_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, 10.0, "X"), (4, None, "X")],
+        "id int, price double, status string",
+    )
+    clean, violations, metrics = enforce_expectations(
+        df,
+        {
+            "positive_price": F.col("price") > 0,
+            "known_status": F.col("status").isin("O", "F"),
+        },
+    )
+    assert [r["id"] for r in clean.collect()] == [1]
+    v = {r["id"]: sorted(r["failed_rules"]) for r in violations.collect()}
+    assert v == {
+        2: ["positive_price"],
+        3: ["known_status"],
+        4: ["known_status", "positive_price"],  # null price fails too
+    }
+    m = {r["rule"]: r["n_violations"] for r in metrics.collect()}
+    assert m == {"positive_price": 2, "known_status": 2}
