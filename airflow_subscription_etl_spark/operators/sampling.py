@@ -209,3 +209,36 @@ def mixture_sample(
         .filter(hash_bucket(F.col(key_col)) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``k`` rows
+    (Efraimidis–Spirakis A-ES): each row draws key u^(1/w) with u
+    uniform in (0,1]; the k largest keys are the sample. Inclusion
+    probability is proportional to weight, jointly across the whole
+    sample — the property per-row Bernoulli thresholding
+    (:func:`mixture_sample` and the length-weighted filter) cannot
+    give.
+
+    Deterministic u from the content hash ((hash60+1)/2^60 ∈ (0,1]),
+    scored as ln(u)/w nano-quantized to bigint (libm-ulp-proof), so
+    the selected set is identical in any engine and across retries.
+    Plan: map-only scoring + TakeOrdered(k) — no shuffle of the data,
+    driver holds k rows only."""
+    raw = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("double")
+    u = (raw + F.lit(1.0)) / F.lit(float(1 << 60))
+    score_nano = F.floor(
+        F.log(u) / F.col(weight_col).cast("double") * F.lit(1_000_000_000.0)
+    ).cast("bigint")
+    return (
+        df.withColumn("score_nano", score_nano)
+        .orderBy(F.col("score_nano").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -314,3 +314,55 @@ def sampled_quantile_sketch(
         out = out.withColumn(name, F.element_at("_vs", idx))
         cols.append(name)
     return out.select(*cols)
+
+
+def kmv_overlap_estimate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap estimation between groups from KMV sketches
+    — "how much does source A's vocabulary/url/doc-hash space overlap
+    source B's?" without ever joining the raw sets (the cross-source
+    contamination-screen shape at corpus scale).
+
+    Per group: one KMV sketch (k smallest md5 hashes of distinct
+    values). Per pair: Jaccard is estimated on the k smallest hashes
+    of the UNION of the two sketches (the standard KMV-Jaccard
+    estimator: |shared ∩ union-top-k| / k), and intersection size via
+    J·(|A∪B| est). Everything downstream of the sketches touches
+    k-element arrays only — pairwise work is |groups|² · k, independent
+    of data size. Deterministic md5 hashing ⇒ engine-exact, fully
+    oracle-checkable."""
+    sk = kmv_sketch(df, [group_col], value_col, k=k)
+    a = sk.select(
+        F.col(group_col).alias("g_a"),
+        F.col("kmv_sketch").alias("sk_a"),
+        F.col("n_distinct").alias("nd_a"),
+    )
+    b = sk.select(
+        F.col(group_col).alias("g_b"),
+        F.col("kmv_sketch").alias("sk_b"),
+        F.col("n_distinct").alias("nd_b"),
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b"))), 1, k
+    )
+    shared = F.size(
+        F.array_intersect(
+            union_k, F.array_intersect(F.col("sk_a"), F.col("sk_b"))
+        )
+    )
+    jacc_micro = F.floor(
+        shared * F.lit(1_000_000) / F.least(F.size(union_k), F.lit(k))
+    ).cast("bigint")
+    return pairs.select(
+        "g_a",
+        "g_b",
+        F.col("nd_a").cast("bigint").alias("nd_a"),
+        F.col("nd_b").cast("bigint").alias("nd_b"),
+        shared.cast("bigint").alias("shared_in_topk"),
+        jacc_micro.alias("jaccard_micro"),
+    )

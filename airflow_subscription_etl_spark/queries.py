@@ -5909,6 +5909,72 @@ ORDER BY rule
 """
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between document sources via KMV
+    sketches (sketch.py::kmv_overlap_estimate, k=128): the cross-source
+    contamination screen without joining raw token sets — pair cost is
+    |sources|²·k, data cost one sketch pass. md5 hashing ⇒ fully
+    oracle-checked (sketches, union-top-k, Jaccard micros)."""
+    from .operators.sketch import kmv_overlap_estimate  # noqa: PLC0415
+    from .operators.text import tokens  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    return kmv_overlap_estimate(toks, "source", "w", k=128)
+
+
+SQL_SOURCE_VOCAB_OVERLAP = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+), h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), sk AS (
+  SELECT source, COUNT(*) AS nd, list_sort(list(h))[1:128] AS sk
+  FROM h GROUP BY source
+), p AS (
+  SELECT a.source AS g_a, b.source AS g_b,
+         a.nd AS nd_a, b.nd AS nd_b,
+         list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:128] AS uk,
+         list_intersect(a.sk, b.sk) AS inter
+  FROM sk a JOIN sk b ON a.source < b.source
+)
+SELECT g_a, g_b,
+       CAST(nd_a AS BIGINT) AS nd_a, CAST(nd_b AS BIGINT) AS nd_b,
+       CAST(len(list_intersect(uk, inter)) AS BIGINT) AS shared_in_topk,
+       CAST(floor(len(list_intersect(uk, inter)) * 1000000
+                  / least(len(uk), 128)) AS BIGINT) AS jaccard_micro
+FROM p
+"""
+
+
+def q_doc_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20 weighted sample of documents ∝ length via A-ES
+    (sampling.py::weighted_reservoir): joint without-replacement
+    semantics per-row thresholding can't give; deterministic
+    content-hash uniforms, nano-quantized ln(u)/w scores."""
+    from .operators.sampling import weighted_reservoir  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_reservoir(docs, "doc_id", "n_chars", k=20)
+
+
+SQL_DOC_WEIGHTED_RESERVOIR = """
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         CAST(floor(
+           ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT)::DOUBLE + 1.0) / 1152921504606846976.0)
+           / n_chars::DOUBLE * 1000000000.0) AS BIGINT) AS score_nano
+  FROM documents
+)
+SELECT doc_id, source, n_chars, score_nano
+FROM s ORDER BY score_nano DESC, doc_id ASC LIMIT 20
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -6070,6 +6136,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_ivf_portable": (q_emb_ivf_portable, SQL_EMB_IVF_PORTABLE),
     "ev_attribution_left": (q_ev_attribution_left, SQL_EV_ATTRIBUTION_LEFT),
     "dq_expectations": (q_dq_expectations, SQL_DQ_EXPECTATIONS),
+    "source_vocab_overlap": (q_source_vocab_overlap, SQL_SOURCE_VOCAB_OVERLAP),
+    "doc_weighted_reservoir": (q_doc_weighted_reservoir, SQL_DOC_WEIGHTED_RESERVOIR),
 }
 
 
