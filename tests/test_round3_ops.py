@@ -234,3 +234,63 @@ def test_enforce_expectations_split_and_diagnosis(spark):
     }
     m = {r["rule"]: r["n_violations"] for r in metrics.collect()}
     assert m == {"positive_price": 2, "known_status": 2}
+
+
+def test_snapshot_diff_properties_random(spark):
+    """Property batch: diff(a, a) is all-unchanged; class counts follow
+    set arithmetic on the key sets."""
+    import random
+
+    rng = random.Random(7)
+    rows_old = [(i, rng.choice("ABC"), float(rng.randint(0, 5))) for i in rng.sample(range(100), 40)]
+    rows_new = [(i, rng.choice("ABC"), float(rng.randint(0, 5))) for i in rng.sample(range(100), 40)]
+    old = spark.createDataFrame(rows_old, "k int, s string, v double")
+    new = spark.createDataFrame(rows_new, "k int, s string, v double")
+
+    same = snapshot_diff(old, old, ["k"], ["s", "v"])
+    assert {r["change_type"] for r in same.collect()} == {"unchanged"}
+
+    d = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    ko, kn = {r[0] for r in rows_old}, {r[0] for r in rows_new}
+    assert {k for k, c in d.items() if c == "removed"} == ko - kn
+    assert {k for k, c in d.items() if c == "added"} == kn - ko
+    both = ko & kn
+    assert {k for k, c in d.items() if c in ("changed", "unchanged")} == both
+    om = {r[0]: r[1:] for r in rows_old}
+    nm = {r[0]: r[1:] for r in rows_new}
+    assert {k for k in both if om[k] == nm[k]} == {
+        k for k, c in d.items() if c == "unchanged"
+    }
+
+
+def test_mixture_sample_subset_and_determinism(spark):
+    from airflow_subscription_etl_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 800 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    a = mixture_sample(df, alpha=0.5, target_rows=300)
+    b = mixture_sample(df, alpha=0.5, target_rows=300)
+    ids_a = {r["doc_id"] for r in a.collect()}
+    ids_b = {r["doc_id"] for r in b.collect()}
+    assert ids_a == ids_b  # hash-thresholded: rerun-identical
+    assert ids_a <= set(range(1000))
+    # alpha<1 up-weights the small source relative to natural share
+    kept = a.groupBy("source").count().collect()
+    rates = {r["source"]: r["count"] for r in kept}
+    assert rates.get("small", 0) / 200 > rates.get("big", 1) / 800
+
+
+def test_weighted_reservoir_exact_k_and_bias(spark):
+    from airflow_subscription_etl_spark.operators.sampling import weighted_reservoir
+
+    df = spark.createDataFrame(
+        [(i, 1000.0 if i < 50 else 1.0) for i in range(1000)],
+        "doc_id long, w double",
+    )
+    out = weighted_reservoir(df, "doc_id", "w", k=30).collect()
+    assert len(out) == 30
+    # heavy rows (w=1000, 5% of rows) must dominate the sample
+    heavy = sum(1 for r in out if r["doc_id"] < 50)
+    assert heavy >= 20, heavy
