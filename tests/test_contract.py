@@ -54,3 +54,34 @@ def test_ordered_registry_preserves_full_surface():
     assert set(o) <= set(q)
     # every oracled name has non-empty SQL
     assert all(isinstance(s, str) and s.strip() for s in o.values())
+
+
+def test_concurrent_queries_match_serial(spark):
+    """Six queries run concurrently on ONE SparkSession (the FAIR-pool
+    multi-tenant driver posture) must produce byte-identical results to
+    their serial runs — no cross-query state leakage (temp views,
+    confs, registered UDTFs are the risky shared surface)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from airflow_subscription_etl_spark.queries import REGISTRY
+
+    names = [
+        "q1_pricing_summary",
+        "doc_token_stats",
+        "ev_user_totals",
+        "p1_projection",
+        "window_suite",
+        "doc_term_vectors",  # uses a temp view + UDTF registration
+    ]
+    sf = "/root/testdata/sf0.001"
+
+    def run(name):
+        fn, _ = REGISTRY[name]
+        rows = fn(spark, sf).collect()
+        return sorted(tuple(str(v) for v in r) for r in rows)
+
+    serial = {n: run(n) for n in names}
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        futures = {n: ex.submit(run, n) for n in names}
+        concurrent = {n: f.result(timeout=120) for n, f in futures.items()}
+    assert concurrent == serial
