@@ -5975,6 +5975,96 @@ FROM s ORDER BY score_nano DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped COGROUP (Spark's pandas cogroup → applyInPandas): orders
+    and lineitem co-partitioned per customer, reconciled in one
+    Arrow-batched function — the two-sided grouped-map API the plain
+    grouped map can't express (both sides of a key in one call).
+    Per-key output: order count, line count, exact cents totals, and
+    an orphan flag (lines whose order key is missing on the orders
+    side). Python is justified here as API-surface parity; the oracle
+    is the plain two-aggregate join."""
+    import pandas as pd  # noqa: PLC0415
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("ocents"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    omap = orders.select(
+        F.col("o_orderkey").alias("_ok"), F.col("o_custkey").alias("_ck")
+    )
+    lines = (
+        li.join(omap, li["l_orderkey"] == F.col("_ok"))
+        .select(
+            F.col("_ck").alias("o_custkey"),
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("lcents"),
+        )
+    )
+
+    def reconcile(key, o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:  # noqa: E741
+        order_keys = set(o["o_orderkey"]) if len(o) else set()
+        line_keys = set(l["o_orderkey"]) if len(l) else set()
+        return pd.DataFrame(
+            [
+                {
+                    "o_custkey": key[0],
+                    "n_orders": len(o),
+                    "n_lines": len(l),
+                    "order_cents": int(o["ocents"].sum()) if len(o) else 0,
+                    "line_cents": int(l["lcents"].sum()) if len(l) else 0,
+                    "n_orphan_lines": int(
+                        sum(k not in order_keys for k in line_keys)
+                    ),
+                }
+            ]
+        )
+
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(lines.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            "o_custkey bigint, n_orders bigint, n_lines bigint, "
+            "order_cents bigint, line_cents bigint, n_orphan_lines bigint",
+        )
+    )
+
+
+SQL_COGROUP_RECONCILE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS ocents
+  FROM orders WHERE o_custkey < 200
+), l AS (
+  SELECT o.o_custkey, li.l_orderkey,
+         CAST(round(li.l_extendedprice * 100) AS BIGINT) AS lcents
+  FROM lineitem li JOIN o ON li.l_orderkey = o.o_orderkey
+), oa AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, SUM(ocents) AS order_cents
+  FROM o GROUP BY 1
+), la AS (
+  SELECT o_custkey, COUNT(*) AS n_lines, SUM(lcents) AS line_cents
+  FROM l GROUP BY 1
+)
+SELECT oa.o_custkey,
+       CAST(oa.n_orders AS BIGINT) AS n_orders,
+       CAST(coalesce(la.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(oa.order_cents AS BIGINT) AS order_cents,
+       CAST(coalesce(la.line_cents, 0) AS BIGINT) AS line_cents,
+       CAST(0 AS BIGINT) AS n_orphan_lines
+FROM oa LEFT JOIN la USING (o_custkey)
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -6138,6 +6228,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dq_expectations": (q_dq_expectations, SQL_DQ_EXPECTATIONS),
     "source_vocab_overlap": (q_source_vocab_overlap, SQL_SOURCE_VOCAB_OVERLAP),
     "doc_weighted_reservoir": (q_doc_weighted_reservoir, SQL_DOC_WEIGHTED_RESERVOIR),
+    "cogroup_reconcile": (q_cogroup_reconcile, SQL_COGROUP_RECONCILE),
 }
 
 
