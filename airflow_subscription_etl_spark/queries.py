@@ -6065,6 +6065,80 @@ FROM oa LEFT JOIN la USING (o_custkey)
 """
 
 
+def q_mm_arrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` byte accounting over binary payloads: the
+    zero-copy Arrow-native map (one step below mapInPandas — no pandas
+    conversion at all; pyarrow compute kernels on the RecordBatch).
+    Payload byte lengths come from ``pc.binary_length`` without the
+    bytes ever materializing as Python objects."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    media = _media_df(spark, sf_dir).select("media_id", "payload")
+
+    def batch_stats(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(
+                        pc.binary_length(batch.column(1)), pa.int64()
+                    ),
+                ],
+                names=["media_id", "n_bytes"],
+            )
+
+    return media.mapInArrow(batch_stats, "media_id bigint, n_bytes bigint")
+
+
+SQL_MM_ARROW_BYTES = """
+SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
+"""
+
+
+def q_source_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frame grouped map (``groupBy().applyInPandas``): per-source
+    robust length statistics via numpy (median/quartiles, linear
+    interpolation — matching DuckDB's median/quantile_cont). Completes
+    the pandas-API family next to mapInPandas, cogroup, and
+    applyInPandasWithState; numpy is justified as API parity — the
+    oracle is plain SQL aggregation."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def stats(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["n_chars"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            [
+                {
+                    "source": key[0],
+                    "n_docs": len(v),
+                    "median_chars": float(np.percentile(v, 50)),
+                    "q1_chars": float(np.percentile(v, 25)),
+                    "q3_chars": float(np.percentile(v, 75)),
+                }
+            ]
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        stats,
+        "source string, n_docs bigint, median_chars double, "
+        "q1_chars double, q3_chars double",
+    )
+
+
+SQL_SOURCE_LENGTH_STATS = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       median(n_chars::DOUBLE) AS median_chars,
+       quantile_cont(n_chars::DOUBLE, 0.25) AS q1_chars,
+       quantile_cont(n_chars::DOUBLE, 0.75) AS q3_chars
+FROM documents GROUP BY 1
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -6229,6 +6303,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "source_vocab_overlap": (q_source_vocab_overlap, SQL_SOURCE_VOCAB_OVERLAP),
     "doc_weighted_reservoir": (q_doc_weighted_reservoir, SQL_DOC_WEIGHTED_RESERVOIR),
     "cogroup_reconcile": (q_cogroup_reconcile, SQL_COGROUP_RECONCILE),
+    "mm_arrow_bytes": (q_mm_arrow_bytes, SQL_MM_ARROW_BYTES),
+    "source_length_stats": (q_source_length_stats, SQL_SOURCE_LENGTH_STATS),
 }
 
 

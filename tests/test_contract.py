@@ -85,3 +85,32 @@ def test_concurrent_queries_match_serial(spark):
         futures = {n: ex.submit(run, n) for n in names}
         concurrent = {n: f.result(timeout=120) for n, f in futures.items()}
     assert concurrent == serial
+
+
+def test_observe_metrics_match_direct_aggregate(spark):
+    """df.observe(): metrics collected DURING an action (one pass, no
+    second job) equal the same aggregates computed directly — the
+    zero-extra-scan DQ counters pattern for production pipelines."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    orders = read_star_table(spark, "/root/testdata/sf0.001", "orders")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    n_out = observed.filter(F.col("o_totalprice") > 0).count()
+    got = obs.get
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.max("o_orderdate").alias("max_date"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n_rows"] == n_out
+    assert got["cents"] == direct["cents"]
+    assert got["max_date"] == direct["max_date"]
