@@ -139,3 +139,29 @@ def test_column_pruning_reaches_scan(spark):
     )
     assert "p_retailprice" not in read_schema
     assert "p_size" not in read_schema
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """Join hints pick the physical strategy: SHUFFLE_HASH avoids the
+    sort (build-side hash on shuffled partitions), MERGE forces
+    sort-merge — the explicit controls for when AQE/statistics guess
+    wrong at scale (e.g. a hash-build side that fits executor memory
+    but exceeds the broadcast threshold)."""
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    orders = read_star_table(spark, "/root/testdata/sf0.001", "orders")
+    customer = read_star_table(spark, "/root/testdata/sf0.001", "customer")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    sh = orders.join(
+        customer.hint("shuffle_hash"),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    assert "ShuffledHashJoin" in plan_of(sh)
+    sm = orders.join(
+        customer.hint("merge"),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    assert "SortMergeJoin" in plan_of(sm)
