@@ -111,3 +111,57 @@ def test_bpe_ish_tokens_crafted(spark):
     assert got[1]["n_bpe_tokens"] == 3 and got[1]["n_words"] == 2
     assert got[2]["n_bpe_tokens"] == 6 and got[2]["n_words"] == 2
     assert got[3]["n_bpe_tokens"] == 1 and got[3]["fertility"] == 1.0
+
+
+def test_scrub_text_idempotent(spark):
+    """scrub(scrub(x)) == scrub(x): redaction placeholders must not
+    themselves match the redaction patterns."""
+    from airflow_subscription_etl_spark.operators.text import with_scrubbed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me a@b.com or visit https://x.y/z call 555-123-4567"),
+            (2, "plain text with no pii at all"),
+            (3, "<EMAIL> already scrubbed and 555-123-4567 too"),
+        ],
+        "doc_id int, text string",
+    )
+    once = with_scrubbed(docs).select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    twice = with_scrubbed(once).select("doc_id", "scrubbed")
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["scrubbed"] for r in twice.collect()}
+    assert a == b
+
+
+def test_char_entropy_bounds(spark):
+    """0 ≤ H ≤ log2(n_distinct_chars) for every document."""
+    import math
+
+    from airflow_subscription_etl_spark.operators.text import char_entropy
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    docs = read_star_table(spark, "/root/testdata/sf0.001", "documents")
+    for r in char_entropy(docs).collect():
+        assert r["entropy_bits"] >= -1e-6
+        assert r["entropy_bits"] <= math.log2(max(r["n_distinct_chars"], 1)) + 1e-6
+
+
+def test_tfidf_topk_rank_and_cardinality(spark):
+    from airflow_subscription_etl_spark.operators.text import tfidf_topk
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    docs = read_star_table(spark, "/root/testdata/sf0.001", "documents")
+    out = tfidf_topk(docs, k=5).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for rows in by_doc.values():
+        assert len(rows) <= 5
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        # ranks follow scores: lower rank ⇒ score not smaller
+        srt = sorted(rows, key=lambda r: r["rank"])
+        for a, b in zip(srt, srt[1:]):
+            assert a["tfidf_micro"] >= b["tfidf_micro"]
