@@ -6139,6 +6139,135 @@ FROM documents GROUP BY 1
 """
 
 
+def q_price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: bucket edges at exact
+    deciles (percentile_cont), so every bucket holds ~10% of rows —
+    the complement of the fixed-width q_price_histogram and the basis
+    of range-partition boundary planning. Exact interpolated
+    percentiles on cents; per-bucket counts/extrema exact."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    o = orders.select(cents.alias("cents"))
+    edges_row = o.agg(
+        F.expr(
+            "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("e")
+    ).collect()[0]["e"]
+    edges = [float(x) for x in edges_row]
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + F.when(F.col("cents") > F.lit(e), 1).otherwise(0)
+    return (
+        o.select(bucket.cast("int").alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.min("cents") / 100.0).alias("min_price"),
+            (F.max("cents") / 100.0).alias("max_price"),
+        )
+    )
+
+
+SQL_PRICE_HISTOGRAM_EQUIDEPTH = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), e AS (
+  SELECT quantile_cont(cents::DOUBLE,
+           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ed
+  FROM c
+), b AS (
+  SELECT cents,
+         CAST((CASE WHEN cents > ed[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN cents > ed[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN cents > ed[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN cents > ed[4] THEN 1 ELSE 0 END)
+            + (CASE WHEN cents > ed[5] THEN 1 ELSE 0 END)
+            + (CASE WHEN cents > ed[6] THEN 1 ELSE 0 END)
+            + (CASE WHEN cents > ed[7] THEN 1 ELSE 0 END)
+            + (CASE WHEN cents > ed[8] THEN 1 ELSE 0 END)
+            + (CASE WHEN cents > ed[9] THEN 1 ELSE 0 END) AS INT) AS bucket
+  FROM c, e
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(cents) / 100.0 AS min_price,
+       MAX(cents) / 100.0 AS max_price
+FROM b GROUP BY 1
+"""
+
+
+def q_basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over part TYPES co-occurring in an
+    order (support / lift): the classic affinity analysis, kept
+    scale-sane by aggregating to the bounded type vocabulary BEFORE
+    pairing — per-order pair expansion is C(distinct types in order, 2),
+    never line² — and lift from exact counts. Top-20 pairs by
+    (pair_count desc, type names); lift micro-quantized."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ot = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), "p_type")
+        .distinct()
+    )
+    n_orders = ot.select("ok").distinct().count()
+    type_counts = ot.groupBy("p_type").agg(F.count(F.lit(1)).alias("ct"))
+    a = ot.select("ok", F.col("p_type").alias("t1"))
+    b = ot.select("ok", F.col("p_type").alias("t2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    ca = type_counts.select(F.col("p_type").alias("t1"), F.col("ct").alias("c1"))
+    cb = type_counts.select(F.col("p_type").alias("t2"), F.col("ct").alias("c2"))
+    lift_micro = F.floor(
+        F.col("pair_count")
+        * F.lit(n_orders)
+        * F.lit(1_000_000)
+        / (F.col("c1") * F.col("c2"))
+    ).cast("bigint")
+    return (
+        pairs.join(F.broadcast(ca), "t1")
+        .join(F.broadcast(cb), "t2")
+        .select(
+            "t1",
+            "t2",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            lift_micro.alias("lift_micro"),
+        )
+        .orderBy(F.col("pair_count").desc(), "t1", "t2")
+        .limit(20)
+    )
+
+
+SQL_BASKET_TYPE_LIFT = """
+WITH ot AS (
+  SELECT DISTINCT li.l_orderkey AS ok, p.p_type
+  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+), n AS (
+  SELECT COUNT(DISTINCT ok) AS n_orders FROM ot
+), tc AS (
+  SELECT p_type, COUNT(*) AS ct FROM ot GROUP BY 1
+), pairs AS (
+  SELECT a.p_type AS t1, b.p_type AS t2, COUNT(*) AS pair_count
+  FROM ot a JOIN ot b ON a.ok = b.ok AND a.p_type < b.p_type
+  GROUP BY 1, 2
+)
+SELECT t1, t2, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(c1.ct AS BIGINT) AS c1, CAST(c2.ct AS BIGINT) AS c2,
+       CAST(floor(pair_count * n.n_orders * 1000000.0
+                  / (c1.ct * c2.ct)) AS BIGINT) AS lift_micro
+FROM pairs
+JOIN tc c1 ON pairs.t1 = c1.p_type
+JOIN tc c2 ON pairs.t2 = c2.p_type
+CROSS JOIN n
+ORDER BY pair_count DESC, t1, t2 LIMIT 20
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -6305,6 +6434,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cogroup_reconcile": (q_cogroup_reconcile, SQL_COGROUP_RECONCILE),
     "mm_arrow_bytes": (q_mm_arrow_bytes, SQL_MM_ARROW_BYTES),
     "source_length_stats": (q_source_length_stats, SQL_SOURCE_LENGTH_STATS),
+    "price_histogram_equidepth": (
+        q_price_histogram_equidepth,
+        SQL_PRICE_HISTOGRAM_EQUIDEPTH,
+    ),
+    "basket_type_lift": (q_basket_type_lift, SQL_BASKET_TYPE_LIFT),
 }
 
 
