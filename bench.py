@@ -73,6 +73,11 @@ HEADLINE = [
     "pareto_customers",
     "ev_variant_props",
     "zorder_key",
+    # round-3 late wave: portable-oracle similarity + retrieval variants
+    "doc_simhash_portable",
+    "emb_matryoshka_topk",
+    "doc_tfidf_topk",
+    "basket_type_lift",
 ]
 
 
