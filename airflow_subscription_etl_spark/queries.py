@@ -6268,6 +6268,51 @@ ORDER BY pair_count DESC, t1, t2 LIMIT 20
 """
 
 
+def q_supplier_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier's share of its NATION's total
+    line revenue — the two-level aggregate + partitioned window shape
+    (no global window, no second scan: the nation total is a window
+    sum over the supplier-level aggregate). Exact cents; share
+    micro-quantized."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per_supp = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("cents").alias("supp_cents"))
+    )
+    w = Window.partitionBy("s_nationkey")
+    return per_supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        (F.col("supp_cents") / 100.0).alias("supp_revenue"),
+        F.floor(
+            F.col("supp_cents") * 1_000_000 / F.sum("supp_cents").over(w)
+        )
+        .cast("bigint")
+        .alias("share_micro"),
+    )
+
+
+SQL_SUPPLIER_NATION_SHARE = """
+WITH per_supp AS (
+  SELECT s.s_nationkey, s.s_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS supp_cents
+  FROM lineitem li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)
+SELECT s_nationkey, s_suppkey,
+       supp_cents / 100.0 AS supp_revenue,
+       CAST(floor(supp_cents * 1000000.0
+                  / SUM(supp_cents) OVER (PARTITION BY s_nationkey))
+            AS BIGINT) AS share_micro
+FROM per_supp
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -6439,6 +6484,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SQL_PRICE_HISTOGRAM_EQUIDEPTH,
     ),
     "basket_type_lift": (q_basket_type_lift, SQL_BASKET_TYPE_LIFT),
+    "supplier_nation_share": (q_supplier_nation_share, SQL_SUPPLIER_NATION_SHARE),
 }
 
 
