@@ -6313,6 +6313,91 @@ FROM per_supp
 """
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube are sugar
+    for): exactly three aggregation levels — (region, nation), (region),
+    grand total — with grouping_id disambiguating null-as-missing from
+    null-as-subtotal. Completes the grouping-analytics family next to
+    rollup_revenue and cube_revenue."""
+    _t(spark, sf_dir, "region").createOrReplaceTempView("_gs_region")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_gs_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_gs_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / CAST(100 AS DOUBLE) AS revenue
+        FROM _gs_orders o
+        JOIN _gs_customer c ON o.o_custkey = c.c_custkey
+        JOIN _gs_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN _gs_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT r_name, n_name,
+       CAST(CASE WHEN GROUPING(r_name) = 1 AND GROUPING(n_name) = 1 THEN 3
+                 WHEN GROUPING(n_name) = 1 THEN 1 ELSE 0 END AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+
+
+def q_ansi_try_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic (Spark 4 defaults to ANSI, where
+    division by zero / bad casts RAISE): the ``try_*`` family returns
+    NULL instead, the right semantics for dirty-data pipelines. Rows
+    engineered so every function exercises both its null and value
+    paths; DuckDB oracle mirrors try_* with guards."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    zero_or_key = F.when(
+        F.col("o_orderkey") % 3 == 0, F.lit(0)
+    ).otherwise(F.col("o_orderkey") % 7)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.round(F.col("o_totalprice") * 100).cast("bigint"), zero_or_key
+        ).alias("cents_per_bucket"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .try_cast("int")
+        .alias("maybe_int"),
+        F.try_add(
+            F.lit(9_223_372_036_854_775_807).cast("bigint"),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        ).alias("maybe_overflow"),
+    )
+
+
+SQL_ANSI_TRY_MATH = """
+SELECT o_orderkey,
+       CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN 0
+                       ELSE o_orderkey % 7 END) = 0 THEN NULL
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                 / CAST((CASE WHEN o_orderkey % 3 = 0 THEN 0
+                              ELSE o_orderkey % 7 END) AS DOUBLE)
+       END AS cents_per_bucket,
+       TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-number'
+                     ELSE CAST(o_orderkey AS VARCHAR) END AS INTEGER)
+         AS maybe_int,
+       CASE WHEN o_orderkey % 2 = 0 THEN NULL
+            ELSE CAST(9223372036854775807 AS BIGINT) END AS maybe_overflow
+FROM orders WHERE o_orderkey <= 400
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql | None)
@@ -6485,6 +6570,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "basket_type_lift": (q_basket_type_lift, SQL_BASKET_TYPE_LIFT),
     "supplier_nation_share": (q_supplier_nation_share, SQL_SUPPLIER_NATION_SHARE),
+    "grouping_sets_revenue": (q_grouping_sets_revenue, SQL_GROUPING_SETS_REVENUE),
+    "ansi_try_math": (q_ansi_try_math, SQL_ANSI_TRY_MATH),
 }
 
 
