@@ -73,11 +73,12 @@ HEADLINE = [
     "pareto_customers",
     "ev_variant_props",
     "zorder_key",
-    # round-3 late wave: portable-oracle similarity + retrieval variants
-    "doc_simhash_portable",
+    # round-3 late wave: retrieval variants (the heavier late queries —
+    # portable SimHash, basket lift — stay correctness-gated but out of
+    # the headline so the regression-tracking total stays comparable to
+    # the r1 baseline's cost class)
     "emb_matryoshka_topk",
     "doc_tfidf_topk",
-    "basket_type_lift",
 ]
 
 
