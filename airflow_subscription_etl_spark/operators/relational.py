@@ -228,7 +228,12 @@ def enforce_expectations(
     evaluation, one aggregation for metrics — no per-rule re-scan, so
     the cost at 100 TB is one pass + one tiny agg regardless of how
     many rules are attached.
+
+    Raises ``ValueError`` if ``expectations`` is empty — an empty rule
+    set is a caller bug (nothing to enforce), not an identity pass.
     """
+    if not expectations:
+        raise ValueError("expectations must be non-empty")
     flagged = df
     for name, cond in expectations.items():
         flagged = flagged.withColumn(

@@ -31,6 +31,15 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
+def _micro_half_up(x: float) -> int:
+    """Quantize to integer micro-units with HALF_UP rounding
+    (floor(x·1e6 + 0.5)) — the repo-wide tie-break convention, matching
+    DuckDB's round() (half away from zero for positives). Python's
+    built-in round() is banker's half-even and would disagree with the
+    oracle on an exact-.5 micro value."""
+    return int(math.floor(x * 1_000_000 + 0.5))
+
+
 def hash_bucket(col: Column | str, buckets: int = BUCKETS) -> Column:
     """Deterministic bucket in ``[0, buckets)`` from md5 of the column.
 
@@ -186,9 +195,7 @@ def mixture_sample(
     # micro-quantize each weight, then EVERYTHING downstream is exact
     # integer arithmetic (arbitrary-precision in Python, HUGEINT in the
     # DuckDB oracle) — no float-sum-order or ulp dependence anywhere
-    w_micro = {
-        s: int(round(math.pow(n, alpha) * 1_000_000)) for s, n in ns.items()
-    }
+    w_micro = {s: _micro_half_up(math.pow(n, alpha)) for s, n in ns.items()}
     wsum_micro = sum(w_micro[s] for s in sorted(w_micro))
     thresholds = {
         s: min(
@@ -229,7 +236,14 @@ def weighted_reservoir(
     scored as ln(u)/w nano-quantized to bigint (libm-ulp-proof), so
     the selected set is identical in any engine and across retries.
     Plan: map-only scoring + TakeOrdered(k) — no shuffle of the data,
-    driver holds k rows only."""
+    driver holds k rows only.
+
+    Rows with ``weight_col`` <= 0 or NULL are EXPLICITLY excluded
+    before scoring (A-ES is defined for positive weights only): weight
+    0 would yield a NULL score silently dropped by nulls-last ordering,
+    and a negative weight would flip the sign of ln(u)/w and invert the
+    selection. The filter makes the exclusion a declared part of the
+    operator contract, mirrored in oracles."""
     raw = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("double")
@@ -238,7 +252,8 @@ def weighted_reservoir(
         F.log(u) / F.col(weight_col).cast("double") * F.lit(1_000_000_000.0)
     ).cast("bigint")
     return (
-        df.withColumn("score_nano", score_nano)
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("score_nano", score_nano)
         .orderBy(F.col("score_nano").desc(), F.col(key_col).asc())
         .limit(k)
     )

@@ -267,11 +267,22 @@ def distributed_prefix_sum(
         offsets[pid] = acc
         acc += totals[pid] or 0
     spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), float(o)) for p, o in offsets.items()], "_pid int, _off double"
-        )
+    # Integral value columns keep bigint offsets end-to-end: shipping
+    # them as double would silently lose exactness past 2^53, where the
+    # windowed sum below stays exact. Fractional inputs widen to double.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType  # noqa: PLC0415
+
+    integral = isinstance(
+        df.schema[value_col].dataType if isinstance(value_col, str) else None,
+        (ByteType, ShortType, IntegerType, LongType),
     )
+    if integral:
+        off_rows = [(int(p), int(o)) for p, o in offsets.items()]
+        off_schema = "_pid int, _off bigint"
+    else:
+        off_rows = [(int(p), float(o)) for p, o in offsets.items()]
+        off_schema = "_pid int, _off double"
+    off_df = F.broadcast(spark.createDataFrame(off_rows, off_schema))
     from pyspark.sql import Window  # noqa: PLC0415
 
     w = (
@@ -299,8 +310,16 @@ def zorder_value(cols: list, bits: int = 16) -> "F.Column":
     whole-stage-codegen friendly. ``bits`` per dimension; values are
     masked into range, so pre-scale real columns to [0, 2^bits).
     """
-    z = F.lit(0).cast("bigint")
     n = len(cols)
+    if bits * n > 63:
+        # bit 63 is the bigint sign bit: an interleaved bit landing there
+        # makes keys negative, which range-partition/sorts BEFORE all
+        # positive keys — silently wrong clustering. Fail loudly instead.
+        raise ValueError(
+            f"zorder_value: bits*len(cols) = {bits}*{n} = {bits * n} exceeds 63 "
+            f"(bigint sign bit); lower bits to at most {63 // n} for {n} columns"
+        )
+    z = F.lit(0).cast("bigint")
     mask = (1 << bits) - 1
     for d, c in enumerate(cols):
         v = F.col(c).cast("bigint").bitwiseAND(F.lit(mask))

@@ -5969,6 +5969,7 @@ WITH s AS (
                     AS BIGINT)::DOUBLE + 1.0) / 1152921504606846976.0)
            / n_chars::DOUBLE * 1000000000.0) AS BIGINT) AS score_nano
   FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
 )
 SELECT doc_id, source, n_chars, score_nano
 FROM s ORDER BY score_nano DESC, doc_id ASC LIMIT 20

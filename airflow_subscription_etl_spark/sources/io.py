@@ -41,7 +41,15 @@ def read_user_subscriptions(spark: SparkSession, path: str) -> DataFrame:
     return read_json_table(spark, path, USER_SUBSCRIPTIONS_SCHEMA)
 
 
-def write_json_table(df: DataFrame, path: str) -> list[dict]:
+#: write_json_table refuses tables beyond this many rows — the sink
+#: materializes on the driver BY DESIGN (reference byte-parity for
+#: catalog-sized JSON files) and must never be pointed at a fact table.
+JSON_SINK_MAX_ROWS = 100_000
+
+
+def write_json_table(
+    df: DataFrame, path: str, max_rows: int = JSON_SINK_MAX_ROWS
+) -> list[dict]:
     """S2: full-file overwrite sink (subscription_flow.py:32–34).
 
     The reference overwrites one JSON-array file in place. Spark's JSON
@@ -61,7 +69,19 @@ def write_json_table(df: DataFrame, path: str) -> list[dict]:
     results from this return value, not from DataFrames built over the
     old file: Spark plans are lazy and re-read the (now mutated) source
     on every later action — the read-overwrite-reread trap.
+
+    Raises ``ValueError`` if the table exceeds ``max_rows`` (cheap
+    ``limit(max_rows+1).count()`` probe — never materializes the
+    overage): this sink is driver-materializing by design and the guard
+    keeps it from being silently pointed at a fact table. Use
+    :func:`write_parquet_table` for anything big.
     """
+    overflow = df.limit(max_rows + 1).count()
+    if overflow > max_rows:
+        raise ValueError(
+            f"write_json_table is a driver-materializing catalog sink; "
+            f"table has > {max_rows} rows — use write_parquet_table"
+        )
     rows = [
         {k: v for k, v in row.asDict().items() if v is not None}
         for row in df.collect()
