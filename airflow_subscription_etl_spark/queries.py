@@ -26,6 +26,7 @@ Engine-portability rules used throughout (so value-hashes match):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2964,6 +2965,67 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").cast("bigint").alias("width"),
         F.col("meta.height").cast("bigint").alias("height"),
     )
+
+
+_MM_RESIZE_ORACLE_CACHE: dict[str, str | None] = {}
+
+
+def _sql_mm_resize() -> str | None:
+    """Reference oracle for ``mm_resize``: the resize math is
+    deterministic but not SQL-expressible, so the oracle is a
+    driver-side reference implementation — plain pyarrow + numpy over
+    the fixture parquet, NO Spark — whose expected digests are emitted
+    as a ``VALUES`` table for DuckDB. What the comparison then pins is
+    that the distributed execution path (mapInPandas batching, Arrow
+    round-trip of binary payloads and struct meta, partition-parallel
+    workers) reproduces the single-threaded reference bytes exactly.
+
+    The fixture scale must match where the gate runs (the driver checks
+    at sf0.01); override with ``SPARK_GRAFT_ORACLE_SF_DIR`` for local
+    sweeps at other scales. Returns None (rows-only fallback) if the
+    fixture is unreadable.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir in _MM_RESIZE_ORACLE_CACHE:
+        return _MM_RESIZE_ORACLE_CACHE[sf_dir]
+    sql: str | None
+    try:
+        import hashlib  # noqa: PLC0415
+
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        from .operators.multimodal import (  # noqa: PLC0415
+            _fake_raster_decode,
+            _pool_resize,
+        )
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        ).to_pydict()
+        rows = []
+        for doc_id, text, n_chars in zip(t["doc_id"], t["text"], t["n_chars"]):
+            if doc_id % 3 != 0:  # _media_df: doc_id%3==0 → kind 'image'
+                continue
+            payload = (text or "").encode("utf-8")
+            src_w, src_h = n_chars % 640 + 16, n_chars % 480 + 16
+            img = _fake_raster_decode(payload, src_w, src_h)
+            out = _pool_resize(img, 16, 16)
+            md5 = hashlib.md5(out.tobytes()).hexdigest()
+            rows.append(f"({int(doc_id)},'{md5}',{out.size},16,16)")
+        if not rows:
+            sql = None
+        else:
+            sql = (
+                "SELECT CAST(c0 AS BIGINT) AS media_id, c1 AS resized_md5, "
+                "CAST(c2 AS BIGINT) AS n_bytes, CAST(c3 AS BIGINT) AS width, "
+                "CAST(c4 AS BIGINT) AS height FROM (VALUES "
+                + ",".join(rows)
+                + ") AS t(c0, c1, c2, c3, c4)"
+            )
+    except Exception:  # noqa: BLE001 — unreadable fixture → rows-only
+        sql = None
+    _MM_RESIZE_ORACLE_CACHE[sf_dir] = sql
+    return sql
 
 
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6461,7 +6523,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot_nation_metrics": (q_unpivot_nation_metrics, SQL_UNPIVOT),
     "date_functions": (q_date_functions, SQL_DATE_FUNCTIONS),
     "scd2_customer_orders": (q_scd2_customer_orders, SQL_SCD2),
-    "mm_resize": (q_mm_resize, None),
+    "mm_resize": (q_mm_resize, _sql_mm_resize),
     # -- tier 2b: new in round 2 (locally verified; first driver row
     #    lands when they rotate into the window next round) --
     "doc_repetition_signals": (q_doc_repetition_signals, SQL_DOC_REPETITION),
@@ -6576,71 +6638,46 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Round-3 verification priority (the driver checks only the first ~50
-#: entries of queries() per round). Tier 1: errored in round 2 (the
-#: TIMESTAMP_NTZ testdata regeneration, fixed in sources/io.py) — need a
-#: fresh green row. Tier 2: registered in round 2, never driver-checked.
-#: Everything else follows in REGISTRY order (all green in r1/r2).
-#: Re-tier each round.
-_PRIORITY_R3 = [
-    # tier 0 — new this round, never checked
-    "ev_multi_touch",
-    "cdc_orders_diff",
-    "graph_triangles",
-    "doc_char_entropy",
-    "ev_mad_outliers",
-    "pareto_customers",
-    "price_histogram",
-    "ev_variant_props",
-    "doc_term_vectors",
-    "zorder_key",
-    "sql_recursive_months",
-    "sql_pipe_returns",
-    "collated_distinct_words",
-    "doc_feature_hashing",
-    "doc_tfidf_topk",
-    "part_fuzzy_pairs",
-    "window_suite",
-    "emb_matryoshka_topk",
-    "doc_mixture_sample",
-    # tier 1 — fixed this round
-    "ev_sessionize",
-    "ev_asof_join",
-    "ev_attribution_join",
-    "ev_funnel",
-    "ev_window_frames",
-    # tier 2 — no CORRECTNESS row from any prior round
+#: Round-4 verification priority (the driver checks only the first ~50
+#: entries of queries() per round). Tier 0: the 17 queries registered
+#: late in round 3 that have never had a driver CORRECTNESS row. Tier
+#: 1: mm_resize — newly oracled this round (driver-side numpy reference
+#: → VALUES digest table; was the only non-green r3 row). Tier 2:
+#: queries whose implementation changed since their last green row
+#: (round-4 exactness/rounding fixes + the round-3 reworks that landed
+#: on round-1 greens). Everything else follows in REGISTRY order (all
+#: green in r1–r3). Re-tier each round.
+_PRIORITY_R4 = [
+    # tier 0 — registered r3 past the 50-query cap, never driver-checked
+    "doc_pmi_collocations",
+    "ev_session_transitions",
+    "emb_dim_stats",
+    "doc_simhash_portable",
+    "emb_ivf_portable",
+    "ev_attribution_left",
+    "dq_expectations",
+    "source_vocab_overlap",
+    "doc_weighted_reservoir",
+    "cogroup_reconcile",
+    "mm_arrow_bytes",
+    "source_length_stats",
+    "price_histogram_equidepth",
+    "basket_type_lift",
+    "supplier_nation_share",
+    "grouping_sets_revenue",
+    "ansi_try_math",
+    # tier 1 — newly oracled this round (was no_oracle r1–r3)
     "mm_resize",
-    "doc_repetition_signals",
-    "doc_span_dedup",
-    "doc_contamination",
-    "doc_bigram_lm",
-    "doc_bm25_topk",
-    "emb_kmeans",
-    "graph_pagerank",
-    "ev_resample_hourly",
-    "ev_retention_cohorts",
-    "doc_curation_pipeline",
-    "quantile_sketch_by_priority",
-    "sql_segment_revenue",
-    "ev_interval_join_binned",
-    "neg_sampling",
-    "doc_minhash_portable",
-    "doc_pack_sequences",
-    "doc_chunk_windows",
-    "doc_bpe_token_stats",
-    "mm_audio_windows",
-    "salted_supplier_volume",
-    "salted_join_segments",
-    "doc_cms_heavy_hitters",
-    "emb_semantic_dedup",
-    "incremental_order_stats",
-    "bloom_pruned_join",
+    # tier 2 — implementation changed since last green row
+    "doc_mixture_sample",  # r4: HALF_UP weight quantization
+    "pareto_customers",  # r4: bigint prefix-sum offsets
+    "q2_min_cost_supplier",  # r3 rework on an r1 green
+    "doc_cc_islands",  # r3 rework on an r1 green
 ]
 
 
 def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: REGISTRY[name] for name in _PRIORITY_R3 if name in REGISTRY}
+    out = {name: REGISTRY[name] for name in _PRIORITY_R4 if name in REGISTRY}
     out.update({name: v for name, v in REGISTRY.items() if name not in out})
     return out
 
@@ -6650,6 +6687,14 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        name: sql for name, (_, sql) in _ordered_registry().items() if sql is not None
-    }
+    """Oracle SQL per query. Entries may register either a literal SQL
+    string or a zero-arg callable returning one (reference oracles
+    computed from the fixture at call time, e.g. mm_resize's digest
+    table); a callable returning None degrades to rows-only."""
+    out: dict[str, str] = {}
+    for name, (_, sql) in _ordered_registry().items():
+        if callable(sql):
+            sql = sql()
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -36,13 +36,13 @@ def test_entry_returns_dataframe(spark):
 
 
 def test_priority_list_names_all_registered():
-    """_PRIORITY_R3 silently skips unknown names (by design, so a
+    """The priority list silently skips unknown names (by design, so a
     removed query can't break import) — this test makes a typo loud."""
-    from airflow_subscription_etl_spark.queries import _PRIORITY_R3, REGISTRY
+    from airflow_subscription_etl_spark.queries import _PRIORITY_R4, REGISTRY
 
-    missing = [n for n in _PRIORITY_R3 if n not in REGISTRY]
+    missing = [n for n in _PRIORITY_R4 if n not in REGISTRY]
     assert not missing, missing
-    assert len(set(_PRIORITY_R3)) == len(_PRIORITY_R3), "duplicates"
+    assert len(set(_PRIORITY_R4)) == len(_PRIORITY_R4), "duplicates"
 
 
 def test_ordered_registry_preserves_full_surface():

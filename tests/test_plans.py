@@ -165,3 +165,23 @@ def test_join_strategy_hints_control_physical_plan(spark):
         orders["o_custkey"] == customer["c_custkey"],
     )
     assert "SortMergeJoin" in plan_of(sm)
+
+
+def test_plan_lint_whole_registry(spark):
+    """Scale-hygiene lint over ALL registered queries, not just the
+    bench headline: no single-partition windows, no cartesian products,
+    no filter-over-scan without pushdown (tools/plan_lint.py). One test
+    so a regression names every offending query at once."""
+    from tools.plan_lint import EXEMPT, lint_plan, render_plan
+
+    flagged: dict[str, dict[str, str]] = {}
+    for name, (fn, _) in REGISTRY.items():
+        plan = render_plan(fn(spark, SF))
+        live = {
+            k: v
+            for k, v in lint_plan(plan).items()
+            if k not in EXEMPT.get(name, {})
+        }
+        if live:
+            flagged[name] = live
+    assert not flagged, flagged

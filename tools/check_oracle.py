@@ -82,6 +82,8 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # fixture-computed reference oracles must target the SAME scale
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = driver_like_session()
     con = duckdb.connect()
     for t in STAR_TABLES:
@@ -90,6 +92,8 @@ def main() -> int:
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
             continue
+        if callable(sql):  # fixture-computed reference oracle
+            sql = sql()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()

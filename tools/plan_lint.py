@@ -72,7 +72,9 @@ def main() -> None:
     from airflow_subscription_etl_spark.queries import REGISTRY
 
     names = sys.argv[1:]
-    if not names:
+    if names == ["--all"]:
+        names = list(REGISTRY)
+    elif not names:
         import bench  # noqa: PLC0415
 
         names = bench.HEADLINE
