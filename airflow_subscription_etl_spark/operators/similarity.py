@@ -774,3 +774,173 @@ def standardize_embeddings(
             / F.element_at(stds, i + 1),
         ),
     )
+
+
+# --- product quantization (IVF-PQ's compression half) ------------------------
+
+
+def _d2_micro(a: Column, b: Column) -> Column:
+    """Σ_d round((a_d − b_d)²·1e6) as bigint over two array<double>
+    columns — the order-free integer-micro distance convention shared
+    with :mod:`.clustering` (per-term rounding makes the sum exact, so
+    Spark and any SQL oracle agree bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.round((x - y) * (x - y) * F.lit(1_000_000.0)).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(
+    df: DataFrame,
+    dims: int,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook as a one-row broadcastable frame
+    ``_cb: array<array<array<double>>>`` indexed ``[sub][code][dim]``.
+
+    Codewords are the subvectors of a deterministic sample: the
+    ``n_codes`` vectors with the smallest ``(md5(id), id)`` — the
+    standard "sample as k-means init" codebook, chosen hash-uniformly
+    in one pass (md5 rather than xxhash64 so the whole operator is
+    reproducible in any engine — same portability trade as the
+    ``*_portable`` dedup twins). ``code_id`` is the rank in that
+    order, so the codebook is identical across runs, partition counts
+    and engines.
+
+    At 100 TB the codebook is KBs (m·n_codes·d_sub doubles): built
+    once from a metadata-scale sample, broadcast everywhere, exactly
+    like k-means centroids (clustering.py::assign_clusters's
+    matrix-as-data note applies verbatim — one broadcast, byte-stable
+    plan, no literal blow-up)."""
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    ordk = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(*ordk)
+        .limit(n_codes)
+        .withColumn("code_id", F.row_number().over(Window.orderBy(*ordk)) - 1)
+    )
+    subs = sample.select(
+        "code_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(F.col(vec_col), j * dsub + 1, dsub).cast(
+                    "array<double>"
+                ),
+            )
+        ).alias("sub_id", "codeword"),
+    )
+    return (
+        subs.groupBy("sub_id")
+        .agg(F.array_sort(F.collect_list(F.struct("code_id", "codeword"))).alias("cs"))
+        .select("sub_id", F.transform("cs", lambda s: s["codeword"]).alias("codes"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "codes"))).alias("ss"))
+        .select(F.transform("ss", lambda s: s["codes"]).alias("_cb"))
+    )
+
+
+def _pq_best(vec_col: str, j: int, dsub: int) -> Column:
+    """struct(d, c) of the nearest codeword to subvector ``j`` —
+    ``array_min`` over (distance, code) structs: lexicographic, so
+    ties break to the lowest code id."""
+    vs = F.slice(F.col(vec_col), j * dsub + 1, dsub).cast("array<double>")
+    return F.array_min(
+        F.transform(
+            F.col("_cb")[j],
+            lambda cw, c: F.struct(
+                _d2_micro(vs, cw).alias("d"), c.cast("int").alias("c")
+            ),
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    dims: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` one-byte-ish codes: map-only
+    (broadcast codebook, no shuffle, no Python). Returns
+    ``(id, pq_codes)`` with codes as a comma-joined string (hashable /
+    engine-portable; split on ',' to recover ints).
+
+    This is the compression half of IVF-PQ: at 100 TB the encoded
+    table is ~m bytes/vector instead of 4·d — a 64× narrower payload
+    for any downstream shuffle or index write."""
+    dsub = dims // m
+    enc = df.crossJoin(F.broadcast(codebook))
+    return enc.select(
+        F.col(id_col),
+        F.concat_ws(
+            ",", *[_pq_best(vec_col, j, dsub)["c"].cast("string") for j in range(m)]
+        ).alias("pq_codes"),
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): encode on the fly, score
+    each vector as Σ_j lut[j][code_j] where the lut holds exact
+    query-to-codeword distances, take the k smallest.
+
+    The whole pipeline is ONE map-only pass over the corpus (broadcast
+    codebook; encode + lut lookup fused into the same projection) plus
+    a global TakeOrdered(k) — there is no per-query shuffle at all,
+    which is the reason PQ scans survive 100 TB: the scan reads m
+    codes per vector instead of d floats, and the only reduction is a
+    k-row top-k. Distances are integer micros end-to-end (order-free,
+    engine-exact). Returns ``(id, pq_codes, approx_d2_micro)``
+    ascending; ties break on id."""
+    dims = len(query_vec)
+    dsub = dims // m
+    cb = pq_codebook(df, dims, m, n_codes, id_col, vec_col)
+    enc = df.crossJoin(F.broadcast(cb))
+    code_cols = []
+    qd_cols = []
+    for j in range(m):
+        best = _pq_best(vec_col, j, dsub)
+        qs = F.array(
+            *[F.lit(float(x)) for x in query_vec[j * dsub : (j + 1) * dsub]]
+        )
+        code_cols.append(best["c"])
+        qd_cols.append(
+            _d2_micro(qs, F.element_at(F.col("_cb")[j], best["c"] + 1))
+        )
+    approx = qd_cols[0]
+    for qd in qd_cols[1:]:
+        approx = approx + qd
+    return (
+        enc.select(
+            F.col(id_col),
+            F.concat_ws(",", *[c.cast("string") for c in code_cols]).alias(
+                "pq_codes"
+            ),
+            approx.alias("approx_d2_micro"),
+        )
+        .orderBy(F.col("approx_d2_micro").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

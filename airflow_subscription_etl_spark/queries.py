@@ -5529,6 +5529,71 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (similarity.py::pq_topk):
+    4 subspaces × 16 sampled codewords, integer-micro asymmetric
+    distances. One map-only pass (broadcast codebook; encode + lut
+    fused) + TakeOrdered(10) — the memory-bounded ANN tier below IVF.
+    Deterministic md5-sampled codebook → fully oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.pq_topk(emb, qv, k=10, m=4, n_codes=16)
+
+
+SQL_EMB_PQ_TOPK = """
+WITH ord AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS code_id
+  FROM embeddings
+), sample AS (
+  SELECT * FROM ord WHERE code_id < 16
+), cw AS (
+  SELECT code_id, CAST(j AS INT) AS sub_id,
+         list_transform(list_slice(embedding, j*16 + 1, j*16 + 16),
+                        x -> CAST(x AS DOUBLE)) AS codeword
+  FROM sample, unnest(range(0, 4)) AS t(j)
+), q AS (
+  SELECT embedding AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+), vsub AS (
+  SELECT vec_id, CAST(j AS INT) AS sub_id,
+         list_transform(list_slice(embedding, j*16 + 1, j*16 + 16),
+                        x -> CAST(x AS DOUBLE)) AS vs
+  FROM embeddings, unnest(range(0, 4)) AS t(j)
+), dist AS (
+  SELECT v.vec_id, v.sub_id, c.code_id,
+         CAST(list_sum(list_transform(range(1, 17),
+           i -> CAST(round((v.vs[i] - c.codeword[i])
+                         * (v.vs[i] - c.codeword[i]) * 1000000) AS BIGINT)))
+           AS BIGINT) AS d2
+  FROM vsub v JOIN cw c USING (sub_id)
+), enc AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT vec_id, sub_id, code_id,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d2, code_id) AS rn
+    FROM dist) WHERE rn = 1
+), lut AS (
+  SELECT c.sub_id, c.code_id,
+         CAST(list_sum(list_transform(range(1, 17),
+           i -> CAST(round((CAST(q.qv[c.sub_id*16 + i] AS DOUBLE) - c.codeword[i])
+                         * (CAST(q.qv[c.sub_id*16 + i] AS DOUBLE) - c.codeword[i])
+                         * 1000000) AS BIGINT))) AS BIGINT) AS qd
+  FROM cw c, q
+), scored AS (
+  SELECT e.vec_id,
+         string_agg(CAST(e.code_id AS VARCHAR), ',' ORDER BY e.sub_id)
+           AS pq_codes,
+         CAST(SUM(l.qd) AS BIGINT) AS approx_d2_micro
+  FROM enc e JOIN lut l USING (sub_id, code_id)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, pq_codes, approx_d2_micro
+FROM scored ORDER BY approx_d2_micro, vec_id LIMIT 10
+"""
+
+
 def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted corpus mixing (sampling.py::mixture_sample,
     α=0.5, target = half the corpus): per-source keep-rates ∝ √count —
@@ -6614,6 +6679,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "part_fuzzy_pairs": (q_part_fuzzy_pairs, SQL_PART_FUZZY_PAIRS),
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
     "emb_matryoshka_topk": (q_emb_matryoshka_topk, SQL_EMB_MATRYOSHKA),
+    "emb_pq_topk": (q_emb_pq_topk, SQL_EMB_PQ_TOPK),
     "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
