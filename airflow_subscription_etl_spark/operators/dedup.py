@@ -692,3 +692,47 @@ def contamination_check(
             "contaminated", (F.col("contam_frac") >= F.lit(frac_threshold))
         )
     )
+
+
+# --- survivor selection (the "keep which copy?" half of dedup) ---------------
+
+
+def survivor_selection(
+    members: DataFrame,
+    scores: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Canonical-representative choice per duplicate cluster: keep the
+    highest-``score_col`` member (ties → lowest id), summarize the rest.
+
+    Dedup pipelines end here — clustering says *what* is duplicated,
+    survivorship decides *which copy ships* (quality-ranked, not
+    "lowest id wins"). Input: ``members (id, cluster)`` — singletons
+    included, self-clustered — and a ``(id, score)`` table.
+
+    One join on ``id`` + one ``cluster``-keyed window: the shuffle
+    carries (id, cluster, score) — never text — and cluster sizes are
+    near-dup groups (small by construction), so the per-key window
+    state is bounded. Returns one row per cluster:
+    ``(cluster_id, keep_doc_id, keep_score, n_members,
+    dropped_checksum)`` with the checksum = Σ dropped ids (a portable
+    membership fingerprint that needs no array column).
+    """
+    j = members.join(scores, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .groupBy(cluster_col)
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col(id_col))).alias("keep_doc_id"),
+            F.min(F.when(F.col("_rn") == 1, F.col(score_col))).alias("keep_score"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.sum(id_col) - F.min(F.when(F.col("_rn") == 1, F.col(id_col)))).alias(
+                "dropped_checksum"
+            ),
+        )
+    )

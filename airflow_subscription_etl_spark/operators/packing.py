@@ -126,3 +126,59 @@ def chunk_documents(
             F.lit(chunk_size), F.col("_n") - F.col("chunk_idx") * stride
         ).alias("chunk_tokens"),
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-grouped batch assembly: group docs of similar token
+    length so fixed-size training batches pad to the batch max, not the
+    corpus max — the standard padding-waste optimization for
+    variable-length batches (dynamic batching / bucketed batching).
+
+    - bucket = ceil(log2(n_tokens)) via the INTEGER formula
+      ``length(bin(n-1))`` — no float log, so engines can't disagree
+      at exact powers of two;
+    - shard = content-hashed within bucket (same determinism story as
+      :func:`pack_sequences`: layout-independent, retry-safe);
+    - batches fill in (n_tokens desc, id) order within (bucket, shard)
+      so each batch's max is as tight as possible.
+
+    One map stage + one (bucket, shard)-keyed window + the per-batch
+    aggregation that REUSES the window's partitioning (no second
+    shuffle). Per-batch stats quantify the win: ``pad_frac`` is the
+    fraction of the batch tensor that is padding. Returns
+    ``(bucket, shard, batch_id, n_docs, max_tokens, sum_tokens,
+    pad_frac)``.
+    """
+    t = with_token_count(df.select(id_col, text_col), text_col).drop(text_col)
+    t = t.withColumn(
+        "bucket",
+        F.when(F.col("n_tokens") <= 1, F.lit(0)).otherwise(
+            F.length(F.bin(F.col("n_tokens") - 1))
+        ).cast("int"),
+    ).withColumn("shard", hash_bucket(F.col(id_col), n_shards))
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col).asc()
+    )
+    t = t.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "batch_id", F.expr(f"(_rn - 1) div {int(batch_size)}")
+    )
+    return (
+        t.groupBy("bucket", "shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.lit(1.0)
+            - F.col("sum_tokens")
+            / (F.col("max_tokens") * F.col("n_docs")).cast("double"),
+        )
+    )

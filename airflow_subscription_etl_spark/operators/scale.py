@@ -342,3 +342,83 @@ def zorder_repartition(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_n: int = 5
+) -> DataFrame:
+    """Shuffle-planning diagnostic: per-key frequency profile of a
+    prospective join/agg key, with a salting recommendation.
+
+    The pre-flight check you run BEFORE keying a 100 TB shuffle:
+    ``skew_factor`` = heaviest key's count ÷ mean count (1.0 = uniform)
+    and ``rec_salt`` = ⌈max·n_keys/total⌉ — the salt fan-out that
+    brings the heaviest key's per-task share down to roughly the mean
+    (the factor :func:`salted_join`/:func:`salted_distribution_agg`
+    take as input). Integer arithmetic end-to-end except the two
+    ratio columns.
+
+    One count-shuffle (map-side combined) + a 3-number global agg +
+    a ``top_n``-row TakeOrdered: output is O(top_n), never O(keys).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    glob = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col(key_col).asc()).limit(top_n)
+    return top.crossJoin(F.broadcast(glob)).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.col("cnt") / F.col("total")).alias("share"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        (
+            F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("total")
+        ).alias("skew_factor"),
+        F.expr("(max_cnt * n_keys + total - 1) div total")
+        .cast("bigint")
+        .alias("rec_salt"),
+    )
+
+
+def compaction_plan(
+    stats: DataFrame,
+    target_bytes: int,
+    key_col: str = "file_key",
+    size_col: str = "bytes",
+) -> DataFrame:
+    """Small-files compaction planner: assign each input file to an
+    output file of ~``target_bytes`` by contiguous bin-packing in
+    ``key_col`` order.
+
+    Input is FILE METADATA (one row per file — what a listing or
+    transaction log provides), never data: at 100 TB with 128 MB
+    files that is ~800k rows, trivially shuffled. Key-order
+    contiguity is deliberate — compaction must not destroy the sort/
+    partition locality the layout already paid for, so files merge
+    only with their key-range neighbors (the same policy as
+    bin-packing OPTIMIZE in table formats). The running sum reuses
+    :func:`distributed_prefix_sum` — no single-partition window even
+    on metadata. Concat-and-split semantics: a file larger than
+    ``target_bytes`` starts in its bin and overflows into the next
+    (``out_offset`` = its start position within the bin stream).
+
+    Returns ``(key, bytes, out_file, out_offset)``.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    cum = distributed_prefix_sum(
+        stats.select(F.col(key_col), F.col(size_col)),
+        [F.col(key_col).asc()],
+        size_col,
+    )
+    start = (F.col("cum") - F.col(size_col)).cast("bigint")
+    return cum.select(
+        F.col(key_col),
+        F.col(size_col),
+        F.expr(f"cast(cum - {size_col} as bigint) div {int(target_bytes)}").alias(
+            "out_file"
+        ),
+        (start % target_bytes).alias("out_offset"),
+    )

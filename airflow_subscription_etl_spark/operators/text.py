@@ -606,3 +606,30 @@ def tfidf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def collapse_token_runs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition cleanup: collapse each run of
+    consecutive identical tokens to one occurrence ("go go go stop" →
+    "go stop") — the surgical companion to the Gopher-style
+    repetition SIGNALS (:func:`repetition_signals` measures, this
+    repairs). Web/OCR corpora are full of stutter artifacts; dropping
+    whole documents over them throws away good text.
+
+    Pure per-row higher-order functions (filter with the (element,
+    index) lambda comparing ``t[i]`` to ``t[i-1]``) — map-only, zero
+    shuffle, whole-stage codegen; no Python. Returns
+    ``(id, clean_text, n_tokens, n_removed)``.
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        t, lambda x, i: (i == 0) | (x != F.element_at(t, i))
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        (F.size(t) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

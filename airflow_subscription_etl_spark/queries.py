@@ -2568,6 +2568,94 @@ FROM comp GROUP BY 1
 """
 
 
+def q_doc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivor selection (dedup.py::survivor_selection):
+    the near-dup components from the exact-Jaccard graph choose their
+    shipping copy by HIGHEST quality score (ties → lowest id), not
+    "min id wins" — the decision step that turns a duplicate-cluster
+    report into a curated corpus. Singleton docs self-cluster, so every
+    doc is accounted for: Σ n_members = |documents|."""
+    from .operators.dedup import exact_jaccard_pairs, survivor_selection  # noqa: PLC0415
+    from .operators.graph import connected_components  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, threshold=0.4)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    members = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id")
+    )
+    scores = text.with_quality_score(docs).select("doc_id", "quality_score")
+    return survivor_selection(members, scores)
+
+
+SQL_DOC_KEEP_BEST = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS sh
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS w
+    FROM documents
+  )
+), ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh
+), prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT id_a, id_b FROM prs
+  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.4
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(node, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.node
+), comp AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+), members AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), qb AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              x -> lower(x) IN ('the','and','of','to','is'))) AS DOUBLE) AS stop_hits
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+         0.4 * least(n / 500.0, 1.0)
+           + 0.3 * (1.0 - CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END)
+           + 0.2 * (1.0 - CASE WHEN n > 0 THEN n_upper / n ELSE 0.0 END)
+           + 0.1 * (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END)
+           AS quality_score
+  FROM qb
+), ranked AS (
+  SELECT m.cluster_id, m.doc_id, s.quality_score,
+         row_number() OVER (PARTITION BY m.cluster_id
+                            ORDER BY s.quality_score DESC, m.doc_id ASC) AS rn
+  FROM members m JOIN scores s USING (doc_id)
+)
+SELECT cluster_id,
+       MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       MIN(CASE WHEN rn = 1 THEN quality_score END) AS keep_score,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(doc_id) - MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+         AS dropped_checksum
+FROM ranked GROUP BY 1
+"""
+
+
 def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-k: explode whitespace tokens, count, keep
     the 50 most frequent (count desc, token asc tiebreak). The classic
@@ -5594,6 +5682,134 @@ FROM scored ORDER BY approx_d2_micro, vec_id LIMIT 10
 """
 
 
+def q_doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch assembly (packing.py::length_bucketed_batches,
+    batch_size=8): pow2 token-length buckets × content-hash shards,
+    batches filled longest-first, per-batch padding-waste stats. The
+    dynamic-batching prep step that keeps training tensors dense."""
+    from .operators.packing import length_bucketed_batches  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_bucketed_batches(docs, batch_size=8, n_shards=8)
+
+
+SQL_DOC_LENGTH_BATCHES = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 8 AS shard
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(CASE WHEN n_tokens <= 1 THEN 0
+                   ELSE length(bin(n_tokens - 1)) END AS INT) AS bucket
+  FROM t
+), r AS (
+  SELECT bucket, shard, n_tokens,
+         (row_number() OVER (PARTITION BY bucket, shard
+                             ORDER BY n_tokens DESC, doc_id ASC) - 1) // 8
+           AS batch_id
+  FROM b
+)
+SELECT bucket, shard, batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+           / CAST(MAX(n_tokens) * COUNT(*) AS DOUBLE) AS pad_frac
+FROM r GROUP BY 1, 2, 3
+"""
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning skew diagnostic (scale.py::key_skew_report) on
+    the events join key ``user_id``: top-5 heaviest keys, their corpus
+    share, the max/mean skew factor and the derived salt fan-out that
+    salted_join would take. The pre-flight audit for any 100 TB
+    shuffle."""
+    from .operators.scale import key_skew_report  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_n=5)
+
+
+SQL_KEY_SKEW_REPORT = """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM c
+)
+SELECT c.key, CAST(c.cnt AS BIGINT) AS cnt,
+       CAST(c.cnt AS DOUBLE) / g.total AS share,
+       g.n_keys,
+       CAST(g.max_cnt AS DOUBLE) * g.n_keys / g.total AS skew_factor,
+       CAST((g.max_cnt * g.n_keys + g.total - 1) // g.total AS BIGINT)
+         AS rec_salt
+FROM c, g ORDER BY cnt DESC, key ASC LIMIT 5
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (scale.py::compaction_plan):
+    per-source byte stats (the file-listing stand-in) bin-packed into
+    ~20 KB output files in key order — locality-preserving OPTIMIZE.
+    The prefix sum under it is the distributed formulation (no
+    single-partition window even on metadata)."""
+    from .operators.scale import compaction_plan  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.sum("n_chars").alias("bytes"))
+    return compaction_plan(stats, target_bytes=20_000, key_col="source")
+
+
+SQL_COMPACTION_PLAN = """
+WITH s AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1
+), c AS (
+  SELECT source, bytes,
+         SUM(bytes) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT source, bytes,
+       CAST((cum - bytes) // 20000 AS BIGINT) AS out_file,
+       CAST((cum - bytes) % 20000 AS BIGINT) AS out_offset
+FROM c
+"""
+
+
+def q_doc_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition repair (text.py::collapse_token_runs):
+    consecutive-duplicate token runs collapse to one occurrence —
+    cleanup, not rejection, for stutter artifacts. Map-only HOFs."""
+    from .operators.text import collapse_token_runs  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return collapse_token_runs(docs)
+
+
+SQL_DOC_COLLAPSE_RUNS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+), k AS (
+  SELECT doc_id, w,
+         list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]) AS kept
+  FROM t
+)
+SELECT doc_id,
+       array_to_string(kept, ' ') AS clean_text,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_removed
+FROM k
+"""
+
+
 def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted corpus mixing (sampling.py::mixture_sample,
     α=0.5, target = half the corpus): per-source keep-rates ∝ √count —
@@ -6680,6 +6896,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
     "emb_matryoshka_topk": (q_emb_matryoshka_topk, SQL_EMB_MATRYOSHKA),
     "emb_pq_topk": (q_emb_pq_topk, SQL_EMB_PQ_TOPK),
+    "doc_keep_best": (q_doc_keep_best, SQL_DOC_KEEP_BEST),
+    "doc_length_batches": (q_doc_length_batches, SQL_DOC_LENGTH_BATCHES),
+    "key_skew_report": (q_key_skew_report, SQL_KEY_SKEW_REPORT),
+    "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
+    "doc_collapse_runs": (q_doc_collapse_runs, SQL_DOC_COLLAPSE_RUNS),
     "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
@@ -6734,6 +6955,14 @@ _PRIORITY_R4 = [
     "ansi_try_math",
     # tier 1 — newly oracled this round (was no_oracle r1–r3)
     "mm_resize",
+    # tier 1b — new round-4 operators (PQ retrieval, survivorship,
+    # batch assembly, skew diagnostics, compaction planning)
+    "emb_pq_topk",
+    "doc_keep_best",
+    "doc_length_batches",
+    "key_skew_report",
+    "compaction_plan",
+    "doc_collapse_runs",
     # tier 2 — implementation changed since last green row
     "doc_mixture_sample",  # r4: HALF_UP weight quantization
     "pareto_customers",  # r4: bigint prefix-sum offsets

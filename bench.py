@@ -79,6 +79,14 @@ HEADLINE = [
     # the r1 baseline's cost class)
     "emb_matryoshka_topk",
     "doc_tfidf_topk",
+    # round-4 additions: PQ retrieval, survivorship dedup, batch
+    # assembly, shuffle diagnostics, layout planning
+    "emb_pq_topk",
+    "doc_keep_best",
+    "doc_length_batches",
+    "key_skew_report",
+    "compaction_plan",
+    "doc_collapse_runs",
 ]
 
 

@@ -1,0 +1,184 @@
+"""Round-4 operators: survivor selection, length-bucketed batching,
+skew diagnostics, compaction planning — plus a partition-count
+independence sweep over the layout-sensitive queries."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_subscription_etl_spark.operators.dedup import survivor_selection
+from airflow_subscription_etl_spark.operators.packing import (
+    length_bucketed_batches,
+)
+from airflow_subscription_etl_spark.operators.scale import (
+    compaction_plan,
+    key_skew_report,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- survivor selection ------------------------------------------------------
+
+
+def test_survivor_selection_picks_best_and_breaks_ties_low_id(spark):
+    members = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50), (6, 50)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.7), (6, 0.7)],
+        "doc_id bigint, quality_score double",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in survivor_selection(members, scores).collect()
+    }
+    assert out[10]["keep_doc_id"] == 2  # 0.9 tie between 2,3 -> lower id
+    assert out[10]["n_members"] == 3
+    assert out[10]["dropped_checksum"] == 1 + 3
+    assert out[40]["keep_doc_id"] == 4 and out[40]["n_members"] == 1
+    assert out[40]["dropped_checksum"] == 0
+    assert out[50]["keep_doc_id"] == 5  # tie -> lower id
+    assert out[50]["keep_score"] == 0.7
+
+
+# --- length-bucketed batching ------------------------------------------------
+
+
+def test_length_batches_bucket_formula_and_fill(spark):
+    # token counts: 1 -> bucket 0; 2 -> 1; 3,4 -> 2; 5..8 -> 3
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 2, 3, 4, 5, 8])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = length_bucketed_batches(df, batch_size=2, n_shards=1).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    # bucket 2 holds docs of 3 and 4 tokens in ONE batch of 2
+    (b2,) = by_bucket[2]
+    assert b2["n_docs"] == 2 and b2["max_tokens"] == 4 and b2["sum_tokens"] == 7
+    assert b2["pad_frac"] == pytest.approx(1.0 - 7 / 8)
+    # total docs conserved
+    assert sum(r["n_docs"] for r in out) == 6
+
+
+def test_length_batches_total_and_padding_bound(spark):
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    docs = read_star_table(spark, SF, "documents")
+    out = length_bucketed_batches(docs, batch_size=8, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    # pow2 bucketing bounds padding: max <= 2*min within a bucket, so
+    # even a pathological batch pads < 50%
+    for r in out:
+        assert 0.0 <= r["pad_frac"] < 0.5
+        assert r["n_docs"] <= 8
+
+
+# --- intra-doc repetition repair --------------------------------------------
+
+
+def test_collapse_token_runs(spark):
+    from airflow_subscription_etl_spark.operators.text import (
+        collapse_token_runs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "go go go stop go"), (2, "a b c"), (3, "x x x x")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in collapse_token_runs(df).collect()}
+    assert out[1]["clean_text"] == "go stop go" and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "a b c" and out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "x" and out[3]["n_removed"] == 3
+    assert all(r["n_tokens"] - r["n_removed"] >= 1 for r in out.values())
+
+
+def test_collapse_token_runs_idempotent(spark):
+    from airflow_subscription_etl_spark.operators.text import (
+        collapse_token_runs,
+    )
+    from airflow_subscription_etl_spark.sources.io import read_star_table
+
+    docs = read_star_table(spark, SF, "documents")
+    once = collapse_token_runs(docs).select(
+        F.col("doc_id"), F.col("clean_text").alias("text")
+    )
+    twice = collapse_token_runs(once)
+    assert twice.filter(F.col("n_removed") > 0).count() == 0
+
+
+# --- skew diagnostics --------------------------------------------------------
+
+
+def test_key_skew_report_exact_counts_and_salt(spark):
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, "k", top_n=2).collect()
+    assert [r["key"] for r in out] == ["hot", "warm"]
+    hot = out[0]
+    assert hot["cnt"] == 60 and hot["n_keys"] == 4
+    assert hot["share"] == pytest.approx(0.6)
+    assert hot["skew_factor"] == pytest.approx(60 * 4 / 100)
+    assert hot["rec_salt"] == 3  # ceil(60*4/100) = ceil(2.4)
+
+
+def test_key_skew_report_uniform_is_one(spark):
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "k int")
+    out = key_skew_report(df, "k", top_n=1).collect()[0]
+    assert out["skew_factor"] == pytest.approx(1.0)
+    assert out["rec_salt"] == 1
+
+
+# --- compaction planner ------------------------------------------------------
+
+
+def test_compaction_plan_boundaries_and_overflow(spark):
+    stats = spark.createDataFrame(
+        [("a", 70), ("b", 50), ("c", 120), ("d", 10)],
+        "file_key string, bytes long",
+    )
+    out = {r["file_key"]: r for r in compaction_plan(stats, 100).collect()}
+    # key order a,b,c,d; starts 0,70,120,240
+    assert (out["a"]["out_file"], out["a"]["out_offset"]) == (0, 0)
+    assert (out["b"]["out_file"], out["b"]["out_offset"]) == (0, 70)
+    assert (out["c"]["out_file"], out["c"]["out_offset"]) == (1, 20)
+    assert (out["d"]["out_file"], out["d"]["out_offset"]) == (2, 40)
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    stats = spark.createDataFrame([("a", 1)], "file_key string, bytes long")
+    with pytest.raises(ValueError):
+        compaction_plan(stats, 0)
+
+
+# --- partition-count independence -------------------------------------------
+
+#: queries whose results depend on cumulative/layout-adjacent logic —
+#: exactly the class a fixed shuffle-partition count could mask bugs in
+#: (sampled range boundaries, per-partition offsets, window shards)
+_SWEEP = [
+    "compaction_plan",
+    "doc_length_batches",
+    "doc_pack_sequences",
+    "doc_keep_best",
+    "emb_pq_topk",
+]
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_result_independent_of_shuffle_partitions(spark, name):
+    from airflow_subscription_etl_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = sorted(map(str, fn(spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = sorted(map(str, fn(spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
