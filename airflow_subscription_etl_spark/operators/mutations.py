@@ -107,3 +107,69 @@ def cancel_subscription(subs: DataFrame, user_id: int) -> DataFrame:
         "subscription_status",
         F.when(is_target, F.lit("inactive")).otherwise(F.col("subscription_status")),
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    update_cols: list[str] | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics as a pure transform — the lakehouse CDC
+    primitive (matched → UPDATE, not-matched → INSERT, optionally
+    matched+flag → DELETE) the reference's whole-file rewrite
+    (subscription_flow.py:211–241) generalizes to at scale.
+
+    Plan shape: ONE key-equi-join (left outer from target) resolves
+    updates and deletes, one ``left_anti`` resolves inserts; both join
+    on the same key, so at scale a bucketed/pre-partitioned target
+    pays a single shuffle of the (small) CDC batch — never a rewrite
+    of unmatched data, which passes through untouched. With AQE the
+    typical CDC batch broadcasts.
+
+    ``update_cols`` defaults to every non-key column. ``delete_col``
+    names a boolean column in ``source``; matched rows with it true
+    drop from the result, and flagged unmatched rows are NOT inserted.
+    Inserted rows take NULL for target columns outside ``update_cols``
+    — the ANSI MERGE rule for columns absent from the INSERT list.
+    """
+    update_cols = update_cols or [
+        c for c in target.columns if c not in key_cols
+    ]
+    missing = [c for c in update_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks update columns: {missing}")
+    src_cols = key_cols + update_cols + ([delete_col] if delete_col else [])
+    s = source.select(*src_cols)
+    s_upd = s.select(
+        *key_cols,
+        *[F.col(c).alias(f"_src_{c}") for c in update_cols],
+        *(
+            [F.coalesce(F.col(delete_col), F.lit(False)).alias("_src_del")]
+            if delete_col
+            else []
+        ),
+        F.lit(True).alias("_matched"),
+    )
+    upd = target.join(s_upd, key_cols, "left")
+    if delete_col:
+        upd = upd.filter(~F.coalesce(F.col("_src_del"), F.lit(False)))
+    merged = upd.select(
+        *key_cols,
+        *[
+            F.coalesce(F.col(f"_src_{c}"), F.col(c)).alias(c)
+            if c in update_cols
+            else F.col(c)
+            for c in target.columns
+            if c not in key_cols
+        ],
+    )
+    ins = s.join(target.select(*key_cols), key_cols, "left_anti")
+    if delete_col:
+        ins = ins.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    return merged.unionByName(
+        ins.select(*key_cols, *update_cols), allowMissingColumns=True
+    )

@@ -257,3 +257,38 @@ def weighted_reservoir(
         .orderBy(F.col("score_nano").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def exact_stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    test_frac: float = 0.1,
+    key: Column | str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """EXACT per-stratum holdout: precisely ⌊n_s·frac + 0.5⌋ test rows
+    in every stratum — what :func:`hash_split` (probabilistic shares)
+    cannot promise for small strata, where binomial noise can leave a
+    stratum's eval slice empty.
+
+    Selection order inside a stratum is (md5(key), key) rank — content
+    -derived, so the assignment survives repartitioning, retries and
+    re-ingestion, and replays identically in any engine. One
+    stratum-keyed window (count rides the same partition as the rank:
+    a single shuffle); strata are assumed ≪ rows but each stratum's
+    window parallelizes across... one task per stratum — fine while
+    strata counts are bounded (sources, languages); for an unbounded
+    strata column fall back to hash_split.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(strata_col).orderBy(F.md5(c.cast("string")), c)
+    wc = Window.partitionBy(strata_col)
+    n_test = F.floor(
+        F.count(F.lit(1)).over(wc) * F.lit(float(test_frac)) + F.lit(0.5)
+    )
+    return df.withColumn(
+        split_col,
+        F.when(F.row_number().over(w) <= n_test, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

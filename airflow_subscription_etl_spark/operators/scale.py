@@ -422,3 +422,46 @@ def compaction_plan(
         ),
         (start % target_bytes).alias("out_offset"),
     )
+
+
+def winsorize_summary(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization (clip to exact interpolated percentiles)
+    reported as a summary — outlier repair for metric columns before
+    they feed aggregates a heavy tail would dominate.
+
+    Two passes sharing one group key: a grouped percentile aggregate
+    (tiny result — one row per group, broadcast back) and a map-only
+    clip + re-aggregate. At 100 TB the join side is |groups| rows; the
+    clip never shuffles the data a second time because the summary
+    agg reuses the same group key as the percentile agg. Clip sums are
+    micro-quantized per element (order-free exact bigint). Returns
+    ``(group, lo_micro, hi_micro, n, n_clipped_low, n_clipped_high,
+    sum_clipped_micro)``.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1: {lower}, {upper}")
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lower})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("_hi"),
+    )
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    micro = F.round(clipped * F.lit(1_000_000.0)).cast("bigint")
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.round(F.min("_lo") * F.lit(1_000_000.0)).cast("bigint").alias("lo_micro"),
+            F.round(F.min("_hi") * F.lit(1_000_000.0)).cast("bigint").alias("hi_micro"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < F.col("_lo")).cast("bigint")).alias("n_clipped_low"),
+            F.sum((v > F.col("_hi")).cast("bigint")).alias("n_clipped_high"),
+            F.sum(micro).alias("sum_clipped_micro"),
+        )
+    )

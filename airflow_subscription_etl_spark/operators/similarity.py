@@ -825,31 +825,37 @@ def pq_codebook(
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     dsub = dims // m
-    ordk = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
-    sample = (
+    # ONE TakeOrdered job collects the n_codes sample rows driver-side
+    # (bounded by n_codes, never by data — the same k-row-collect
+    # budget as k-means centroids), then the nested matrix ships back
+    # as a one-row broadcast frame. A pure-DataFrame assembly (window
+    # rank + two groupBy/collect_list stages over 16 rows) costs more
+    # in job scheduling than this entire build.
+    rows = (
         df.select(id_col, vec_col)
-        .orderBy(*ordk)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_codes)
-        .withColumn("code_id", F.row_number().over(Window.orderBy(*ordk)) - 1)
+        .collect()
     )
-    subs = sample.select(
-        "code_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.slice(F.col(vec_col), j * dsub + 1, dsub).cast(
-                    "array<double>"
-                ),
-            )
-        ).alias("sub_id", "codeword"),
-    )
-    return (
-        subs.groupBy("sub_id")
-        .agg(F.array_sort(F.collect_list(F.struct("code_id", "codeword"))).alias("cs"))
-        .select("sub_id", F.transform("cs", lambda s: s["codeword"]).alias("codes"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "codes"))).alias("ss"))
-        .select(F.transform("ss", lambda s: s["codes"]).alias("_cb"))
+    cb = [
+        [
+            [float(v) for v in r[vec_col][j * dsub : (j + 1) * dsub]]
+            for r in rows
+        ]
+        for j in range(m)
+    ]
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return df.sparkSession.createDataFrame(
+        [(cb,)],
+        T.StructType(
+            [
+                T.StructField(
+                    "_cb",
+                    T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+                )
+            ]
+        ),
     )
 
 
@@ -918,17 +924,25 @@ def pq_topk(
     dims = len(query_vec)
     dsub = dims // m
     cb = pq_codebook(df, dims, m, n_codes, id_col, vec_col)
-    enc = df.crossJoin(F.broadcast(cb))
-    code_cols = []
+    # Two projections, not one: higher-order functions evaluate
+    # INTERPRETED (outside whole-stage codegen), so an expression tree
+    # that repeats the 16-codeword argmin in both the code column and
+    # the lut lookup pays for it twice per row. Stage 1 runs each
+    # argmin exactly once; stage 2's lut distance is a single
+    # d_sub-length fold against the chosen codeword. (~2× wall-clock
+    # on the scan, same plan shape: both stages fuse into one map.)
+    enc = df.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col),
+        F.col("_cb"),
+        *[_pq_best(vec_col, j, dsub)["c"].alias(f"_c{j}") for j in range(m)],
+    )
     qd_cols = []
     for j in range(m):
-        best = _pq_best(vec_col, j, dsub)
         qs = F.array(
             *[F.lit(float(x)) for x in query_vec[j * dsub : (j + 1) * dsub]]
         )
-        code_cols.append(best["c"])
         qd_cols.append(
-            _d2_micro(qs, F.element_at(F.col("_cb")[j], best["c"] + 1))
+            _d2_micro(qs, F.element_at(F.col("_cb")[j], F.col(f"_c{j}") + 1))
         )
     approx = qd_cols[0]
     for qd in qd_cols[1:]:
@@ -936,11 +950,89 @@ def pq_topk(
     return (
         enc.select(
             F.col(id_col),
-            F.concat_ws(",", *[c.cast("string") for c in code_cols]).alias(
-                "pq_codes"
-            ),
+            F.concat_ws(
+                ",", *[F.col(f"_c{j}").cast("string") for j in range(m)]
+            ).alias("pq_codes"),
             approx.alias("approx_d2_micro"),
         )
         .orderBy(F.col("approx_d2_micro").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_topk_pandas(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`pq_topk` — identical results
+    (same codebook, same integer-micro arithmetic with HALF_UP
+    ``floor(x+0.5)`` rounding, order-free sums), ~an order of
+    magnitude faster per row because the per-code distance folds run
+    as numpy batch matmuls instead of interpreted higher-order
+    functions (HOFs evaluate outside whole-stage codegen — the one
+    place the pure-SQL formulation pays real per-row overhead).
+
+    This is the throughput path for bulk encoding at 100 TB; the HOF
+    variant remains the engine-portable reference both are
+    oracle-checked against. Same contract: one map pass + TakeOrdered.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    dims = len(query_vec)
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    cb_row = pq_codebook(df, dims, m, n_codes, id_col, vec_col).collect()[0]
+    C = [np.asarray(cb_row["_cb"][j], dtype=np.float64) for j in range(m)]
+    q = np.asarray(query_vec, dtype=np.float64)
+    # per-subspace query→codeword lut, micro ints (matches _d2_micro)
+    lut = [
+        np.floor(
+            (q[j * dsub : (j + 1) * dsub][None, :] - C[j]) ** 2 * 1e6 + 0.5
+        )
+        .astype(np.int64)
+        .sum(axis=1)
+        for j in range(m)
+    ]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            approx = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(m):
+                Xs = X[:, j * dsub : (j + 1) * dsub]
+                D = (
+                    np.floor(
+                        (Xs[:, None, :] - C[j][None, :, :]) ** 2 * 1e6 + 0.5
+                    )
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                cj = D.argmin(axis=1)  # first min -> lowest code on ties
+                codes[:, j] = cj
+                approx += lut[j][cj]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "pq_codes": [
+                        ",".join(str(c) for c in row) for row in codes
+                    ],
+                    "approx_d2_micro": approx,
+                }
+            )
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        score, f"{id_col} long, pq_codes string, approx_d2_micro long"
+    )
+    return scored.orderBy(
+        F.col("approx_d2_micro").asc(), F.col(id_col).asc()
+    ).limit(k)

@@ -5682,6 +5682,16 @@ FROM scored ORDER BY approx_d2_micro, vec_id LIMIT 10
 """
 
 
+def q_emb_pq_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of emb_pq_topk (similarity.py::pq_topk_pandas):
+    identical codebook + integer-micro ADC arithmetic, scored as numpy
+    batch reductions — the bulk-encode throughput path. Checked against
+    the SAME oracle as the HOF form."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.pq_topk_pandas(emb, qv, k=10, m=4, n_codes=16)
+
+
 def q_doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-grouped batch assembly (packing.py::length_bucketed_batches,
     batch_size=8): pow2 token-length buckets × content-hash shards,
@@ -5807,6 +5817,125 @@ SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_tokens,
        CAST(len(w) - len(kept) AS BIGINT) AS n_removed
 FROM k
+"""
+
+
+def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (mutations.py::merge_upsert) applied to a
+    deterministic CDC batch against orders: keys ≡0 (mod 17) update
+    price/status, ≡0 (mod 31) delete, ≡0 (mod 23) arrive as shifted
+    inserts. One outer join + one anti join — unmatched rows pass
+    through, never rewritten."""
+    from .operators.mutations import merge_upsert  # noqa: PLC0415
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    upd = orders.filter((k % 17 == 0) | (k % 31 == 0)).select(
+        k.alias("o_orderkey"),
+        F.col("o_custkey"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+        (k % 31 == 0).alias("_del"),
+    )
+    ins = orders.filter(k % 23 == 0).select(
+        (k + F.lit(100_000_000)).alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(False).alias("_del"),
+    )
+    source = upd.unionByName(ins)
+    return merge_upsert(orders, source, ["o_orderkey"], delete_col="_del")
+
+
+SQL_ORDERS_MERGE_UPSERT = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+), src AS (
+  SELECT o_orderkey, o_custkey,
+         o_totalprice + 1000.0 AS o_totalprice,
+         'U' AS o_orderstatus,
+         (o_orderkey % 31 = 0) AS del
+  FROM t WHERE o_orderkey % 17 = 0 OR o_orderkey % 31 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 1.0, 'N', FALSE
+  FROM t WHERE o_orderkey % 23 = 0
+), upd AS (
+  SELECT t.o_orderkey,
+         coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+         coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+         coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus
+  FROM t LEFT JOIN src s USING (o_orderkey)
+  WHERE NOT coalesce(s.del, FALSE)
+), ins AS (
+  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, s.o_orderstatus
+  FROM src s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+  WHERE t.o_orderkey IS NULL AND NOT s.del
+)
+SELECT * FROM upd UNION ALL SELECT * FROM ins
+"""
+
+
+def q_doc_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum holdout (sampling.py::exact_stratified_split):
+    precisely ⌊n_s·0.1 + 0.5⌋ test docs per source, md5-rank selection
+    — the guarantee probabilistic hash_split can't make for small
+    strata."""
+    from .operators.sampling import exact_stratified_split  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_stratified_split(docs, "source", test_frac=0.1).select(
+        "doc_id", "source", "split"
+    )
+
+
+SQL_DOC_EXACT_SPLIT = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN rn <= floor(n * 0.1 + 0.5) THEN 'test' ELSE 'train' END
+         AS split
+FROM r
+"""
+
+
+def q_ev_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization summary (scale.py::winsorize_summary,
+    p05/p95): exact interpolated percentile bounds broadcast back for
+    a map-only clip — heavy-tail repair before value aggregation."""
+    from .operators.scale import winsorize_summary  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorize_summary(ev, "value", "event_type", 0.05, 0.95)
+
+
+SQL_EV_WINSORIZED = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(round(MIN(b.lo) * 1000000) AS BIGINT) AS lo_micro,
+       CAST(round(MIN(b.hi) * 1000000) AS BIGINT) AS hi_micro,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(SUM(CAST(round(least(greatest(e.value, b.lo), b.hi) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS sum_clipped_micro
+FROM events e JOIN b USING (event_type)
+GROUP BY 1
 """
 
 
@@ -6897,10 +7026,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_matryoshka_topk": (q_emb_matryoshka_topk, SQL_EMB_MATRYOSHKA),
     "emb_pq_topk": (q_emb_pq_topk, SQL_EMB_PQ_TOPK),
     "doc_keep_best": (q_doc_keep_best, SQL_DOC_KEEP_BEST),
+    "emb_pq_topk_pandas": (q_emb_pq_topk_pandas, SQL_EMB_PQ_TOPK),
     "doc_length_batches": (q_doc_length_batches, SQL_DOC_LENGTH_BATCHES),
     "key_skew_report": (q_key_skew_report, SQL_KEY_SKEW_REPORT),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "doc_collapse_runs": (q_doc_collapse_runs, SQL_DOC_COLLAPSE_RUNS),
+    "orders_merge_upsert": (q_orders_merge_upsert, SQL_ORDERS_MERGE_UPSERT),
+    "doc_exact_split": (q_doc_exact_split, SQL_DOC_EXACT_SPLIT),
+    "ev_winsorized": (q_ev_winsorized, SQL_EV_WINSORIZED),
     "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
@@ -6958,11 +7091,15 @@ _PRIORITY_R4 = [
     # tier 1b — new round-4 operators (PQ retrieval, survivorship,
     # batch assembly, skew diagnostics, compaction planning)
     "emb_pq_topk",
+    "emb_pq_topk_pandas",
     "doc_keep_best",
     "doc_length_batches",
     "key_skew_report",
     "compaction_plan",
     "doc_collapse_runs",
+    "orders_merge_upsert",
+    "doc_exact_split",
+    "ev_winsorized",
     # tier 2 — implementation changed since last green row
     "doc_mixture_sample",  # r4: HALF_UP weight quantization
     "pareto_customers",  # r4: bigint prefix-sum offsets

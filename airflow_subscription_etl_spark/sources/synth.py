@@ -1,0 +1,119 @@
+"""Python Data Source API (Spark 4): a deterministic synthetic-corpus
+generator, registered as ``spark.read.format("synthdocs")``.
+
+The reference reads fixed JSON fixtures (subscription_flow.py:27–34);
+a scale-focused engine also needs a *generator* source — the TPC-DS
+dsdgen analogue — so scale probes and soak tests can materialize an
+arbitrarily large corpus without shipping data. The Python Data Source
+API is the Spark-4-native way to plug one in: the planner asks
+:meth:`SynthDocsReader.partitions` for the split layout, then runs
+:meth:`read` once per partition ON EXECUTORS — generation is
+partition-parallel, so a 1000-executor cluster generates 1000 ways.
+
+Determinism contract (same as every sampling op here): content derives
+from ``md5(doc_id)`` only — never from partition layout, RNG state, or
+time — so any (rows, partitions) request yields byte-identical rows in
+any order, and a regenerated corpus reproduces exactly. The generated
+schema matches the ``documents`` star table, so every corpus operator
+(dedup, quality, batching…) runs on generated data unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+try:  # pragma: no cover — API added in Spark 4
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    _HAS_PYDS = True
+except ImportError:  # pragma: no cover
+    DataSource = object  # type: ignore[assignment,misc]
+    DataSourceReader = object  # type: ignore[assignment,misc]
+    InputPartition = object  # type: ignore[assignment,misc]
+    _HAS_PYDS = False
+
+#: tiny fixed vocabulary — enough to exercise tokenizers/dedup without
+#: shipping wordlists; mirrors the flavor of the driver's testdata
+_VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark "
+    "line sort window join shuffle plan the a of to is and filter push"
+).split()
+
+
+def _doc_text(doc_id: int, min_words: int = 20, span: int = 21) -> str:
+    """Deterministic word stream for one doc: md5(doc_id) seeds both
+    the length (min_words..min_words+span-1) and every word pick.
+    Pure function of doc_id — no RNG object, no partition state."""
+    h = hashlib.md5(str(doc_id).encode()).digest()
+    n = min_words + h[0] % span
+    words = []
+    x = int.from_bytes(h[1:9], "big")
+    for i in range(n):
+        # xorshift64* step — cheap, stateless given the seed
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        words.append(_VOCAB[x % len(_VOCAB)])
+    return " ".join(words)
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.num_partitions = int(options.get("partitions", 8))
+        if self.rows < 0 or self.num_partitions <= 0:
+            raise ValueError(
+                f"need rows >= 0 and partitions > 0, got "
+                f"{self.rows}/{self.num_partitions}"
+            )
+
+    def partitions(self):  # noqa: D102 — API hook
+        per = -(-self.rows // self.num_partitions) if self.rows else 0
+        return [
+            _Range(lo, min(lo + per, self.rows))
+            for lo in range(0, self.rows, per or 1)
+        ] or [_Range(0, 0)]
+
+    def read(self, partition):  # noqa: D102 — runs on executors
+        for doc_id in range(partition.start, partition.end):
+            text = _doc_text(doc_id)
+            yield (
+                doc_id,
+                text,
+                "en",
+                f"src{doc_id % 20}",
+                len(text),
+            )
+
+
+class SynthDocsDataSource(DataSource):
+    """``spark.read.format("synthdocs").option("rows", N)`` source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(self.options)
+
+
+def register_synthdocs(spark) -> bool:
+    """Register the source on a session; False if this Spark lacks the
+    Python Data Source API (import-gated, never raises)."""
+    if not _HAS_PYDS:
+        return False
+    spark.dataSource.register(SynthDocsDataSource)
+    return True

@@ -79,14 +79,18 @@ HEADLINE = [
     # the r1 baseline's cost class)
     "emb_matryoshka_topk",
     "doc_tfidf_topk",
-    # round-4 additions: PQ retrieval, survivorship dedup, batch
-    # assembly, shuffle diagnostics, layout planning
+    # round-4 additions: PQ retrieval (HOF reference + numpy twin),
+    # batch assembly, shuffle diagnostics, layout planning, MERGE.
+    # doc_keep_best stays correctness-gated but OUT of the headline:
+    # its exact-Jaccard pair graph is the same deliberate cost class
+    # that keeps doc_near_dup_clusters out (see round-3 note above).
     "emb_pq_topk",
-    "doc_keep_best",
+    "emb_pq_topk_pandas",
     "doc_length_batches",
     "key_skew_report",
     "compaction_plan",
     "doc_collapse_runs",
+    "orders_merge_upsert",
 ]
 
 

@@ -123,3 +123,18 @@ def test_adc_triangle_bound(emb):
         # and the engine's integer-micro ADC equals the float d(q,x̂)²
         # up to per-term rounding (DIMS half-ulps of the 1e-6 grid)
         assert abs(approx[row["vec_id"]] / 1e6 - d_qxhat**2) <= DIMS * 1e-6
+
+
+def test_pandas_twin_bit_exact_parity(emb):
+    """Arrow/numpy PQ must reproduce the HOF path bit-for-bit on the
+    WHOLE corpus (codes and integer-micro ADC scores), not just the
+    top-k — the integer-per-term arithmetic makes both order-free."""
+    qv = _query_vec(emb)
+    n = emb.count()
+    hof = sorted(
+        map(str, S.pq_topk(emb, qv, k=n, m=M, n_codes=CODES).collect())
+    )
+    pnd = sorted(
+        map(str, S.pq_topk_pandas(emb, qv, k=n, m=M, n_codes=CODES).collect())
+    )
+    assert hof == pnd

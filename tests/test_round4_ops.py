@@ -182,3 +182,108 @@ def test_result_independent_of_shuffle_partitions(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+# --- MERGE upsert ------------------------------------------------------------
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    from airflow_subscription_etl_spark.operators.mutations import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, name string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0, False), (3, "c", 30.0, True), (4, "d", 40.0, False)],
+        "k bigint, name string, v double, _del boolean",
+    )
+    out = {r["k"]: r for r in merge_upsert(target, source, ["k"], delete_col="_del").collect()}
+    assert set(out) == {1, 2, 4}  # 3 deleted
+    assert out[1]["name"] == "a" and out[1]["v"] == 10.0  # untouched
+    assert out[2]["name"] == "B" and out[2]["v"] == 99.0  # updated
+    assert out[4]["name"] == "d" and out[4]["v"] == 40.0  # inserted
+
+
+def test_merge_upsert_partial_update_cols_null_fill(spark):
+    from airflow_subscription_etl_spark.operators.mutations import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0)], "k bigint, name string, v double"
+    )
+    source = spark.createDataFrame([(1, 99.0), (5, 50.0)], "k bigint, v double")
+    out = {
+        r["k"]: r
+        for r in merge_upsert(target, source, ["k"], update_cols=["v"]).collect()
+    }
+    assert out[1]["name"] == "a" and out[1]["v"] == 99.0
+    assert out[5]["name"] is None and out[5]["v"] == 50.0  # ANSI null fill
+
+
+def test_merge_upsert_missing_update_col_raises(spark):
+    from airflow_subscription_etl_spark.operators.mutations import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    source = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="update columns"):
+        merge_upsert(target, source, ["k"])
+
+
+# --- exact stratified split --------------------------------------------------
+
+
+def test_exact_split_counts_per_stratum(spark):
+    from airflow_subscription_etl_spark.operators.sampling import (
+        exact_stratified_split,
+    )
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(100)]  # strata of 34/33/33
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = exact_stratified_split(df, "source", test_frac=0.1)
+    got = {
+        (r["source"], r["split"]): r["cnt"]
+        for r in out.groupBy("source", "split").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got[("s0", "test")] == 3  # floor(34*0.1+0.5)
+    assert got[("s1", "test")] == 3  # floor(33*0.1+0.5)
+    assert got[("s2", "test")] == 3
+    # deterministic under repartition
+    a = sorted(map(str, out.collect()))
+    b = sorted(map(str, exact_stratified_split(df.repartition(7), "source", 0.1).collect()))
+    assert a == b
+
+
+# --- winsorization -----------------------------------------------------------
+
+
+def test_winsorize_summary_bounds_and_counts(spark):
+    from airflow_subscription_etl_spark.operators.scale import (
+        winsorize_summary,
+    )
+
+    vals = [float(i) for i in range(1, 101)]  # 1..100 per group
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, value double")
+    out = winsorize_summary(df, "value", "grp", 0.05, 0.95).collect()[0]
+    # percentile(1..100, .05) = 5.95; .95 -> 95.05 (linear interpolation)
+    assert out["lo_micro"] == 5_950_000
+    assert out["hi_micro"] == 95_050_000
+    assert out["n"] == 100
+    assert out["n_clipped_low"] == 5 and out["n_clipped_high"] == 5
+    expected = sum(round(min(max(v, 5.95), 95.05) * 1e6) for v in vals)
+    assert out["sum_clipped_micro"] == expected
+
+
+def test_winsorize_summary_rejects_bad_bounds(spark):
+    from airflow_subscription_etl_spark.operators.scale import (
+        winsorize_summary,
+    )
+
+    df = spark.createDataFrame([("g", 1.0)], "grp string, value double")
+    with pytest.raises(ValueError):
+        winsorize_summary(df, "value", "grp", 0.9, 0.1)

@@ -1,0 +1,87 @@
+"""Python Data Source API: the synthdocs generator source."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_subscription_etl_spark.sources.synth import (
+    _HAS_PYDS,
+    register_synthdocs,
+)
+
+pytestmark = pytest.mark.skipif(
+    not _HAS_PYDS, reason="Python Data Source API absent (Spark < 4)"
+)
+
+
+@pytest.fixture()
+def synth(spark):
+    assert register_synthdocs(spark)
+    return spark
+
+
+def test_rows_schema_and_parallelism(synth):
+    df = (
+        synth.read.format("synthdocs")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 500
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    row = df.filter(F.col("doc_id") == 123).collect()[0]
+    assert row["n_chars"] == len(row["text"]) and row["source"] == "src3"
+
+
+def test_content_independent_of_partitioning(synth):
+    a = sorted(
+        map(
+            str,
+            synth.read.format("synthdocs")
+            .option("rows", 200)
+            .option("partitions", 3)
+            .load()
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            str,
+            synth.read.format("synthdocs")
+            .option("rows", 200)
+            .option("partitions", 13)
+            .load()
+            .collect(),
+        )
+    )
+    assert a == b
+    assert len(a) == 200
+
+
+def test_generated_corpus_feeds_operators(synth):
+    from airflow_subscription_etl_spark.operators.text import (
+        with_quality_score,
+    )
+
+    df = (
+        synth.read.format("synthdocs")
+        .option("rows", 100)
+        .option("partitions", 4)
+        .load()
+    )
+    scored = with_quality_score(df)
+    assert scored.count() == 100
+    assert scored.filter(F.col("quality_score").isNull()).count() == 0
+
+
+def test_bad_options_raise(synth):
+    with pytest.raises(Exception, match="partitions"):
+        (
+            synth.read.format("synthdocs")
+            .option("rows", 10)
+            .option("partitions", 0)
+            .load()
+            .count()
+        )
