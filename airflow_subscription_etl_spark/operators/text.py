@@ -620,16 +620,27 @@ def collapse_token_runs(
 
     Pure per-row higher-order functions (filter with the (element,
     index) lambda comparing ``t[i]`` to ``t[i-1]``) — map-only, zero
-    shuffle, whole-stage codegen; no Python. Returns
-    ``(id, clean_text, n_tokens, n_removed)``.
+    shuffle, no Python. The token array and the filtered array are
+    each MATERIALIZED in their own projection before anything indexes
+    into them: HOFs evaluate interpreted, so an ``element_at(expr, i)``
+    whose ``expr`` is the split itself re-runs the regex split for
+    every element — O(n²) per row (measured 2× wall-clock at sf0.1).
+    Returns ``(id, clean_text, n_tokens, n_removed)``.
     """
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
-    kept = F.filter(
-        t, lambda x, i: (i == 0) | (x != F.element_at(t, i))
-    )
-    return df.select(
-        F.col(id_col),
-        F.array_join(kept, " ").alias("clean_text"),
-        F.size(t).cast("bigint").alias("n_tokens"),
-        (F.size(t) - F.size(kept)).cast("bigint").alias("n_removed"),
+    t = F.col("_t")
+    kept = F.filter(t, lambda x, i: (i == 0) | (x != F.element_at(t, i)))
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+        )
+        .select(F.col(id_col), F.col("_t"), kept.alias("_k"))
+        .select(
+            F.col(id_col),
+            F.array_join(F.col("_k"), " ").alias("clean_text"),
+            F.size(F.col("_t")).cast("bigint").alias("n_tokens"),
+            (F.size(F.col("_t")) - F.size(F.col("_k")))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
     )

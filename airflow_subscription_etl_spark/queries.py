@@ -5907,6 +5907,66 @@ FROM r
 """
 
 
+def q_ev_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup pyramid: daily stats DERIVED from the hourly
+    rollup, never rescanning the base table — the time-hierarchy form
+    of mergeable aggregation states (count/sum/min/max re-aggregate;
+    avg recomputes from sum/count at read). At 100 TB the hourly tier
+    is ~10⁴× smaller than events, so each coarser tier costs ~nothing;
+    the oracle computes daily straight from base, proving the pyramid
+    is lossless."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+            F.min("vmin").alias("value_min"),
+            F.max("vmax").alias("value_max"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "value_cents",
+            "value_min",
+            "value_max",
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+        )
+    )
+
+
+SQL_EV_ROLLUP_PYRAMID = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         MIN(value) AS vmin, MAX(value) AS vmax
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', hour), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents,
+       MIN(vmin) AS value_min,
+       MAX(vmax) AS value_max,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM h GROUP BY 1, 2
+"""
+
+
 def q_ev_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization summary (scale.py::winsorize_summary,
     p05/p95): exact interpolated percentile bounds broadcast back for
@@ -7034,6 +7094,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "orders_merge_upsert": (q_orders_merge_upsert, SQL_ORDERS_MERGE_UPSERT),
     "doc_exact_split": (q_doc_exact_split, SQL_DOC_EXACT_SPLIT),
     "ev_winsorized": (q_ev_winsorized, SQL_EV_WINSORIZED),
+    "ev_rollup_pyramid": (q_ev_rollup_pyramid, SQL_EV_ROLLUP_PYRAMID),
     "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
@@ -7100,6 +7161,7 @@ _PRIORITY_R4 = [
     "orders_merge_upsert",
     "doc_exact_split",
     "ev_winsorized",
+    "ev_rollup_pyramid",
     # tier 2 — implementation changed since last green row
     "doc_mixture_sample",  # r4: HALF_UP weight quantization
     "pareto_customers",  # r4: bigint prefix-sum offsets

@@ -27,6 +27,7 @@ try:  # pragma: no cover — API added in Spark 4
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     _HAS_PYDS = True
@@ -34,6 +35,7 @@ except ImportError:  # pragma: no cover
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
     _HAS_PYDS = False
 
 #: tiny fixed vocabulary — enough to exercise tokenizers/dedup without
@@ -96,8 +98,49 @@ class SynthDocsReader(DataSourceReader):
             )
 
 
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming leg: each micro-batch emits the next ``rowsPerBatch``
+    doc ids until the ``rows`` cap, then empty batches with a frozen
+    offset (so ``processAllAvailable``/availableNow terminate).
+
+    Offsets are plain dicts ``{"next": k}``; because content is a pure
+    function of doc_id, :meth:`readBetweenOffsets` replays any offset
+    range byte-identically after a restart — exactly the replayability
+    contract Structured Streaming requires of a source.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rowsPerBatch", 100))
+        if self.per_batch <= 0:
+            raise ValueError(f"rowsPerBatch must be > 0: {self.per_batch}")
+
+    def initialOffset(self) -> dict:  # noqa: N802 — API hook
+        return {"next": 0}
+
+    def _gen(self, start: int, end: int) -> list:
+        # a LIST, not a generator: the simple-reader prefetch wrapper
+        # pickles the returned rows to replay them on executors
+        return [
+            (doc_id, text, "en", f"src{doc_id % 20}", len(text))
+            for doc_id in range(start, end)
+            for text in (_doc_text(doc_id),)
+        ]
+
+    def read(self, start: dict):  # noqa: D102 — API hook
+        s = int(start["next"])
+        e = min(s + self.per_batch, self.rows)
+        # iter() over the list: the runner drains with next() AND
+        # pickles — list_iterator satisfies both (a bare generator
+        # can't pickle, a bare list can't next())
+        return iter(self._gen(s, e)), {"next": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return iter(self._gen(int(start["next"]), int(end["next"])))
+
+
 class SynthDocsDataSource(DataSource):
-    """``spark.read.format("synthdocs").option("rows", N)`` source."""
+    """``spark.read[Stream].format("synthdocs").option("rows", N)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -108,6 +151,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthDocsStreamReader:  # noqa: N802
+        return SynthDocsStreamReader(self.options)
 
 
 def register_synthdocs(spark) -> bool:

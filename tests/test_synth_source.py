@@ -85,3 +85,34 @@ def test_bad_options_raise(synth):
             .load()
             .count()
         )
+
+
+def test_streaming_leg_reaches_cap_and_matches_batch(synth, tmp_path):
+    """The streaming reader must emit exactly the capped corpus across
+    micro-batches, byte-identical to the batch reader's output."""
+    q = (
+        synth.readStream.format("synthdocs")
+        .option("rows", 120)
+        .option("rowsPerBatch", 50)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(str, synth.sql("SELECT * FROM synth_stream").collect()))
+    want = sorted(
+        map(
+            str,
+            synth.read.format("synthdocs")
+            .option("rows", 120)
+            .option("partitions", 4)
+            .load()
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 120
