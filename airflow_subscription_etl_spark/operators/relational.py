@@ -281,3 +281,50 @@ def enforce_expectations(
         ).alias("m")
     ).select("m.rule", "m.n_violations", "m.n_rows")
     return clean, violations, metrics
+
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column profile: one row per column with
+    ``(column, n_rows, n_nulls, null_frac, n_distinct, min_str,
+    max_str, avg_len)`` — the statistics every engine's optimizer and
+    every data catalog collects (ndv/null_frac drive join estimates;
+    min/max drive skipping).
+
+    ONE aggregation job computes every column's metrics (count/
+    count-distinct/min/max/avg-length per column in a single agg —
+    Spark plans the multi-distinct via Expand, multiplying scan rows
+    by |cols|: the standard ANALYZE cost, amortized by running it once
+    per table write, and cheap next to the scan it later saves).
+    min/max surface as strings so one schema covers every column type;
+    the unpivot to rows is driver-side over |cols| literals, not data.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(col.isNull().cast("bigint")).alias(f"_nn_{c}"),
+            F.count_distinct(col).alias(f"_nd_{c}"),
+            F.min(col).cast("string").alias(f"_min_{c}"),
+            F.max(col).cast("string").alias(f"_max_{c}"),
+            F.avg(F.length(col.cast("string"))).alias(f"_al_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n_{c}").cast("bigint").alias("n_rows"),
+                F.col(f"_nn_{c}").cast("bigint").alias("n_nulls"),
+                (F.col(f"_nn_{c}") / F.col(f"_n_{c}")).alias("null_frac"),
+                F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_str"),
+                F.col(f"_max_{c}").alias("max_str"),
+                F.round(F.col(f"_al_{c}"), 6).alias("avg_len"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

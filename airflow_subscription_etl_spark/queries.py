@@ -5967,6 +5967,45 @@ FROM h GROUP BY 1, 2
 """
 
 
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (relational.py::table_profile):
+    nulls, exact NDV, min/max, mean length per column in ONE
+    aggregation pass — the catalog/optimizer statistics collection
+    every engine ships."""
+    from .operators.relational import table_profile  # noqa: PLC0415
+
+    orders = _t(spark, sf_dir, "orders")
+    return table_profile(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS column,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS null_frac,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         CAST(MIN({c}) AS VARCHAR) AS min_str,
+         CAST(MAX({c}) AS VARCHAR) AS max_str,
+         round(AVG(length(CAST({c} AS VARCHAR))), 6) AS avg_len
+  FROM orders"""
+
+
+SQL_ORDERS_PROFILE = (
+    _profile_col_sql("o_orderkey")
+    + "\nUNION ALL\n"
+    + _profile_col_sql("o_custkey")
+    + "\nUNION ALL\n"
+    + _profile_col_sql("o_orderstatus")
+    + "\nUNION ALL\n"
+    + _profile_col_sql("o_orderpriority")
+)
+
+
 def q_ev_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization summary (scale.py::winsorize_summary,
     p05/p95): exact interpolated percentile bounds broadcast back for
@@ -7095,6 +7134,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_exact_split": (q_doc_exact_split, SQL_DOC_EXACT_SPLIT),
     "ev_winsorized": (q_ev_winsorized, SQL_EV_WINSORIZED),
     "ev_rollup_pyramid": (q_ev_rollup_pyramid, SQL_EV_ROLLUP_PYRAMID),
+    "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),
     "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
@@ -7162,6 +7202,7 @@ _PRIORITY_R4 = [
     "doc_exact_split",
     "ev_winsorized",
     "ev_rollup_pyramid",
+    "orders_profile",
     # tier 2 — implementation changed since last green row
     "doc_mixture_sample",  # r4: HALF_UP weight quantization
     "pareto_customers",  # r4: bigint prefix-sum offsets
