@@ -720,9 +720,15 @@ def survivor_selection(
     dropped_checksum)`` with the checksum = Σ dropped ids (a portable
     membership fingerprint that needs no array column).
     """
-    j = members.join(scores, id_col)
+    # LEFT join: a member without a score row must still count in
+    # n_members / dropped_checksum (the "every doc accounted for"
+    # invariant) — it just can't win unless every member is unscored.
+    # Spark's desc() is NULLS LAST, so unscored members rank after any
+    # scored one; any SQL oracle must say DESC NULLS LAST explicitly
+    # (DuckDB defaults to NULLS FIRST on DESC).
+    j = members.join(scores, id_col, "left")
     w = Window.partitionBy(cluster_col).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return (
         j.withColumn("_rn", F.row_number().over(w))

@@ -14,7 +14,7 @@ exactly like the reference re-locates the row before each update
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .relational import (
@@ -132,7 +132,13 @@ def merge_upsert(
     names a boolean column in ``source``; matched rows with it true
     drop from the result, and flagged unmatched rows are NOT inserted.
     Inserted rows take NULL for target columns outside ``update_cols``
-    — the ANSI MERGE rule for columns absent from the INSERT list.
+    — and a matched update SETS NULL when the source carries NULL
+    (``_matched``-gated, not ``coalesce``: a CDC event that nulls a
+    field must null it, e.g. PII erasure) — both ANSI MERGE rules.
+    ANSI's third rule is enforced too: duplicate keys in ``source``
+    raise at execution (``raise_error`` behind a per-key window count
+    over the small CDC side), because a fanned-out match would
+    silently duplicate target rows.
     """
     update_cols = update_cols or [
         c for c in target.columns if c not in key_cols
@@ -141,7 +147,28 @@ def merge_upsert(
     if missing:
         raise ValueError(f"source lacks update columns: {missing}")
     src_cols = key_cols + update_cols + ([delete_col] if delete_col else [])
-    s = source.select(*src_cols)
+    wk = Window.partitionBy(*key_cols)
+    s = source.select(*src_cols).withColumn(
+        "_kn", F.count(F.lit(1)).over(wk)
+    )
+    # the guard rides ON the first key column (not a dead side column
+    # Catalyst would prune away), so it must evaluate wherever the key does
+    k0 = key_cols[0]
+    s = s.withColumn(
+        k0,
+        F.when(
+            F.col("_kn") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_upsert: duplicate source key ("),
+                    F.concat_ws(
+                        ",", *[F.col(k).cast("string") for k in key_cols]
+                    ),
+                    F.lit(") — ANSI MERGE forbids multiple matched rows"),
+                )
+            ),
+        ).otherwise(F.col(k0)),
+    ).drop("_kn")
     s_upd = s.select(
         *key_cols,
         *[F.col(c).alias(f"_src_{c}") for c in update_cols],
@@ -155,10 +182,11 @@ def merge_upsert(
     upd = target.join(s_upd, key_cols, "left")
     if delete_col:
         upd = upd.filter(~F.coalesce(F.col("_src_del"), F.lit(False)))
+    matched = F.coalesce(F.col("_matched"), F.lit(False))
     merged = upd.select(
         *key_cols,
         *[
-            F.coalesce(F.col(f"_src_{c}"), F.col(c)).alias(c)
+            F.when(matched, F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
             if c in update_cols
             else F.col(c)
             for c in target.columns

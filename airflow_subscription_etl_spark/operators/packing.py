@@ -155,6 +155,11 @@ def length_bucketed_batches(
     ``(bucket, shard, batch_id, n_docs, max_tokens, sum_tokens,
     pad_frac)``.
     """
+    if batch_size <= 0 or n_shards <= 0:
+        raise ValueError(
+            f"batch_size and n_shards must be positive, got "
+            f"{batch_size}/{n_shards}"
+        )
     t = with_token_count(df.select(id_col, text_col), text_col).drop(text_col)
     t = t.withColumn(
         "bucket",

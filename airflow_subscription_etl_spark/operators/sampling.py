@@ -280,6 +280,8 @@ def exact_stratified_split(
     strata counts are bounded (sources, languages); for an unbounded
     strata column fall back to hash_split.
     """
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
     c = F.col(key) if isinstance(key, str) else key
     w = Window.partitionBy(strata_col).orderBy(F.md5(c.cast("string")), c)
     wc = Window.partitionBy(strata_col)

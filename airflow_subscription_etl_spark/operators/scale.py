@@ -376,7 +376,15 @@ def key_skew_report(
         (
             F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("total")
         ).alias("skew_factor"),
-        F.expr("(max_cnt * n_keys + total - 1) div total")
+        # double-domain ceil, NOT integer (max_cnt*n_keys + total - 1):
+        # the integer product overflows bigint exactly at the table
+        # sizes this diagnostic targets (1e10-count hot key × 1e9 keys
+        # > 2^63) — ANSI Spark would abort, non-ANSI would recommend a
+        # negative fan-out. skew_factor already lives in double; its
+        # ceil is exact for every realistic salt magnitude.
+        F.ceil(
+            F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("total")
+        )
         .cast("bigint")
         .alias("rec_salt"),
     )
@@ -408,9 +416,12 @@ def compaction_plan(
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    # (key, size) order — distributed_prefix_sum requires a total order
+    # with a tiebreak; bare key order would make cum (and therefore the
+    # whole plan) run-dependent whenever two files share a key
     cum = distributed_prefix_sum(
         stats.select(F.col(key_col), F.col(size_col)),
-        [F.col(key_col).asc()],
+        [F.col(key_col).asc(), F.col(size_col).asc()],
         size_col,
     )
     start = (F.col("cum") - F.col(size_col)).cast("bigint")

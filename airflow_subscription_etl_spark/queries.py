@@ -721,7 +721,7 @@ SQL_DOC_JACCARD_ADJ = r"""
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(w) - 1, 1)),
+           range(1, greatest(len(w) - 1, 2)),
            i -> concat_ws(' ', w[i], w[i+1], w[i+2])
          )) AS sh
   FROM (
@@ -2532,7 +2532,7 @@ SQL_DOC_NEAR_DUP_CLUSTERS = r"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(w) - 1, 1)),
+           range(1, greatest(len(w) - 1, 2)),
            i -> concat_ws(' ', w[i], w[i+1], w[i+2])
          )) AS sh
   FROM (
@@ -2592,7 +2592,7 @@ SQL_DOC_KEEP_BEST = r"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(w) - 1, 1)),
+           range(1, greatest(len(w) - 1, 2)),
            i -> concat_ws(' ', w[i], w[i+1], w[i+2])
          )) AS sh
   FROM (
@@ -2643,8 +2643,9 @@ WITH RECURSIVE sh AS (
 ), ranked AS (
   SELECT m.cluster_id, m.doc_id, s.quality_score,
          row_number() OVER (PARTITION BY m.cluster_id
-                            ORDER BY s.quality_score DESC, m.doc_id ASC) AS rn
-  FROM members m JOIN scores s USING (doc_id)
+                            ORDER BY s.quality_score DESC NULLS LAST,
+                                     m.doc_id ASC) AS rn
+  FROM members m LEFT JOIN scores s USING (doc_id)
 )
 SELECT cluster_id,
        MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
@@ -3763,7 +3764,7 @@ SQL_DOC_CONTAMINATION = r"""
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(w) - 1, 1)),
+           range(1, greatest(len(w) - 1, 2)),
            i -> concat_ws(' ', w[i], w[i+1], w[i+2])
          )) AS sh
   FROM (
@@ -4278,7 +4279,7 @@ WITH RECURSIVE q AS (
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(w) - 1, 1)),
+           range(1, greatest(len(w) - 1, 2)),
            i -> concat_ws(' ', w[i], w[i+1], w[i+2])
          )) AS sh
   FROM (
@@ -5746,7 +5747,7 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_KEY_SKEW_REPORT = """
 WITH c AS (
-  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+  SELECT user_id, COUNT(*) AS cnt
   FROM events GROUP BY 1
 ), g AS (
   SELECT CAST(SUM(cnt) AS BIGINT) AS total,
@@ -5754,13 +5755,13 @@ WITH c AS (
          CAST(MAX(cnt) AS BIGINT) AS max_cnt
   FROM c
 )
-SELECT c.key, CAST(c.cnt AS BIGINT) AS cnt,
+SELECT CAST(c.user_id AS VARCHAR) AS key, CAST(c.cnt AS BIGINT) AS cnt,
        CAST(c.cnt AS DOUBLE) / g.total AS share,
        g.n_keys,
        CAST(g.max_cnt AS DOUBLE) * g.n_keys / g.total AS skew_factor,
-       CAST((g.max_cnt * g.n_keys + g.total - 1) // g.total AS BIGINT)
+       CAST(ceil(CAST(g.max_cnt AS DOUBLE) * g.n_keys / g.total) AS BIGINT)
          AS rec_salt
-FROM c, g ORDER BY cnt DESC, key ASC LIMIT 5
+FROM c, g ORDER BY cnt DESC, c.user_id ASC LIMIT 5
 """
 
 
@@ -5783,7 +5784,8 @@ WITH s AS (
   FROM documents GROUP BY 1
 ), c AS (
   SELECT source, bytes,
-         SUM(bytes) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS cum
+         SUM(bytes) OVER (ORDER BY source, bytes ROWS UNBOUNDED PRECEDING)
+           AS cum
   FROM s
 )
 SELECT source, bytes,
@@ -5864,10 +5866,13 @@ WITH t AS (
   FROM t WHERE o_orderkey % 23 = 0
 ), upd AS (
   SELECT t.o_orderkey,
-         coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
-         coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
-         coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus
-  FROM t LEFT JOIN src s USING (o_orderkey)
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+              ELSE t.o_custkey END AS o_custkey,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+              ELSE t.o_totalprice END AS o_totalprice,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+              ELSE t.o_orderstatus END AS o_orderstatus
+  FROM t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
   WHERE NOT coalesce(s.del, FALSE)
 ), ins AS (
   SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, s.o_orderstatus

@@ -112,8 +112,11 @@ class SynthDocsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.rows = int(options.get("rows", 1000))
         self.per_batch = int(options.get("rowsPerBatch", 100))
-        if self.per_batch <= 0:
-            raise ValueError(f"rowsPerBatch must be > 0: {self.per_batch}")
+        if self.rows < 0 or self.per_batch <= 0:
+            raise ValueError(
+                f"need rows >= 0 and rowsPerBatch > 0, got "
+                f"{self.rows}/{self.per_batch}"
+            )
 
     def initialOffset(self) -> dict:  # noqa: N802 — API hook
         return {"next": 0}
@@ -129,7 +132,11 @@ class SynthDocsStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):  # noqa: D102 — API hook
         s = int(start["next"])
-        e = min(s + self.per_batch, self.rows)
+        # never move the offset BACKWARDS: restarting from a checkpoint
+        # with a lowered `rows` cap must freeze at the prior high-water
+        # mark (emit nothing), not emit a regressing offset the engine
+        # would reject or replay as a negative range
+        e = max(s, min(s + self.per_batch, self.rows))
         # iter() over the list: the runner drains with next() AND
         # pickles — list_iterator satisfies both (a bare generator
         # can't pickle, a bare list can't next())

@@ -287,3 +287,84 @@ def test_winsorize_summary_rejects_bad_bounds(spark):
     df = spark.createDataFrame([("g", 1.0)], "grp string, value double")
     with pytest.raises(ValueError):
         winsorize_summary(df, "value", "grp", 0.9, 0.1)
+
+
+# --- review-hardening regressions -------------------------------------------
+
+
+def test_merge_upsert_null_update_applies_null(spark):
+    """ANSI MERGE: a matched source NULL must SET NULL (CDC erasure),
+    not silently keep the stale target value."""
+    from airflow_subscription_etl_spark.operators.mutations import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "pii", 10.0)], "k bigint, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(1, None, 99.0)], "k bigint, name string, v double"
+    )
+    out = merge_upsert(target, source, ["k"]).collect()[0]
+    assert out["name"] is None and out["v"] == 99.0
+
+
+def test_merge_upsert_duplicate_source_keys_raise(spark):
+    from airflow_subscription_etl_spark.operators.mutations import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    source = spark.createDataFrame(
+        [(2, 2.0), (2, 3.0)], "k bigint, v double"
+    )
+    with pytest.raises(Exception, match="duplicate source key"):
+        merge_upsert(target, source, ["k"]).collect()
+
+
+def test_survivor_selection_counts_unscored_members(spark):
+    """A member missing from scores still counts toward n_members and
+    the checksum, and can never beat a scored member."""
+    members = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 30)], "doc_id bigint, cluster_id bigint"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5)], "doc_id bigint, quality_score double"
+    )  # doc 2 and 3 unscored
+    out = {
+        r["cluster_id"]: r
+        for r in survivor_selection(members, scores).collect()
+    }
+    assert out[10]["keep_doc_id"] == 1 and out[10]["n_members"] == 2
+    assert out[10]["dropped_checksum"] == 2
+    assert out[30]["keep_doc_id"] == 3 and out[30]["keep_score"] is None
+
+
+def test_exact_split_rejects_bad_frac(spark):
+    from airflow_subscription_etl_spark.operators.sampling import (
+        exact_stratified_split,
+    )
+
+    df = spark.createDataFrame([(1, "s")], "doc_id bigint, source string")
+    for frac in (-0.1, 1.5):
+        with pytest.raises(ValueError, match="test_frac"):
+            exact_stratified_split(df, "source", frac)
+
+
+def test_length_batches_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    for bs, ns in ((0, 8), (8, 0)):
+        with pytest.raises(ValueError, match="positive"):
+            length_bucketed_batches(df, batch_size=bs, n_shards=ns)
+
+
+def test_synth_stream_offset_never_regresses():
+    from airflow_subscription_etl_spark.sources.synth import (
+        SynthDocsStreamReader,
+    )
+
+    r = SynthDocsStreamReader({"rows": "50", "rowsPerBatch": "10"})
+    it, off = r.read({"next": 120})  # checkpoint beyond a lowered cap
+    assert off == {"next": 120} and list(it) == []
+    with pytest.raises(ValueError, match="rows"):
+        SynthDocsStreamReader({"rows": "-1"})
