@@ -5972,6 +5972,45 @@ FROM h GROUP BY 1, 2
 """
 
 
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN view maintenance (scale.py::
+    incremental_join_delta): orders⋈lineitem split 80/20 into history
+    and delta batches by key hash; the maintained view = old⋈old ∪
+    the three delta joins, and the aggregate over it must equal the
+    from-scratch join — which is exactly what the oracle computes.
+    History×history is joined ONCE; each batch costs delta-sided
+    joins only."""
+    from .operators.scale import incremental_join_delta  # noqa: PLC0415
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lines = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 10 < 8)
+    a_delta = orders.filter(F.col("o_orderkey") % 10 >= 8)
+    b_old = lines.filter(F.col("o_orderkey") % 10 < 8)
+    b_delta = lines.filter(F.col("o_orderkey") % 10 >= 8)
+    view = a_old.join(b_old, ["o_orderkey"]).unionByName(
+        incremental_join_delta(a_old, a_delta, b_old, b_delta, ["o_orderkey"])
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+SQL_IVM_JOIN_DELTA = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profiling (relational.py::table_profile):
     nulls, exact NDV, min/max, mean length per column in ONE
@@ -7140,6 +7179,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_winsorized": (q_ev_winsorized, SQL_EV_WINSORIZED),
     "ev_rollup_pyramid": (q_ev_rollup_pyramid, SQL_EV_ROLLUP_PYRAMID),
     "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),
+    "ivm_join_delta": (q_ivm_join_delta, SQL_IVM_JOIN_DELTA),
     "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
@@ -7208,6 +7248,7 @@ _PRIORITY_R4 = [
     "ev_winsorized",
     "ev_rollup_pyramid",
     "orders_profile",
+    "ivm_join_delta",
     # tier 2 — implementation changed since last green row
     "doc_mixture_sample",  # r4: HALF_UP weight quantization
     "pareto_customers",  # r4: bigint prefix-sum offsets

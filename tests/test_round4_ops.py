@@ -368,3 +368,38 @@ def test_synth_stream_offset_never_regresses():
     assert off == {"next": 120} and list(it) == []
     with pytest.raises(ValueError, match="rows"):
         SynthDocsStreamReader({"rows": "-1"})
+
+
+# --- incremental join maintenance -------------------------------------------
+
+
+def test_incremental_join_delta_equals_recompute(spark):
+    from airflow_subscription_etl_spark.operators.scale import (
+        incremental_join_delta,
+    )
+
+    a = spark.createDataFrame(
+        [(k, f"a{k}") for k in range(20)], "k bigint, av string"
+    )
+    b = spark.createDataFrame(
+        [(k % 10, f"b{k}") for k in range(30)], "k bigint, bv string"
+    )
+    a_old, a_d = a.filter("k % 3 != 0"), a.filter("k % 3 = 0")
+    b_old, b_d = b.filter("bv < 'b2'"), b.filter("bv >= 'b2'")
+    view = a_old.join(b_old, ["k"]).unionByName(
+        incremental_join_delta(a_old, a_d, b_old, b_d, ["k"])
+    )
+    got = sorted(map(str, view.collect()))
+    want = sorted(map(str, a.join(b, ["k"]).collect()))
+    assert got == want
+
+
+def test_incremental_join_delta_empty_deltas_add_nothing(spark):
+    from airflow_subscription_etl_spark.operators.scale import (
+        incremental_join_delta,
+    )
+
+    a = spark.createDataFrame([(1, "x")], "k bigint, av string")
+    b = spark.createDataFrame([(1, "y")], "k bigint, bv string")
+    empty_a, empty_b = a.limit(0), b.limit(0)
+    assert incremental_join_delta(a, empty_a, b, empty_b, ["k"]).count() == 0
