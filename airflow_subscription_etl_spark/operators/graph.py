@@ -315,3 +315,51 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     tri = wedges.join(closing, ["x", "y"])
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling, run for a FIXED
+    number of rounds: each round drops every node whose current degree
+    is below ``k``, then drops edges that lost an endpoint. After
+    convergence (a fixed point — additional rounds are no-ops) the
+    surviving subgraph is exactly the k-core; a fixed ``rounds`` keeps
+    the operator replayable in any engine (the same unrolled-iteration
+    trade k-means makes for its oracle), and callers size it by graph
+    diameter — peeling removes whole degree-layers per round, so
+    convergence is fast in practice.
+
+    Plan per round: one degree aggregation + two semi-joins on the
+    endpoint keys — all key-partitioned shuffles, no windows over
+    neighbor arrays (high-degree nodes stay distributed). Lineage is
+    truncated every other round (lazy ``localCheckpoint``) so round
+    R's plan doesn't re-derive rounds 1..R−1 on a retry. Input may be
+    one direction per pair; it is symmetrized here. Returns
+    ``(node, core_degree)`` for nodes in the surviving subgraph.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"need k >= 1 and rounds >= 1, got {k}/{rounds}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cur = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    for r in range(rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("src")
+        )
+        cur = cur.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+        if r % 2 == 1:
+            cur = cur.localCheckpoint(eager=False)
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

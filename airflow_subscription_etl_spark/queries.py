@@ -6011,6 +6011,157 @@ GROUP BY 1
 """
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (graph.py::kcore_peel, k=3, 6 fixed peel
+    rounds) of the supplier co-occurrence graph — the dense-subgraph
+    extraction of community mining. The oracle unrolls the peel rounds
+    as CTEs (the k-means unrolled-iteration trade), so the iterative
+    algorithm is fully hash-checked, not rows-only."""
+    from .operators.graph import kcore_peel  # noqa: PLC0415
+
+    los = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = los.select("o", F.col("s").alias("src"))
+    b = los.select("o", F.col("s").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return kcore_peel(edges, k=3, rounds=6)
+
+
+def kcore_oracle_sql(k: int = 3, rounds: int = 6) -> str:
+    sql = """
+WITH los AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+), und AS (
+  SELECT DISTINCT a.s AS src, b.s AS dst
+  FROM los a JOIN los b ON a.o = b.o AND a.s < b.s
+), e0 AS MATERIALIZED (
+  SELECT src, dst FROM und UNION SELECT dst, src FROM und
+)"""
+    # AS MATERIALIZED: each round references the previous one three
+    # times (directly + twice through k{r}); inlined CTEs would
+    # re-evaluate e0's dense co-occurrence join 3^rounds times
+    # (measured: 90s -> ~2s at sf0.01)
+    for r in range(rounds):
+        sql += f""",
+k{r} AS MATERIALIZED (
+  SELECT src FROM e{r} GROUP BY src HAVING COUNT(*) >= {k}
+), e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN k{r} a ON e.src = a.src
+  JOIN k{r} b ON e.dst = b.src
+)"""
+    sql += (
+        f"\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree"
+        f"\nFROM e{rounds} GROUP BY 1"
+    )
+    return sql
+
+
+SQL_GRAPH_KCORE = kcore_oracle_sql(k=3, rounds=6)
+
+
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: least-squares
+    slope/intercept of ln(count) vs ln(rank) — the corpus-health
+    diagnostic (natural text ≈ −1; synthetic/templated text flattens).
+    Ranks come from distributed_prefix_sum over (count desc, token) —
+    no single-partition window even though vocabulary ≪ corpus — and
+    every log is micro-quantized BEFORE summation, so the regression
+    sums are exact integers (decimal(38) cross-products: micro²·|V|
+    overflows bigint at web-scale vocabularies) and both engines
+    derive bit-identical slopes."""
+    from .operators.dedup import norm_tokens  # noqa: PLC0415
+    from .operators.scale import distributed_prefix_sum  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(norm_tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_one", F.lit(1).cast("bigint"))
+    )
+    ranked = distributed_prefix_sum(
+        counts,
+        [F.col("cnt").desc(), F.col("t").asc()],
+        "_one",
+        out_col="rank",
+    )
+    m = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1_000_000.0)
+        .cast("bigint")
+        .alias("xm"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1_000_000.0)
+        .cast("bigint")
+        .alias("ym"),
+    )
+    d38 = "decimal(38,0)"
+    sums = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").cast(d38).alias("sx"),
+        F.sum("ym").cast(d38).alias("sy"),
+        F.sum(F.col("xm").cast(d38) * F.col("ym")).cast(d38).alias("sxy"),
+        F.sum(F.col("xm").cast(d38) * F.col("xm")).cast(d38).alias("sxx"),
+    )
+    slope = (
+        (F.col("n").cast(d38) * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / (F.col("n").cast(d38) * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        F.round(slope * 1_000_000.0).cast("bigint").alias("zipf_slope_micro"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        )
+        .cast("bigint")
+        .alias("intercept_micro"),
+    )
+
+
+SQL_VOCAB_ZIPF_FIT = r"""
+WITH c AS (
+  SELECT t, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> '' GROUP BY 1
+), r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rank FROM c
+), m AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS xm,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS ym
+  FROM r
+), sums AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(xm) AS HUGEINT) AS sx,
+         CAST(SUM(ym) AS HUGEINT) AS sy,
+         SUM(CAST(xm AS HUGEINT) * ym) AS sxy,
+         SUM(CAST(xm AS HUGEINT) * xm) AS sxx
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+         AS zipf_slope_micro,
+       CAST(round((CAST(sy AS DOUBLE)
+                   - CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro
+FROM sums
+"""
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profiling (relational.py::table_profile):
     nulls, exact NDV, min/max, mean length per column in ONE
@@ -7180,6 +7331,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_rollup_pyramid": (q_ev_rollup_pyramid, SQL_EV_ROLLUP_PYRAMID),
     "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),
     "ivm_join_delta": (q_ivm_join_delta, SQL_IVM_JOIN_DELTA),
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
+    "vocab_zipf_fit": (q_vocab_zipf_fit, SQL_VOCAB_ZIPF_FIT),
     "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
@@ -7249,6 +7402,8 @@ _PRIORITY_R4 = [
     "ev_rollup_pyramid",
     "orders_profile",
     "ivm_join_delta",
+    "graph_kcore",
+    "vocab_zipf_fit",
     # tier 2 — implementation changed since last green row
     "doc_mixture_sample",  # r4: HALF_UP weight quantization
     "pareto_customers",  # r4: bigint prefix-sum offsets

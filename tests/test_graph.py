@@ -118,3 +118,36 @@ def test_pagerank_partitioning_invariant(spark):
         for r in pagerank(edges.repartition(9), iters=3).collect()
     }
     assert a == b
+
+
+# --- k-core -----------------------------------------------------------------
+
+
+def test_kcore_known_graph(spark):
+    """Triangle {1,2,3} + pendant chain 3-4-5: 2-core = the triangle."""
+    from airflow_subscription_etl_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src bigint, dst bigint"
+    )
+    out = {r["node"]: r["core_degree"] for r in kcore_peel(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # 3-core of a triangle is empty (degree 2 < 3)
+    assert kcore_peel(edges, k=3).count() == 0
+
+
+def test_kcore_fixed_point_and_validation(spark):
+    """Once converged, extra rounds change nothing; bad params raise."""
+    import pytest
+
+    from airflow_subscription_etl_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)] + [(0, 3)],
+        "src bigint, dst bigint",
+    )  # 6-cycle + one chord: whole graph is its own 2-core
+    a = sorted(map(str, kcore_peel(edges, k=2, rounds=2).collect()))
+    b = sorted(map(str, kcore_peel(edges, k=2, rounds=9).collect()))
+    assert a == b and len(a) == 6
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=0)
