@@ -91,6 +91,15 @@ HEADLINE = [
     "compaction_plan",
     "doc_collapse_runs",
     "orders_merge_upsert",
+    # round-4 second wave: exact splits, winsorization, rollup
+    # pyramid, incremental join maintenance, Zipf fit. graph_kcore and
+    # orders_profile stay correctness-gated but out of the headline
+    # (iterative-graph / multi-distinct Expand cost classes).
+    "doc_exact_split",
+    "ev_winsorized",
+    "ev_rollup_pyramid",
+    "ivm_join_delta",
+    "vocab_zipf_fit",
 ]
 
 
