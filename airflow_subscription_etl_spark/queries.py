@@ -5974,22 +5974,25 @@ FROM h GROUP BY 1, 2
 
 def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN view maintenance (scale.py::
-    incremental_join_delta): orders⋈lineitem split 80/20 into history
-    and delta batches by key hash; the maintained view = old⋈old ∪
-    the three delta joins, and the aggregate over it must equal the
-    from-scratch join — which is exactly what the oracle computes.
-    History×history is joined ONCE; each batch costs delta-sided
-    joins only."""
+    incremental_join_delta): orders⋈lineitem each split into history
+    and delta batches by predicates INDEPENDENT of the join key
+    (orders by key hash, lineitem by line number), so all three delta
+    joins carry rows — a same-key split would leave the two cross
+    terms provably empty and the end-to-end check vacuous for 2/3 of
+    the algebra. The maintained view = old⋈old ∪ the three delta
+    joins; its aggregate must equal the from-scratch join, which is
+    exactly what the oracle computes. History×history is joined ONCE;
+    each batch costs delta-sided joins only."""
     from .operators.scale import incremental_join_delta  # noqa: PLC0415
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     lines = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_extendedprice"
     )
     a_old = orders.filter(F.col("o_orderkey") % 10 < 8)
     a_delta = orders.filter(F.col("o_orderkey") % 10 >= 8)
-    b_old = lines.filter(F.col("o_orderkey") % 10 < 8)
-    b_delta = lines.filter(F.col("o_orderkey") % 10 >= 8)
+    b_old = lines.filter(F.col("l_linenumber") % 3 > 0).drop("l_linenumber")
+    b_delta = lines.filter(F.col("l_linenumber") % 3 == 0).drop("l_linenumber")
     view = a_old.join(b_old, ["o_orderkey"]).unionByName(
         incremental_join_delta(a_old, a_delta, b_old, b_delta, ["o_orderkey"])
     )
