@@ -116,3 +116,62 @@ def test_streaming_leg_reaches_cap_and_matches_batch(synth, tmp_path):
         )
     )
     assert got == want and len(got) == 120
+
+
+def test_streaming_curation_pipeline_end_to_end(synth, tmp_path):
+    """Corpus curation ON A STREAM: the synthdocs stream feeds the
+    batch curation operators unchanged (quality score + token filter),
+    proving the operator library is engine-mode agnostic — the same
+    declarative transforms run under the micro-batch planner. The
+    streamed+filtered result must equal the batch-filtered result."""
+    import pyspark.sql.functions as F
+
+    from airflow_subscription_etl_spark.operators.packing import (
+        with_token_count,
+    )
+    from airflow_subscription_etl_spark.operators.text import (
+        with_quality_score,
+    )
+
+    def curate(df):
+        # token filter first (with_quality_score projects to its own
+        # score columns), then quality filter on the scored frame
+        long_enough = with_token_count(df).filter(F.col("n_tokens") >= 25)
+        return (
+            with_quality_score(long_enough)
+            .filter(F.col("quality_score") > 0.4)
+            .select("doc_id", "quality_score")
+        )
+
+    q = (
+        curate(
+            synth.readStream.format("synthdocs")
+            .option("rows", 300)
+            .option("rowsPerBatch", 120)
+            .load()
+        )
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        map(str, synth.sql("SELECT * FROM curated_stream").collect())
+    )
+    want = sorted(
+        map(
+            str,
+            curate(
+                synth.read.format("synthdocs")
+                .option("rows", 300)
+                .option("partitions", 4)
+                .load()
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert 0 < len(got) < 300  # the filter actually discriminates
