@@ -185,3 +185,42 @@ def test_plan_lint_whole_registry(spark):
         if live:
             flagged[name] = live
     assert not flagged, flagged
+
+
+def test_pq_topk_is_map_only_plus_takeordered(spark):
+    """PQ ADC scoring must be ONE map pass over the corpus (broadcast
+    codebook) plus a global TakeOrdered — no shuffle of vector data.
+    A Join/Exchange over the embeddings would mean the fused
+    encode+lut projection regressed into a keyed plan."""
+    tree = _tree(_formatted_plan(spark, "emb_pq_topk"))
+    assert "TakeOrderedAndProject" in tree
+    assert "SortMergeJoin" not in tree
+    # the only exchange allowed is the one-row codebook broadcast
+    assert tree.count("Exchange") == tree.count("BroadcastExchange")
+
+
+def test_merge_upsert_joins_are_key_equi_not_nested(spark):
+    """MERGE resolves via equi-joins on the key (update path + anti
+    insert path) — a nested-loop or cartesian would mean the key
+    condition was lost."""
+    tree = _tree(_formatted_plan(spark, "orders_merge_upsert"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_skew_report_aggregates_before_topn(spark):
+    """The diagnostic must reduce to counts BEFORE any top-n — a plan
+    sorting raw events instead of per-key counts would be the exact
+    funnel the operator warns about."""
+    plan = _formatted_plan(spark, "key_skew_report")
+    tree = _tree(plan)
+    assert "TakeOrderedAndProject" in tree
+    assert "HashAggregate" in tree
+
+
+def test_length_batches_single_window_shuffle(spark):
+    """Batch assembly: the per-batch aggregation must REUSE the fill
+    window's (bucket, shard) partitioning — exactly one hash exchange
+    over the token-counted rows."""
+    tree = _tree(_formatted_plan(spark, "doc_length_batches"))
+    assert tree.count("Exchange") == 1
