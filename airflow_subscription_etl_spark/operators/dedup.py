@@ -717,8 +717,12 @@ def survivor_selection(
     near-dup groups (small by construction), so the per-key window
     state is bounded. Returns one row per cluster:
     ``(cluster_id, keep_doc_id, keep_score, n_members,
-    dropped_checksum)`` with the checksum = Σ dropped ids (a portable
-    membership fingerprint that needs no array column).
+    dropped_checksum)`` with the checksum = (Σ dropped ids) mod 2^62 —
+    a portable membership fingerprint that needs no array column. The
+    sum runs in decimal(38,0) and the mod folds it back to bigint, so
+    hash-derived 64-bit ids near 2^63 can't overflow (bigint Σ would
+    silently wrap non-ANSI and ABORT under ANSI — neither is a stable
+    fingerprint across configs).
     """
     # LEFT join: a member without a score row must still count in
     # n_members / dropped_checksum (the "every doc accounted for"
@@ -730,15 +734,15 @@ def survivor_selection(
     w = Window.partitionBy(cluster_col).orderBy(
         F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
+    keep_id = F.min(F.when(F.col("_rn") == 1, F.col(id_col)))
+    ck = F.sum(F.col(id_col).cast("decimal(38,0)")) - keep_id.cast("decimal(38,0)")
     return (
         j.withColumn("_rn", F.row_number().over(w))
         .groupBy(cluster_col)
         .agg(
-            F.min(F.when(F.col("_rn") == 1, F.col(id_col))).alias("keep_doc_id"),
+            keep_id.alias("keep_doc_id"),
             F.min(F.when(F.col("_rn") == 1, F.col(score_col))).alias("keep_score"),
             F.count(F.lit(1)).alias("n_members"),
-            (F.sum(id_col) - F.min(F.when(F.col("_rn") == 1, F.col(id_col)))).alias(
-                "dropped_checksum"
-            ),
+            F.pmod(ck, F.lit(1 << 62)).cast("bigint").alias("dropped_checksum"),
         )
     )

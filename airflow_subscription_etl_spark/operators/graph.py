@@ -340,7 +340,12 @@ def kcore_peel(
     truncated every other round (lazy ``localCheckpoint``) so round
     R's plan doesn't re-derive rounds 1..R−1 on a retry. Input may be
     one direction per pair; it is symmetrized here. Returns
-    ``(node, core_degree)`` for nodes in the surviving subgraph.
+    ``(node, core_degree)`` for nodes in the surviving subgraph; a
+    final ``core_degree >= k`` filter enforces the invariant even when
+    ``rounds`` undershoots convergence — an under-sized ``rounds`` can
+    still return a superset of the true k-core's EDGES, but never a
+    node row that itself violates the degree bound (silently-wrong
+    per-node output was the failure mode; see tests).
     """
     if k < 1 or rounds < 1:
         raise ValueError(f"need k >= 1 and rounds >= 1, got {k}/{rounds}")
@@ -360,6 +365,8 @@ def kcore_peel(
         )
         if r % 2 == 1:
             cur = cur.localCheckpoint(eager=False)
-    return cur.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("core_degree")
+    return (
+        cur.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
     )

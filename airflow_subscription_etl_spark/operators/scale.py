@@ -387,7 +387,10 @@ def key_skew_report(
         )
         .cast("bigint")
         .alias("rec_salt"),
-    )
+        # explicit final order: row order after limit+crossJoin is an
+        # implementation detail (AQE may re-plan); make the descending
+        # frequency ordering part of the operator contract instead
+    ).orderBy(F.col("cnt").desc(), F.col("key").asc())
 
 
 def compaction_plan(
@@ -457,10 +460,14 @@ def winsorize_summary(
     """
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower < upper <= 1: {lower}, {upper}")
-    v = F.col(value_col).cast("double")
+    # backtick-quote the identifier everywhere it meets a parser: the
+    # F.expr interpolation AND F.col itself (a dotted name like
+    # `unit-price.usd` otherwise parses as struct access)
+    qcol = "`" + value_col.replace("`", "``") + "`"
+    v = F.col(qcol).cast("double")
     bounds = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, {lower})").alias("_lo"),
-        F.expr(f"percentile({value_col}, {upper})").alias("_hi"),
+        F.expr(f"percentile({qcol}, {lower})").alias("_lo"),
+        F.expr(f"percentile({qcol}, {upper})").alias("_hi"),
     )
     clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
     micro = F.round(clipped * F.lit(1_000_000.0)).cast("bigint")

@@ -1,0 +1,132 @@
+"""Pure-Python XXH64 matching Spark's ``xxhash64`` expression.
+
+XXH64 is a public algorithm (Yann Collet's xxHash, BSD-licensed spec);
+Spark's `XxHash64` expression applies it per argument with the running
+hash as the next seed (default seed 42): strings hash their UTF-8
+bytes, longs hash their 8-byte little-endian form (the specialized
+8-byte path), ints their 4-byte form. Replicating that chain here lets
+a single-threaded driver-side reference reproduce MinHash/SimHash/IVF
+seeding EXACTLY, which is what upgrades those queries from rows-only
+to full value-hash oracles (VERDICT r4 #2).
+
+Everything is validated against the real `F.xxhash64` in
+tests/test_oracle_hash.py — the test, not this docstring, is the
+compatibility guarantee.
+"""
+
+from __future__ import annotations
+
+MASK64 = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+#: Spark's default seed for xxhash64 (XxHash64's `seed = 42L`).
+SPARK_SEED = 42
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & MASK64
+    h ^= h >> 29
+    h = (h * _P3) & MASK64
+    h ^= h >> 32
+    return h
+
+
+def hash_long(value: int, seed: int) -> int:
+    """XXH64 of one 8-byte little-endian long (Spark hashes LongType
+    this way)."""
+    value &= MASK64
+    h = (seed + _P5 + 8) & MASK64
+    k = (_rotl((value * _P2) & MASK64, 31) * _P1) & MASK64
+    h ^= k
+    h = ((_rotl(h, 27) * _P1) + _P4) & MASK64
+    return _fmix(h)
+
+
+def hash_int(value: int, seed: int) -> int:
+    """XXH64 of one 4-byte int (Spark hashes IntegerType this way)."""
+    h = (seed + _P5 + 4) & MASK64
+    h ^= ((value & 0xFFFFFFFF) * _P5) & MASK64
+    h = ((_rotl(h, 23) * _P2) + _P3) & MASK64
+    return _fmix(h)
+
+
+def _round(acc: int, word: int) -> int:
+    acc = (acc + word * _P2) & MASK64
+    return (_rotl(acc, 31) * _P1) & MASK64
+
+
+def hash_bytes(data: bytes, seed: int) -> int:
+    """Standard XXH64 over a byte string (Spark hashes StringType as
+    its UTF-8 bytes through this exact layout)."""
+    length = len(data)
+    off = 0
+    if length >= 32:
+        v1 = (seed + _P1 + _P2) & MASK64
+        v2 = (seed + _P2) & MASK64
+        v3 = seed & MASK64
+        v4 = (seed - _P1) & MASK64
+        while off + 32 <= length:
+            v1 = _round(v1, int.from_bytes(data[off : off + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[off + 8 : off + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[off + 16 : off + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[off + 24 : off + 32], "little"))
+            off += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & MASK64
+        for v in (v1, v2, v3, v4):
+            h ^= _round(0, v)
+            h = ((h * _P1) + _P4) & MASK64
+    else:
+        h = (seed + _P5) & MASK64
+    h = (h + length) & MASK64
+    while off + 8 <= length:
+        k = (_rotl((int.from_bytes(data[off : off + 8], "little") * _P2) & MASK64, 31) * _P1) & MASK64
+        h ^= k
+        h = ((_rotl(h, 27) * _P1) + _P4) & MASK64
+        off += 8
+    if off + 4 <= length:
+        h ^= (int.from_bytes(data[off : off + 4], "little") * _P5) & MASK64
+        h = ((_rotl(h, 23) * _P2) + _P3) & MASK64
+        off += 4
+    while off < length:
+        h ^= (data[off] * _P5) & MASK64
+        h = (_rotl(h, 11) * _P1) & MASK64
+        off += 1
+    return _fmix(h)
+
+
+def to_signed(x: int) -> int:
+    """Fold an unsigned 64-bit value to Spark's signed bigint domain —
+    array_min/string-cast/comparisons all operate on SIGNED longs."""
+    x &= MASK64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def spark_xxhash64(*args: object, seed: int = SPARK_SEED) -> int:
+    """Replicate ``F.xxhash64(a, b, ...)``: fold the args left to
+    right, each hashed with the running hash as seed; None (SQL NULL)
+    leaves the hash unchanged. Python ints are treated as LongType
+    (Spark's integral literals inside arrays / bigint columns); pass
+    ``("int", v)`` tuples for IntegerType args (4-byte path, e.g.
+    ``F.lit(3)``). Returns the SIGNED value Spark yields."""
+    h = seed
+    for a in args:
+        if a is None:
+            continue
+        if isinstance(a, tuple) and a[0] == "int":
+            h = hash_int(a[1], h)
+        elif isinstance(a, str):
+            h = hash_bytes(a.encode("utf-8"), h)
+        elif isinstance(a, int):
+            h = hash_long(a, h)
+        else:
+            raise TypeError(f"unsupported arg type {type(a)!r}")
+    return to_signed(h)

@@ -38,11 +38,11 @@ def test_entry_returns_dataframe(spark):
 def test_priority_list_names_all_registered():
     """The priority list silently skips unknown names (by design, so a
     removed query can't break import) — this test makes a typo loud."""
-    from airflow_subscription_etl_spark.queries import _PRIORITY_R4, REGISTRY
+    from airflow_subscription_etl_spark.queries import _PRIORITY_R5, REGISTRY
 
-    missing = [n for n in _PRIORITY_R4 if n not in REGISTRY]
+    missing = [n for n in _PRIORITY_R5 if n not in REGISTRY]
     assert not missing, missing
-    assert len(set(_PRIORITY_R4)) == len(_PRIORITY_R4), "duplicates"
+    assert len(set(_PRIORITY_R5)) == len(_PRIORITY_R5), "duplicates"
 
 
 def test_ordered_registry_preserves_full_surface():
