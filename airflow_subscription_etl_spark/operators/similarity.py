@@ -313,6 +313,85 @@ def all_pairs_ann(
     )
 
 
+def hard_negative_mining(
+    df: DataFrame,
+    n_planes: int = 24,
+    bands: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive triplet mining: per anchor, the hardest positive
+    (most-similar SAME-label vector) and hardest negative (most-similar
+    DIFFERENT-label vector) among its LSH-bucket candidates — the
+    batch-mining step contrastive/metric-learning pipelines run over a
+    labeled corpus before training.
+
+    Same banded-LSH candidate generation as :func:`all_pairs_ann`
+    (signatures are plan constants → fully oracle-able), but the join
+    is DIRECTED — every vector is an anchor and keeps all its bucket
+    neighbors — and selection is per-anchor argmax, not a global
+    threshold. One (band, bucket) shuffle + one anchor-keyed window;
+    per-pair work is a bare dot product against precomputed norms.
+
+    Anchors whose buckets contain no positive or no negative drop out
+    (approximate mining — the standard trade; raise ``bands`` for
+    recall). Returns ``(anchor_id, pos_id, pos_sim, neg_id, neg_sim,
+    margin)`` with ``margin = pos_sim − neg_sim`` (negative margin =
+    the anchor's neighborhood is label-confused — exactly the triplets
+    a trainer wants first).
+    """
+    normed = df.select(
+        F.col(id_col), F.col(vec_col), F.col(label_col), l2_norm(F.col(vec_col)).alias("_norm")
+    )
+    b = _banded(
+        normed, n_planes, bands, dims, vec_col, keep=[id_col, vec_col, label_col, "_norm"]
+    ).persist()
+    a = b.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("v_a"),
+        F.col(label_col).alias("lab_a"),
+        F.col("_norm").alias("n_a"),
+        "band",
+        "bucket",
+    )
+    c = b.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("v_c"),
+        F.col(label_col).alias("lab_c"),
+        F.col("_norm").alias("n_c"),
+        "band",
+        "bucket",
+    )
+    scored = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .withColumn(
+            "sim", dot(F.col("v_a"), F.col("v_c")) / (F.col("n_a") * F.col("n_c"))
+        )
+        .withColumn("same", F.col("lab_a") == F.col("lab_c"))
+        .select("anchor_id", "cand_id", "sim", "same")
+    )
+    # cross-band duplicates carry identical (sim, cand_id) — row_number
+    # picks a deterministic value either way, no pre-dedup shuffle needed
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("sim").desc(), F.col("cand_id").asc()
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        best.groupBy("anchor_id")
+        .agg(
+            F.min(F.when(F.col("same"), F.col("cand_id"))).alias("pos_id"),
+            F.min(F.when(F.col("same"), F.col("sim"))).alias("pos_sim"),
+            F.min(F.when(~F.col("same"), F.col("cand_id"))).alias("neg_id"),
+            F.min(F.when(~F.col("same"), F.col("sim"))).alias("neg_sim"),
+        )
+        .filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
+        .withColumn("margin", F.col("pos_sim") - F.col("neg_sim"))
+    )
+
+
 def ivf_assignments(
     df: DataFrame,
     n_lists: int = 16,

@@ -1,0 +1,300 @@
+"""Driver-side reference implementations → generated VALUES oracles
+for the three queries whose Spark plans are seeded by ``xxhash64``
+(MinHash LSH, SimHash, IVF): the same trick that oracled ``mm_resize``
+(queries.py::_sql_mm_resize). Each function recomputes the ENTIRE
+operator single-threaded in plain Python/numpy over the fixture
+parquet — no Spark — using the bit-exact XXH64 replica
+(:mod:`.xxh64`, validated against ``F.xxhash64`` in
+tests/test_oracle_hash.py), and emits the expected output as a VALUES
+table for DuckDB. The comparison then pins that the distributed
+execution (banded self-joins, broadcast Lloyd iterations, partitioned
+top-k) reproduces the sequential reference EXACTLY — signatures,
+bucketing, tie-breaks, and float arithmetic included.
+
+Float discipline: every value that reaches the output is computed with
+the same operation ORDER Spark's expression tree uses (sequential
+``aggregate`` folds in float64), so doubles match bit-for-bit and the
+driver's stringified comparison holds. Intermediate k-means centroids
+are float32-truncated by the operator itself, which absorbs the one
+place (grouped ``avg``) where Spark's summation order is
+partitioning-dependent.
+
+Tokenization parity notes (dedup.norm_tokens = split(trim(lower(s)),
+'\\s+')): Spark ``trim`` strips 0x20 only, and Java's ``\\s`` is ASCII
+[ \\t\\n\\x0b\\f\\r] — both replicated literally here rather than via
+Python's unicode-aware ``strip``/``\\s``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import defaultdict
+
+from .xxh64 import MASK64, hash_bytes, hash_int, hash_long, to_signed
+
+#: Java's \s (no UNICODE_CHARACTER_CLASS) is exactly this ASCII set —
+#: Python's \s would also eat U+00A0 etc. and diverge
+_JAVA_WS_RUN = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _norm_tokens(text: str) -> list[str]:
+    """split(trim(lower(s)), '\\s+') with Spark/Java semantics: trim
+    strips 0x20 only; split keeps a leading/trailing empty token when
+    non-space whitespace survives the trim (Java limit=-1)."""
+    return _JAVA_WS_RUN.split(text.lower().strip(" "))
+
+
+def _docs(sf_dir: str) -> list[tuple[int, str]]:
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    d = t.to_pydict()
+    return list(zip(d["doc_id"], d["text"]))
+
+
+def _values_sql(rows: list[str], cols: str) -> str | None:
+    if not rows:
+        return None
+    return f"SELECT {cols} FROM (VALUES " + ",".join(rows) + ") AS t(c0, c1, c2)"
+
+
+def _dbl(v: float) -> str:
+    """Bit-exact double literal: VARCHAR → DOUBLE cast (a bare decimal
+    literal would land in DuckDB's DECIMAL type and re-round)."""
+    return f"'{v!r}'"
+
+
+# --- MinHash LSH (dedup.minhash_lsh_pairs) ----------------------------------
+
+
+def _minhash_signature(text: str, k_shingle: int, num_hashes: int) -> list[int]:
+    th = [to_signed(hash_bytes(t.encode("utf-8"), 42)) for t in _norm_tokens(text)]
+    n = len(th)
+    sh: list[int] = []
+    for i in range(max(n - k_shingle, 0) + 1):
+        h = 42
+        for j in range(k_shingle):
+            if i + j < n:  # element_at beyond length → NULL → skipped
+                h = hash_long(th[i + j], h)
+        sh.append(to_signed(h))
+    distinct = list(dict.fromkeys(sh))
+    sig: list[int] = []
+    for perm in range(num_hashes):
+        best = None
+        for x in distinct:
+            v = to_signed(hash_int(perm, hash_long(x, 42)))
+            if best is None or v < best:
+                best = v
+        sig.append(best)  # type: ignore[arg-type]
+    return sig
+
+
+def minhash_pairs_reference(
+    sf_dir: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+) -> list[tuple[int, int, float]]:
+    docs = _docs(sf_dir)
+    sigs = {
+        int(doc_id): _minhash_signature(text, k_shingle, num_hashes)
+        for doc_id, text in docs
+        if text is not None
+    }
+    rows_per_band = num_hashes // bands
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            csv = ",".join(str(v) for v in sig[b * rows_per_band : (b + 1) * rows_per_band])
+            buckets[(b, to_signed(hash_bytes(csv.encode("utf-8"), 42)))].append(doc_id)
+    seen: set[tuple[int, int]] = set()
+    out: list[tuple[int, int, float]] = []
+    for members in buckets.values():
+        members = sorted(members)
+        for i, a in enumerate(members):
+            for b_id in members[i + 1 :]:
+                if (a, b_id) in seen:
+                    continue
+                sa, sb = sigs[a], sigs[b_id]
+                est = sum(x == y for x, y in zip(sa, sb)) / float(num_hashes)
+                if est >= threshold:
+                    seen.add((a, b_id))
+                    out.append((a, b_id, est))
+    return out
+
+
+_ORACLE_CACHE: dict[tuple[str, str], str | None] = {}
+
+
+def _cached(kind: str, build) -> str | None:
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    key = (kind, sf_dir)
+    if key not in _ORACLE_CACHE:
+        try:
+            _ORACLE_CACHE[key] = build(sf_dir)
+        except Exception:  # noqa: BLE001 — unreadable fixture → rows-only
+            _ORACLE_CACHE[key] = None
+    return _ORACLE_CACHE[key]
+
+
+def sql_doc_minhash_pairs() -> str | None:
+    def build(sf_dir: str) -> str | None:
+        rows = [
+            f"({a},{b},{_dbl(est)})"
+            for a, b, est in minhash_pairs_reference(sf_dir)
+        ]
+        return _values_sql(
+            rows,
+            "CAST(c0 AS BIGINT) AS id_a, CAST(c1 AS BIGINT) AS id_b, "
+            "CAST(c2 AS DOUBLE) AS est_jaccard",
+        )
+
+    return _cached("minhash", build)
+
+
+# --- SimHash (dedup.simhash_near_pairs) -------------------------------------
+
+
+def _simhash(text: str) -> int:
+    import numpy as np  # noqa: PLC0415
+
+    th = [hash_bytes(t.encode("utf-8"), 42) & MASK64 for t in _norm_tokens(text)]
+    arr = np.array(th, dtype=np.uint64)
+    # bit i of each hash; vote sum > 0  ⟺  2·ones > n
+    ones = ((arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).sum(
+        axis=0
+    )
+    n = len(th)
+    sig = 0
+    for i in range(64):
+        if 2 * int(ones[i]) > n:
+            sig |= 1 << i
+    return to_signed(sig)
+
+
+def simhash_pairs_reference(
+    sf_dir: str, max_hamming: int = 16
+) -> list[tuple[int, int, int]]:
+    docs = _docs(sf_dir)
+    sigs = {int(doc_id): _simhash(text) for doc_id, text in docs if text is not None}
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for doc_id, sig in sigs.items():
+        for chunk in range(4):
+            buckets[(chunk, (sig >> (chunk * 16)) & 0xFFFF)].append(doc_id)
+    seen: set[tuple[int, int]] = set()
+    out: list[tuple[int, int, int]] = []
+    for members in buckets.values():
+        members = sorted(members)
+        for i, a in enumerate(members):
+            for b_id in members[i + 1 :]:
+                if (a, b_id) in seen:
+                    continue
+                ham = bin((sigs[a] ^ sigs[b_id]) & MASK64).count("1")
+                if ham <= max_hamming:
+                    seen.add((a, b_id))
+                    out.append((a, b_id, ham))
+    return out
+
+
+def sql_doc_simhash_pairs() -> str | None:
+    def build(sf_dir: str) -> str | None:
+        rows = [f"({a},{b},{h})" for a, b, h in simhash_pairs_reference(sf_dir)]
+        return _values_sql(
+            rows,
+            "CAST(c0 AS BIGINT) AS id_a, CAST(c1 AS BIGINT) AS id_b, "
+            "CAST(c2 AS INTEGER) AS hamming",
+        )
+
+    return _cached("simhash", build)
+
+
+# --- IVF top-k (similarity.ivf_topk) ----------------------------------------
+
+
+def _seq_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _seq_norm(a) -> float:
+    import math  # noqa: PLC0415
+
+    acc = 0.0
+    for x in a:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def ivf_topk_reference(
+    sf_dir: str,
+    k: int = 20,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+) -> list[tuple[int, float]]:
+    import numpy as np  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    d = t.to_pydict()
+    ids = [int(v) for v in d["vec_id"]]
+    X32 = np.array(d["embedding"], dtype=np.float32)  # raw storage dtype
+    X = X32.astype(np.float64)
+    qv = X32[int(np.argmin(ids))].astype(np.float64)  # min vec_id's vector
+
+    # seeds: n_lists smallest xxhash64(vec_id); rank order → list_id
+    hashed = sorted(range(len(ids)), key=lambda i: to_signed(hash_long(ids[i], 42)))
+    list_ids = list(range(n_lists))
+    centroids = X32[hashed[:n_lists]].astype(np.float64)  # list_id = rank
+
+    # Lloyd iterations: argmin over squared L2 (ties → lowest list_id:
+    # rows are kept sorted by list_id so argmin's first-minimum is the
+    # lowest id), then float64 means truncated to float32 — exactly the
+    # operator's cast("float") boundary, which absorbs sub-ulp
+    # summation-order differences vs Spark's partitioning-dependent
+    # avg(). A list that captures no vectors DROPS OUT of the centroid
+    # table (Spark's groupBy only yields assigned lists) — replicated.
+    assign = None
+    for _ in range(max(1, lloyd_iters)):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = np.asarray(list_ids)[d2.argmin(axis=1)]
+        survivors = [lid for lid in list_ids if (assign == lid).any()]
+        centroids = (
+            np.stack([X[assign == lid].mean(axis=0) for lid in survivors])
+            .astype(np.float32)
+            .astype(np.float64)
+        )
+        list_ids = survivors
+
+    probe_d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probe = sorted(
+        range(len(list_ids)), key=lambda pos: (probe_d2[pos], list_ids[pos])
+    )[:nprobe]
+    probe_set = {list_ids[pos] for pos in probe}
+
+    # exact cosine for candidates, SEQUENTIAL float64 folds (bit-match
+    # to similarity.dot/l2_norm's aggregate order)
+    qn = _seq_norm(qv)
+    scored = []
+    for i, vid in enumerate(ids):
+        if int(assign[i]) not in probe_set:
+            continue
+        sim = _seq_dot(X32[i], qv) / (_seq_norm(X32[i]) * qn)
+        scored.append((vid, sim))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return scored[:k]
+
+
+def sql_emb_ivf_topk() -> str | None:
+    def build(sf_dir: str) -> str | None:
+        rows = [f"({vid},{_dbl(sim)},0)" for vid, sim in ivf_topk_reference(sf_dir)]
+        return _values_sql(
+            rows,
+            "CAST(c0 AS BIGINT) AS vec_id, CAST(c1 AS DOUBLE) AS cosine_sim",
+        )
+
+    return _cached("ivf", build)

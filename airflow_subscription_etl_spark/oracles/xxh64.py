@@ -54,7 +54,7 @@ def hash_long(value: int, seed: int) -> int:
 def hash_int(value: int, seed: int) -> int:
     """XXH64 of one 4-byte int (Spark hashes IntegerType this way)."""
     h = (seed + _P5 + 4) & MASK64
-    h ^= ((value & 0xFFFFFFFF) * _P5) & MASK64
+    h ^= ((value & 0xFFFFFFFF) * _P1) & MASK64
     h = ((_rotl(h, 23) * _P2) + _P3) & MASK64
     return _fmix(h)
 
@@ -93,7 +93,7 @@ def hash_bytes(data: bytes, seed: int) -> int:
         h = ((_rotl(h, 27) * _P1) + _P4) & MASK64
         off += 8
     if off + 4 <= length:
-        h ^= (int.from_bytes(data[off : off + 4], "little") * _P5) & MASK64
+        h ^= (int.from_bytes(data[off : off + 4], "little") * _P1) & MASK64
         h = ((_rotl(h, 23) * _P2) + _P3) & MASK64
         off += 4
     while off < length:

@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 
 from .functions.expressions import iso_date_str, label_expr
 from .operators import dedup, similarity, sketch, text
+from .oracles.lsh_ref import (
+    sql_doc_minhash_pairs,
+    sql_doc_simhash_pairs,
+    sql_emb_ivf_topk,
+)
 from .operators.relational import top1_per_key
 from .sources.io import read_star_table
 from .streaming.events import sessionize_batch, sliding_counts, tumbling_counts
@@ -738,14 +743,21 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 
 
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (rows-only check — the
-    xxhash64 family isn't replicable in ANSI SQL)."""
+    """MinHash-LSH near-dup candidate pairs. The xxhash64 family isn't
+    replicable in ANSI SQL, so the oracle is a driver-side pure-Python
+    reference (oracles/lsh_ref.py::minhash_pairs_reference — bit-exact
+    XXH64 replica, same tokenize→shingle→permute→band pipeline) whose
+    expected pairs are emitted as a VALUES table: full value-hash
+    check of signatures, banding, and the Jaccard estimate."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, threshold=0.4)
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs — oracled by the driver-side reference
+    implementation (oracles/lsh_ref.py::simhash_pairs_reference):
+    bit-exact token hashes → 64 bit-votes → prefix buckets → Hamming,
+    emitted as a VALUES table."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, max_hamming=16)
 
@@ -893,8 +905,12 @@ SQL_EMB_ANN_TOPK = _ann_oracle_sql()
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (coarse k-means lists + nprobe probing;
-    rows-only — list membership depends on the engine's seeding)."""
+    """IVF approximate top-k (coarse k-means lists + nprobe probing).
+    List membership depends on xxhash64 seeding, so the oracle is the
+    driver-side reference (oracles/lsh_ref.py::ivf_topk_reference):
+    same seeds, Lloyd iterations (float32 centroid truncation absorbs
+    summation-order ulps), probe choice, and sequential-fold cosines,
+    emitted as a VALUES table — full value-hash check."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
     return similarity.ivf_topk(emb, qv, k=20, n_lists=16, nprobe=4)
@@ -7283,12 +7299,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "doc_jaccard_adjacent": (q_doc_jaccard_adjacent, SQL_DOC_JACCARD_ADJ),
-    "doc_minhash_pairs": (q_doc_minhash_pairs, None),
-    "doc_simhash_pairs": (q_doc_simhash_pairs, None),
+    "doc_minhash_pairs": (q_doc_minhash_pairs, sql_doc_minhash_pairs),
+    "doc_simhash_pairs": (q_doc_simhash_pairs, sql_doc_simhash_pairs),
     "emb_topk_cosine": (q_emb_topk_cosine, SQL_EMB_TOPK),
     "emb_topk_cosine_pandas": (q_emb_topk_cosine_pandas, SQL_EMB_TOPK_PANDAS),
     "emb_ann_topk": (q_emb_ann_topk, SQL_EMB_ANN_TOPK),
-    "emb_ivf_topk": (q_emb_ivf_topk, None),
+    "emb_ivf_topk": (q_emb_ivf_topk, sql_emb_ivf_topk),
     "emb_near_pairs": (q_emb_near_pairs, SQL_EMB_NEAR_PAIRS),
     "mm_featurize": (q_mm_featurize, SQL_MM_FEATURIZE),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

@@ -1,0 +1,45 @@
+"""The driver-side LSH/IVF reference implementations
+(oracles/lsh_ref.py) must agree with the distributed Spark operators
+EXACTLY — values included. This is the same comparison the generated
+VALUES oracles give the driver, pinned in CI at sf0.001 so a drift in
+either side (operator rework, tokenizer change, hash seed) is loud."""
+
+from __future__ import annotations
+
+from airflow_subscription_etl_spark.oracles import lsh_ref as R
+from airflow_subscription_etl_spark.queries import (
+    q_doc_minhash_pairs,
+    q_doc_simhash_pairs,
+    q_emb_ivf_topk,
+)
+from tests.conftest import SF_DIR
+
+
+def test_minhash_reference_matches_spark(spark):
+    got = sorted(tuple(r) for r in q_doc_minhash_pairs(spark, SF_DIR).collect())
+    want = sorted(R.minhash_pairs_reference(SF_DIR))
+    assert got == want
+    assert len(got) > 0  # non-vacuous: threshold must catch real pairs
+
+
+def test_simhash_reference_matches_spark(spark):
+    got = sorted(tuple(r) for r in q_doc_simhash_pairs(spark, SF_DIR).collect())
+    want = sorted(R.simhash_pairs_reference(SF_DIR))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ivf_reference_matches_spark(spark):
+    got = [tuple(r) for r in q_emb_ivf_topk(spark, SF_DIR).collect()]
+    want = R.ivf_topk_reference(SF_DIR)
+    assert got == want  # ordered: (cosine desc, vec_id asc) top-20
+
+
+def test_generated_sql_is_cached_and_non_null(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+    a = R.sql_doc_minhash_pairs()
+    b = R.sql_doc_minhash_pairs()
+    assert a is b  # per-sf_dir cache: the reference runs once
+    assert a is not None and "VALUES" in a
+    assert R.sql_doc_simhash_pairs() is not None
+    assert R.sql_emb_ivf_topk() is not None

@@ -1,0 +1,97 @@
+"""8× empirical scale probe (SCALE.md's methodology, persisted as a
+tool so each round can extend the table instead of re-deriving the
+harness).
+
+Replicates selected sf0.1 tables 8× into a temp dir — per-replica KEY
+SHIFTS so join/group/graph cardinality scales with the data, not just
+row counts — then times registered queries warm (noop sink, min of 2
+passes) at 1× and 8×.
+
+Usage: python tools/scale_probe.py [query ...]   (default: round-5 set)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airflow_subscription_etl_spark import get_spark  # noqa: E402
+from airflow_subscription_etl_spark.queries import REGISTRY  # noqa: E402
+from airflow_subscription_etl_spark.sources.io import read_star_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = 8
+
+#: table → key columns shifted per replica (offset = rep · 10^9 keeps
+#: replicas disjoint in every keyed domain)
+SHIFTS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+
+DEFAULT_QUERIES = ["ivm_join_delta", "graph_kcore", "vocab_zipf_fit"]
+
+#: which tables each probed query scans (replicate only those)
+NEEDS = {
+    "ivm_join_delta": ["orders", "lineitem"],
+    "graph_kcore": ["lineitem"],
+    "vocab_zipf_fit": ["documents"],
+}
+
+
+def replicate(spark, out_dir: str, tables: list[str]) -> None:
+    for t in sorted(set(tables)):
+        base = read_star_table(spark, SF_DIR, t)
+        parts = []
+        for rep in range(REPS):
+            df = base
+            for key in SHIFTS.get(t, []):
+                df = df.withColumn(key, F.col(key) + F.lit(rep * 1_000_000_000))
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    fn, _ = REGISTRY[name]
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark("scale-probe")
+    out_dir = tempfile.mkdtemp(prefix="scale8_")
+    try:
+        replicate(spark, out_dir, [t for n in names for t in NEEDS[n]])
+        # warmup both dirs so codegen/JIT isn't billed to pass 1
+        for n in names:
+            REGISTRY[n][0](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        for n in names:
+            t1 = time_query(spark, n, SF_DIR)
+            t8 = time_query(spark, n, out_dir)
+            print(f"{n:24s} 1x={t1:6.2f}s  8x={t8:6.2f}s  growth={t8 / t1:4.1f}x")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
