@@ -177,6 +177,64 @@ def exact_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT shingle-containment pairs: C(A→B) = |A∩B| / |A| over word
+    k-shingle sets — the ASYMMETRIC companion to
+    :func:`exact_jaccard_pairs`. Jaccard misses the quote/sub-document
+    case (a short doc wholly embedded in a long one scores |A|/|B| ≈ 0
+    Jaccard but 1.0 containment), which is exactly the duplication mode
+    corpus curation cares about for boilerplate and quoted articles.
+
+    Identical plan shape to the Jaccard path (one shingle-keyed
+    inverted-index shuffle, candidate pairs only for docs that share a
+    shingle, optional ``max_df`` stop-shingle cap with the same
+    exactness caveat); the pair agg emits BOTH directions' containment
+    from the one shared count. Returns ``(id_a, id_b, containment_a,
+    containment_b, jaccard)`` with id_a < id_b, keeping pairs where
+    max(containment) ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
+    )
+    ex = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    if max_df is not None:
+        keep = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        ex = ex.join(keep, "s", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    shared = F.col("shared").cast("double")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (shared / F.col("n_a")).alias("containment_a"),
+        (shared / F.col("n_b")).alias("containment_b"),
+        (shared / (F.col("n_a") + F.col("n_b") - F.col("shared"))).alias("jaccard"),
+    ).filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+    )
+
+
 # --- minhash + LSH -----------------------------------------------------------
 
 
@@ -393,6 +451,24 @@ def portable_minhash_pairs(
     shuffle, never all-pairs. ``F.get`` (not ``element_at``) keeps the
     tail-shingle access legal under ANSI mode.
     """
+    sig = portable_signatures(df, text_col, k_shingle, num_hashes, id_col).persist()
+    return banded_pairs_from_signatures(
+        sig, num_hashes, bands, threshold, id_col, bucket_hash=hash60
+    )
+
+
+def portable_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ``(id, minhash)`` signature stage of
+    :func:`portable_minhash_pairs`, exposed on its own because it IS
+    the dedup INDEX a deployment materializes: signatures are written
+    once per corpus and reused by every later delta batch
+    (:func:`incremental_minhash_pairs`), never recomputed."""
     th = df.select(
         F.col(id_col),
         F.transform(
@@ -411,15 +487,107 @@ def portable_minhash_pairs(
         return acc % F.lit(MERSENNE31)
 
     hx = th.select(id_col, F.transform(idx, shingle_hash).alias("_x"))
-    sig = hx.select(
+    return hx.select(
         id_col,
         F.array(
             *[_affine_min(F.col("_x"), a, b) for a, b in portable_hash_params(num_hashes)]
         ).alias("minhash"),
-    ).persist()
-    return banded_pairs_from_signatures(
-        sig, num_hashes, bands, threshold, id_col, bucket_hash=hash60
     )
+
+
+def incremental_minhash_pairs(
+    corpus_sigs: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup-INDEX maintenance: the near-dup pairs a delta batch
+    introduces against an already-signed corpus — the MinHash analog of
+    :func:`..scale.incremental_join_delta`'s delta algebra. Ingestion
+    pipelines run this per batch; recomputing all-corpus pairs per
+    batch is the history×history rescan IVM exists to avoid.
+
+    ``corpus_sigs`` is the materialized ``(id, minhash)`` index
+    (:func:`portable_signatures` output — in production a parquet table
+    bucketed by band keys); ``delta`` is the new batch's raw text.
+    Emitted pairs have ≥1 delta member — delta×corpus and delta×delta,
+    never corpus×corpus (already known). Pairs are normalized id_a <
+    id_b, so ``pairs(corpus ∪ Δ) = pairs(corpus) ∪ this`` exactly (the
+    identity the oracle checks).
+
+    Cost: signatures for |Δ| docs (map-only) + ONE (band, bucket)
+    shuffle whose left side is the delta only — the corpus side
+    re-shuffles its (bands × |corpus|) bucket keys but never re-hashes
+    text; with the index pre-bucketed by (band, bucket) even that
+    shuffle disappears into a co-located join.
+    """
+    delta_sigs = portable_signatures(
+        delta, text_col, k_shingle, num_hashes, id_col
+    ).persist()
+    all_sigs = corpus_sigs.select(id_col, "minhash").unionByName(delta_sigs)
+    rows_per_band = num_hashes // bands
+
+    def banded(sig: DataFrame, a: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(f"id_{a}"),
+            F.col("minhash").alias(f"mh_{a}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            hash60(
+                                F.concat_ws(
+                                    ",",
+                                    F.transform(
+                                        F.slice(
+                                            "minhash",
+                                            b * rows_per_band + 1,
+                                            rows_per_band,
+                                        ),
+                                        lambda x: x.cast("string"),
+                                    ),
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"id_{a}", f"mh_{a}", "bb.band", "bb.bucket")
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    joined = (
+        banded(delta_sigs, "d").join(banded(all_sigs, "c"), ["band", "bucket"])
+        .filter(F.col("id_d") != F.col("id_c"))
+        .select(
+            F.least("id_d", "id_c").alias("id_a"),
+            F.greatest("id_d", "id_c").alias("id_b"),
+            F.when(F.col("id_d") < F.col("id_c"), F.col("mh_d"))
+            .otherwise(F.col("mh_c"))
+            .alias("mh_a"),
+            F.when(F.col("id_d") < F.col("id_c"), F.col("mh_c"))
+            .otherwise(F.col("mh_d"))
+            .alias("mh_b"),
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return joined
 
 
 # --- simhash -----------------------------------------------------------------

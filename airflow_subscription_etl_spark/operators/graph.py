@@ -370,3 +370,59 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007), run for a FIXED number of rounds: every node starts
+    as its own label; each round it adopts the label most frequent
+    among its neighbors, ties → smallest label. The deterministic
+    synchronous variant (no random visit order) — same unrolled-round
+    replayability trade as :func:`kcore_peel` and k-means, so the whole
+    algorithm oracle-checks round by round.
+
+    Where :func:`connected_components` answers "reachable at all?",
+    LPA answers "densely attached where?" — the community granularity
+    corpus/graph curation uses for domain clusters and link farms.
+
+    Plan per round: one edge⋈labels join (labels keyed by node — the
+    small side under AQE once communities consolidate) + one
+    (node, label) count agg + one node-keyed window argmax. All keyed
+    shuffles over the edge set; no neighbor arrays, so high-degree
+    nodes stay distributed. Lineage checkpoint-truncated every other
+    round. Input may be one direction per pair; symmetrized here.
+    Returns ``(node, community)``.
+    """
+    if rounds < 1:
+        raise ValueError(f"need rounds >= 1, got {rounds}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("_n").desc(), F.col("label").asc()
+    )
+    for r in range(rounds):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        if r % 2 == 1:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select("node", F.col("label").alias("community"))

@@ -294,3 +294,42 @@ def exact_stratified_split(
             F.lit("train")
         ),
     )
+
+
+def temporal_holdout_split(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    cutoff,
+    holdout_per_10k: int = 1000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-guarded temporal split for per-user event data: a
+    deterministic ``holdout_per_10k``/10k slice of USERS goes entirely
+    to ``test`` (every event, both sides of the cutoff), and the rest
+    split by time — ``train`` before ``cutoff``, ``valid`` at/after.
+
+    The two standard eval protocols composed so neither leaks: the
+    held-out users measure cold-start generalization (a plain temporal
+    split leaks their history into train), while the time cutoff on
+    remaining users measures forecasting without future leakage. The
+    user assignment rides :func:`hash_bucket` (content-keyed md5), so
+    it is reproducible across runs/retries/engines and every event of
+    a user lands on the same side — the property a ``rand()`` split
+    cannot give.
+
+    Pure map over rows (no shuffle, no per-user state): the holdout
+    decision is a hash of the user column, the rest a timestamp
+    comparison. Pushdown-able: Catalyst folds the split predicate into
+    the scan when a caller filters on one split value.
+    """
+    if not 0 <= holdout_per_10k <= BUCKETS:
+        raise ValueError(f"holdout_per_10k must be in [0, {BUCKETS}]")
+    u = F.col(user_col) if isinstance(user_col, str) else user_col
+    t = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return df.withColumn(
+        split_col,
+        F.when(hash_bucket(u) < holdout_per_10k, F.lit("test"))
+        .when(t < F.lit(cutoff), F.lit("train"))
+        .otherwise(F.lit("valid")),
+    )

@@ -229,13 +229,21 @@ def _seq_norm(a) -> float:
     return math.sqrt(acc)
 
 
-def ivf_topk_reference(
-    sf_dir: str,
-    k: int = 20,
-    n_lists: int = 16,
-    nprobe: int = 4,
-    lloyd_iters: int = 2,
-) -> list[tuple[int, float]]:
+def _ivf_fit(sf_dir: str, n_lists: int, lloyd_iters: int):
+    """Shared IVF coarse-quantizer replication: ids, raw float32
+    matrix, float64 view, min-id query vector, final assignments and
+    the (list_ids, centroids) table — exactly
+    similarity.ivf_assignments' semantics.
+
+    Seeds are the ``n_lists`` smallest xxhash64(vec_id) (rank →
+    list_id). Lloyd: argmin over squared L2 (ties → lowest list_id:
+    rows stay sorted by list_id so argmin's first-minimum is the
+    lowest id), then float64 means truncated to float32 — the
+    operator's cast("float") boundary, which absorbs sub-ulp
+    summation-order differences vs Spark's partitioning-dependent
+    avg(). A list that captures no vectors DROPS OUT of the centroid
+    table (Spark's groupBy only yields assigned lists) — replicated.
+    """
     import numpy as np  # noqa: PLC0415
     import pyarrow.parquet as pq  # noqa: PLC0415
 
@@ -246,18 +254,10 @@ def ivf_topk_reference(
     X = X32.astype(np.float64)
     qv = X32[int(np.argmin(ids))].astype(np.float64)  # min vec_id's vector
 
-    # seeds: n_lists smallest xxhash64(vec_id); rank order → list_id
     hashed = sorted(range(len(ids)), key=lambda i: to_signed(hash_long(ids[i], 42)))
     list_ids = list(range(n_lists))
     centroids = X32[hashed[:n_lists]].astype(np.float64)  # list_id = rank
 
-    # Lloyd iterations: argmin over squared L2 (ties → lowest list_id:
-    # rows are kept sorted by list_id so argmin's first-minimum is the
-    # lowest id), then float64 means truncated to float32 — exactly the
-    # operator's cast("float") boundary, which absorbs sub-ulp
-    # summation-order differences vs Spark's partitioning-dependent
-    # avg(). A list that captures no vectors DROPS OUT of the centroid
-    # table (Spark's groupBy only yields assigned lists) — replicated.
     assign = None
     for _ in range(max(1, lloyd_iters)):
         d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -269,12 +269,28 @@ def ivf_topk_reference(
             .astype(np.float64)
         )
         list_ids = survivors
+    return ids, X32, X, qv, assign, list_ids, centroids
 
+
+def _probe_lists(qv, list_ids, centroids, nprobe: int) -> list[int]:
     probe_d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probe = sorted(
         range(len(list_ids)), key=lambda pos: (probe_d2[pos], list_ids[pos])
     )[:nprobe]
-    probe_set = {list_ids[pos] for pos in probe}
+    return [list_ids[pos] for pos in probe]
+
+
+def ivf_topk_reference(
+    sf_dir: str,
+    k: int = 20,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+) -> list[tuple[int, float]]:
+    ids, X32, _X, qv, assign, list_ids, centroids = _ivf_fit(
+        sf_dir, n_lists, lloyd_iters
+    )
+    probe_set = set(_probe_lists(qv, list_ids, centroids, nprobe))
 
     # exact cosine for candidates, SEQUENTIAL float64 folds (bit-match
     # to similarity.dot/l2_norm's aggregate order)
@@ -287,6 +303,101 @@ def ivf_topk_reference(
         scored.append((vid, sim))
     scored.sort(key=lambda r: (-r[1], r[0]))
     return scored[:k]
+
+
+def _round_half_up_spark(v: float) -> int:
+    """Spark's round(double): the double's SHORTEST-DECIMAL string →
+    BigDecimal → HALF_UP (BigDecimal.valueOf goes through
+    Double.toString). Python's repr is the same shortest decimal, so
+    Decimal(repr(v)) replicates the pre-round value exactly."""
+    import decimal  # noqa: PLC0415
+
+    return int(
+        decimal.Decimal(repr(v)).to_integral_value(rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _d2_micro_ref(a, b) -> int:
+    """similarity._d2_micro: Σ_d round(((a_d−b_d)·(a_d−b_d))·1e6) as
+    exact integers, same per-term expression order."""
+    tot = 0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        tot += _round_half_up_spark(d * d * 1_000_000.0)
+    return tot
+
+
+def ivfpq_topk_reference(
+    sf_dir: str,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    lloyd_iters: int = 2,
+) -> list[tuple[int, int, str, int]]:
+    """similarity.ivfpq_topk replicated: residuals vs the Lloyd
+    centroids, md5-ranked residual codebook, per-list query residuals,
+    integer-micro ADC. Scores are exact integers → no float-compare
+    risk in the oracle at all."""
+    import hashlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    ids, _X32, X, qv, assign, list_ids, centroids = _ivf_fit(
+        sf_dir, n_lists, lloyd_iters
+    )
+    dims = X.shape[1]
+    dsub = dims // m
+    cent_by_lid = {lid: centroids[pos] for pos, lid in enumerate(list_ids)}
+    res = X - np.stack([cent_by_lid[int(a)] for a in assign])
+
+    # codebook: residual subvectors of the n_codes rows with the
+    # smallest (md5(str(id)), id) — pq_codebook's TakeOrdered sample
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )[:n_codes]
+    cb = [[res[i][j * dsub : (j + 1) * dsub] for i in order] for j in range(m)]
+
+    probes = _probe_lists(qv, list_ids, centroids, nprobe)
+    qres = {lid: qv - cent_by_lid[lid] for lid in probes}
+    probe_set = set(probes)
+
+    out = []
+    for i, vid in enumerate(ids):
+        lid = int(assign[i])
+        if lid not in probe_set:
+            continue
+        codes = []
+        approx = 0
+        for j in range(m):
+            sub = res[i][j * dsub : (j + 1) * dsub]
+            best = min(
+                (( _d2_micro_ref(sub, cb[j][c]), c) for c in range(n_codes))
+            )[1]
+            codes.append(best)
+            approx += _d2_micro_ref(qres[lid][j * dsub : (j + 1) * dsub], cb[j][best])
+        out.append((vid, lid, ",".join(str(c) for c in codes), approx))
+    out.sort(key=lambda r: (r[3], r[0]))
+    return out[:k]
+
+
+def sql_emb_ivfpq_topk() -> str | None:
+    def build(sf_dir: str) -> str | None:
+        rows = [
+            f"({vid},{lid},'{codes}',{approx})"
+            for vid, lid, codes, approx in ivfpq_topk_reference(sf_dir)
+        ]
+        if not rows:
+            return None
+        return (
+            "SELECT CAST(c0 AS BIGINT) AS vec_id, CAST(c1 AS INTEGER) AS list_id, "
+            "c2 AS pq_codes, CAST(c3 AS BIGINT) AS approx_d2_micro "
+            "FROM (VALUES " + ",".join(rows) + ") AS t(c0, c1, c2, c3)"
+        )
+
+    return _cached("ivfpq", build)
 
 
 def sql_emb_ivf_topk() -> str | None:

@@ -38,6 +38,7 @@ from .oracles.lsh_ref import (
     sql_doc_minhash_pairs,
     sql_doc_simhash_pairs,
     sql_emb_ivf_topk,
+    sql_emb_ivfpq_topk,
 )
 from .operators.relational import top1_per_key
 from .sources.io import read_star_table
@@ -7196,6 +7197,273 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (2) queries with no CORRECTNESS row from any prior round, (3) queries
 # already green in round 1. Re-tier each round so every query gets a
 # driver row as early as possible.
+
+# --------------------------------------------------------------------------
+# round 5: contrastive mining, containment dedup, leakage-guarded splits
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining (similarity.py::hard_negative_mining):
+    per anchor, the hardest positive (most-similar same-label) and
+    hardest negative (most-similar different-label) among its
+    banded-LSH bucket candidates, with the training-priority margin.
+    The hyperplanes are seeded plan constants, so the whole pipeline —
+    signatures, banding, per-anchor argmax windows — replays in DuckDB
+    (generated SQL): full value-hash oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining(emb, n_planes=24, bands=3).orderBy(
+        "anchor_id"
+    )
+
+
+def _hard_negatives_oracle_sql(
+    n_planes: int = 24, bands: int = 3, dims: int = 64
+) -> str:
+    from .operators.similarity import _planes  # noqa: PLC0415
+
+    planes = _planes(n_planes, dims)
+    plane_lit = (
+        "["
+        + ", ".join("[" + ", ".join(repr(v) for v in p) + "]" for p in planes)
+        + "]"
+    )
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    bands_lit = "[" + ", ".join(str(b) for b in range(bands)) + "]"
+    sig_expr = (
+        f"CAST(list_sum(list_transform(range(1, {n_planes + 1}), p -> "
+        f"CASE WHEN list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> e.embedding[i]::DOUBLE * planes[p][i])) >= 0 "
+        f"THEN (CAST(1 AS BIGINT) << ({n_planes} - p)) ELSE 0 END)) AS BIGINT)"
+    )
+    return f"""
+WITH pl AS (SELECT {plane_lit} AS planes),
+sigs AS (
+  SELECT e.vec_id, e.embedding, e.label,
+         sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm,
+         {sig_expr} AS sig
+  FROM embeddings e, pl
+),
+bb AS (
+  SELECT vec_id, embedding, label, nrm, band,
+         (sig >> (band * {bits})) & {mask} AS bucket
+  FROM sigs, unnest({bands_lit}) AS u(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+           / (a.nrm * c.nrm) AS sim,
+         a.label = c.label AS same
+  FROM bb a JOIN bb c ON a.band = c.band AND a.bucket = c.bucket
+         AND a.vec_id <> c.vec_id
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+                                 ORDER BY sim DESC, cand_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+trip AS (
+  SELECT anchor_id,
+         MIN(CASE WHEN same THEN cand_id END) AS pos_id,
+         MIN(CASE WHEN same THEN sim END) AS pos_sim,
+         MIN(CASE WHEN NOT same THEN cand_id END) AS neg_id,
+         MIN(CASE WHEN NOT same THEN sim END) AS neg_sim
+  FROM best GROUP BY 1
+)
+SELECT anchor_id, pos_id, pos_sim, neg_id, neg_sim,
+       pos_sim - neg_sim AS margin
+FROM trip
+WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+ORDER BY anchor_id
+"""
+
+
+SQL_EMB_HARD_NEGATIVES = _hard_negatives_oracle_sql()
+
+
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (dedup.py::
+    containment_pairs): |A∩B|/|A| catches quote/sub-document
+    duplication that symmetric Jaccard scores near zero. Exact
+    inverted-index plan (one shingle-keyed shuffle); threshold 0.5 on
+    the larger direction."""
+    from .operators.dedup import containment_pairs  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.5)
+
+
+SQL_DOC_CONTAINMENT_PAIRS = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 2)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS sh
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS w
+    FROM documents
+  )
+), ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh
+), prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       CAST(shared AS DOUBLE) / n_a AS containment_a,
+       CAST(shared AS DOUBLE) / n_b AS containment_b,
+       CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+FROM prs
+WHERE greatest(CAST(shared AS DOUBLE) / n_a,
+               CAST(shared AS DOUBLE) / n_b) >= 0.5
+"""
+
+
+def q_ev_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded temporal split (sampling.py::
+    temporal_holdout_split): 10% of USERS held out entirely (cold-start
+    eval), the rest split train/valid at the time cutoff — rolled up
+    per (split, event_type) with an exact micro-quantized value sum.
+    Pure map over events; the md5 user assignment replays in DuckDB."""
+    import datetime  # noqa: PLC0415
+
+    from .operators.sampling import temporal_holdout_split  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = datetime.datetime(2024, 1, 21, 0, 0, 0)
+    return (
+        temporal_holdout_split(ev, "user_id", "ts", cutoff, holdout_per_10k=1000)
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "value_micro"
+            ),
+        )
+    )
+
+
+SQL_EV_HOLDOUT_SPLIT = """
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE
+           WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 1000
+             THEN 'test'
+           WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 'train'
+           ELSE 'valid'
+         END AS split
+  FROM events
+)
+SELECT split, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+FROM tagged GROUP BY 1, 2
+"""
+
+
+
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval (similarity.py::ivfpq_topk): coarse-quantizer
+    list pruning + product-quantized RESIDUAL scoring by integer-micro
+    asymmetric distance — the FAISS-style composition at the top of
+    the repo's ANN ladder. Oracled by the driver-side reference
+    (oracles/lsh_ref.py::ivfpq_topk_reference — shared IVF fit, md5
+    codebook sample, Spark-faithful HALF_UP micro rounding); scores
+    are exact integers, so the check has zero float tolerance."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.ivfpq_topk(emb, qv, k=10, n_lists=16, nprobe=4, m=4, n_codes=16)
+
+
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (graph.py::label_propagation, 4
+    synchronous rounds, ties → smallest label) over the supplier
+    co-occurrence graph — the community-granularity companion to
+    connected components / k-core. The oracle unrolls the vote rounds
+    as MATERIALIZED CTEs (the k-means/k-core trade), so the iterative
+    algorithm is fully hash-checked."""
+    from .operators.graph import label_propagation  # noqa: PLC0415
+
+    los = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = los.select("o", F.col("s").alias("src"))
+    b = los.select("o", F.col("s").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return label_propagation(edges, rounds=4)
+
+
+def lpa_oracle_sql(rounds: int = 4) -> str:
+    sql = """
+WITH los AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+), und AS (
+  SELECT DISTINCT a.s AS src, b.s AS dst
+  FROM los a JOIN los b ON a.o = b.o AND a.s < b.s
+), e0 AS MATERIALIZED (
+  SELECT src, dst FROM und UNION SELECT dst, src FROM und
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM e0
+)"""
+    for r in range(rounds):
+        sql += f""",
+v{r} AS MATERIALIZED (
+  SELECT e.src AS node, l.label, COUNT(*) AS n
+  FROM e0 e JOIN l{r} l ON e.dst = l.node
+  GROUP BY 1, 2
+), l{r + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY n DESC, label ASC) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+)"""
+    sql += f"\nSELECT node, label AS community FROM l{rounds}"
+    return sql
+
+
+SQL_GRAPH_LPA = lpa_oracle_sql(4)
+
+
+
+def q_doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index maintenance (dedup.py::incremental_minhash_pairs):
+    the corpus is split 80/20 into an already-signed index
+    (portable_signatures) and an arriving delta batch; the operator
+    emits exactly the near-dup pairs the delta introduces (≥1 delta
+    member) without re-pairing corpus×corpus. The oracle runs the FULL
+    portable-LSH pipeline over the whole corpus and keeps the
+    delta-touching pairs — hash-matching it proves the delta algebra:
+    pairs(corpus ∪ Δ) = pairs(corpus) ∪ this."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    delta = docs.filter(F.col("doc_id") % 10 >= 8)
+    sigs = dedup.portable_signatures(corpus)
+    return dedup.incremental_minhash_pairs(sigs, delta, threshold=0.5)
+
+
+SQL_DOC_MINHASH_INCR = SQL_DOC_MINHASH_PORTABLE.replace(
+    "WHERE est_jaccard >= 0.5",
+    "WHERE est_jaccard >= 0.5 AND (id_a % 10 >= 8 OR id_b % 10 >= 8)",
+)
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
@@ -7376,6 +7644,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "supplier_nation_share": (q_supplier_nation_share, SQL_SUPPLIER_NATION_SHARE),
     "grouping_sets_revenue": (q_grouping_sets_revenue, SQL_GROUPING_SETS_REVENUE),
     "ansi_try_math": (q_ansi_try_math, SQL_ANSI_TRY_MATH),
+    # round 5: contrastive mining, containment dedup, holdout splits
+    "emb_hard_negatives": (q_emb_hard_negatives, SQL_EMB_HARD_NEGATIVES),
+    "doc_containment_pairs": (q_doc_containment_pairs, SQL_DOC_CONTAINMENT_PAIRS),
+    "ev_holdout_split": (q_ev_holdout_split, SQL_EV_HOLDOUT_SPLIT),
+    "emb_ivfpq_topk": (q_emb_ivfpq_topk, sql_emb_ivfpq_topk),
+    "graph_lpa": (q_graph_lpa, SQL_GRAPH_LPA),
+    "doc_minhash_incremental": (q_doc_minhash_incremental, SQL_DOC_MINHASH_INCR),
 }
 
 
@@ -7404,6 +7679,14 @@ _PRIORITY_R5 = [
     "ev_winsorized",  # r5: backtick-quoted percentile identifier (ADVICE)
     "graph_kcore",  # r5: convergence-guaranteed final filter (ADVICE)
     "emb_pq_topk_pandas",  # r5: id dtype derived from input schema (ADVICE)
+    # tier 3 — new round-5 operators (contrastive mining, containment
+    # dedup, leakage-guarded splits)
+    "emb_hard_negatives",
+    "doc_containment_pairs",
+    "ev_holdout_split",
+    "emb_ivfpq_topk",
+    "graph_lpa",
+    "doc_minhash_incremental",
 ]
 
 

@@ -100,6 +100,14 @@ HEADLINE = [
     "ev_rollup_pyramid",
     "ivm_join_delta",
     "vocab_zipf_fit",
+    # round-5 additions: contrastive mining + leakage-guarded split.
+    # doc_containment_pairs stays correctness-gated but OUT of the
+    # headline: its exact inverted-index Σdf² cost class is the same
+    # one that keeps doc_keep_best / doc_near_dup_clusters out.
+    # emb_ivfpq_topk and graph_lpa likewise stay correctness-gated out
+    # (fixed multi-job iterative cost — the graph_kcore precedent).
+    "emb_hard_negatives",
+    "ev_holdout_split",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —
