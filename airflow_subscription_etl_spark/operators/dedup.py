@@ -112,9 +112,13 @@ def with_shingle_hashes(
     )
     n = F.size(F.col("_th"))
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # F.get (0-based), not element_at: for a sub-k-token doc the one
+    # tail shingle reads past the array, and element_at ERRORS under
+    # ANSI mode (Spark 4 default) where get yields NULL — which
+    # xxhash64 skips, the semantics the reference oracle encodes
     sh = F.transform(
         idx,
-        lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j + 1) for j in range(k)]),
+        lambda i: F.xxhash64(*[F.get(F.col("_th"), i + j) for j in range(k)]),
     )
     return th.select("*", F.array_distinct(sh).alias(out)).drop("_th")
 

@@ -175,3 +175,26 @@ def test_kcore_insufficient_rounds_never_violates_degree_bound(spark):
         for r in G.kcore_peel(edges, k=3, rounds=8).collect()
     )
     assert conv == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+
+# --- ANSI-safe shingle tail access (minhash on sub-k-token docs) ------------
+
+
+def test_minhash_short_docs_survive_ansi(spark):
+    """A doc with fewer tokens than k_shingle reads past the token-hash
+    array in its one tail shingle; F.get yields NULL there (xxhash64
+    skips it) where element_at would abort the job under ANSI mode."""
+    from airflow_subscription_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        with_minhash,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, "two words"), (3, "three word doc"), (4, "three word doc")],
+        "doc_id bigint, text string",
+    )
+    sigs = with_minhash(docs).collect()
+    assert len(sigs) == 4
+    assert all(len(r["minhash"]) == 32 for r in sigs)
+    pairs = minhash_lsh_pairs(docs, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(3, 4)]
