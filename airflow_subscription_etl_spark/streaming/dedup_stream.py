@@ -1,0 +1,138 @@
+"""Streaming near-dup detection: maintain a MinHash signature index
+across micro-batches and emit each batch's new duplicate pairs as it
+arrives — the streaming face of
+:func:`..operators.dedup.incremental_minhash_pairs`.
+
+An ingestion pipeline curating a growing corpus cannot re-pair the
+whole corpus per batch (that is the history×history rescan); it keeps
+the signature INDEX as state and runs delta-sided band joins only.
+Structured Streaming's file/stateful sinks don't fit (the index is a
+keyed snapshot, pairs are an append log), so this composes
+``foreachBatch`` with the repo's pointer-swap snapshot
+(:mod:`.sinks`):
+
+- ``index/``  — keyed signature snapshot (doc_id → minhash), upserted
+  per batch via the idempotent last-writer-wins merge;
+- ``pairs/batch_<id>/`` — this batch's NEW pairs, written with
+  overwrite so a foreachBatch REPLAY rewrites the same directory
+  (idempotent), never double-appends.
+
+Replay safety of the pair computation itself: if a retry re-delivers
+batch N after the index already absorbed it, the delta join sees each
+batch doc also on the corpus side — but ``id_d != id_c`` drops
+self-pairs and pair normalization dedups the rest, so the emitted set
+is IDENTICAL (asserted in tests/test_dedup_stream.py).
+
+At 100 TB the snapshot rewrite becomes a Delta/Iceberg MERGE and the
+index is bucketed by (band, bucket) so the per-batch join co-locates;
+semantics here are exactly what those physical plans would run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import incremental_minhash_pairs, portable_signatures
+from .sinks import read_snapshot, upsert_batch
+
+
+def _empty_sigs(spark: SparkSession, id_col: str) -> DataFrame:
+    return spark.createDataFrame([], f"{id_col} bigint, minhash array<bigint>")
+
+
+def process_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch: emit new pairs vs the current index, then merge
+    the batch's signatures into the index. Exposed separately from the
+    stream wiring so batch backfills can drive the same code path."""
+    spark = batch.sparkSession
+    index = read_snapshot(spark, os.path.join(root, "index"))
+    corpus_sigs = (
+        index.select(id_col, "minhash")
+        if index is not None
+        else _empty_sigs(spark, id_col)
+    )
+    pairs = incremental_minhash_pairs(
+        corpus_sigs,
+        batch,
+        text_col,
+        k_shingle,
+        num_hashes,
+        bands,
+        threshold,
+        id_col,
+    )
+    # overwrite (not append): a replayed batch rewrites its own dir
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(root, "pairs", f"batch_{batch_id}")
+    )
+    sigs = portable_signatures(batch, text_col, k_shingle, num_hashes, id_col)
+    upsert_batch(
+        sigs.withColumn("_b", F.lit(batch_id)),
+        os.path.join(root, "index"),
+        keys=[id_col],
+        order_col="_b",
+        batch_id=batch_id,
+    )
+
+
+def start_dedup_index_sink(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    trigger_available_now: bool = True,
+):
+    """Wire a streaming doc source into the dedup index. Returns the
+    StreamingQuery; callers own awaitTermination/stop."""
+    os.makedirs(root, exist_ok=True)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        process_dedup_batch(
+            batch,
+            batch_id,
+            root,
+            text_col,
+            id_col,
+            k_shingle,
+            num_hashes,
+            bands,
+            threshold,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_all_pairs(spark: SparkSession, root: str) -> DataFrame | None:
+    """Union of every batch's emitted pairs (the dedup log)."""
+    base = os.path.join(root, "pairs")
+    if not os.path.exists(base):
+        return None
+    dirs = [
+        os.path.join(base, d) for d in os.listdir(base) if d.startswith("batch_")
+    ]
+    return spark.read.parquet(*dirs) if dirs else None

@@ -1,0 +1,127 @@
+"""Streaming dedup-index maintenance (streaming/dedup_stream.py):
+micro-batched incremental MinHash over a real readStream, checked
+against the batch-mode portable pipeline over the full corpus — the
+streaming/batch parity bar test_synth_source set."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airflow_subscription_etl_spark.operators import dedup as D
+from airflow_subscription_etl_spark.streaming.dedup_stream import (
+    process_dedup_batch,
+    read_all_pairs,
+    start_dedup_index_sink,
+)
+
+BASE = "shared tokens appear in every duplicate family document body here"
+DOCS = [
+    (1, BASE),
+    (2, BASE + " two"),
+    (3, "first batch unique text with completely separate vocabulary one"),
+    (11, BASE + " eleven"),
+    (12, "middle batch distinct words nothing shared with any other entry"),
+    (21, BASE + " twenty one"),
+    (22, "final batch own content overlapping nothing else in the corpus"),
+]
+BATCHES = [[0, 1, 2], [3, 4], [5, 6]]  # indexes into DOCS
+TH = 0.3
+
+
+def _expected(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    return {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.portable_minhash_pairs(docs, threshold=TH).collect()
+    }
+
+
+def _drive_batches(spark, root):
+    for bid, idxs in enumerate(BATCHES):
+        batch = spark.createDataFrame(
+            [DOCS[i] for i in idxs], "doc_id bigint, text string"
+        )
+        process_dedup_batch(batch, bid, root, threshold=TH)
+
+
+def test_batched_pairs_equal_full_corpus_pairs(spark, tmp_path):
+    root = str(tmp_path / "dedup")
+    _drive_batches(spark, root)
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in read_all_pairs(spark, root).collect()
+    }
+    assert got == _expected(spark)
+    # cross-batch pairs actually occurred (1,11), (1,21) etc.
+    assert any(a <= 2 and b >= 11 for a, b in got)
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering the last batch after the index absorbed it must
+    emit the identical pair set and leave the index unchanged."""
+    from airflow_subscription_etl_spark.streaming.sinks import read_snapshot
+
+    root = str(tmp_path / "dedup")
+    _drive_batches(spark, root)
+    before = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in read_all_pairs(spark, root).collect()
+    }
+    idx_before = sorted(
+        (r["doc_id"], tuple(r["minhash"]))
+        for r in read_snapshot(spark, os.path.join(root, "index")).collect()
+    )
+    last = spark.createDataFrame(
+        [DOCS[i] for i in BATCHES[-1]], "doc_id bigint, text string"
+    )
+    process_dedup_batch(last, len(BATCHES) - 1, root, threshold=TH)  # replay
+    after = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in read_all_pairs(spark, root).collect()
+    }
+    idx_after = sorted(
+        (r["doc_id"], tuple(r["minhash"]))
+        for r in read_snapshot(spark, os.path.join(root, "index")).collect()
+    )
+    assert after == before
+    assert idx_after == idx_before
+
+
+@pytest.mark.timeout(300)
+def test_real_readstream_end_to_end(spark, tmp_path):
+    """The same parity through an actual Structured Streaming query:
+    parquet file source, maxFilesPerTrigger=1 → one micro-batch per
+    file, availableNow drain."""
+    src = str(tmp_path / "src")
+    for bid, idxs in enumerate(BATCHES):
+        spark.createDataFrame(
+            [DOCS[i] for i in idxs], "doc_id bigint, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{bid}")
+    # one dir per batch → register files in order under a single path
+    # readStream needs one root: re-lay files flat
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    import glob
+    import shutil
+
+    for bid in range(len(BATCHES)):
+        part = glob.glob(f"{src}/b{bid}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/docs_{bid}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    root = str(tmp_path / "out")
+    q = start_dedup_index_sink(
+        stream, root, checkpoint=str(tmp_path / "ckpt"), threshold=TH
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in read_all_pairs(spark, root).collect()
+    }
+    assert got == _expected(spark)

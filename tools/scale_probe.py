@@ -42,11 +42,19 @@ SHIFTS = {
 
 DEFAULT_QUERIES = ["ivm_join_delta", "graph_kcore", "vocab_zipf_fit"]
 
-#: which tables each probed query scans (replicate only those)
+#: which tables each probed query scans (replicate only those).
+#: PAIR GENERATORS over replicated content (containment, minhash,
+#: hard negatives) are NOT probed this way: replicas are verbatim
+#: clones, so the pair graph grows quadratically BY SEMANTICS (the
+#: clones really are dups/neighbors) — the growth would measure the
+#: synthetic corpus, not the plan.
 NEEDS = {
     "ivm_join_delta": ["orders", "lineitem"],
     "graph_kcore": ["lineitem"],
     "vocab_zipf_fit": ["documents"],
+    "emb_ivfpq_topk": ["embeddings"],
+    "ev_holdout_split": ["events"],
+    "graph_lpa": ["lineitem"],
 }
 
 
