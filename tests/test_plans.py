@@ -224,3 +224,41 @@ def test_length_batches_single_window_shuffle(spark):
     over the token-counted rows."""
     tree = _tree(_formatted_plan(spark, "doc_length_batches"))
     assert tree.count("Exchange") == 1
+
+
+# --- round-5 operator plan pins ---------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "emb_hard_negatives",
+        "doc_containment_pairs",
+        "graph_lpa",
+        "doc_minhash_incremental",
+    ],
+)
+def test_round5_pair_ops_never_cartesian(spark, name):
+    """Every round-5 pair/vote generator must stay keyed (bucket /
+    shingle / node equi-joins) — a cartesian or non-broadcast nested
+    loop would be the O(n²) plan these operators exist to avoid."""
+    plan = _formatted_plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_scoring_is_takeordered_with_broadcast_sides(spark):
+    """IVF-PQ: candidate scoring ends in a global TakeOrdered(k); the
+    query-residual and codebook sides ride broadcasts (1-row / nprobe-
+    row frames), never a shuffled join of the vector data."""
+    tree = _tree(_formatted_plan(spark, "emb_ivfpq_topk"))
+    assert "TakeOrderedAndProject" in tree
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_holdout_split_single_exchange(spark):
+    """The split itself is a pure map (hash + timestamp compare); the
+    only exchange in the whole rollup query is the final groupBy."""
+    tree = _tree(_formatted_plan(spark, "ev_holdout_split"))
+    assert tree.count("Exchange") == 1
