@@ -251,3 +251,49 @@ def binned_interval_join(
         .filter((F.col(right_ts) >= lo) & (F.col(right_ts) <= hi))
         .drop("_bin")
     )
+
+
+def next_event_examples(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+    history: int = 3,
+    sep: str = ">",
+) -> DataFrame:
+    """Autoregressive training-example construction over event
+    sequences: for every event with at least ``history`` predecessors,
+    emit ``(id, user, context, label)`` where ``context`` is the
+    previous ``history`` events joined oldest-first and ``label`` is
+    the event itself — the (history → next-action) dataset a
+    sequential recommender / next-event model trains on.
+
+    Built as ``history`` LAG columns over ONE (user)-keyed window
+    ordered by (ts, id) — a unique id in the order makes ties
+    impossible, so the dataset is bit-reproducible across runs,
+    partitionings, and engines (the determinism a training corpus
+    needs; a collect_list frame would hide the ordering contract).
+    One shuffle on the user key; per-user state is the window frame,
+    never a materialized sequence array.
+    """
+    if history < 1:
+        raise ValueError(f"need history >= 1, got {history}")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    lags = [
+        F.lag(F.col(event_col), h).over(w).alias(f"_h{h}")
+        for h in range(history, 0, -1)
+    ]
+    out = df.select(
+        F.col(id_col), F.col(user_col), F.col(ts_col), F.col(event_col), *lags
+    )
+    ctx = F.concat_ws(sep, *[F.col(f"_h{h}") for h in range(history, 0, -1)])
+    return (
+        out.filter(F.col(f"_h{history}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(user_col),
+            ctx.alias("context"),
+            F.col(event_col).alias("label"),
+        )
+    )

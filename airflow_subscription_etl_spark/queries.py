@@ -7464,6 +7464,37 @@ SQL_DOC_MINHASH_INCR = SQL_DOC_MINHASH_PORTABLE.replace(
 )
 
 
+
+def q_ev_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autoregressive (history → next-action) example construction
+    (temporal.py::next_event_examples, history=3): per-user LAG
+    context over one keyed window, labels filtered to purchases — the
+    sequential-recommender dataset build. Unique-id tiebreak makes the
+    emitted corpus bit-reproducible; the oracle replays the identical
+    window."""
+    from .operators.temporal import next_event_examples  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    return next_event_examples(ev).filter(F.col("label") == "purchase")
+
+
+SQL_EV_NEXT_EVENT = """
+WITH lagged AS (
+  SELECT event_id, user_id, event_type,
+         lag(event_type, 3) OVER w AS h3,
+         lag(event_type, 2) OVER w AS h2,
+         lag(event_type, 1) OVER w AS h1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT event_id, user_id,
+       concat_ws('>', h3, h2, h1) AS context,
+       event_type AS label
+FROM lagged
+WHERE h3 IS NOT NULL AND event_type = 'purchase'
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
@@ -7651,6 +7682,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_ivfpq_topk": (q_emb_ivfpq_topk, sql_emb_ivfpq_topk),
     "graph_lpa": (q_graph_lpa, SQL_GRAPH_LPA),
     "doc_minhash_incremental": (q_doc_minhash_incremental, SQL_DOC_MINHASH_INCR),
+    "ev_next_event": (q_ev_next_event, SQL_EV_NEXT_EVENT),
 }
 
 
@@ -7687,6 +7719,7 @@ _PRIORITY_R5 = [
     "emb_ivfpq_topk",
     "graph_lpa",
     "doc_minhash_incremental",
+    "ev_next_event",
 ]
 
 

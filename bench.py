@@ -108,6 +108,7 @@ HEADLINE = [
     # (fixed multi-job iterative cost — the graph_kcore precedent).
     "emb_hard_negatives",
     "ev_holdout_split",
+    "ev_next_event",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

@@ -285,3 +285,61 @@ def test_incremental_minhash_delta_identity(spark):
     assert merged == full
     # all three delta-join classes actually carried rows
     assert (1, 2) in old and (1, 11) in inc and (12, 13) in inc
+
+
+# --- next_event_examples -----------------------------------------------------
+
+
+def test_next_event_examples_context_order_and_threshold(spark):
+    import datetime
+
+    from airflow_subscription_etl_spark.operators.temporal import (
+        next_event_examples,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, 7, t0 + datetime.timedelta(minutes=i), e)
+        for i, e in enumerate(["a", "b", "c", "d", "e"])
+    ] + [(99, 8, t0, "x")]  # user 8: too little history, no examples
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    out = {r["event_id"]: r for r in next_event_examples(ev).collect()}
+    # first example only once 3 predecessors exist; oldest-first order
+    assert set(out) == {3, 4}
+    assert out[3]["context"] == "a>b>c" and out[3]["label"] == "d"
+    assert out[4]["context"] == "b>c>d" and out[4]["label"] == "e"
+
+
+def test_next_event_examples_tiebreak_and_determinism(spark):
+    import datetime
+
+    from airflow_subscription_etl_spark.operators.temporal import (
+        next_event_examples,
+    )
+
+    t = datetime.datetime(2024, 1, 1)  # ALL ties on ts → order by id
+    ev = spark.createDataFrame(
+        [(i, 1, t, f"e{i}") for i in range(5)],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string",
+    )
+    a = sorted(map(tuple, next_event_examples(ev).collect()))
+    b = sorted(map(tuple, next_event_examples(ev.repartition(4)).collect()))
+    assert a == b
+    assert a[0][2] == "e0>e1>e2"  # id order under full ties
+
+
+def test_next_event_examples_rejects_bad_history(spark):
+    import datetime
+
+    from airflow_subscription_etl_spark.operators.temporal import (
+        next_event_examples,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, datetime.datetime(2024, 1, 1), "a")],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string",
+    )
+    with pytest.raises(ValueError, match="history"):
+        next_event_examples(ev, history=0)
