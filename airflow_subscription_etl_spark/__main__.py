@@ -75,21 +75,29 @@ def _query(args) -> int:
 
 
 def _list(args) -> int:
-    from .queries import REGISTRY, oracle_sql  # noqa: PLC0415
+    from .queries import REGISTRY  # noqa: PLC0415
 
-    oracled = set(oracle_sql())
-    for name in REGISTRY:
+    # classify WITHOUT invoking oracle callables: the generated-SQL
+    # oracles recompute full pure-Python references (minutes of work,
+    # and fixture-dependent) — a metadata listing must not run them
+    for name, (_fn, sql) in REGISTRY.items():
         if args.filter and args.filter not in name:
             continue
-        tag = "oracled" if name in oracled else "rows-only"
+        if sql is None:
+            tag = "rows-only"
+        elif callable(sql):
+            tag = "oracled (generated)"
+        else:
+            tag = "oracled"
         print(f"{name:32s} {tag}")
     return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    # back-compat: bare flags mean the lifecycle trigger
-    if argv and argv[0].startswith("-"):
+    # back-compat: bare flags mean the lifecycle trigger — but leave
+    # top-level -h/--help alone so the subcommands stay discoverable
+    if argv and argv[0].startswith("-") and argv[0] not in ("-h", "--help"):
         argv = ["lifecycle", *argv]
 
     p = argparse.ArgumentParser(prog="airflow_subscription_etl_spark")

@@ -508,6 +508,7 @@ def incremental_minhash_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    delta_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup-INDEX maintenance: the near-dup pairs a delta batch
     introduces against an already-signed corpus — the MinHash analog of
@@ -527,11 +528,15 @@ def incremental_minhash_pairs(
     shuffle whose left side is the delta only — the corpus side
     re-shuffles its (bands × |corpus|) bucket keys but never re-hashes
     text; with the index pre-bucketed by (band, bucket) even that
-    shuffle disappears into a co-located join.
+    shuffle disappears into a co-located join. Callers that ALSO need
+    the batch's signatures (e.g. the streaming index upsert) pass them
+    precomputed via ``delta_sigs`` so the tokenize+hash pass runs once.
     """
-    delta_sigs = portable_signatures(
-        delta, text_col, k_shingle, num_hashes, id_col
-    ).persist()
+    if delta_sigs is None:
+        delta_sigs = portable_signatures(
+            delta, text_col, k_shingle, num_hashes, id_col
+        )
+    delta_sigs = delta_sigs.persist()
     all_sigs = corpus_sigs.select(id_col, "minhash").unionByName(delta_sigs)
     rows_per_band = num_hashes // bands
 

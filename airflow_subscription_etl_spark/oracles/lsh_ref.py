@@ -178,7 +178,15 @@ def simhash_pairs_reference(
     sf_dir: str, max_hamming: int = 16
 ) -> list[tuple[int, int, int]]:
     docs = _docs(sf_dir)
-    sigs = {int(doc_id): _simhash(text) for doc_id, text in docs if text is not None}
+    # NULL text → Spark's per-bit when(vote>0).otherwise(0) over a NULL
+    # vote yields signature 0, so null-text docs DO bucket together and
+    # emit hamming-0 pairs — replicate, don't skip. (The MinHash path
+    # differs: its NULL est_jaccard fails the threshold, so skipping is
+    # correct there.)
+    sigs = {
+        int(doc_id): (_simhash(text) if text is not None else 0)
+        for doc_id, text in docs
+    }
     buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
     for doc_id, sig in sigs.items():
         for chunk in range(4):
@@ -220,6 +228,18 @@ def _seq_dot(a, b) -> float:
     return acc
 
 
+def _seq_d2(a, b) -> float:
+    """Sequential-fold squared L2 — bit-matches Spark's F.aggregate
+    fold (and ivfpq_topk's driver probe). numpy's pairwise-unrolled
+    .sum() would disagree in final ulps, and assignment/probe argmins
+    DECIDE on those values — near-ties must break identically."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc = acc + d * d
+    return acc
+
+
 def _seq_norm(a) -> float:
     import math  # noqa: PLC0415
 
@@ -258,10 +278,20 @@ def _ivf_fit(sf_dir: str, n_lists: int, lloyd_iters: int):
     list_ids = list(range(n_lists))
     centroids = X32[hashed[:n_lists]].astype(np.float64)  # list_id = rank
 
+    # assignment argmin distances via SEQUENTIAL folds (see _seq_d2 —
+    # a numpy pairwise sum could flip near-tie assignments); only the
+    # centroid MEANS stay numpy, where the float32 truncation below
+    # absorbs summation-order ulps by design
     assign = None
     for _ in range(max(1, lloyd_iters)):
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = np.asarray(list_ids)[d2.argmin(axis=1)]
+        assign = np.asarray(
+            [
+                min(
+                    ((_seq_d2(row, centroids[pos]), list_ids[pos]) for pos in range(len(list_ids)))
+                )[1]
+                for row in X
+            ]
+        )
         survivors = [lid for lid in list_ids if (assign == lid).any()]
         centroids = (
             np.stack([X[assign == lid].mean(axis=0) for lid in survivors])
@@ -273,9 +303,9 @@ def _ivf_fit(sf_dir: str, n_lists: int, lloyd_iters: int):
 
 
 def _probe_lists(qv, list_ids, centroids, nprobe: int) -> list[int]:
-    probe_d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probe = sorted(
-        range(len(list_ids)), key=lambda pos: (probe_d2[pos], list_ids[pos])
+        range(len(list_ids)),
+        key=lambda pos: (_seq_d2(centroids[pos], qv), list_ids[pos]),
     )[:nprobe]
     return [list_ids[pos] for pos in probe]
 

@@ -39,8 +39,14 @@ from ..operators.dedup import incremental_minhash_pairs, portable_signatures
 from .sinks import read_snapshot, upsert_batch
 
 
-def _empty_sigs(spark: SparkSession, id_col: str) -> DataFrame:
-    return spark.createDataFrame([], f"{id_col} bigint, minhash array<bigint>")
+def _empty_sigs(batch: DataFrame, id_col: str) -> DataFrame:
+    # derive the id type from the batch (string/int/bigint keys all
+    # valid downstream) — a hardcoded bigint would fail the cold-start
+    # unionByName for any non-bigint-keyed stream
+    id_type = batch.schema[id_col].dataType.simpleString()
+    return batch.sparkSession.createDataFrame(
+        [], f"{id_col} {id_type}, minhash array<bigint>"
+    )
 
 
 def process_dedup_batch(
@@ -62,8 +68,11 @@ def process_dedup_batch(
     corpus_sigs = (
         index.select(id_col, "minhash")
         if index is not None
-        else _empty_sigs(spark, id_col)
+        else _empty_sigs(batch, id_col)
     )
+    # ONE signature pass per batch: the same frame feeds the delta join
+    # (persisted inside incremental_minhash_pairs) and the index upsert
+    sigs = portable_signatures(batch, text_col, k_shingle, num_hashes, id_col)
     pairs = incremental_minhash_pairs(
         corpus_sigs,
         batch,
@@ -73,12 +82,12 @@ def process_dedup_batch(
         bands,
         threshold,
         id_col,
+        delta_sigs=sigs,
     )
     # overwrite (not append): a replayed batch rewrites its own dir
     pairs.write.mode("overwrite").parquet(
         os.path.join(root, "pairs", f"batch_{batch_id}")
     )
-    sigs = portable_signatures(batch, text_col, k_shingle, num_hashes, id_col)
     upsert_batch(
         sigs.withColumn("_b", F.lit(batch_id)),
         os.path.join(root, "index"),

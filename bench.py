@@ -171,8 +171,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": 2,
-        "baseline25_sec": round(
-            sum(timings[n] for n in BASELINE25 if n in timings), 3
+        # null (not a partial sum) when any baseline query failed — a
+        # silently-deflated subtotal would read as a phantom speedup
+        # against the recorded r1 number
+        "baseline25_sec": (
+            round(sum(timings[n] for n in BASELINE25), 3)
+            if all(n in timings for n in BASELINE25)
+            else None
         ),
     }
     if errors:

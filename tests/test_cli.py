@@ -48,3 +48,21 @@ def test_bare_flags_route_to_lifecycle(capsys, spark, seed_tables):
     )
     assert rc == 0
     assert json.loads(capsys.readouterr().out)["subscription_id"] == 1001
+
+
+def test_top_level_help_shows_subcommands(capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        main(["--help"])
+    assert exc.value.code == 0
+    out = capsys.readouterr().out
+    assert "query" in out and "list" in out and "lifecycle" in out
+
+
+def test_list_tags_generated_oracles_without_running_them(capsys, spark):
+    """The generated-SQL oracles (pure-Python references) must NOT
+    execute for a metadata listing — they're tagged by callability."""
+    assert main(["list", "--filter", "ivf"]) == 0
+    out = capsys.readouterr().out
+    assert "emb_ivf_topk                     oracled (generated)" in out

@@ -43,3 +43,34 @@ def test_generated_sql_is_cached_and_non_null(monkeypatch):
     assert a is not None and "VALUES" in a
     assert R.sql_doc_simhash_pairs() is not None
     assert R.sql_emb_ivf_topk() is not None
+
+
+def test_simhash_null_text_matches_spark(spark, tmp_path):
+    """NULL-text docs carry signature 0 in Spark (per-bit otherwise(0)
+    over a NULL vote) and so pair with each other at hamming 0 — the
+    reference must emit them too, not skip nulls."""
+    import pyspark.sql.functions as F
+
+    from airflow_subscription_etl_spark.operators.dedup import simhash_near_pairs
+
+    rows = [
+        (1, "some real text content here"),
+        (2, None),
+        (3, None),
+        (4, "entirely different words in this document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = sorted(
+        tuple(r) for r in simhash_near_pairs(docs, max_hamming=16).collect()
+    )
+    want = sorted(R.simhash_pairs_reference(sf_dir, max_hamming=16))
+    assert got == want
+    assert (2, 3, 0) in want  # the null-null hamming-0 pair exists
+    # and Spark really does assign signature 0 to null text
+    from airflow_subscription_etl_spark.operators.dedup import with_simhash
+
+    sig = {r["doc_id"]: r["simhash"] for r in with_simhash(docs).collect()}
+    assert sig[2] == 0 and sig[3] == 0

@@ -85,13 +85,24 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 
 def main() -> None:
     names = sys.argv[1:] or DEFAULT_QUERIES
+    unknown = [n for n in names if n not in NEEDS or n not in REGISTRY]
+    if unknown:
+        print(
+            f"not probe-able: {unknown} — a query needs a NEEDS table "
+            f"mapping (and registry entry) to be replicated; "
+            f"known: {sorted(NEEDS)}",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     spark = get_spark("scale-probe")
     out_dir = tempfile.mkdtemp(prefix="scale8_")
     try:
         replicate(spark, out_dir, [t for n in names for t in NEEDS[n]])
-        # warmup both dirs so codegen/JIT isn't billed to pass 1
+        # warmup BOTH dirs so codegen/JIT/footer reads aren't billed to
+        # either side's first timed pass
         for n in names:
             REGISTRY[n][0](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            REGISTRY[n][0](spark, out_dir).write.format("noop").mode("overwrite").save()
         for n in names:
             t1 = time_query(spark, n, SF_DIR)
             t8 = time_query(spark, n, out_dir)
