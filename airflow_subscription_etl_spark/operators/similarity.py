@@ -1260,3 +1260,43 @@ def ivfpq_topk(
         .orderBy(F.col("approx_d2_micro").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09): combine any
+    number of rankers' ``(id, rank)`` lists into one ranking by
+    ``score(d) = Σ_r 1/(k + rank_r(d))`` — the standard way to merge
+    lexical (BM25) and semantic (embedding) retrieval without score
+    calibration, since only RANKS enter the formula.
+
+    Each contribution is nano-quantized (``round(1e9/(k+rank))`` as
+    bigint) so the per-id sum is exact integer math — deterministic
+    across engines and partitionings, like every score in this module.
+    An id absent from a ranker simply contributes nothing
+    (``n_rankers`` records coverage). One union + one id-keyed
+    aggregation; output ordered (rrf_nano desc, id asc).
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    contrib = (
+        F.round(F.lit(1_000_000_000.0) / (F.lit(float(k)) + F.col(rank_col).cast("double")))
+        .cast("bigint")
+        .alias("_c")
+    )
+    parts = [r.select(F.col(id_col), contrib) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("rrf_nano"),
+            F.count(F.lit(1)).alias("n_rankers"),
+        )
+        .orderBy(F.col("rrf_nano").desc(), F.col(id_col).asc())
+    )

@@ -368,9 +368,29 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """BM25 keyword retrieval over the corpus (Robertson–Spärck Jones):
-    top-k docs for a bag of query terms — the lexical-retrieval
-    counterpart to the embedding top-k operators.
+    """Top-k wrapper over :func:`bm25_scores` (global TakeOrdered on
+    the micro score, ties → id)."""
+    return (
+        bm25_scores(df, terms, k1, b, id_col, text_col)
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword scoring over the corpus (Robertson–Spärck Jones):
+    every matching doc's score for a bag of query terms — the
+    lexical-retrieval counterpart to the embedding scorers. Top-k
+    retrieval is :func:`bm25_topk`; rank-fusion pipelines consume the
+    UNLIMITED frame (ranks via ``distributed_prefix_sum``, never a
+    huge-k TakeOrdered).
 
     Determinism for oracle parity: idf is micro-quantized after the log
     (engine libm rounding dies there) and each term's whole
@@ -437,18 +457,14 @@ def bm25_topk(
             .alias("score_micro"),
         )
     )
-    return (
-        contrib.groupBy(id_col)
-        .agg(F.sum("score_micro").alias("score_micro"))
-        .select(
-            id_col,
-            "score_micro",
-            (F.col("score_micro").cast("double") / F.lit(1_000_000.0)).alias(
-                "bm25_score"
-            ),
-        )
-        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
-        .limit(k)
+    return contrib.groupBy(id_col).agg(
+        F.sum("score_micro").alias("score_micro")
+    ).select(
+        id_col,
+        "score_micro",
+        (F.col("score_micro").cast("double") / F.lit(1_000_000.0)).alias(
+            "bm25_score"
+        ),
     )
 
 

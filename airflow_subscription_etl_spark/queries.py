@@ -7495,6 +7495,113 @@ WHERE h3 IS NOT NULL AND event_type = 'purchase'
 """
 
 
+
+def q_doc_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (similarity.py::
+    rrf_fuse): the BM25 lexical ranking (text.py::bm25_scores, same
+    3-term query as doc_bm25_topk) and the embedding-cosine semantic
+    ranking (min-vec_id query, vec_id ≡ doc_id) fused by
+    Σ 1/(60+rank) — the calibration-free way to merge rankers. Ranks
+    come from distributed_prefix_sum on each FULL scored list (never a
+    single-partition window, never a huge-k TakeOrdered); contributions
+    are nano-quantized so the fused scores are exact integers. Top-20,
+    ties → doc_id."""
+    from .operators.scale import distributed_prefix_sum  # noqa: PLC0415
+    from .operators.similarity import rrf_fuse  # noqa: PLC0415
+    from .operators.text import bm25_scores  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_scores(docs, ["spark", "window", "customer"]).withColumn(
+        "_one", F.lit(1).cast("bigint")
+    )
+    lex_rank = distributed_prefix_sum(
+        lex,
+        [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        "_one",
+        out_col="rank",
+    ).select("doc_id", "rank")
+    qv = _query_vector(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    sem = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        similarity.cosine(F.col("embedding"), q).alias("cs"),
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    sem_rank = distributed_prefix_sum(
+        sem,
+        [F.col("cs").desc(), F.col("doc_id").asc()],
+        "_one",
+        out_col="rank",
+    ).select("doc_id", "rank")
+    return rrf_fuse([lex_rank, sem_rank]).limit(20)
+
+
+SQL_DOC_RRF = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), doclen AS (
+  SELECT doc_id, len(w) AS dl FROM t
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM doclen
+), tok AS (
+  SELECT doc_id, unnest(w) AS word FROM t
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok
+  WHERE word IN ('spark', 'window', 'customer') GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (CAST(round(ln((n_docs - df + 0.5) / (df + 0.5)) * 1000000.0)
+                 AS BIGINT) / 1000000.0)
+           * (tf::DOUBLE * (1.2 + 1.0)
+              / (tf::DOUBLE
+                 + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * dl::DOUBLE
+                            / (sum_dl::DOUBLE / n_docs::DOUBLE))))
+           * 1000000.0) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN dfreq USING (word)
+  CROSS JOIN stats
+  JOIN doclen USING (doc_id)
+), lexagg AS (
+  SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY 1
+), lexrank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM lexagg
+), q AS (
+  SELECT embedding AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+), sem AS (
+  SELECT vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS cs
+  FROM embeddings, q
+), semrank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS rank
+  FROM sem
+), contribs AS (
+  SELECT doc_id,
+         CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c FROM lexrank
+  UNION ALL
+  SELECT doc_id,
+         CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) FROM semrank
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_nano,
+       CAST(COUNT(*) AS BIGINT) AS n_rankers
+FROM contribs GROUP BY 1
+ORDER BY rrf_nano DESC, doc_id ASC LIMIT 20
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
@@ -7683,6 +7790,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "graph_lpa": (q_graph_lpa, SQL_GRAPH_LPA),
     "doc_minhash_incremental": (q_doc_minhash_incremental, SQL_DOC_MINHASH_INCR),
     "ev_next_event": (q_ev_next_event, SQL_EV_NEXT_EVENT),
+    "doc_rrf_retrieval": (q_doc_rrf_retrieval, SQL_DOC_RRF),
 }
 
 
@@ -7720,6 +7828,7 @@ _PRIORITY_R5 = [
     "graph_lpa",
     "doc_minhash_incremental",
     "ev_next_event",
+    "doc_rrf_retrieval",
 ]
 
 

@@ -109,6 +109,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "ev_holdout_split",
     "ev_next_event",
+    "doc_rrf_retrieval",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

@@ -343,3 +343,62 @@ def test_next_event_examples_rejects_bad_history(spark):
     )
     with pytest.raises(ValueError, match="history"):
         next_event_examples(ev, history=0)
+
+
+# --- rrf_fuse ----------------------------------------------------------------
+
+
+def test_rrf_fuse_known_values_and_coverage(spark):
+    from airflow_subscription_etl_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank bigint")
+    r2 = spark.createDataFrame([(2, 1), (1, 2), (9, 3)], "doc_id bigint, rank bigint")
+    out = {r["doc_id"]: r for r in rrf_fuse([r1, r2]).collect()}
+    nano = lambda rank: round(1e9 / (60 + rank))
+    assert out[1]["rrf_nano"] == nano(1) + nano(2)
+    assert out[2]["rrf_nano"] == nano(2) + nano(1)
+    assert out[1]["rrf_nano"] == out[2]["rrf_nano"]  # symmetric ranks tie
+    assert out[3]["rrf_nano"] == nano(3) and out[3]["n_rankers"] == 1
+    assert out[9]["n_rankers"] == 1
+    # deterministic order: tie between 1 and 2 breaks on id
+    ordered = [r["doc_id"] for r in rrf_fuse([r1, r2]).collect()]
+    assert ordered[:2] == [1, 2]
+
+
+def test_rrf_fuse_rejects_empty_and_single_ranker_identity(spark):
+    from airflow_subscription_etl_spark.operators.similarity import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    r1 = spark.createDataFrame([(5, 1), (6, 2)], "doc_id bigint, rank bigint")
+    rows = rrf_fuse([r1]).collect()
+    assert [r["doc_id"] for r in rows] == [5, 6]
+    assert all(r["n_rankers"] == 1 for r in rows)
+
+
+def test_bm25_topk_unchanged_by_refactor(spark):
+    """bm25_topk must still equal scores->orderBy->limit after the
+    bm25_scores split (the registered oracle pins values; this pins
+    the wrapper wiring)."""
+    from airflow_subscription_etl_spark.operators.text import bm25_scores, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark makes window queries fast"),
+            (2, "customer data pipeline with spark and spark again"),
+            (3, "nothing relevant in here at all"),
+            (4, "window window window"),
+        ],
+        "doc_id bigint, text string",
+    )
+    top = [tuple(r) for r in bm25_topk(docs, ["spark", "window"], k=3).collect()]
+    import pyspark.sql.functions as F
+
+    manual = [
+        tuple(r)
+        for r in bm25_scores(docs, ["spark", "window"])
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(3)
+        .collect()
+    ]
+    assert top == manual and len(top) == 3
