@@ -7602,6 +7602,43 @@ ORDER BY rrf_nano DESC, doc_id ASC LIMIT 20
 """
 
 
+
+def q_orders_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct customers per order priority via Spark's bitmap
+    aggregates (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_count — the roaring-style surface
+    added in Spark 3.5): keys fold into fixed-width bitmap buckets that
+    merge associatively, so the distinct is exact WITHOUT shuffling raw
+    key sets — partials are bitmaps, re-aggregatable like the KMV/HLL
+    sketches but lossless. The oracle is plain COUNT(DISTINCT)."""
+    o = _t(spark, sf_dir, "orders")
+    buckets = (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("_bn"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("_bp"),
+        )
+        .groupBy("o_orderpriority", "_bn")
+        .agg(F.expr("bitmap_construct_agg(_bp)").alias("_bm"))
+    )
+    return buckets.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(_bm)")).alias("n_customers"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+SQL_ORDERS_BITMAP_DISTINCT = """
+-- bucket = ceil(k/32768) for k>0, 0 for k=0 (Spark's
+-- bitmap_bucket_number layout, derived empirically and pinned here)
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT CASE WHEN o_custkey = 0 THEN 0
+                                ELSE (o_custkey - 1) // 32768 + 1 END)
+            AS BIGINT) AS n_buckets
+FROM orders GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
@@ -7791,6 +7828,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_minhash_incremental": (q_doc_minhash_incremental, SQL_DOC_MINHASH_INCR),
     "ev_next_event": (q_ev_next_event, SQL_EV_NEXT_EVENT),
     "doc_rrf_retrieval": (q_doc_rrf_retrieval, SQL_DOC_RRF),
+    "orders_bitmap_distinct": (q_orders_bitmap_distinct, SQL_ORDERS_BITMAP_DISTINCT),
 }
 
 
@@ -7829,6 +7867,7 @@ _PRIORITY_R5 = [
     "doc_minhash_incremental",
     "ev_next_event",
     "doc_rrf_retrieval",
+    "orders_bitmap_distinct",
 ]
 
 
