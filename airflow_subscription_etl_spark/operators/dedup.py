@@ -532,11 +532,14 @@ def incremental_minhash_pairs(
     the batch's signatures (e.g. the streaming index upsert) pass them
     precomputed via ``delta_sigs`` so the tokenize+hash pass runs once.
     """
+    # persist only a frame WE created: a caller-passed delta_sigs owns
+    # its own lifecycle (the streaming path persists per batch and
+    # unpersists in a finally — pinning it here too would leak one
+    # cached frame per micro-batch for the life of the application)
     if delta_sigs is None:
         delta_sigs = portable_signatures(
             delta, text_col, k_shingle, num_hashes, id_col
-        )
-    delta_sigs = delta_sigs.persist()
+        ).persist()
     all_sigs = corpus_sigs.select(id_col, "minhash").unionByName(delta_sigs)
     rows_per_band = num_hashes // bands
 

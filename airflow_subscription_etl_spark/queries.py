@@ -3863,8 +3863,11 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["spark", "window", "customer"], k=25)
 
 
-SQL_DOC_BM25 = r"""
-WITH t AS (
+#: Shared BM25 CTE chain (tokenize → tf/df → micro-quantized per-term
+#: contributions) — consumed by BOTH the plain top-k oracle and the
+#: RRF fusion oracle so the scoring SQL cannot silently diverge (the
+#: parameterized-builder precedent of _ann_oracle_sql / kcore/lpa).
+_BM25_CTES = r"""WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
 ), doclen AS (
   SELECT doc_id, len(w) AS dl FROM t
@@ -3892,12 +3895,15 @@ WITH t AS (
   JOIN dfreq USING (word)
   CROSS JOIN stats
   JOIN doclen USING (doc_id)
-)
+)"""
+
+SQL_DOC_BM25 = _BM25_CTES + r"""
 SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS score_micro,
        CAST(SUM(score_micro) AS BIGINT)::DOUBLE / 1000000.0 AS bm25_score
 FROM contrib GROUP BY 1
 ORDER BY score_micro DESC, doc_id ASC LIMIT 25
 """
+
 
 
 def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7537,36 +7543,7 @@ def q_doc_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex_rank, sem_rank]).limit(20)
 
 
-SQL_DOC_RRF = r"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
-), doclen AS (
-  SELECT doc_id, len(w) AS dl FROM t
-), stats AS (
-  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM doclen
-), tok AS (
-  SELECT doc_id, unnest(w) AS word FROM t
-), tf AS (
-  SELECT doc_id, word, COUNT(*) AS tf FROM tok
-  WHERE word IN ('spark', 'window', 'customer') GROUP BY 1, 2
-), dfreq AS (
-  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
-), contrib AS (
-  SELECT tf.doc_id,
-         CAST(round(
-           (CAST(round(ln((n_docs - df + 0.5) / (df + 0.5)) * 1000000.0)
-                 AS BIGINT) / 1000000.0)
-           * (tf::DOUBLE * (1.2 + 1.0)
-              / (tf::DOUBLE
-                 + 1.2 * ((1.0 - 0.75)
-                          + 0.75 * dl::DOUBLE
-                            / (sum_dl::DOUBLE / n_docs::DOUBLE))))
-           * 1000000.0) AS BIGINT) AS score_micro
-  FROM tf
-  JOIN dfreq USING (word)
-  CROSS JOIN stats
-  JOIN doclen USING (doc_id)
-), lexagg AS (
+SQL_DOC_RRF = _BM25_CTES + r""",  lexagg AS (
   SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS score_micro
   FROM contrib GROUP BY 1
 ), lexrank AS (

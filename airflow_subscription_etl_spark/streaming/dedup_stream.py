@@ -70,31 +70,36 @@ def process_dedup_batch(
         if index is not None
         else _empty_sigs(batch, id_col)
     )
-    # ONE signature pass per batch: the same frame feeds the delta join
-    # (persisted inside incremental_minhash_pairs) and the index upsert
-    sigs = portable_signatures(batch, text_col, k_shingle, num_hashes, id_col)
-    pairs = incremental_minhash_pairs(
-        corpus_sigs,
-        batch,
-        text_col,
-        k_shingle,
-        num_hashes,
-        bands,
-        threshold,
-        id_col,
-        delta_sigs=sigs,
-    )
-    # overwrite (not append): a replayed batch rewrites its own dir
-    pairs.write.mode("overwrite").parquet(
-        os.path.join(root, "pairs", f"batch_{batch_id}")
-    )
-    upsert_batch(
-        sigs.withColumn("_b", F.lit(batch_id)),
-        os.path.join(root, "index"),
-        keys=[id_col],
-        order_col="_b",
-        batch_id=batch_id,
-    )
+    # ONE signature pass per batch, cached for its two consumers (the
+    # delta join and the index upsert) and RELEASED when the batch
+    # completes — without the unpersist, a long-running stream pins one
+    # cached frame per micro-batch until LRU thrash
+    sigs = portable_signatures(batch, text_col, k_shingle, num_hashes, id_col).persist()
+    try:
+        pairs = incremental_minhash_pairs(
+            corpus_sigs,
+            batch,
+            text_col,
+            k_shingle,
+            num_hashes,
+            bands,
+            threshold,
+            id_col,
+            delta_sigs=sigs,
+        )
+        # overwrite (not append): a replayed batch rewrites its own dir
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(root, "pairs", f"batch_{batch_id}")
+        )
+        upsert_batch(
+            sigs.withColumn("_b", F.lit(batch_id)),
+            os.path.join(root, "index"),
+            keys=[id_col],
+            order_col="_b",
+            batch_id=batch_id,
+        )
+    finally:
+        sigs.unpersist()
 
 
 def start_dedup_index_sink(
