@@ -541,37 +541,60 @@ def incremental_minhash_pairs(
             delta, text_col, k_shingle, num_hashes, id_col
         ).persist()
     all_sigs = corpus_sigs.select(id_col, "minhash").unionByName(delta_sigs)
+    delta_b = banded_signature_keys(
+        delta_sigs, num_hashes, bands, id_col, suffix="d"
+    )
+    corpus_b = banded_signature_keys(all_sigs, num_hashes, bands, id_col, suffix="c")
+    return _delta_band_join(delta_b, corpus_b, num_hashes, threshold)
+
+
+def banded_signature_keys(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    suffix: str = "c",
+) -> DataFrame:
+    """Explode an ``(id, minhash)`` signature frame into its banded-LSH
+    join keys: one row per (band, md5-bucket) with the id and signature
+    carried along — the physical layout of the dedup INDEX. Columns are
+    suffixed so both sides of a self/delta join can derive from it."""
     rows_per_band = num_hashes // bands
-
-    def banded(sig: DataFrame, a: str) -> DataFrame:
-        return sig.select(
-            F.col(id_col).alias(f"id_{a}"),
-            F.col("minhash").alias(f"mh_{a}"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            hash60(
-                                F.concat_ws(
-                                    ",",
-                                    F.transform(
-                                        F.slice(
-                                            "minhash",
-                                            b * rows_per_band + 1,
-                                            rows_per_band,
-                                        ),
-                                        lambda x: x.cast("string"),
+    return sigs.select(
+        F.col(id_col).alias(f"id_{suffix}"),
+        F.col("minhash").alias(f"mh_{suffix}"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hash60(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        "minhash",
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
                                     ),
-                                )
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(f"id_{a}", f"mh_{a}", "bb.band", "bb.bucket")
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(f"id_{suffix}", f"mh_{suffix}", "bb.band", "bb.bucket")
 
+
+def _delta_band_join(
+    delta_b: DataFrame, corpus_b: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Shared tail of the incremental variants: (band, bucket) equi-join
+    of delta keys against corpus keys, pair normalization, estimated
+    Jaccard, threshold, cross-band dedup."""
     est = (
         F.size(
             F.filter(
@@ -581,8 +604,8 @@ def incremental_minhash_pairs(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
-    joined = (
-        banded(delta_sigs, "d").join(banded(all_sigs, "c"), ["band", "bucket"])
+    return (
+        delta_b.join(corpus_b, ["band", "bucket"])
         .filter(F.col("id_d") != F.col("id_c"))
         .select(
             F.least("id_d", "id_c").alias("id_a"),
@@ -599,7 +622,60 @@ def incremental_minhash_pairs(
         .select("id_a", "id_b", "est_jaccard")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return joined
+
+
+def write_banded_signature_index(
+    sigs: DataFrame,
+    table: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> None:
+    """Materialize the dedup index in its JOIN layout: banded keys
+    (:func:`banded_signature_keys`, suffix ``c``) written BUCKETED BY
+    (band, bucket) — the write-once/probe-many deployment the
+    incremental docstrings promise. Every later delta batch equi-joins
+    on exactly the bucketing keys, so Spark trusts the on-disk hash
+    distribution and the CORPUS SIDE JOINS WITHOUT AN EXCHANGE — only
+    the (small) delta side shuffles, at any corpus size. Pinned by
+    tests/test_round5_ops.py::test_indexed_incremental_corpus_side_has_no_exchange.
+    """
+    banded = banded_signature_keys(sigs, num_hashes, bands, id_col, suffix="c")
+    banded.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, "band", "bucket"
+    ).sortBy("band", "bucket").saveAsTable(table)
+
+
+def incremental_minhash_pairs_indexed(
+    spark,
+    table: str,
+    delta: DataFrame,
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`incremental_minhash_pairs` against a MATERIALIZED banded
+    index (:func:`write_banded_signature_index`): the corpus side is
+    read pre-bucketed on the join keys, so its (bands × |corpus|)
+    banded rows never re-shuffle — the co-located join the plain
+    variant's docstring costs out. Emits the same ≥1-delta-member pair
+    set: delta×corpus from the index join plus delta×delta from a
+    self-join of the batch's keys (the index does not contain the
+    batch yet — its upsert happens after, exactly like the streaming
+    path)."""
+    delta_sigs = portable_signatures(
+        delta, text_col, k_shingle, num_hashes, id_col
+    ).persist()
+    delta_d = banded_signature_keys(delta_sigs, num_hashes, bands, id_col, suffix="d")
+    corpus_b = spark.table(table)
+    vs_corpus = _delta_band_join(delta_d, corpus_b, num_hashes, threshold)
+    delta_c = banded_signature_keys(delta_sigs, num_hashes, bands, id_col, suffix="c")
+    vs_self = _delta_band_join(delta_d, delta_c, num_hashes, threshold)
+    return vs_corpus.unionByName(vs_self).dropDuplicates(["id_a", "id_b"])
 
 
 # --- simhash -----------------------------------------------------------------

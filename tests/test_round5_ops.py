@@ -423,3 +423,77 @@ def test_hll_sketch_rollup_estimates_track_exact(spark):
         assert exact > 0 and r["n_nations"] == 5
         # default lgK=12 HLL: relative error well under 5% at these sizes
         assert abs(approx - exact) <= max(2.0, 0.05 * exact), r
+
+
+# --- banded signature index (bucketed, co-located incremental join) ---------
+
+
+@pytest.fixture()
+def _indexed_corpus(spark, tmp_path):
+    from airflow_subscription_etl_spark.operators import dedup as DD
+
+    base = "quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "different text with other words entirely here now")],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [(11, base + " indeed"), (12, base + " indeed too")],
+        "doc_id bigint, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS banded_idx_test")
+    DD.write_banded_signature_index(
+        DD.portable_signatures(corpus), "banded_idx_test", num_buckets=8
+    )
+    yield corpus, delta
+    spark.sql("DROP TABLE IF EXISTS banded_idx_test")
+
+
+def test_indexed_incremental_matches_plain(spark, _indexed_corpus):
+    from airflow_subscription_etl_spark.operators import dedup as DD
+
+    corpus, delta = _indexed_corpus
+    plain = sorted(
+        map(
+            tuple,
+            DD.incremental_minhash_pairs(
+                DD.portable_signatures(corpus), delta, threshold=0.3
+            ).collect(),
+        )
+    )
+    indexed = sorted(
+        map(
+            tuple,
+            DD.incremental_minhash_pairs_indexed(
+                spark, "banded_idx_test", delta, threshold=0.3
+            ).collect(),
+        )
+    )
+    assert indexed == plain
+    ids = {i for t in indexed for i in t[:2]}
+    assert 11 in ids and 12 in ids  # delta×corpus AND delta×delta present
+
+
+def test_indexed_incremental_corpus_side_has_no_exchange(spark, _indexed_corpus):
+    """THE point of the bucketed index: the corpus scan feeds the join
+    with no Exchange above it — only the delta side shuffles."""
+    from airflow_subscription_etl_spark.operators import dedup as DD
+
+    _corpus, delta = _indexed_corpus
+    df = DD.incremental_minhash_pairs_indexed(
+        spark, "banded_idx_test", delta, threshold=0.3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    scan_lines = [l for l in lines if "banded_idx_test" in l and "FileScan" in l]
+    assert scan_lines, plan
+    # the index scan must USE the bucketed layout...
+    assert all("Bucketed: true" in l for l in scan_lines), plan
+    # ...and never sit under a (band, bucket) re-partitioning: children
+    # print BELOW their parent, so a corpus-side reshuffle would show
+    # the table name within the exchange's subtree
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(band", plan):
+        ctx = plan[m.start() : m.start() + 400]
+        assert "banded_idx_test" not in ctx, "corpus side re-shuffled:\n" + plan
