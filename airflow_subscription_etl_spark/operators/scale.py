@@ -512,3 +512,32 @@ def incremental_join_delta(
         .unionByName(a_delta.join(b_old, on))
         .unionByName(a_delta.join(b_delta, on))
     )
+
+
+def bitmap_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """EXACT distinct ``key_col`` per group via Spark's bitmap
+    aggregates (3.5+): keys fold into fixed-width bitmap buckets
+    (bitmap_bucket_number/bit_position), buckets OR-merge
+    associatively (bitmap_construct_agg), counts sum. The partial
+    states are lossless bitmaps — re-aggregatable like the KMV/HLL
+    sketches but exact, and the shuffle carries bitmaps instead of raw
+    key sets (the win over COUNT(DISTINCT)'s expand at 100 TB).
+    Returns ``(*group_cols, n_distinct, n_buckets)``.
+    """
+    gkey = [F.col(c) for c in group_cols]
+    qcol = "`" + key_col.replace("`", "``") + "`"
+    buckets = (
+        df.select(
+            *gkey,
+            F.expr(f"bitmap_bucket_number({qcol})").alias("_bn"),
+            F.expr(f"bitmap_bit_position({qcol})").alias("_bp"),
+        )
+        .groupBy(*group_cols, "_bn")
+        .agg(F.expr("bitmap_construct_agg(_bp)").alias("_bm"))
+    )
+    return buckets.groupBy(*group_cols).agg(
+        F.sum(F.expr("bitmap_count(_bm)")).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )

@@ -7588,19 +7588,11 @@ def q_orders_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge associatively, so the distinct is exact WITHOUT shuffling raw
     key sets — partials are bitmaps, re-aggregatable like the KMV/HLL
     sketches but lossless. The oracle is plain COUNT(DISTINCT)."""
+    from .operators.scale import bitmap_distinct  # noqa: PLC0415
+
     o = _t(spark, sf_dir, "orders")
-    buckets = (
-        o.select(
-            "o_orderpriority",
-            F.expr("bitmap_bucket_number(o_custkey)").alias("_bn"),
-            F.expr("bitmap_bit_position(o_custkey)").alias("_bp"),
-        )
-        .groupBy("o_orderpriority", "_bn")
-        .agg(F.expr("bitmap_construct_agg(_bp)").alias("_bm"))
-    )
-    return buckets.groupBy("o_orderpriority").agg(
-        F.sum(F.expr("bitmap_count(_bm)")).alias("n_customers"),
-        F.count(F.lit(1)).alias("n_buckets"),
+    return bitmap_distinct(o, "o_custkey", ["o_orderpriority"]).withColumnRenamed(
+        "n_distinct", "n_customers"
     )
 
 

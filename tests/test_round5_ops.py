@@ -497,3 +497,27 @@ def test_indexed_incremental_corpus_side_has_no_exchange(spark, _indexed_corpus)
     for m in re.finditer(r"Exchange hashpartitioning\(band", plan):
         ctx = plan[m.start() : m.start() + 400]
         assert "banded_idx_test" not in ctx, "corpus side re-shuffled:\n" + plan
+
+
+# --- bitmap_distinct ---------------------------------------------------------
+
+
+def test_bitmap_distinct_exact_and_cross_bucket(spark):
+    """Exact counts even when keys span multiple 32768-wide buckets,
+    and merge-associativity under repartitioning."""
+    from airflow_subscription_etl_spark.operators.scale import bitmap_distinct
+
+    rows = [("a", k) for k in [1, 2, 2, 32768, 32769, 70000]] + [
+        ("b", k) for k in [5, 5, 5]
+    ]
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    out = {r["g"]: r for r in bitmap_distinct(df, "k", ["g"]).collect()}
+    assert out["a"]["n_distinct"] == 5 and out["a"]["n_buckets"] == 3
+    assert out["b"]["n_distinct"] == 1 and out["b"]["n_buckets"] == 1
+    again = {
+        r["g"]: r
+        for r in bitmap_distinct(df.repartition(7), "k", ["g"]).collect()
+    }
+    assert {g: (r["n_distinct"], r["n_buckets"]) for g, r in out.items()} == {
+        g: (r["n_distinct"], r["n_buckets"]) for g, r in again.items()
+    }

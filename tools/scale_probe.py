@@ -55,6 +55,9 @@ NEEDS = {
     "emb_ivfpq_topk": ["embeddings"],
     "ev_holdout_split": ["events"],
     "graph_lpa": ["lineitem"],
+    "ev_next_event": ["events"],
+    "doc_rrf_retrieval": ["documents", "embeddings"],
+    "orders_bitmap_distinct": ["orders"],
 }
 
 
