@@ -7608,6 +7608,141 @@ FROM orders GROUP BY 1
 """
 
 
+
+def q_doc_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical curation pipeline END TO END as one report —
+    quality gate → exact dedup → quality-ranked near-dup survivorship —
+    with corpus size and token volume after each stage (the
+    before/after accounting every curation run ships with). Composes
+    the already-oracled pieces (with_quality_score, exact_dedup,
+    exact_jaccard_pairs → connected_components → survivor rank) over
+    the SAME frames, and the oracle replays the whole funnel, so the
+    cross-stage WIRING is what this query verifies. Σdf² pair-graph
+    cost class → correctness-gated, out of the bench headline
+    (doc_keep_best precedent)."""
+    from .operators.dedup import exact_dedup, exact_jaccard_pairs  # noqa: PLC0415
+    from .operators.graph import connected_components  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    # with_quality_score projects to (doc_id, ratios...) — join the
+    # score back onto the text/token frame (broadcast-able id join)
+    scores = text.with_quality_score(docs).select("doc_id", "quality_score")
+    base = docs.select(
+        "doc_id", "text", F.size(text.tokens(F.col("text"))).alias("n_tok")
+    ).join(scores, "doc_id")
+    s1 = base.filter(F.col("quality_score") >= 0.65)
+    s2 = exact_dedup(s1).persist()  # feeds pairs, ranking, AND the report
+    pairs = exact_jaccard_pairs(s2, threshold=0.4)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    members = s2.join(comp, s2.doc_id == comp.node, "left").select(
+        s2.doc_id,
+        F.coalesce(comp.component, s2.doc_id).alias("cluster_id"),
+        s2.quality_score,
+        s2.n_tok,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    s3 = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_tok")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("total_tokens"),
+        )
+
+    return (
+        stage("0_raw", base)
+        .unionByName(stage("1_quality", s1))
+        .unionByName(stage("2_exact_dedup", s2))
+        .unionByName(stage("3_near_dedup", s3))
+    )
+
+
+SQL_DOC_CURATION_REPORT = r"""
+WITH RECURSIVE qb AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok_d,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              x -> lower(x) IN ('the','and','of','to','is'))) AS DOUBLE) AS stop_hits
+  FROM documents
+), base AS (
+  SELECT doc_id, text, CAST(n_tok_d AS BIGINT) AS n_tok,
+         0.4 * least(n / 500.0, 1.0)
+           + 0.3 * (1.0 - CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END)
+           + 0.2 * (1.0 - CASE WHEN n > 0 THEN n_upper / n ELSE 0.0 END)
+           + 0.1 * (CASE WHEN n_tok_d > 0 THEN stop_hits / n_tok_d ELSE 0.0 END)
+           AS quality_score
+  FROM qb
+), s1 AS (
+  SELECT * FROM base WHERE quality_score >= 0.65
+), s2 AS (
+  SELECT * FROM s1 WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM s1 GROUP BY md5(text)
+  )
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 2)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS sh
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS w
+    FROM s2
+  )
+), ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh
+), prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT id_a, id_b FROM prs
+  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.4
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT src AS node, src AS lab FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.node
+), comp AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+), ranked AS (
+  SELECT s2.doc_id, s2.n_tok,
+         row_number() OVER (
+           PARTITION BY coalesce(c.component, s2.doc_id)
+           ORDER BY s2.quality_score DESC NULLS LAST, s2.doc_id ASC
+         ) AS rn
+  FROM s2 LEFT JOIN comp c ON s2.doc_id = c.node
+), s3 AS (
+  SELECT doc_id, n_tok FROM ranked WHERE rn = 1
+)
+SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS total_tokens FROM base
+UNION ALL
+SELECT '1_quality', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s1
+UNION ALL
+SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+UNION ALL
+SELECT '3_near_dedup', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
@@ -7798,6 +7933,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_next_event": (q_ev_next_event, SQL_EV_NEXT_EVENT),
     "doc_rrf_retrieval": (q_doc_rrf_retrieval, SQL_DOC_RRF),
     "orders_bitmap_distinct": (q_orders_bitmap_distinct, SQL_ORDERS_BITMAP_DISTINCT),
+    "doc_curation_report": (q_doc_curation_report, SQL_DOC_CURATION_REPORT),
 }
 
 
@@ -7837,6 +7973,7 @@ _PRIORITY_R5 = [
     "ev_next_event",
     "doc_rrf_retrieval",
     "orders_bitmap_distinct",
+    "doc_curation_report",
 ]
 
 

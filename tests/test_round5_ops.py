@@ -521,3 +521,35 @@ def test_bitmap_distinct_exact_and_cross_bucket(spark):
     assert {g: (r["n_distinct"], r["n_buckets"]) for g, r in out.items()} == {
         g: (r["n_distinct"], r["n_buckets"]) for g, r in again.items()
     }
+
+
+# --- doc_curation_report funnel ---------------------------------------------
+
+
+def test_curation_report_funnel_on_handmade_corpus(spark, tmp_path, monkeypatch):
+    """Every stage must actually drop rows on a corpus built to hit all
+    three gates: a low-quality doc, an exact duplicate, a near-dup."""
+    from airflow_subscription_etl_spark.queries import q_doc_curation_report
+
+    good = (
+        "The analysis of the data and the methods is presented to the "
+        "reader and is of interest to the community. " * 3
+    ).strip()
+    rows = [
+        (1, good),
+        (2, good),  # exact duplicate of 1 → dropped at stage 2
+        (3, good + " Extra closing sentence appended for the near duplicate."),
+        (4, "A. B? C! D, E; F: G.! ,,,???"),  # punctuation soup → low quality
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+    out = {r["stage"]: (r["n_docs"], r["total_tokens"]) for r in q_doc_curation_report(spark, sf).collect()}
+    assert out["0_raw"][0] == 4
+    assert out["1_quality"][0] == 3  # doc 4 gone
+    assert out["2_exact_dedup"][0] == 2  # doc 2 gone
+    assert out["3_near_dedup"][0] == 1  # docs 1/3 collapse to the better one
+    # token totals shrink monotonically with the docs
+    toks = [out[s][1] for s in ["0_raw", "1_quality", "2_exact_dedup", "3_near_dedup"]]
+    assert toks == sorted(toks, reverse=True)
