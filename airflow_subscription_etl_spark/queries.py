@@ -7962,6 +7962,8 @@ _PRIORITY_R5 = [
     "ev_winsorized",  # r5: backtick-quoted percentile identifier (ADVICE)
     "graph_kcore",  # r5: convergence-guaranteed final filter (ADVICE)
     "emb_pq_topk_pandas",  # r5: id dtype derived from input schema (ADVICE)
+    "doc_bm25_topk",  # r5: refactored onto bm25_scores (values unchanged)
+    "doc_minhash_portable",  # r5: refactored onto portable_signatures
     # tier 3 — new round-5 operators (contrastive mining, containment
     # dedup, leakage-guarded splits)
     "emb_hard_negatives",
