@@ -657,6 +657,7 @@ def incremental_minhash_pairs_indexed(
     bands: int = 4,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    delta_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_pairs` against a MATERIALIZED banded
     index (:func:`write_banded_signature_index`): the corpus side is
@@ -666,14 +667,25 @@ def incremental_minhash_pairs_indexed(
     set: delta×corpus from the index join plus delta×delta from a
     self-join of the batch's keys (the index does not contain the
     batch yet — its upsert happens after, exactly like the streaming
-    path)."""
-    delta_sigs = portable_signatures(
-        delta, text_col, k_shingle, num_hashes, id_col
-    ).persist()
+    path). Per-batch drivers pass ``delta_sigs`` precomputed and own
+    its persist/unpersist lifecycle (the same escape hatch as
+    :func:`incremental_minhash_pairs` — a per-call self-persist would
+    pin one cached frame per batch for the life of the application)."""
+    if delta_sigs is None:
+        delta_sigs = portable_signatures(
+            delta, text_col, k_shingle, num_hashes, id_col
+        ).persist()
     delta_d = banded_signature_keys(delta_sigs, num_hashes, bands, id_col, suffix="d")
     corpus_b = spark.table(table)
     vs_corpus = _delta_band_join(delta_d, corpus_b, num_hashes, threshold)
-    delta_c = banded_signature_keys(delta_sigs, num_hashes, bands, id_col, suffix="c")
+    # self-join side: RENAME the already-banded delta keys — a second
+    # banded_signature_keys pass would re-hash every band slice
+    delta_c = delta_d.select(
+        F.col("id_d").alias("id_c"),
+        F.col("mh_d").alias("mh_c"),
+        "band",
+        "bucket",
+    )
     vs_self = _delta_band_join(delta_d, delta_c, num_hashes, threshold)
     return vs_corpus.unionByName(vs_self).dropDuplicates(["id_a", "id_b"])
 

@@ -529,7 +529,12 @@ def bitmap_distinct(
     gkey = [F.col(c) for c in group_cols]
     qcol = "`" + key_col.replace("`", "``") + "`"
     buckets = (
-        df.select(
+        # COUNT(DISTINCT)-style NULL semantics: null keys are ignored
+        # BEFORE bucketing (a NULL bucket-number group would otherwise
+        # survive as a phantom bucket row); a group whose keys are all
+        # NULL therefore does not appear at all
+        df.filter(F.col(qcol).isNotNull())
+        .select(
             *gkey,
             F.expr(f"bitmap_bucket_number({qcol})").alias("_bn"),
             F.expr(f"bitmap_bit_position({qcol})").alias("_bp"),

@@ -7631,7 +7631,11 @@ def q_doc_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", F.size(text.tokens(F.col("text"))).alias("n_tok")
     ).join(scores, "doc_id")
     s1 = base.filter(F.col("quality_score") >= 0.65)
-    s2 = exact_dedup(s1).persist()  # feeds pairs, ranking, AND the report
+    # no persist: query fns run repeatedly in shared sessions
+    # (check_oracle / lint / bench) and a per-invocation persist with no
+    # unpersist path accumulates cached frames; the ~3x recompute of the
+    # dedup subtree is the price of a side-effect-free query fn
+    s2 = exact_dedup(s1)
     pairs = exact_jaccard_pairs(s2, threshold=0.4)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     members = s2.join(comp, s2.doc_id == comp.node, "left").select(

@@ -526,7 +526,7 @@ def test_bitmap_distinct_exact_and_cross_bucket(spark):
 # --- doc_curation_report funnel ---------------------------------------------
 
 
-def test_curation_report_funnel_on_handmade_corpus(spark, tmp_path, monkeypatch):
+def test_curation_report_funnel_on_handmade_corpus(spark, tmp_path):
     """Every stage must actually drop rows on a corpus built to hit all
     three gates: a low-quality doc, an exact duplicate, a near-dup."""
     from airflow_subscription_etl_spark.queries import q_doc_curation_report
@@ -553,3 +553,16 @@ def test_curation_report_funnel_on_handmade_corpus(spark, tmp_path, monkeypatch)
     # token totals shrink monotonically with the docs
     toks = [out[s][1] for s in ["0_raw", "1_quality", "2_exact_dedup", "3_near_dedup"]]
     assert toks == sorted(toks, reverse=True)
+
+
+def test_bitmap_distinct_ignores_null_keys(spark):
+    """COUNT(DISTINCT)-style NULL semantics: null keys never bucket,
+    and an all-NULL group does not appear."""
+    from airflow_subscription_etl_spark.operators.scale import bitmap_distinct
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", None)], "g string, k bigint"
+    )
+    out = {r["g"]: r for r in bitmap_distinct(df, "k", ["g"]).collect()}
+    assert set(out) == {"a"}
+    assert out["a"]["n_distinct"] == 1 and out["a"]["n_buckets"] == 1
