@@ -401,9 +401,17 @@ def label_propagation(
     if rounds < 1:
         raise ValueError(f"need rounds >= 1, got {rounds}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # self-loops out (the siblings' convention): a retained (u, u)
+        # edge would give u a permanent vote for its own label, letting
+        # it resist its neighborhood's majority — not the documented
+        # "most frequent among its NEIGHBORS" semantics
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

@@ -524,15 +524,14 @@ def bitmap_distinct(
     states are lossless bitmaps — re-aggregatable like the KMV/HLL
     sketches but exact, and the shuffle carries bitmaps instead of raw
     key sets (the win over COUNT(DISTINCT)'s expand at 100 TB).
-    Returns ``(*group_cols, n_distinct, n_buckets)``.
+    Returns ``(*group_cols, n_distinct, n_buckets)`` with FULL
+    COUNT(DISTINCT) NULL semantics: null keys never bucket, and a
+    group whose keys are all NULL still appears with (0, 0) — exactly
+    what ``GROUP BY g`` + ``COUNT(DISTINCT k)`` yields.
     """
     gkey = [F.col(c) for c in group_cols]
     qcol = "`" + key_col.replace("`", "``") + "`"
     buckets = (
-        # COUNT(DISTINCT)-style NULL semantics: null keys are ignored
-        # BEFORE bucketing (a NULL bucket-number group would otherwise
-        # survive as a phantom bucket row); a group whose keys are all
-        # NULL therefore does not appear at all
         df.filter(F.col(qcol).isNotNull())
         .select(
             *gkey,
@@ -542,7 +541,15 @@ def bitmap_distinct(
         .groupBy(*group_cols, "_bn")
         .agg(F.expr("bitmap_construct_agg(_bp)").alias("_bm"))
     )
-    return buckets.groupBy(*group_cols).agg(
+    counted = buckets.groupBy(*group_cols).agg(
         F.sum(F.expr("bitmap_count(_bm)")).alias("n_distinct"),
         F.count(F.lit(1)).alias("n_buckets"),
+    )
+    # re-attach groups the null filter emptied (group-cardinality side,
+    # cheap) so all-NULL groups report 0 instead of disappearing
+    groups = df.select(*gkey).distinct()
+    return groups.join(counted, group_cols, "left").select(
+        *group_cols,
+        F.coalesce("n_distinct", F.lit(0)).cast("bigint").alias("n_distinct"),
+        F.coalesce("n_buckets", F.lit(0)).cast("bigint").alias("n_buckets"),
     )

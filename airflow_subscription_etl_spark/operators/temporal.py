@@ -288,12 +288,17 @@ def next_event_examples(
         F.col(id_col), F.col(user_col), F.col(ts_col), F.col(event_col), *lags
     )
     ctx = F.concat_ws(sep, *[F.col(f"_h{h}") for h in range(history, 0, -1)])
-    return (
-        out.filter(F.col(f"_h{history}").isNotNull())
-        .select(
-            F.col(id_col),
-            F.col(user_col),
-            ctx.alias("context"),
-            F.col(event_col).alias("label"),
-        )
+    # EVERY lag must be non-null, not just the oldest: concat_ws drops
+    # NULLs silently, so a NULL event_type mid-history would otherwise
+    # emit a positionally-corrupted short context (and a NULL at the
+    # oldest slot alone would drop an example that has enough
+    # predecessors). An example = `history` consecutive NON-NULL events.
+    complete = F.lit(True)
+    for h in range(history, 0, -1):
+        complete = complete & F.col(f"_h{h}").isNotNull()
+    return out.filter(complete).select(
+        F.col(id_col),
+        F.col(user_col),
+        ctx.alias("context"),
+        F.col(event_col).alias("label"),
     )

@@ -68,17 +68,30 @@ def _dbl(v: float) -> str:
 # --- MinHash LSH (dedup.minhash_lsh_pairs) ----------------------------------
 
 
-def _minhash_signature(text: str, k_shingle: int, num_hashes: int) -> list[int]:
-    th = [to_signed(hash_bytes(t.encode("utf-8"), 42)) for t in _norm_tokens(text)]
-    n = len(th)
-    sh: list[int] = []
-    for i in range(max(n - k_shingle, 0) + 1):
-        h = 42
-        for j in range(k_shingle):
-            if i + j < n:  # element_at beyond length → NULL → skipped
-                h = hash_long(th[i + j], h)
-        sh.append(to_signed(h))
-    distinct = list(dict.fromkeys(sh))
+def _minhash_signature(
+    text: str | None, k_shingle: int, num_hashes: int
+) -> list[int]:
+    if text is None:
+        # Spark: NULL text → NULL token array → size() = -1 → one index
+        # [0] whose F.get lookups are all NULL → xxhash64 of all-NULL
+        # args returns the SEED (42). Every null-text doc therefore
+        # carries the identical [42]-shingle signature and pairs at
+        # est_jaccard 1.0 — replicated, NOT skipped (verified against
+        # the operator in tests/test_lsh_oracles.py).
+        distinct = [42]
+    else:
+        th = [
+            to_signed(hash_bytes(t.encode("utf-8"), 42)) for t in _norm_tokens(text)
+        ]
+        n = len(th)
+        sh: list[int] = []
+        for i in range(max(n - k_shingle, 0) + 1):
+            h = 42
+            for j in range(k_shingle):
+                if i + j < n:  # F.get beyond length → NULL → skipped
+                    h = hash_long(th[i + j], h)
+            sh.append(to_signed(h))
+        distinct = list(dict.fromkeys(sh))
     sig: list[int] = []
     for perm in range(num_hashes):
         best = None
@@ -101,7 +114,6 @@ def minhash_pairs_reference(
     sigs = {
         int(doc_id): _minhash_signature(text, k_shingle, num_hashes)
         for doc_id, text in docs
-        if text is not None
     }
     rows_per_band = num_hashes // bands
     buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
@@ -134,7 +146,10 @@ def _cached(kind: str, build) -> str | None:
     if key not in _ORACLE_CACHE:
         try:
             _ORACLE_CACHE[key] = build(sf_dir)
-        except Exception:  # noqa: BLE001 — unreadable fixture → rows-only
+        except OSError:  # unreadable/missing fixture → rows-only
+            # ONLY the documented environment case degrades silently —
+            # a programming error in a reference must RAISE, not get
+            # cached as None and quietly weaken four oracle checks
             _ORACLE_CACHE[key] = None
     return _ORACLE_CACHE[key]
 
@@ -181,8 +196,8 @@ def simhash_pairs_reference(
     # NULL text → Spark's per-bit when(vote>0).otherwise(0) over a NULL
     # vote yields signature 0, so null-text docs DO bucket together and
     # emit hamming-0 pairs — replicate, don't skip. (The MinHash path
-    # differs: its NULL est_jaccard fails the threshold, so skipping is
-    # correct there.)
+    # handles NULLs inside _minhash_signature: identical [42]-shingle
+    # signatures → est 1.0 pairs, also emitted.)
     sigs = {
         int(doc_id): (_simhash(text) if text is not None else 0)
         for doc_id, text in docs

@@ -7497,7 +7497,8 @@ SELECT event_id, user_id,
        concat_ws('>', h3, h2, h1) AS context,
        event_type AS label
 FROM lagged
-WHERE h3 IS NOT NULL AND event_type = 'purchase'
+WHERE h3 IS NOT NULL AND h2 IS NOT NULL AND h1 IS NOT NULL
+  AND event_type = 'purchase'
 """
 
 

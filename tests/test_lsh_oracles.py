@@ -74,3 +74,24 @@ def test_simhash_null_text_matches_spark(spark, tmp_path):
 
     sig = {r["doc_id"]: r["simhash"] for r in with_simhash(docs).collect()}
     assert sig[2] == 0 and sig[3] == 0
+
+
+def test_minhash_null_text_matches_spark(spark, tmp_path):
+    """NULL-text docs get IDENTICAL non-null MinHash signatures in
+    Spark (xxhash64 over all-NULL shingle args returns the seed), so
+    they pair at est_jaccard 1.0 — the reference must emit them, not
+    skip nulls."""
+    from airflow_subscription_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [
+        (1, None),
+        (2, None),
+        (3, "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(tuple(r) for r in minhash_lsh_pairs(docs, threshold=0.4).collect())
+    want = sorted(R.minhash_pairs_reference(sf_dir))
+    assert got == want
+    assert (1, 2, 1.0) in want  # the null-null est=1.0 pair exists

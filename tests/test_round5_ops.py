@@ -555,14 +555,16 @@ def test_curation_report_funnel_on_handmade_corpus(spark, tmp_path):
     assert toks == sorted(toks, reverse=True)
 
 
-def test_bitmap_distinct_ignores_null_keys(spark):
-    """COUNT(DISTINCT)-style NULL semantics: null keys never bucket,
-    and an all-NULL group does not appear."""
+def test_bitmap_distinct_count_distinct_null_semantics(spark):
+    """Full COUNT(DISTINCT) NULL semantics: null keys never bucket,
+    and an all-NULL group still appears with (0, 0) — exactly what
+    GROUP BY g + COUNT(DISTINCT k) yields."""
     from airflow_subscription_etl_spark.operators.scale import bitmap_distinct
 
     df = spark.createDataFrame(
         [("a", 1), ("a", None), ("b", None)], "g string, k bigint"
     )
     out = {r["g"]: r for r in bitmap_distinct(df, "k", ["g"]).collect()}
-    assert set(out) == {"a"}
+    assert set(out) == {"a", "b"}
     assert out["a"]["n_distinct"] == 1 and out["a"]["n_buckets"] == 1
+    assert out["b"]["n_distinct"] == 0 and out["b"]["n_buckets"] == 0
