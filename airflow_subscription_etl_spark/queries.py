@@ -3131,7 +3131,9 @@ def _sql_mm_resize() -> str | None:
                 + ",".join(rows)
                 + ") AS t(c0, c1, c2, c3, c4)"
             )
-    except Exception:  # noqa: BLE001 — unreadable fixture → rows-only
+    except OSError:  # unreadable/missing fixture → rows-only; a
+        # programming error in the reference must RAISE (the
+        # lsh_ref._cached convention), not silently weaken the oracle
         sql = None
     _MM_RESIZE_ORACLE_CACHE[sf_dir] = sql
     return sql
@@ -4513,8 +4515,9 @@ def q_doc_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full banded-LSH pipeline — shingle, one md5 per shingle, 16
     affine permutations mod 2^31−1, 4-band bucket join,
     signature-estimated Jaccard — on a hash family DuckDB replays
-    exactly, so unlike `doc_minhash_pairs` (xxhash64, rows-only) the
-    ALGORITHM gets a value-hash oracle."""
+    exactly, so the ALGORITHM gets a pure-SQL value-hash oracle (the
+    xxhash64 `doc_minhash_pairs` is oracled too since r5, via the
+    driver-side XXH64 reference)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.portable_minhash_pairs(docs, threshold=0.5)
 
@@ -6490,8 +6493,10 @@ def q_doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable-hash SimHash near-dup pairs (dedup.py::
     portable_simhash_pairs): the full vote → signature → 16-bit-band →
     Hamming-verify pipeline on md5-based token hashes, value-hash
-    oracle-checked end to end (the xxhash64 variant doc_simhash_pairs
-    stays rows-only — its hash family is Spark-internal)."""
+    oracle-checked end to end in pure SQL (the xxhash64 variant
+    doc_simhash_pairs is oracled too since r5, via the driver-side
+    XXH64 reference — this twin remains the any-engine-replayable
+    formulation)."""
     from .operators.dedup import portable_simhash_pairs  # noqa: PLC0415
 
     docs = _t(spark, sf_dir, "documents")
