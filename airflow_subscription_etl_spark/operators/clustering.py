@@ -115,6 +115,56 @@ def assign_clusters(
     return df.crossJoin(F.broadcast(cents_df)).select(*cols)
 
 
+def assign_clusters_pandas(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`assign_clusters` — IDENTICAL results
+    (same integer-micro distances via the PQ twin's HALF_UP
+    ``floor(v+0.5)`` replication of F.round, same lowest-id argmin
+    tiebreak via numpy's first-minimum), with the k·d distance fold
+    running as vectorized batch math instead of interpreted
+    higher-order functions. The established throughput-twin pattern
+    (brute_force_topk_pandas, pq_topk_pandas); both paths check
+    against the SAME oracle."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # per-centroid integer-micro distances, argmin ties → col 0
+            D = np.empty((len(pdf), C.shape[0]), dtype=np.int64)
+            for j in range(C.shape[0]):
+                d = X - C[j][None, :]
+                D[:, j] = (
+                    np.floor((d * d) * 1_000_000.0 + 0.5).astype(np.int64).sum(axis=1)
+                )
+            cid = D.argmin(axis=1)
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "cluster_id": (cid + 1).astype("int32"),
+                "dist_micro": D[np.arange(len(pdf)), cid],
+            }
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, cluster_id int, dist_micro long"
+    if keep_vec:
+        schema += f", {vec_col} {vec_type}"
+    return df.select(id_col, vec_col).mapInPandas(score, schema)
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -122,6 +172,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    assign_fn=None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means, ``iters`` rounds from a deterministic init (the
     k lowest-id vectors, micro-quantized). Returns the FINAL-round
@@ -136,6 +187,7 @@ def kmeans_fit(
     iterative-ML posture — MLlib does the same; at 100 TB you cache a
     sample or accept the re-scan).
     """
+    assign = assign_fn or assign_clusters
     df = df.select(id_col, vec_col).cache()
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[_quant(float(x)) for x in r[vec_col]] for r in init_rows]
@@ -143,7 +195,7 @@ def kmeans_fit(
     # iters assignments interleaved with iters-1 updates:
     # a_i = assign(c_{i-1}); c_i = update(a_i); return a_iters
     for _ in range(iters - 1):
-        assigned = assign_clusters(df, cents, id_col, vec_col, keep_vec=True)
+        assigned = assign(df, cents, id_col, vec_col, keep_vec=True)
         sums = (
             assigned
             .select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim0", "x"))
@@ -165,7 +217,7 @@ def kmeans_fit(
             ) / (float(r["n"]) * float(_SCALE))
         # empty clusters (absent from `new`) keep their previous centroid
         cents = [new.get(cid, cents[cid - 1]) for cid in range(1, k + 1)]
-    return assign_clusters(df, cents, id_col, vec_col, keep_vec=keep_vec), cents
+    return assign(df, cents, id_col, vec_col, keep_vec=keep_vec), cents
 
 
 def kmeans_fit_predict(
@@ -178,6 +230,22 @@ def kmeans_fit_predict(
 ) -> DataFrame:
     """Assignment-only wrapper of :func:`kmeans_fit`."""
     return kmeans_fit(df, k, iters, id_col, vec_col, keep_vec)[0]
+
+
+def kmeans_fit_predict_pandas(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """:func:`kmeans_fit_predict` with the Arrow/numpy assignment twin
+    on every Lloyd round — bit-identical output (integer-micro
+    distances are order-free), vectorized per-row cost."""
+    return kmeans_fit(
+        df, k, iters, id_col, vec_col, keep_vec, assign_fn=assign_clusters_pandas
+    )[0]
 
 
 def semantic_dedup(

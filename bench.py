@@ -110,6 +110,7 @@ HEADLINE = [
     "ev_holdout_split",
     "ev_next_event",
     "doc_rrf_retrieval",
+    "emb_kmeans_pandas",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

@@ -94,3 +94,25 @@ def test_semantic_dedup_partitioning_invariant(spark):
     a = semantic_dedup(emb.repartition(1), k=4, iters=2, threshold=0.45)
     b = semantic_dedup(emb.repartition(13), k=4, iters=2, threshold=0.45)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_kmeans_pandas_twin_bit_identical(spark):
+    """assign_clusters_pandas must reproduce the HOF path EXACTLY —
+    integer-micro distances are order-free, so any mismatch is a
+    rounding/tiebreak bug, not float noise."""
+    from airflow_subscription_etl_spark.operators.clustering import (
+        assign_clusters,
+        assign_clusters_pandas,
+        kmeans_fit_predict,
+        kmeans_fit_predict_pandas,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = [[0.1] * 6, [0.5] * 6, [0.9] * 6]
+    a = sorted(map(tuple, assign_clusters(df, cents).collect()))
+    b = sorted(map(tuple, assign_clusters_pandas(df, cents).collect()))
+    assert a == b
+    fa = sorted(map(tuple, kmeans_fit_predict(df, k=4, iters=2).collect()))
+    fb = sorted(map(tuple, kmeans_fit_predict_pandas(df, k=4, iters=2).collect()))
+    assert fa == fb
