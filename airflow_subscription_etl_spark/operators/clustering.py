@@ -115,6 +115,32 @@ def assign_clusters(
     return df.crossJoin(F.broadcast(cents_df)).select(*cols)
 
 
+def _round_like_spark(raw):
+    """Vectorized replica of Spark's ``F.round`` on non-negative
+    doubles, as int64: the bulk path is ``floor(v+0.5)``, but Spark
+    rounds via BigDecimal(Double.toString) HALF_UP and the two
+    disagree by 1 on boundary doubles (the 0.49999999999999994 class,
+    where fl(v+0.5) lands on the next integer while the shortest
+    decimal is still below .5). Elements whose fractional part sits
+    inside a ±5e-7 band around .5 — a superset of everywhere the
+    disagreement can live — are re-rounded through the exact Decimal
+    replica (oracles.lsh_ref._round_half_up_spark), so the result is
+    bit-identical to F.round on ALL inputs. The band admits ~1e-6 of
+    uniformly-distributed elements, so the scalar repair touches a
+    handful of cells per million."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..oracles.lsh_ref import _round_half_up_spark  # noqa: PLC0415
+
+    r = np.floor(raw + 0.5).astype(np.int64)
+    sus = np.floor(raw + 0.4999995) != np.floor(raw + 0.5000005)
+    if sus.any():
+        flat_r, flat_raw = r.reshape(-1), raw.reshape(-1)
+        for idx in np.flatnonzero(sus.reshape(-1)):
+            flat_r[idx] = _round_half_up_spark(float(flat_raw[idx]))
+    return r
+
+
 def assign_clusters_pandas(
     df: DataFrame,
     centroids: list[list[float]],
@@ -123,13 +149,23 @@ def assign_clusters_pandas(
     keep_vec: bool = False,
 ) -> DataFrame:
     """Arrow/numpy twin of :func:`assign_clusters` — IDENTICAL results
-    (same integer-micro distances via the PQ twin's HALF_UP
-    ``floor(v+0.5)`` replication of F.round, same lowest-id argmin
-    tiebreak via numpy's first-minimum), with the k·d distance fold
-    running as vectorized batch math instead of interpreted
-    higher-order functions. The established throughput-twin pattern
+    (same integer-micro distances, same lowest-id argmin tiebreak via
+    numpy's first-minimum), with the k·d distance fold running as
+    vectorized batch math instead of interpreted higher-order
+    functions. The established throughput-twin pattern
     (brute_force_topk_pandas, pq_topk_pandas); both paths check
-    against the SAME oracle."""
+    against the SAME oracle.
+
+    Rounding parity: the bulk path is vectorized ``floor(v+0.5)``,
+    but Spark's ``F.round`` is BigDecimal(Double.toString) HALF_UP and
+    the two disagree by 1 on boundary doubles (the
+    0.49999999999999994 class, where fl(v+0.5) lands on the next
+    integer). Elements whose fractional part sits inside a ±5e-7 band
+    around .5 — where the disagreement lives — are re-rounded through
+    the exact Decimal replica (oracles.lsh_ref._round_half_up_spark),
+    so the twin is bit-identical to F.round on ALL inputs, not just
+    away from ties. The band admits ~1e-6 of elements, so the scalar
+    repair touches a handful of cells per million."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -144,9 +180,7 @@ def assign_clusters_pandas(
             D = np.empty((len(pdf), C.shape[0]), dtype=np.int64)
             for j in range(C.shape[0]):
                 d = X - C[j][None, :]
-                D[:, j] = (
-                    np.floor((d * d) * 1_000_000.0 + 0.5).astype(np.int64).sum(axis=1)
-                )
+                D[:, j] = _round_like_spark(d * d * 1_000_000.0).sum(axis=1)
             cid = D.argmin(axis=1)
             out = {
                 id_col: pdf[id_col].to_numpy(),

@@ -531,6 +531,15 @@ def incremental_minhash_pairs(
     shuffle disappears into a co-located join. Callers that ALSO need
     the batch's signatures (e.g. the streaming index upsert) pass them
     precomputed via ``delta_sigs`` so the tokenize+hash pass runs once.
+
+    Cache lifecycle: when ``delta_sigs`` is NOT passed, the
+    internally-built signature frame is ``.persist()``-ed and stays in
+    the SQL cache until the caller clears it (the return value is
+    lazy, so the function cannot unpersist it itself). Repeated calls
+    in one session should either pass ``delta_sigs`` with a
+    caller-owned lifecycle (the streaming path's finally-unpersist) or
+    ``spark.catalog.clearCache()`` between invocations (bench.py and
+    tools/check_oracle.py do).
     """
     # persist only a frame WE created: a caller-passed delta_sigs owns
     # its own lifecycle (the streaming path persists per batch and

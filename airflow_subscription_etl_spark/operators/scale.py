@@ -16,6 +16,8 @@ runtime; these helpers cover the cases AQE cannot:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -525,9 +527,10 @@ def bitmap_distinct(
     sketches but exact, and the shuffle carries bitmaps instead of raw
     key sets (the win over COUNT(DISTINCT)'s expand at 100 TB).
     Returns ``(*group_cols, n_distinct, n_buckets)`` with FULL
-    COUNT(DISTINCT) NULL semantics: null keys never bucket, and a
-    group whose keys are all NULL still appears with (0, 0) — exactly
-    what ``GROUP BY g`` + ``COUNT(DISTINCT k)`` yields.
+    COUNT(DISTINCT) NULL semantics: null keys never bucket, a group
+    whose keys are all NULL still appears with (0, 0), and a NULL
+    group-column VALUE is a real group (null-safe re-attach join) —
+    exactly what ``GROUP BY g`` + ``COUNT(DISTINCT k)`` yields.
     """
     gkey = [F.col(c) for c in group_cols]
     qcol = "`" + key_col.replace("`", "``") + "`"
@@ -546,10 +549,21 @@ def bitmap_distinct(
         F.count(F.lit(1)).alias("n_buckets"),
     )
     # re-attach groups the null filter emptied (group-cardinality side,
-    # cheap) so all-NULL groups report 0 instead of disappearing
+    # cheap) so all-NULL groups report 0 instead of disappearing. The
+    # join must be null-SAFE: GROUP BY treats a NULL group value as a
+    # real group, and a plain equi-join would never match its counted
+    # row (reporting 0 even when the group has non-null keys).
     groups = df.select(*gkey).distinct()
-    return groups.join(counted, group_cols, "left").select(
-        *group_cols,
-        F.coalesce("n_distinct", F.lit(0)).cast("bigint").alias("n_distinct"),
-        F.coalesce("n_buckets", F.lit(0)).cast("bigint").alias("n_buckets"),
+    cond = reduce(
+        lambda a, b: a & b,
+        [groups[c].eqNullSafe(counted[c]) for c in group_cols],
+    )
+    return groups.join(counted, cond, "left").select(
+        *[groups[c].alias(c) for c in group_cols],
+        F.coalesce(counted["n_distinct"], F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.coalesce(counted["n_buckets"], F.lit(0))
+        .cast("bigint")
+        .alias("n_buckets"),
     )

@@ -341,6 +341,14 @@ def hard_negative_mining(
     margin)`` with ``margin = pos_sim − neg_sim`` (negative margin =
     the anchor's neighborhood is label-confused — exactly the triplets
     a trainer wants first).
+
+    Cache lifecycle: the banded-signature frame is ``.persist()``-ed
+    (it feeds both sides of the self-join) and stays in the SQL cache
+    until the caller clears it — the return value is lazy, so the
+    function cannot unpersist it itself. Long-running sessions that
+    call this repeatedly should ``spark.catalog.clearCache()`` between
+    invocations; the repo's harnesses (bench.py, tools/check_oracle.py)
+    do exactly that.
     """
     normed = df.select(
         F.col(id_col), F.col(vec_col), F.col(label_col), l2_norm(F.col(vec_col)).alias("_norm")
@@ -1184,6 +1192,13 @@ def ivfpq_topk(
     only reduction is TakeOrdered(k). Distances are integer micros
     end-to-end (order-free, engine-exact). Returns
     ``(id, list_id, pq_codes, approx_d2_micro)`` ascending, ties → id.
+
+    Cache lifecycle: the residual frame is ``.persist()``-ed (it feeds
+    both the codebook-sample job and the scoring scan) and stays in
+    the SQL cache until the caller clears it — the return value is
+    lazy, so this function cannot unpersist it itself. Repeated calls
+    in one session should ``spark.catalog.clearCache()`` between
+    invocations (bench.py and tools/check_oracle.py do).
     """
     dims = len(query_vec)
     if dims % m != 0:

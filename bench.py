@@ -137,17 +137,31 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — warmup must never kill the bench
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
-    # two timed passes per query, keep the MIN: single-shot timings on a
-    # busy host carry ±30% OS/JVM noise; the min of two warm runs is the
+    # Two timed passes per query, keep the MIN: single-shot timings on a
+    # busy host carry ±30% OS/JVM noise; the min of warm runs is the
     # steady-state cost the plan actually has (standard benchmarking
-    # practice; both passes run the identical plan end-to-end)
+    # practice; all passes run the identical plan end-to-end).
+    # SELF-ADJUDICATION (r5 verdict #3): when the two passes disagree by
+    # >30%, a third pass runs and per-query `spread` = (max−min)/min is
+    # emitted alongside the min — so BENCH_rN.json itself distinguishes
+    # "noisy host" from "real regression" without a judge re-run.
+    # Passes of one query run back-to-back (query-outer loop) and the
+    # SQL cache is cleared BETWEEN queries: per-call .persist() inside
+    # operators (LSH signatures, IVF residuals) would otherwise
+    # accumulate across the 60-query headline (the ADVICE r5 leak);
+    # within one query's passes the cache stays warm, matching how the
+    # r1 baseline was recorded (pass 2 always reused pass 1's cache).
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _pass in range(2):
-        for name in HEADLINE:
-            if name in errors:
-                continue
-            fn, _ = REGISTRY[name]
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        times: list[float] = []
+        for _pass in range(3):
+            if _pass == 2 and times and (
+                (max(times) - min(times)) / min(times) <= 0.30
+            ):
+                break  # two passes agree — no adjudication needed
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
@@ -159,11 +173,15 @@ def main() -> None:
                 # AnalysisException); record it and keep timing the rest
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-                timings.pop(name, None)
-                continue
+                times = []
+                break
             dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            times.append(dt)
             print(f"# pass{_pass} {name}: {dt:.3f}s", file=sys.stderr)
+        if times:
+            timings[name] = min(times)
+            spreads[name] = round((max(times) - min(times)) / min(times), 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -171,8 +189,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "sf": sf,
-        "runs_per_query": 2,
+        "runs_per_query": "2 (+1 adjudication pass when spread > 0.30)",
         # null (not a partial sum) when any baseline query failed — a
         # silently-deflated subtotal would read as a phantom speedup
         # against the recorded r1 number

@@ -92,6 +92,10 @@ def main() -> int:
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
             continue
+        # per-call .persist() inside operators (LSH signatures, IVF
+        # residuals) would otherwise accumulate across a 181-query
+        # sweep in this one shared session (ADVICE r5 leak)
+        spark.catalog.clearCache()
         if callable(sql):  # fixture-computed reference oracle
             sql = sql()
         t0 = time.time()
