@@ -1,0 +1,273 @@
+"""Derive the round's verification priority list from the git diff —
+VERDICT r5 #1/#2.
+
+The driver's correctness gate checks only the first ~50 entries of
+``queries()`` per round, ordered by ``_PRIORITY_R{N}``. Round 5 curated
+that list by hand and missed a transitive consumer: ``kmeans_fit``
+gained a seam (clustering.py:168) but its consumers ``emb_kmeans`` /
+``emb_semantic_dedup`` kept r3/r4 green rows. This tool closes that
+gap mechanically:
+
+  tier 1  queries whose implementation DIFF-transitively changed this
+          round: any function/constant touched by the round's git diff
+          → every REGISTRY query that transitively calls/uses it
+          (static AST call graph over the package, bare-name matching —
+          a deliberate OVER-approximation: a false positive costs one
+          driver slot, a false negative is a stale green row)
+  tier 2  oldest-green back-fill: remaining slots up to the driver cap
+          go to queries whose latest CORRECTNESS_r*.json row is oldest
+          (round-robin so every query's row is ≤3 rounds old by r8)
+
+Usage:
+  python tools/retier.py [BASE_REV] [--slots N]
+
+BASE_REV defaults to the last driver round-commit (``round N:`` in the
+subject) so the diff covers exactly "this round so far". Prints the
+ready-to-paste ``_PRIORITY_R{N}`` list plus a per-tier explanation to
+stderr.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import pathlib
+import re
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+PKG = ROOT / "airflow_subscription_etl_spark"
+DRIVER_SLOTS = 50
+
+
+def sh(*args: str) -> str:
+    return subprocess.run(
+        args, cwd=ROOT, check=True, capture_output=True, text=True
+    ).stdout
+
+
+def default_base() -> str:
+    """Most recent commit whose subject starts with 'round N:' — the
+    driver's round-boundary commit."""
+    log = sh("git", "log", "--format=%H %s", "-200")
+    for line in log.splitlines():
+        sha, _, subj = line.partition(" ")
+        if re.match(r"round \d+:", subj):
+            return sha
+    return "HEAD~20"  # fallback: a generous window
+
+
+def changed_spans(base: str) -> dict[str, list[tuple[int, int]]]:
+    """file → [(start, end)] line spans changed on the NEW side, plus
+    single-line anchors for pure deletions (the surrounding context
+    still identifies the enclosing function)."""
+    diff = sh("git", "diff", "--unified=0", f"{base}..HEAD", "--", "*.py")
+    spans: dict[str, list[tuple[int, int]]] = {}
+    fname = None
+    for line in diff.splitlines():
+        if line.startswith("+++ b/"):
+            fname = line[6:]
+        elif line.startswith("@@") and fname:
+            m = re.match(r"@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", line)
+            if m:
+                start = int(m.group(1))
+                count = int(m.group(2) or "1")
+                # count==0: pure deletion — anchor on the preceding line
+                spans.setdefault(fname, []).append(
+                    (max(start, 1), max(start + max(count, 1) - 1, 1))
+                )
+    return spans
+
+
+def defs_in_file(path: pathlib.Path) -> list[tuple[str, int, int]]:
+    """(name, start, end) for every function/class def and every
+    module-level assignment target in the file."""
+    try:
+        tree = ast.parse(path.read_text())
+    except (OSError, SyntaxError):
+        return []
+    out: list[tuple[str, int, int]] = []
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            out.append((node.name, node.lineno, node.end_lineno or node.lineno))
+    for node in tree.body:
+        if isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+            for t in targets:
+                if isinstance(t, ast.Name):
+                    out.append((t.id, node.lineno, node.end_lineno or node.lineno))
+    return out
+
+
+def changed_symbols(base: str) -> set[str]:
+    """Names of functions/classes/module constants whose span intersects
+    the diff, on BOTH the old and new side of the range."""
+    symbols: set[str] = set()
+    for fname, spans in changed_spans(base).items():
+        if not fname.endswith(".py"):
+            continue
+        path = ROOT / fname
+        if not path.exists():
+            continue
+        for name, s, e in defs_in_file(path):
+            if any(a <= e and s <= b for a, b in spans):
+                symbols.add(name)
+    # old side: functions deleted or renamed still invalidate consumers
+    old_diff = sh("git", "diff", "--unified=0", f"{base}..HEAD", "--", "*.py")
+    cur_file = None
+    for line in old_diff.splitlines():
+        if line.startswith("--- a/"):
+            cur_file = line[6:]
+        elif line.startswith("-def ") or line.startswith("-    def "):
+            m = re.match(r"-\s*def\s+(\w+)", line)
+            if m and cur_file and cur_file.endswith(".py"):
+                symbols.add(m.group(1))
+    return symbols
+
+
+def call_graph() -> dict[str, set[str]]:
+    """function name → bare names it references (calls AND loads, so a
+    changed module constant like an SQL string propagates too). Bare
+    names over-approximate (two modules sharing a name merge), which is
+    the safe direction for verification priority."""
+    graph: dict[str, set[str]] = {}
+    files = list(PKG.rglob("*.py")) + [ROOT / "__spark_entry__.py"]
+    for path in files:
+        try:
+            tree = ast.parse(path.read_text())
+        except (OSError, SyntaxError):
+            continue
+
+        def visit_fn(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> None:
+            refs = graph.setdefault(fn.name, set())
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Name):
+                    refs.add(node.id)
+                elif isinstance(node, ast.Attribute):
+                    refs.add(node.attr)
+
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                visit_fn(node)
+        # module-level assignments that reference functions (e.g. SQL
+        # built by helper calls) — attribute them to the assigned name
+        for node in tree.body:
+            if isinstance(node, (ast.Assign, ast.AnnAssign)):
+                targets = (
+                    node.targets if isinstance(node, ast.Assign) else [node.target]
+                )
+                names = [t.id for t in targets if isinstance(t, ast.Name)]
+                refs: set[str] = set()
+                for sub in ast.walk(node):
+                    if isinstance(sub, ast.Name):
+                        refs.add(sub.id)
+                    elif isinstance(sub, ast.Attribute):
+                        refs.add(sub.attr)
+                for n in names:
+                    graph.setdefault(n, set()).update(refs - set(names))
+    return graph
+
+
+def registry_queries() -> dict[str, tuple[str, str | None]]:
+    """query name → (query-fn name, oracle symbol name or None), parsed
+    from the REGISTRY literal in queries.py without importing Spark."""
+    tree = ast.parse((PKG / "queries.py").read_text())
+    out: dict[str, tuple[str, str | None]] = {}
+    for node in tree.body:
+        targets = (
+            node.targets
+            if isinstance(node, ast.Assign)
+            else [node.target]
+            if isinstance(node, ast.AnnAssign)
+            else []
+        )
+        if (
+            any(isinstance(t, ast.Name) and t.id == "REGISTRY" for t in targets)
+            and isinstance(getattr(node, "value", None), ast.Dict)
+        ):
+            for k, v in zip(node.value.keys, node.value.values):
+                if not isinstance(k, ast.Constant) or not isinstance(v, ast.Tuple):
+                    continue
+                fn_el, sql_el = v.elts
+                fn_name = fn_el.id if isinstance(fn_el, ast.Name) else None
+                sql_name = sql_el.id if isinstance(sql_el, ast.Name) else None
+                if fn_name:
+                    out[k.value] = (fn_name, sql_name)
+    return out
+
+
+def transitive_consumers(changed: set[str]) -> list[str]:
+    graph = call_graph()
+    reg = registry_queries()
+    # reachability memo: does `name` reach a changed symbol?
+    memo: dict[str, bool] = {}
+
+    def reaches(name: str, stack: frozenset[str] = frozenset()) -> bool:
+        if name in changed:
+            return True
+        if name in memo:
+            return memo[name]
+        if name in stack or name not in graph:
+            return False
+        hit = any(
+            reaches(ref, stack | {name})
+            for ref in graph[name]
+            if ref in graph or ref in changed
+        )
+        memo[name] = hit
+        return hit
+
+    hits = []
+    for qname, (fn_name, sql_name) in reg.items():
+        if reaches(fn_name) or (sql_name and reaches(sql_name)):
+            hits.append(qname)
+    return hits
+
+
+def latest_green_round() -> dict[str, int]:
+    """query → latest round with a CORRECTNESS row (any verdict)."""
+    ages: dict[str, int] = {}
+    for path in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path.stem).group(1))
+        for qname in json.loads(path.read_text()):
+            ages[qname] = max(ages.get(qname, 0), rnd)
+    return ages
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    slots = DRIVER_SLOTS
+    for a in sys.argv[1:]:
+        if a.startswith("--slots"):
+            slots = int(a.split("=", 1)[1])
+    base = args[0] if args else default_base()
+    print(f"# diff base: {base[:12]}", file=sys.stderr)
+
+    changed = changed_symbols(base)
+    print(f"# changed symbols ({len(changed)}): {sorted(changed)}", file=sys.stderr)
+
+    tier1 = transitive_consumers(changed)
+    reg_order = list(registry_queries())
+    tier1.sort(key=reg_order.index)
+    print(f"# tier 1 (diff consumers, {len(tier1)}): {tier1}", file=sys.stderr)
+
+    ages = latest_green_round()
+    fill = [q for q in reg_order if q not in tier1]
+    # never-checked first (age 0), then oldest round, stable by registry
+    fill.sort(key=lambda q: (ages.get(q, 0), reg_order.index(q)))
+    tier2 = fill[: max(slots - len(tier1), 0)]
+    print(f"# tier 2 (oldest-green fill, {len(tier2)})", file=sys.stderr)
+
+    print("_PRIORITY = [")
+    print("    # tier 1 — implementation diff-reachable this round")
+    for q in tier1:
+        print(f'    "{q}",')
+    print("    # tier 2 — oldest-green driver rows, round-robin back-fill")
+    for q in tier2:
+        print(f'    "{q}",  # last row r{ages.get(q, 0)}')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
