@@ -76,36 +76,92 @@ def insert_subscription(
     return subs.unionByName(new_row, allowMissingColumns=True)
 
 
-def change_subscription_plan(
-    subs: DataFrame, user_id: int, new_plan_id: int
+def _apply_via_merge(
+    subs: DataFrame, target_id: int, set_exprs: dict[str, "F.Column"]
 ) -> DataFrame:
-    """M2: UPDATE subscription_plan_id on the A1-selected row
-    (subscription_flow.py:228–234).
+    """Express a single-row UPDATE as a MERGE: the source is the
+    A1-selected row with the SET columns overwritten; merge_upsert
+    joins it back on subscription_id (matched → UPDATE; the key always
+    matches, so the insert branch is provably empty). This is the
+    1:1 shape of ``MERGE INTO subs USING cdc ON key WHEN MATCHED THEN
+    UPDATE SET ...`` — on Delta/Iceberg the same source frame feeds
+    ``DeltaTable.merge`` / ``MERGE INTO`` and the table format turns
+    the full rewrite into a file-level upsert. Row order of the result
+    follows the merge join, not the input file; callers needing
+    reference file order sort by subscription_id (M1 assigns max+1, so
+    id order IS file order).
+    """
+    source = subs.filter(F.col("subscription_id") == F.lit(target_id)).select(
+        F.col("subscription_id"),
+        *[e.alias(c) for c, e in set_exprs.items()],
+    )
+    return merge_upsert(
+        subs, source, ["subscription_id"], update_cols=list(set_exprs)
+    )
 
-    Conditional ``withColumn`` over the full table — the Spark
-    equivalent of the reference's in-place row edit + full-file save.
-    At scale the same predicate drives a Delta ``MERGE WHEN MATCHED``.
+
+def _apply_single_row_update(
+    subs: DataFrame,
+    user_id: int,
+    set_exprs: dict[str, "F.Column"],
+    strategy: str,
+) -> DataFrame:
+    """Shared M2/M3 writer interface (SURVEY §7.4: "do both behind one
+    writer interface"). ``strategy``:
+
+    - ``"projection"`` (default): conditional ``withColumn`` over the
+      full table — narrow, order-preserving, the Spark equivalent of
+      the reference's in-place row edit + full-file save. Right for
+      the catalog-sized JSON-parity table.
+    - ``"merge"``: the same update expressed through
+      :func:`merge_upsert` — the scale path that maps 1:1 onto a
+      lakehouse ``MERGE INTO`` (Delta/Iceberg), where unmatched data
+      passes through untouched instead of being rewritten.
+
+    Both strategies produce identical rows (equivalence is pinned in
+    tests/test_round6_ops.py); both raise the reference's error when
+    the user has no active subscription (subscription_flow.py:229,237).
     """
     target = _target_subscription_id(subs, user_id)
     if target is None:
         raise ValueError(f"No active subscription found for user_id {user_id}")
+    if strategy == "merge":
+        return _apply_via_merge(subs, target, set_exprs)
+    if strategy != "projection":
+        raise ValueError(f"unknown strategy: {strategy!r}")
     is_target = F.col("subscription_id") == F.lit(target)
-    return subs.withColumn(
-        "subscription_plan_id",
-        F.when(is_target, F.lit(new_plan_id)).otherwise(F.col("subscription_plan_id")),
+    out = subs
+    for col, expr in set_exprs.items():
+        out = out.withColumn(
+            col, F.when(is_target, expr).otherwise(F.col(col))
+        )
+    return out
+
+
+def change_subscription_plan(
+    subs: DataFrame, user_id: int, new_plan_id: int, strategy: str = "projection"
+) -> DataFrame:
+    """M2: UPDATE subscription_plan_id on the A1-selected row
+    (subscription_flow.py:228–234) — see
+    :func:`_apply_single_row_update` for the projection/merge strategy
+    choice."""
+    return _apply_single_row_update(
+        subs,
+        user_id,
+        {"subscription_plan_id": F.lit(new_plan_id).cast("int")},
+        strategy,
     )
 
 
-def cancel_subscription(subs: DataFrame, user_id: int) -> DataFrame:
+def cancel_subscription(
+    subs: DataFrame, user_id: int, strategy: str = "projection"
+) -> DataFrame:
     """M3: soft delete — status → "inactive" on the A1-selected row
-    (subscription_flow.py:236–242)."""
-    target = _target_subscription_id(subs, user_id)
-    if target is None:
-        raise ValueError(f"No active subscription found for user_id {user_id}")
-    is_target = F.col("subscription_id") == F.lit(target)
-    return subs.withColumn(
-        "subscription_status",
-        F.when(is_target, F.lit("inactive")).otherwise(F.col("subscription_status")),
+    (subscription_flow.py:236–242) — see
+    :func:`_apply_single_row_update` for the projection/merge strategy
+    choice."""
+    return _apply_single_row_update(
+        subs, user_id, {"subscription_status": F.lit("inactive")}, strategy
     )
 
 

@@ -12,6 +12,13 @@ formatted physical plan, and flags the classic 100 TB scale-killers:
 - ``full-scan-no-pushdown``: a parquet scan whose query filters a base
   column yet shows no PushedFilters (heuristic: plan has a Filter
   directly over a scan with ``PushedFilters: []``).
+- ``broadcast-miss``: a SortMergeJoin/ShuffledHashJoin one of whose
+  sides is STATICALLY row-bounded — a zero-key (global) aggregate, a
+  GlobalLimit, or a TakeOrderedAndProject in its subtree — i.e. a side
+  the ``crossJoin(F.broadcast(...))`` idiom should have broadcast.
+  Sorting + exchanging the big side against a provably-tiny side is
+  pure waste at 100 TB. (Grouped aggregates carry no static bound and
+  are left to AQE's runtime broadcast conversion.)
 
 Exemptions are explicit and per-query, with the reason in this file —
 a lint that can be silently ignored is not a lint.
@@ -41,6 +48,85 @@ def render_plan(df) -> str:
     return jdf.queryExecution().explainString(mode.fromString("formatted"))
 
 
+def _parse_tree(plan: str) -> list[tuple[int, str, int]]:
+    """The formatted plan's tree section as (node_id, name, depth).
+    Depth is the column where the node name starts — children indent
+    deeper than their parent in explain's ASCII art."""
+    nodes: list[tuple[int, str, int]] = []
+    in_tree = False
+    for line in plan.splitlines():
+        if line.startswith("== Physical Plan =="):
+            in_tree = True
+            continue
+        if in_tree:
+            if not line.strip():
+                break
+            m = re.search(r"([A-Za-z][\w]*(?: [A-Za-z]\w*)*) \((\d+)\)\s*$", line)
+            if m:
+                nodes.append((int(m.group(2)), m.group(1), m.start(1)))
+    return nodes
+
+
+def _node_keys_count(plan: str, node_id: int) -> int | None:
+    """`Keys [n]:` count from a node's details block, or None."""
+    m = re.search(rf"^\({node_id}\) ", plan, re.MULTILINE)
+    if not m:
+        return None
+    block = plan[m.start() :].split("\n\n", 1)[0]
+    # grouped: `Keys [n]: [...]`; global: `Keys: []`
+    km = re.search(r"Keys(?: \[(\d+)\])?: ?(\[\])?", block)
+    if not km:
+        return None
+    if km.group(1) is not None:
+        return int(km.group(1))
+    return 0 if km.group(2) == "[]" else None
+
+
+def _bounded_side(plan: str, nodes: list[tuple[int, str, int]], start: int) -> str | None:
+    """Is the subtree rooted at nodes[start] statically row-bounded?
+    Returns the bounding node's description, or None."""
+    root_depth = nodes[start][2]
+    i = start
+    while i < len(nodes):
+        nid, name, depth = nodes[i]
+        if i > start and depth <= root_depth:
+            break
+        if name in ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit"):
+            return f"{name} ({nid})"
+        if "Aggregate" in name:
+            keys = _node_keys_count(plan, nid)
+            if keys == 0:
+                return f"global {name} ({nid})"
+        i += 1
+    return None
+
+
+def _broadcast_miss(plan: str) -> str | None:
+    """A shuffle join whose one side is provably tiny → should have
+    been a broadcast. Walks each SortMergeJoin/ShuffledHashJoin's two
+    child subtrees in the formatted tree."""
+    nodes = _parse_tree(plan)
+    for i, (nid, name, depth) in enumerate(nodes):
+        if not name.startswith(("SortMergeJoin", "ShuffledHashJoin")):
+            continue
+        # direct children: within the join's subtree, the nodes at the
+        # first child's indentation depth (explain art aligns siblings)
+        if i + 1 >= len(nodes):
+            continue
+        d1 = nodes[i + 1][2]
+        child_starts = []
+        for j in range(i + 1, len(nodes)):
+            if nodes[j][2] <= depth:
+                break
+            if nodes[j][2] == d1:
+                child_starts.append(j)
+        for cs in child_starts[:2]:
+            bound = _bounded_side(plan, nodes, cs)
+            if bound:
+                return f"{name} ({nid}) shuffles against row-bounded side: {bound}"
+    return None
+
+
 def lint_plan(plan: str) -> dict[str, str]:
     flags: dict[str, str] = {}
     # single-partition exchange feeding a Window or Sort
@@ -64,6 +150,9 @@ def lint_plan(plan: str) -> dict[str, str]:
         if re.search(r"Filter \(", ctx):
             flags["full-scan-no-pushdown"] = "Filter over scan with no pushed filters"
             break
+    miss = _broadcast_miss(plan)
+    if miss:
+        flags["broadcast-miss"] = miss
     return flags
 
 
