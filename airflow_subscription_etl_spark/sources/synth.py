@@ -46,10 +46,20 @@ _VOCAB = (
 ).split()
 
 
-def _doc_text(doc_id: int, min_words: int = 20, span: int = 21) -> str:
+def _doc_text(
+    doc_id: int, min_words: int = 20, span: int = 21, vocab_size: int = 0
+) -> str:
     """Deterministic word stream for one doc: md5(doc_id) seeds both
     the length (min_words..min_words+span-1) and every word pick.
-    Pure function of doc_id — no RNG object, no partition state."""
+    Pure function of doc_id — no RNG object, no partition state.
+
+    ``vocab_size`` > 0 draws words from a synthetic ``w<k>`` space of
+    that size instead of the fixed 26-word list. Scale probes size it
+    PROPORTIONAL to the corpus (real distinct corpora draw from an
+    effectively unbounded n-gram space, so shingle diversity grows
+    with corpus size): at fixed vocab, background shingle collisions
+    grow quadratically by the birthday bound — which would measure the
+    vocabulary, not the plan."""
     h = hashlib.md5(str(doc_id).encode()).digest()
     n = min_words + h[0] % span
     words = []
@@ -59,7 +69,10 @@ def _doc_text(doc_id: int, min_words: int = 20, span: int = 21) -> str:
         x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
         x ^= x >> 7
         x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
-        words.append(_VOCAB[x % len(_VOCAB)])
+        if vocab_size > 0:
+            words.append(f"w{x % vocab_size}")
+        else:
+            words.append(_VOCAB[x % len(_VOCAB)])
     return " ".join(words)
 
 
@@ -73,10 +86,11 @@ class SynthDocsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.rows = int(options.get("rows", 1000))
         self.num_partitions = int(options.get("partitions", 8))
-        if self.rows < 0 or self.num_partitions <= 0:
+        self.vocab_size = int(options.get("vocabSize", 0))
+        if self.rows < 0 or self.num_partitions <= 0 or self.vocab_size < 0:
             raise ValueError(
-                f"need rows >= 0 and partitions > 0, got "
-                f"{self.rows}/{self.num_partitions}"
+                f"need rows >= 0, partitions > 0, vocabSize >= 0, got "
+                f"{self.rows}/{self.num_partitions}/{self.vocab_size}"
             )
 
     def partitions(self):  # noqa: D102 — API hook
@@ -88,7 +102,7 @@ class SynthDocsReader(DataSourceReader):
 
     def read(self, partition):  # noqa: D102 — runs on executors
         for doc_id in range(partition.start, partition.end):
-            text = _doc_text(doc_id)
+            text = _doc_text(doc_id, vocab_size=self.vocab_size)
             yield (
                 doc_id,
                 text,
@@ -112,10 +126,11 @@ class SynthDocsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.rows = int(options.get("rows", 1000))
         self.per_batch = int(options.get("rowsPerBatch", 100))
-        if self.rows < 0 or self.per_batch <= 0:
+        self.vocab_size = int(options.get("vocabSize", 0))
+        if self.rows < 0 or self.per_batch <= 0 or self.vocab_size < 0:
             raise ValueError(
-                f"need rows >= 0 and rowsPerBatch > 0, got "
-                f"{self.rows}/{self.per_batch}"
+                f"need rows >= 0, rowsPerBatch > 0, vocabSize >= 0, got "
+                f"{self.rows}/{self.per_batch}/{self.vocab_size}"
             )
 
     def initialOffset(self) -> dict:  # noqa: N802 — API hook
@@ -127,7 +142,7 @@ class SynthDocsStreamReader(SimpleDataSourceStreamReader):
         return [
             (doc_id, text, "en", f"src{doc_id % 20}", len(text))
             for doc_id in range(start, end)
-            for text in (_doc_text(doc_id),)
+            for text in (_doc_text(doc_id, vocab_size=self.vocab_size),)
         ]
 
     def read(self, start: dict):  # noqa: D102 — API hook

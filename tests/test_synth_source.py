@@ -175,3 +175,49 @@ def test_streaming_curation_pipeline_end_to_end(synth, tmp_path):
     )
     assert got == want
     assert 0 < len(got) < 300  # the filter actually discriminates
+
+
+def test_vocab_size_option(synth):
+    """vocabSize > 0 draws words from a synthetic w<k> space; content
+    stays a pure function of (doc_id, vocabSize) — same rows under any
+    partitioning — and distinct corpora get corpus-proportional shingle
+    diversity (the synth_probe requirement)."""
+    a = (
+        synth.read.format("synthdocs")
+        .option("rows", 120)
+        .option("vocabSize", 50_000)
+        .option("partitions", 3)
+        .load()
+    )
+    b = (
+        synth.read.format("synthdocs")
+        .option("rows", 120)
+        .option("vocabSize", 50_000)
+        .option("partitions", 7)
+        .load()
+    )
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    words = set()
+    for _, text, *_ in ra:
+        for w in text.split():
+            assert w.startswith("w") and w[1:].isdigit()
+            words.add(w)
+    # 120 docs × ~30 words from a 50k space → nearly all distinct
+    assert len(words) > 2000
+    # default (vocabSize absent) is unchanged: legacy 26-word vocab
+    legacy = (
+        synth.read.format("synthdocs").option("rows", 5).load().collect()
+    )
+    assert all(not w.startswith("w0") for r in legacy for w in r["text"].split())
+
+
+def test_vocab_size_rejects_negative(synth):
+    with pytest.raises(Exception, match="vocabSize"):
+        (
+            synth.read.format("synthdocs")
+            .option("rows", 10)
+            .option("vocabSize", -1)
+            .load()
+            .collect()
+        )

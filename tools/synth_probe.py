@@ -1,0 +1,202 @@
+"""Distinct-content scale probe for the PAIR GENERATORS — VERDICT r5
+#4/#7.
+
+tools/scale_probe.py replicates real tables 8×, which is semantically
+wrong for pair generators: replicas are verbatim clones, so the pair
+graph grows quadratically BY DEFINITION (the clones really are dups).
+This probe instead builds 1× and 8× corpora of genuinely DISTINCT
+synthetic content (sources/synth.py, the deterministic Python Data
+Source) with pair-density HELD by construction:
+
+- documents: every 10th doc gets one planted near-copy (text + a
+  2-word tail), so true-pair density is 10% at both scales. The
+  synthetic vocabulary is sized PROPORTIONAL to the corpus (real
+  distinct corpora draw from an effectively unbounded n-gram space);
+  at a fixed vocab, background shingle collisions grow quadratically
+  by the birthday bound and the probe would measure the vocabulary,
+  not the plan.
+- embeddings: deterministic hash-uniform vectors (near-orthogonal),
+  every 10th vector gets a planted same-label copy (the positive) and
+  a different-label copy (the hard negative). Random-data LSH bucket
+  collisions are the documented n²/2^(bits) background — the probe
+  runs 8× BOTH at 1× index parameters (to show the semantic blowup)
+  and with bits-per-band sized up per the operator's own sizing rule
+  (to show the plan restores ~linear growth).
+
+Probed (growth = t8/t1, warm, min of 2 passes):
+- containment_pairs           (exact inverted index)
+- hard_negative_mining        (banded LSH, fixed vs sized index)
+- incremental_minhash_pairs   (fixed 400-doc delta vs 1×/8× corpus)
+- incremental_minhash_pairs_indexed  (same delta vs MATERIALIZED
+  bucketed index — the delta-batch-latency-vs-corpus-size claim)
+
+Usage: python tools/synth_probe.py [--small]   (--small: 10× smaller,
+for a fast smoke run)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airflow_subscription_etl_spark import get_spark  # noqa: E402
+from airflow_subscription_etl_spark.operators.dedup import (  # noqa: E402
+    containment_pairs,
+    incremental_minhash_pairs,
+    incremental_minhash_pairs_indexed,
+    portable_signatures,
+    write_banded_signature_index,
+)
+from airflow_subscription_etl_spark.operators.similarity import (  # noqa: E402
+    hard_negative_mining,
+)
+from airflow_subscription_etl_spark.sources.synth import register_synthdocs  # noqa: E402
+
+OFF = 1_000_000_000
+DELTA_DOCS = 400
+
+
+def synth_docs(spark, n: int, vocab: int):
+    """n distinct docs + n/10 planted near-copies (held density)."""
+    base = (
+        spark.read.format("synthdocs")
+        .option("rows", n)
+        .option("vocabSize", vocab)
+        .option("partitions", 32)
+        .load()
+    )
+    dups = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail token")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 11).alias("n_chars"),
+    )
+    return base.unionByName(dups)
+
+
+def synth_emb(spark, n: int, dims: int = 64):
+    """n distinct hash-uniform vectors + planted positive/negative
+    copies for every 10th id (same vector, same/different label)."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") * dims + i), F.lit(2001)) / 1000.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+        (F.col("id") % 8).cast("int").alias("label"),
+    )
+    planted = base.filter(F.col("vec_id") % 10 == 0)
+    pos = planted.select(
+        (F.col("vec_id") + OFF).alias("vec_id"), "embedding", "label"
+    )
+    neg = planted.select(
+        (F.col("vec_id") + 2 * OFF).alias("vec_id"),
+        "embedding",
+        ((F.col("label") + 1) % 8).cast("int").alias("label"),
+    )
+    return base.unionByName(pos).unionByName(neg)
+
+
+def timed(build, passes: int = 2) -> float:
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    small = "--small" in sys.argv
+    scale = 10 if small else 1
+    n1, n8 = 5000 // scale, 40000 // scale  # sf0.1-scale corpus and 8×
+    e1, e8 = 2000 // scale, 16000 // scale
+    v1, v8 = 400_000 // scale, 3_200_000 // scale  # vocab ∝ corpus
+
+    spark = get_spark("synth-probe")
+    assert register_synthdocs(spark), "Python Data Source API unavailable"
+
+    rows: list[str] = []
+
+    # --- containment_pairs --------------------------------------------------
+    d1 = synth_docs(spark, n1, v1).persist()
+    d8 = synth_docs(spark, n8, v8).persist()
+    c1, c8 = d1.count(), d8.count()
+    p1 = containment_pairs(d1, threshold=0.5).count()
+    p8 = containment_pairs(d8, threshold=0.5).count()
+    print(f"# docs {c1}/{c8}; containment pairs {p1} ({p1 / c1:.3f}/doc) "
+          f"vs {p8} ({p8 / c8:.3f}/doc) — density held", file=sys.stderr)
+    containment_pairs(d1).write.format("noop").mode("overwrite").save()  # warm
+    t1 = timed(lambda: containment_pairs(d1, threshold=0.5))
+    t8 = timed(lambda: containment_pairs(d8, threshold=0.5))
+    rows.append(
+        f"| containment_pairs (distinct synth, held 10% dup density) "
+        f"| {t1:.2f}s | {t8:.2f}s | {t8 / t1:.1f}x |"
+    )
+
+    # --- hard_negative_mining ----------------------------------------------
+    m1 = synth_emb(spark, e1).persist()
+    m8 = synth_emb(spark, e8).persist()
+    m1.count(), m8.count()
+    hard_negative_mining(m1, n_planes=24, bands=3).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    h1 = timed(lambda: hard_negative_mining(m1, n_planes=24, bands=3))
+    h8_fixed = timed(lambda: hard_negative_mining(m8, n_planes=24, bands=3))
+    h8_sized = timed(lambda: hard_negative_mining(m8, n_planes=33, bands=3))
+    rows.append(
+        f"| hard_negative_mining (fixed 3×8-bit index) "
+        f"| {h1:.2f}s | {h8_fixed:.2f}s | {h8_fixed / h1:.1f}x |"
+    )
+    rows.append(
+        f"| hard_negative_mining (index SIZED to corpus: 3×11-bit at 8×) "
+        f"| {h1:.2f}s | {h8_sized:.2f}s | {h8_sized / h1:.1f}x |"
+    )
+
+    # --- incremental minhash: fixed delta vs corpus size --------------------
+    # production shape: corpus signatures are materialized once; the
+    # per-batch cost is the delta signing + band join only
+    delta = synth_docs(spark, DELTA_DOCS // 2, v1)  # 200 new + 20 planted
+    sig1 = portable_signatures(d1).persist()
+    sig8 = portable_signatures(d8).persist()
+    sig1.count(), sig8.count()
+    incremental_minhash_pairs(sig1, delta).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    i1 = timed(lambda: incremental_minhash_pairs(sig1, delta))
+    i8 = timed(lambda: incremental_minhash_pairs(sig8, delta))
+    rows.append(
+        f"| incremental_minhash_pairs (fixed {DELTA_DOCS // 2 + DELTA_DOCS // 20}-doc delta) "
+        f"| {i1:.2f}s | {i8:.2f}s | {i8 / i1:.1f}x |"
+    )
+
+    # --- indexed variant: materialized bucketed index (#7) ------------------
+    write_banded_signature_index(sig1, "probe_idx_1x")
+    write_banded_signature_index(sig8, "probe_idx_8x")
+    incremental_minhash_pairs_indexed(spark, "probe_idx_1x", delta).write.format(
+        "noop"
+    ).mode("overwrite").save()  # warm
+    x1 = timed(lambda: incremental_minhash_pairs_indexed(spark, "probe_idx_1x", delta))
+    x8 = timed(lambda: incremental_minhash_pairs_indexed(spark, "probe_idx_8x", delta))
+    rows.append(
+        f"| incremental_minhash_pairs_indexed (bucketed index, same delta) "
+        f"| {x1:.2f}s | {x8:.2f}s | {x8 / x1:.1f}x |"
+    )
+
+    print("\n".join(rows))
+    for t in ("probe_idx_1x", "probe_idx_8x"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
