@@ -289,6 +289,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "pandas",
 ) -> DataFrame:
     """SemDeDup-style embedding dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -308,9 +309,22 @@ def semantic_dedup(
     the LOWEST id of each near-duplicate pair (deterministic,
     join-free) instead of the vector farthest from the centroid.
 
+    ``impl`` picks the k-means assignment kernel — ``"pandas"``
+    (default) runs the Arrow/numpy twin, ``"hof"`` the interpreted
+    higher-order-function reference; the twin is bit-identical
+    (assign_clusters_pandas replicates F.round exactly, boundary
+    doubles included), so BOTH impls satisfy the same oracle — the
+    pq_ann_topk default-to-throughput precedent.
+
     Returns ``(id, cluster_id, is_dropped)`` for every input row.
     """
-    assigned = kmeans_fit_predict(df, k, iters, id_col, vec_col, keep_vec=True)
+    if impl == "pandas":
+        fit = kmeans_fit_predict_pandas
+    elif impl == "hof":
+        fit = kmeans_fit_predict
+    else:
+        raise ValueError(f"impl must be 'pandas' or 'hof', got {impl!r}")
+    assigned = fit(df, k, iters, id_col, vec_col, keep_vec=True)
     # quantize + self-norm map-side, BEFORE the pair join: per-pair
     # work is then a bare integer dot product (same staging as
     # similarity.all_pairs_ann). |q| ≤ ~1e6 ⇒ dot ≤ dims·1e12 — int64-
