@@ -122,13 +122,16 @@ def _apply_single_row_update(
     tests/test_round6_ops.py); both raise the reference's error when
     the user has no active subscription (subscription_flow.py:229,237).
     """
+    # validate BEFORE the A1 Spark job: a typoed strategy must fail
+    # fast with the right message, not after (or masked by) the
+    # target-row lookup
+    if strategy not in ("projection", "merge"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
     target = _target_subscription_id(subs, user_id)
     if target is None:
         raise ValueError(f"No active subscription found for user_id {user_id}")
     if strategy == "merge":
         return _apply_via_merge(subs, target, set_exprs)
-    if strategy != "projection":
-        raise ValueError(f"unknown strategy: {strategy!r}")
     is_target = F.col("subscription_id") == F.lit(target)
     out = subs
     for col, expr in set_exprs.items():

@@ -46,3 +46,43 @@ def test_ages_cover_registry():
     reg = retier.registry_queries()
     missing = [q for q in reg if q not in ages]
     assert not missing, f"queries with no CORRECTNESS row: {missing[:5]}"
+
+
+def test_cycle_does_not_poison_memo():
+    """A False reached through cycle truncation must not be memoized:
+    with graph A<->B, D->changed, B->A->? ... visiting order must not
+    determine whether B's consumers are flagged (review finding r6)."""
+    graph = {
+        "A": {"B", "D"},
+        "B": {"A"},
+        "D": {"CHANGED"},
+        "q_x": {"A"},
+        "q_y": {"B"},
+    }
+    reg = {"qx": ("q_x", None), "qy": ("q_y", None)}
+    orig_graph, orig_reg = retier.call_graph, retier.registry_queries
+    retier.call_graph = lambda: graph
+    retier.registry_queries = lambda: reg
+    try:
+        hits = set(retier.transitive_consumers({"CHANGED"}))
+    finally:
+        retier.call_graph, retier.registry_queries = orig_graph, orig_reg
+    assert hits == {"qx", "qy"}
+
+
+def test_slots_arg_forms(tmp_path, monkeypatch, capsys):
+    """Both documented `--slots N` and `--slots=N` parse; N is not
+    swallowed as a git base revision (review finding r6)."""
+    import sys as _sys
+
+    monkeypatch.setattr(
+        retier, "changed_symbols", lambda base: set()
+    )
+    for argv in (["retier.py", "--slots", "7"], ["retier.py", "--slots=7"]):
+        monkeypatch.setattr(_sys, "argv", argv)
+        retier.main()
+        out = capsys.readouterr()
+        assert "_PRIORITY = [" in out.out
+        assert out.out.count("#  tier") <= 2
+        # 0 tier-1 + 7 fill slots
+        assert sum(1 for line in out.out.splitlines() if "last row r" in line) == 7

@@ -206,3 +206,28 @@ def test_semantic_dedup_bad_impl_raises(spark):
     df = spark.createDataFrame([(1, [0.0] * 8)], "vec_id bigint, embedding array<float>")
     with pytest.raises(ValueError, match="impl"):
         semantic_dedup(df, impl="numpy")
+
+
+def test_broadcast_miss_not_fooled_by_bound_below_join(_nobroadcast):
+    """A global aggregate correctly broadcast into one side via
+    crossJoin(F.broadcast(...)) does NOT bound that side once a join
+    sits between it and the side root — rows re-expand below the bound
+    (review finding r6: the walk must stop at row-expanding nodes)."""
+    import plan_lint
+
+    spark = _nobroadcast
+    df = spark.range(100000).withColumn("k", F.col("id") % 7)
+    agg = df.groupBy().agg(F.max("id").alias("mx"))
+    side = df.crossJoin(F.broadcast(agg))  # sanctioned idiom, still 100k rows
+    big2 = spark.range(100000).withColumn("k", F.col("id") % 7).withColumnRenamed("id", "id2")
+    plan = plan_lint.render_plan(side.join(big2, "k"))
+    assert "SortMergeJoin" in plan  # precondition: it IS a big-big SMJ
+    assert "broadcast-miss" not in plan_lint.lint_plan(plan)
+
+
+def test_bad_strategy_fails_fast_even_without_target(spark):
+    """Strategy validation precedes the A1 lookup: a typo'd strategy
+    surfaces as 'unknown strategy' even for a user with no active
+    subscription (review finding r6)."""
+    with pytest.raises(ValueError, match="unknown strategy"):
+        M.change_subscription_plan(_subs(spark), 999, 2, strategy="mrege")

@@ -84,13 +84,22 @@ def _node_keys_count(plan: str, node_id: int) -> int | None:
 
 def _bounded_side(plan: str, nodes: list[tuple[int, str, int]], start: int) -> str | None:
     """Is the subtree rooted at nodes[start] statically row-bounded?
-    Returns the bounding node's description, or None."""
+    Returns the bounding node's description, or None.
+
+    The bound must sit on an UNBROKEN UNARY path from the side's root:
+    a join/union below the side root can re-expand rows, so a limit or
+    global aggregate buried under one (e.g. the sanctioned
+    ``crossJoin(broadcast(global_agg))`` idiom feeding a later big-big
+    join) does NOT bound this side — the walk stops at the first
+    row-expanding node instead of flagging it."""
     root_depth = nodes[start][2]
     i = start
     while i < len(nodes):
         nid, name, depth = nodes[i]
         if i > start and depth <= root_depth:
             break
+        if "Join" in name or name in ("Union", "CartesianProduct", "Generate"):
+            return None  # rows can re-expand below this point
         if name in ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit"):
             return f"{name} ({nid})"
         if "Aggregate" in name:

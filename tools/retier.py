@@ -200,7 +200,12 @@ def registry_queries() -> dict[str, tuple[str, str | None]]:
 def transitive_consumers(changed: set[str]) -> list[str]:
     graph = call_graph()
     reg = registry_queries()
-    # reachability memo: does `name` reach a changed symbol?
+    # reachability memo: does `name` reach a changed symbol? True is
+    # always safe to memoize; False only when computed with an EMPTY
+    # stack — a False found mid-cycle is truncated (the cycle check
+    # cut off a path that may reach the change through an ancestor)
+    # and memoizing it would silently drop consumers, the exact
+    # stale-green failure this tool exists to prevent.
     memo: dict[str, bool] = {}
 
     def reaches(name: str, stack: frozenset[str] = frozenset()) -> bool:
@@ -215,7 +220,8 @@ def transitive_consumers(changed: set[str]) -> list[str]:
             for ref in graph[name]
             if ref in graph or ref in changed
         )
-        memo[name] = hit
+        if hit or not stack:
+            memo[name] = hit
         return hit
 
     hits = []
@@ -236,11 +242,21 @@ def latest_green_round() -> dict[str, int]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     slots = DRIVER_SLOTS
-    for a in sys.argv[1:]:
-        if a.startswith("--slots"):
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--slots":  # documented form: --slots N
+            slots = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--slots="):
             slots = int(a.split("=", 1)[1])
+            i += 1
+        else:
+            args.append(a)
+            i += 1
     base = args[0] if args else default_base()
     print(f"# diff base: {base[:12]}", file=sys.stderr)
 
