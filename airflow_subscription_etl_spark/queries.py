@@ -7964,51 +7964,72 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Round-5 verification priority (the driver checks only the first ~50
-#: entries of queries() per round). Tier 0: emb_ann_topk /
-#: emb_near_pairs — full generated-SQL oracles since round 4, but their
-#: artifact trail still shows r1 `no_oracle` because neither made
-#: _PRIORITY_R4's cap; VERDICT r4 #1. Tier 1: the last three rows-only
-#: queries, newly oracled this round via driver-side pure-Python
-#: reference implementations (Spark-compatible XXH64 in oracles/xxh64.py)
-#: emitted as VALUES tables — `no_oracle` count is now 0. Tier 2:
-#: queries whose implementation changed this round (ADVICE r4 fixes +
-#: PQ default-path change). Tier 3: new round-5 operators. Everything
-#: else follows in REGISTRY order (all green r1–r4). Re-tier each round.
-_PRIORITY_R5 = [
-    # tier 0 — oracled in r4, never driver-checked with the full oracle
-    "emb_ann_topk",
-    "emb_near_pairs",
-    # tier 1 — newly oracled this round (was no_oracle r1–r4)
-    "doc_minhash_pairs",
-    "doc_simhash_pairs",
-    "emb_ivf_topk",
-    # tier 2 — implementation changed since last green row
-    "doc_keep_best",  # r5: overflow-safe dropped_checksum (ADVICE)
-    "key_skew_report",  # r5: ordering now part of the contract (ADVICE)
-    "ev_winsorized",  # r5: backtick-quoted percentile identifier (ADVICE)
-    "graph_kcore",  # r5: convergence-guaranteed final filter (ADVICE)
-    "emb_pq_topk_pandas",  # r5: id dtype derived from input schema (ADVICE)
-    "doc_bm25_topk",  # r5: refactored onto bm25_scores (values unchanged)
-    "doc_minhash_portable",  # r5: refactored onto portable_signatures
-    # tier 3 — new round-5 operators (contrastive mining, containment
-    # dedup, leakage-guarded splits)
-    "emb_hard_negatives",
-    "doc_containment_pairs",
-    "ev_holdout_split",
-    "emb_ivfpq_topk",
-    "graph_lpa",
-    "doc_minhash_incremental",
-    "ev_next_event",
-    "doc_rrf_retrieval",
-    "orders_bitmap_distinct",
-    "doc_curation_report",
+#: Round-6 verification priority — GENERATED by tools/retier.py
+#: (VERDICT r5 #1/#2): tier 1 is every registry query that transitively
+#: consumes a symbol touched by this round's git diff (static AST call
+#: graph — the mechanical replacement for round 5's hand-curated list,
+#: which missed the kmeans_fit→emb_kmeans/emb_semantic_dedup edge);
+#: tier 2 back-fills the remaining driver slots with the queries whose
+#: latest CORRECTNESS row is oldest (round-robin: every row ≤3 rounds
+#: old by r8). Regenerate each round: python tools/retier.py
+_PRIORITY_R6 = [
+    # tier 1 — implementation diff-reachable this round
     "emb_kmeans_pandas",
+    "emb_semantic_dedup",
+    "emb_hard_negatives",
+    "emb_ivfpq_topk",
+    "doc_minhash_incremental",
+    "orders_bitmap_distinct",
+    # tier 2 — oldest-green driver rows, round-robin back-fill
+    "p1_projection",  # last row r1
+    "p2_label",  # last row r1
+    "p3_filter",  # last row r1
+    "p5_p6_cast_default",  # last row r1
+    "e1_e2_case",  # last row r1
+    "e5_e6_row_json",  # last row r1
+    "j1_lookup",  # last row r1
+    "j2_left_existence",  # last row r1
+    "j4_latest_enriched",  # last row r1
+    "a1_top1_per_key",  # last row r1
+    "a2_next_id",  # last row r1
+    "a3_existence_counts",  # last row r1
+    "q3_shipping_priority",  # last row r1
+    "q5_local_volume",  # last row r1
+    "q10_returned_revenue",  # last row r1
+    "doc_exact_dedup",  # last row r1
+    "doc_token_stats",  # last row r1
+    "doc_quality_score",  # last row r1
+    "doc_lang_id",  # last row r1
+    "doc_fingerprint",  # last row r1
+    "doc_jaccard_adjacent",  # last row r1
+    "emb_topk_cosine",  # last row r1
+    "emb_topk_cosine_pandas",  # last row r1
+    "mm_featurize",  # last row r1
+    "mm_frame_sample",  # last row r1
+    "q6_forecast_revenue",  # last row r1
+    "q14_promo_share",  # last row r1
+    "q18_large_orders",  # last row r1
+    "rollup_revenue",  # last row r1
+    "pivot_order_priority",  # last row r1
+    "window_running_spend",  # last row r1
+    "anti_join_idle_customers",  # last row r1
+    "distinct_part_types",  # last row r1
+    "set_ops_custkeys",  # last row r1
+    "scalar_subquery_pricey_parts",  # last row r1
+    "orders_by_month",  # last row r1
+    "quantity_percentiles",  # last row r1
+    "string_functions",  # last row r1
+    "doc_domain_quota",  # last row r2
+    "q11_important_suppliers",  # last row r2
+    "cube_revenue",  # last row r2
+    "doc_near_dup_clusters",  # last row r2
+    "doc_vocab_topk",  # last row r2
+    "emb_quantized_topk",  # last row r2
 ]
 
 
 def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: REGISTRY[name] for name in _PRIORITY_R5 if name in REGISTRY}
+    out = {name: REGISTRY[name] for name in _PRIORITY_R6 if name in REGISTRY}
     out.update({name: v for name, v in REGISTRY.items() if name not in out})
     return out
 

@@ -81,18 +81,22 @@ def changed_spans(base: str) -> dict[str, list[tuple[int, int]]]:
 
 
 def defs_in_file(path: pathlib.Path) -> list[tuple[str, int, int]]:
-    """(name, start, end) for every function/class def and every
-    module-level assignment target in the file."""
+    """(name, start, end) for TOP-LEVEL function/class defs and
+    module-level assignment targets only. Nested defs (methods,
+    closures) are deliberately NOT recorded as their own symbols: a
+    change inside one intersects the parent's span, and method names
+    like ``read``/``__init__`` collide with universal attribute names
+    (``spark.read``) — recording them floods the consumer search
+    (observed: every one of 181 queries flagged)."""
     try:
         tree = ast.parse(path.read_text())
     except (OSError, SyntaxError):
         return []
     out: list[tuple[str, int, int]] = []
-    for node in ast.walk(tree):
+    for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             out.append((node.name, node.lineno, node.end_lineno or node.lineno))
-    for node in tree.body:
-        if isinstance(node, (ast.Assign, ast.AnnAssign)):
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
             targets = node.targets if isinstance(node, ast.Assign) else [node.target]
             for t in targets:
                 if isinstance(t, ast.Name):
@@ -100,12 +104,23 @@ def defs_in_file(path: pathlib.Path) -> list[tuple[str, int, int]]:
     return out
 
 
+def _in_scope(fname: str) -> bool:
+    """Only files that can change QUERY BEHAVIOR count as changed:
+    the package itself and the driver contract. Tests and tools share
+    common bare names (main, SEED, fixtures) with package symbols;
+    counting them floods tier 1 with every query (observed: a
+    tests/tools-only diff marked all 181 queries changed)."""
+    return fname.startswith("airflow_subscription_etl_spark/") or fname in (
+        "__spark_entry__.py",
+    )
+
+
 def changed_symbols(base: str) -> set[str]:
     """Names of functions/classes/module constants whose span intersects
     the diff, on BOTH the old and new side of the range."""
     symbols: set[str] = set()
     for fname, spans in changed_spans(base).items():
-        if not fname.endswith(".py"):
+        if not fname.endswith(".py") or not _in_scope(fname):
             continue
         path = ROOT / fname
         if not path.exists():
@@ -121,7 +136,7 @@ def changed_symbols(base: str) -> set[str]:
             cur_file = line[6:]
         elif line.startswith("-def ") or line.startswith("-    def "):
             m = re.match(r"-\s*def\s+(\w+)", line)
-            if m and cur_file and cur_file.endswith(".py"):
+            if m and cur_file and cur_file.endswith(".py") and _in_scope(cur_file):
                 symbols.add(m.group(1))
     return symbols
 
@@ -133,37 +148,43 @@ def call_graph() -> dict[str, set[str]]:
     the safe direction for verification priority."""
     graph: dict[str, set[str]] = {}
     files = list(PKG.rglob("*.py")) + [ROOT / "__spark_entry__.py"]
+
+    def refs_of(node: ast.AST) -> set[str]:
+        refs: set[str] = set()
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Name):
+                refs.add(sub.id)
+            elif isinstance(sub, ast.Attribute):
+                refs.add(sub.attr)
+        return refs
+
     for path in files:
         try:
             tree = ast.parse(path.read_text())
         except (OSError, SyntaxError):
             continue
-
-        def visit_fn(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> None:
-            refs = graph.setdefault(fn.name, set())
-            for node in ast.walk(fn):
-                if isinstance(node, ast.Name):
-                    refs.add(node.id)
-                elif isinstance(node, ast.Attribute):
-                    refs.add(node.attr)
-
-        for node in ast.walk(tree):
-            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                visit_fn(node)
-        # module-level assignments that reference functions (e.g. SQL
-        # built by helper calls) — attribute them to the assigned name
+        # Only TOP-LEVEL defs become graph nodes under their bare name.
+        # Methods and closures are absorbed into their class/function
+        # node (ast.walk covers the whole body): a separate bare-name
+        # node for a method like `read` would be resolved by every
+        # `spark.read` attribute in the codebase, flooding the search
+        # (observed: 181/181 queries flagged through
+        # q_* → _t → spark.read → SynthDocsReader.read → _doc_text).
         for node in tree.body:
-            if isinstance(node, (ast.Assign, ast.AnnAssign)):
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                graph.setdefault(node.name, set()).update(
+                    refs_of(node) - {node.name}
+                )
+            elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+                # module-level assignments that reference functions (e.g.
+                # SQL built by helper calls) — attributed to the name
                 targets = (
                     node.targets if isinstance(node, ast.Assign) else [node.target]
                 )
                 names = [t.id for t in targets if isinstance(t, ast.Name)]
-                refs: set[str] = set()
-                for sub in ast.walk(node):
-                    if isinstance(sub, ast.Name):
-                        refs.add(sub.id)
-                    elif isinstance(sub, ast.Attribute):
-                        refs.add(sub.attr)
+                refs = refs_of(node)
                 for n in names:
                     graph.setdefault(n, set()).update(refs - set(names))
     return graph
