@@ -148,7 +148,7 @@ def main() -> None:
     # Passes of one query run back-to-back (query-outer loop) and the
     # SQL cache is cleared BETWEEN queries: per-call .persist() inside
     # operators (LSH signatures, IVF residuals) would otherwise
-    # accumulate across the 60-query headline (the ADVICE r5 leak);
+    # accumulate across the multi-query headline (the ADVICE r5 leak);
     # within one query's passes the cache stays warm, matching how the
     # r1 baseline was recorded (pass 2 always reused pass 1's cache).
     timings: dict[str, float] = {}

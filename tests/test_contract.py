@@ -37,12 +37,27 @@ def test_entry_returns_dataframe(spark):
 
 def test_priority_list_names_all_registered():
     """The priority list silently skips unknown names (by design, so a
-    removed query can't break import) — this test makes a typo loud."""
-    from airflow_subscription_etl_spark.queries import _PRIORITY_R5, REGISTRY
+    removed query can't break import) — this test makes a typo loud.
+    Resolves the CURRENT round's list by name pattern so the per-round
+    rename (_PRIORITY_R5 → _PRIORITY_R6 → …) can't silently detach the
+    guard from the live list (it did in round 6)."""
+    import re
 
-    missing = [n for n in _PRIORITY_R5 if n not in REGISTRY]
+    from airflow_subscription_etl_spark import queries
+
+    names = sorted(
+        (n for n in dir(queries) if re.fullmatch(r"_PRIORITY_R\d+", n)),
+        key=lambda n: int(n[len("_PRIORITY_R"):]),
+    )
+    assert names, "no _PRIORITY_R<N> list found"
+    priority = getattr(queries, names[-1])
+    missing = [n for n in priority if n not in queries.REGISTRY]
     assert not missing, missing
-    assert len(set(_PRIORITY_R5)) == len(_PRIORITY_R5), "duplicates"
+    assert len(set(priority)) == len(priority), "duplicates"
+    # and the live ordering actually consumes that list
+    assert list(queries.queries())[: len(priority)] == [
+        n for n in priority if n in queries.REGISTRY
+    ]
 
 
 def test_ordered_registry_preserves_full_surface():

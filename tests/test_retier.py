@@ -4,8 +4,10 @@ registry parsing, the call graph, and transitive consumer search."""
 
 from __future__ import annotations
 
-import sys
 import pathlib
+import sys
+
+import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
 
@@ -86,3 +88,60 @@ def test_slots_arg_forms(tmp_path, monkeypatch, capsys):
         assert out.out.count("#  tier") <= 2
         # 0 tier-1 + 7 fill slots
         assert sum(1 for line in out.out.splitlines() if "last row r" in line) == 7
+
+
+def test_deleted_method_lines_do_not_flood(monkeypatch):
+    """Old-side scan counts only TOP-LEVEL '-def ' lines: a deleted
+    METHOD named `read` would otherwise match every spark.read
+    attribute and flood the consumer search (review finding r6)."""
+    diff = (
+        "--- a/airflow_subscription_etl_spark/sources/synth.py\n"
+        "+++ b/airflow_subscription_etl_spark/sources/synth.py\n"
+        "@@ -70,1 +70,0 @@\n"
+        "-    def read(self, partition):\n"
+        "@@ -90,1 +90,0 @@\n"
+        "-def totally_gone_toplevel(x):\n"
+    )
+    monkeypatch.setattr(retier, "round_diff", lambda base: diff)
+    syms = retier.changed_symbols("whatever")
+    assert "read" not in syms
+    assert "totally_gone_toplevel" in syms
+
+
+def test_deleted_file_resets_fname(monkeypatch):
+    """'+++ /dev/null' must reset the current file, or a deleted file's
+    hunks attach spans to the PREVIOUS file (review finding r6)."""
+    diff = (
+        "--- a/airflow_subscription_etl_spark/operators/text.py\n"
+        "+++ b/airflow_subscription_etl_spark/operators/text.py\n"
+        "@@ -1,0 +1,1 @@\n"
+        "+# touched\n"
+        "--- a/airflow_subscription_etl_spark/operators/gone.py\n"
+        "+++ /dev/null\n"
+        "@@ -1,500 +0,0 @@\n"
+    )
+    spans = retier.changed_spans(diff)
+    assert list(spans) == ["airflow_subscription_etl_spark/operators/text.py"]
+    assert spans["airflow_subscription_etl_spark/operators/text.py"] == [(1, 1)]
+
+
+def test_defs_seen_inside_toplevel_try_blocks():
+    """synth.py assigns its Data Source API fallbacks inside a
+    top-level try/except — those symbols must be attributable to a
+    changed span (review finding r6)."""
+    names = {
+        n
+        for n, _, _ in retier.defs_in_file(
+            retier.PKG / "sources" / "synth.py"
+        )
+    }
+    assert "DataSource" in names  # assigned in the except-ImportError arm
+    assert "SynthDocsReader" in names
+
+
+def test_slots_missing_value_is_usage_error(monkeypatch):
+    import sys as _sys
+
+    monkeypatch.setattr(_sys, "argv", ["retier.py", "--slots"])
+    with pytest.raises(SystemExit, match="usage"):
+        retier.main()

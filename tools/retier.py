@@ -58,16 +58,25 @@ def default_base() -> str:
     return "HEAD~20"  # fallback: a generous window
 
 
-def changed_spans(base: str) -> dict[str, list[tuple[int, int]]]:
+def round_diff(base: str) -> str:
+    """One fetch of the round's diff, base → WORKING TREE (not ..HEAD):
+    the tool's documented workflow runs it mid-round with uncommitted
+    edits, and new-side line numbers must match the files
+    ``defs_in_file`` parses from disk."""
+    return sh("git", "diff", "--unified=0", base, "--", "*.py")
+
+
+def changed_spans(diff: str) -> dict[str, list[tuple[int, int]]]:
     """file → [(start, end)] line spans changed on the NEW side, plus
     single-line anchors for pure deletions (the surrounding context
     still identifies the enclosing function)."""
-    diff = sh("git", "diff", "--unified=0", f"{base}..HEAD", "--", "*.py")
     spans: dict[str, list[tuple[int, int]]] = {}
     fname = None
     for line in diff.splitlines():
-        if line.startswith("+++ b/"):
-            fname = line[6:]
+        if line.startswith("+++ "):
+            # "+++ /dev/null" (deleted file) must RESET fname, or the
+            # deletion's hunk headers attach to the previous file
+            fname = line[6:] if line.startswith("+++ b/") else None
         elif line.startswith("@@") and fname:
             m = re.match(r"@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", line)
             if m:
@@ -78,6 +87,23 @@ def changed_spans(base: str) -> dict[str, list[tuple[int, int]]]:
                     (max(start, 1), max(start + max(count, 1) - 1, 1))
                 )
     return spans
+
+
+def _toplevel_stmts(tree: ast.Module):
+    """Module statements, looking THROUGH top-level try/if/with blocks
+    (sources/synth.py defines its DataSource classes inside a
+    try/except ImportError) but never into function/class bodies."""
+    stack = list(tree.body)
+    while stack:
+        node = stack.pop(0)
+        if isinstance(node, (ast.Try, ast.If, ast.With)):
+            for field in ("body", "orelse", "finalbody"):
+                stack.extend(getattr(node, field, []) or [])
+            stack.extend(
+                s2 for h in getattr(node, "handlers", []) or [] for s2 in h.body
+            )
+        else:
+            yield node
 
 
 def defs_in_file(path: pathlib.Path) -> list[tuple[str, int, int]]:
@@ -93,7 +119,7 @@ def defs_in_file(path: pathlib.Path) -> list[tuple[str, int, int]]:
     except (OSError, SyntaxError):
         return []
     out: list[tuple[str, int, int]] = []
-    for node in tree.body:
+    for node in _toplevel_stmts(tree):
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             out.append((node.name, node.lineno, node.end_lineno or node.lineno))
         elif isinstance(node, (ast.Assign, ast.AnnAssign)):
@@ -118,8 +144,9 @@ def _in_scope(fname: str) -> bool:
 def changed_symbols(base: str) -> set[str]:
     """Names of functions/classes/module constants whose span intersects
     the diff, on BOTH the old and new side of the range."""
+    diff = round_diff(base)
     symbols: set[str] = set()
-    for fname, spans in changed_spans(base).items():
+    for fname, spans in changed_spans(diff).items():
         if not fname.endswith(".py") or not _in_scope(fname):
             continue
         path = ROOT / fname
@@ -128,14 +155,18 @@ def changed_symbols(base: str) -> set[str]:
         for name, s, e in defs_in_file(path):
             if any(a <= e and s <= b for a, b in spans):
                 symbols.add(name)
-    # old side: functions deleted or renamed still invalidate consumers
-    old_diff = sh("git", "diff", "--unified=0", f"{base}..HEAD", "--", "*.py")
+    # old side: TOP-LEVEL functions deleted or renamed still invalidate
+    # consumers. Only unindented "-def " lines count — a deleted METHOD
+    # line would re-introduce the bare-name flooding (`read` matches
+    # every spark.read) that defs_in_file/call_graph exclude.
     cur_file = None
-    for line in old_diff.splitlines():
+    for line in diff.splitlines():
         if line.startswith("--- a/"):
             cur_file = line[6:]
-        elif line.startswith("-def ") or line.startswith("-    def "):
-            m = re.match(r"-\s*def\s+(\w+)", line)
+        elif line.startswith("--- "):
+            cur_file = None
+        elif line.startswith("-def "):
+            m = re.match(r"-def\s+(\w+)", line)
             if m and cur_file and cur_file.endswith(".py") and _in_scope(cur_file):
                 symbols.add(m.group(1))
     return symbols
@@ -170,7 +201,7 @@ def call_graph() -> dict[str, set[str]]:
         # `spark.read` attribute in the codebase, flooding the search
         # (observed: 181/181 queries flagged through
         # q_* → _t → spark.read → SynthDocsReader.read → _doc_text).
-        for node in tree.body:
+        for node in _toplevel_stmts(tree):
             if isinstance(
                 node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
             ):
@@ -218,9 +249,11 @@ def registry_queries() -> dict[str, tuple[str, str | None]]:
     return out
 
 
-def transitive_consumers(changed: set[str]) -> list[str]:
+def transitive_consumers(
+    changed: set[str], reg: dict[str, tuple[str, str | None]] | None = None
+) -> list[str]:
     graph = call_graph()
-    reg = registry_queries()
+    reg = reg if reg is not None else registry_queries()
     # reachability memo: does `name` reach a changed symbol? True is
     # always safe to memoize; False only when computed with an EMPTY
     # stack — a False found mid-cycle is truncated (the cycle check
@@ -270,6 +303,8 @@ def main() -> None:
     while i < len(argv):
         a = argv[i]
         if a == "--slots":  # documented form: --slots N
+            if i + 1 >= len(argv):
+                raise SystemExit("usage: retier.py [BASE_REV] [--slots N]")
             slots = int(argv[i + 1])
             i += 2
         elif a.startswith("--slots="):
@@ -284,8 +319,9 @@ def main() -> None:
     changed = changed_symbols(base)
     print(f"# changed symbols ({len(changed)}): {sorted(changed)}", file=sys.stderr)
 
-    tier1 = transitive_consumers(changed)
-    reg_order = list(registry_queries())
+    reg = registry_queries()
+    tier1 = transitive_consumers(changed, reg)
+    reg_order = list(reg)
     tier1.sort(key=reg_order.index)
     print(f"# tier 1 (diff consumers, {len(tier1)}): {tier1}", file=sys.stderr)
 
