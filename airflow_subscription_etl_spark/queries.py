@@ -27,6 +27,7 @@ Engine-portability rules used throughout (so value-hashes match):
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -7475,6 +7476,50 @@ SQL_DOC_MINHASH_INCR = SQL_DOC_MINHASH_PORTABLE.replace(
 )
 
 
+def q_doc_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed twin of ``doc_minhash_incremental``
+    (dedup.py::incremental_minhash_pairs_indexed): the SAME 80/20
+    corpus/delta split and the SAME emitted pair set, but the corpus
+    side is a MATERIALIZED parquet index BUCKETED BY (band, bucket)
+    (dedup.py::write_banded_signature_index) so it joins with NO
+    Exchange — the write-once/probe-many deployment shape, plan-pinned
+    in tests/test_round5_ops.py and timed at held match density in
+    tools/synth_probe.py (delta latency flat in corpus size). The
+    oracle is the plain variant's generated SQL: identical output from
+    the indexed path is exactly the claim under test.
+
+    Side effect: (re)writes the bucketed table
+    ``minhash_idx_<sf-tag>`` in the session warehouse each call (the
+    lazy result reads it, so it cannot be dropped here). Two
+    concurrent runs against the SAME sf_dir would race the overwrite —
+    run same-sf sweeps sequentially."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    delta = docs.filter(F.col("doc_id") % 10 >= 8)
+    sigs = dedup.portable_signatures(corpus)
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    table = f"minhash_idx_{tag}"
+    # location hygiene: a PREVIOUS session's managed table survives as
+    # a warehouse directory the fresh session's catalog doesn't know,
+    # and saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop
+    # both the catalog entry and any orphaned location. (A production
+    # deployment has a persistent metastore, where plain overwrite
+    # works; this is local-warehouse lifecycle only.)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    loc = os.path.join(re.sub(r"^file:/*", "/", wh), table)
+    if os.path.isdir(loc):
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(loc, ignore_errors=True)
+    dedup.write_banded_signature_index(sigs, table)
+    return dedup.incremental_minhash_pairs_indexed(
+        spark, table, delta, threshold=0.5
+    )
+
+
 
 def q_ev_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autoregressive (history → next-action) example construction
@@ -7957,6 +8002,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_ivfpq_topk": (q_emb_ivfpq_topk, sql_emb_ivfpq_topk),
     "graph_lpa": (q_graph_lpa, SQL_GRAPH_LPA),
     "doc_minhash_incremental": (q_doc_minhash_incremental, SQL_DOC_MINHASH_INCR),
+    "doc_minhash_indexed": (q_doc_minhash_indexed, SQL_DOC_MINHASH_INCR),
     "ev_next_event": (q_ev_next_event, SQL_EV_NEXT_EVENT),
     "doc_rrf_retrieval": (q_doc_rrf_retrieval, SQL_DOC_RRF),
     "orders_bitmap_distinct": (q_orders_bitmap_distinct, SQL_ORDERS_BITMAP_DISTINCT),
@@ -7973,6 +8019,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: latest CORRECTNESS row is oldest (round-robin: every row ≤3 rounds
 #: old by r8). Regenerate each round: python tools/retier.py
 _PRIORITY_R6 = [
+    # tier 0 — NEW registered query this round (no CORRECTNESS row yet)
+    "doc_minhash_indexed",
     # tier 1 — implementation diff-reachable this round
     "emb_kmeans_pandas",
     "emb_semantic_dedup",

@@ -231,3 +231,24 @@ def test_bad_strategy_fails_fast_even_without_target(spark):
     subscription (review finding r6)."""
     with pytest.raises(ValueError, match="unknown strategy"):
         M.change_subscription_plan(_subs(spark), 999, 2, strategy="mrege")
+
+
+# --- doc_minhash_indexed registered query -----------------------------------
+
+
+def test_doc_minhash_indexed_matches_plain_and_is_rerunnable(spark):
+    """The indexed registered query emits the SAME pairs as the plain
+    incremental query (the oracle claim), and re-invoking it in one
+    session (driver runs Spark + oracle sides; bench runs 2-3 passes)
+    survives the managed-table overwrite path."""
+    from airflow_subscription_etl_spark.queries import (
+        q_doc_minhash_incremental,
+        q_doc_minhash_indexed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plain = sorted(map(tuple, q_doc_minhash_incremental(spark, sf).collect()))
+    first = sorted(map(tuple, q_doc_minhash_indexed(spark, sf).collect()))
+    again = sorted(map(tuple, q_doc_minhash_indexed(spark, sf).collect()))
+    assert first == plain
+    assert again == plain
