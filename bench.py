@@ -111,6 +111,12 @@ HEADLINE = [
     "ev_next_event",
     "doc_rrf_retrieval",
     "emb_kmeans_pandas",
+    # round 6 adds one registered query (doc_minhash_indexed) which
+    # stays correctness-gated but OUT of the headline: each call
+    # (re)writes the bucketed index table before probing it, so its
+    # cost class is a table write, not a query — the delta-probe
+    # latency itself is benchmarked at held density by
+    # tools/synth_probe.py (flat 1.0x vs 8x corpus).
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —
