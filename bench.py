@@ -186,7 +186,15 @@ def main() -> None:
             print(f"# pass{_pass} {name}: {dt:.3f}s", file=sys.stderr)
         if times:
             timings[name] = min(times)
-            spreads[name] = round((max(times) - min(times)) / min(times), 3)
+            # spread over STEADY-STATE passes: when an adjudication
+            # pass ran, pass 0 is excluded — queries with internal
+            # .persist() (LSH signatures) structurally pay a cache
+            # build on pass 0 after the inter-query clearCache, which
+            # is warm-up, not host noise. The remaining passes all run
+            # against the built cache, so residual disagreement there
+            # IS noise (or a real instability worth a judge's look).
+            steady = times[1:] if len(times) > 2 else times
+            spreads[name] = round((max(steady) - min(steady)) / min(steady), 3)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
