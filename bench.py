@@ -1,8 +1,15 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (stdout carries NOTHING else — the driver
+captures a bounded stdout tail, so the machine line must stay small and
+last; r6's inline spread dict overflowed it and the round lost its
+parsed bench artifact):
   {"metric": "total_headline_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "sf": 0.1, "runs_per_query": 2,
+   "adjudication": "...", "baseline25_sec": N, "noisy": [...]}
+
+Full per-query evidence (per-pass timings, steady-state spreads,
+errors) is written to BENCH_DETAIL.json next to this file.
 
 Each query is timed end-to-end (plan + execute + materialize counts) on
 a warm SparkSession; a tiny warmup action runs first so JVM/codegen
@@ -13,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -126,6 +134,25 @@ HEADLINE = [
 BASELINE25 = HEADLINE[:25]
 
 
+def summarize_passes(times: list[float]) -> tuple[float, float]:
+    """(headline_sec, steady_spread) for one query's pass times.
+
+    Steady slice = all passes except pass 0 when an adjudication pass
+    ran (≥3 passes): queries with internal .persist() structurally pay
+    a cache build on pass 0 after the inter-query clearCache — warm-up,
+    not host noise. Headline = min of the steady slice (the same slice
+    the spread is computed on — ADVICE r6), EXCEPT when a 4th pass ran
+    (steady spread stayed >0.30 after the 3rd): then the median of the
+    steady passes, which a single anomalous fast pass can't anoint
+    (r6 verdict #6).
+    """
+    steady = times[1:] if len(times) > 2 else times
+    spread = round((max(steady) - min(steady)) / min(steady), 3)
+    if len(times) == 4:
+        return round(statistics.median(steady), 3), spread
+    return min(steady), spread
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -147,10 +174,14 @@ def main() -> None:
     # busy host carry ±30% OS/JVM noise; the min of warm runs is the
     # steady-state cost the plan actually has (standard benchmarking
     # practice; all passes run the identical plan end-to-end).
-    # SELF-ADJUDICATION (r5 verdict #3): when the two passes disagree by
-    # >30%, a third pass runs and per-query `spread` = (max−min)/min is
-    # emitted alongside the min — so BENCH_rN.json itself distinguishes
-    # "noisy host" from "real regression" without a judge re-run.
+    # SELF-ADJUDICATION (r5 verdict #3, escalation r6 verdict #6): when
+    # the two passes disagree by >30%, a third pass runs; if the
+    # STEADY-STATE passes (pass 0 excluded — see below) still disagree
+    # by >30%, a fourth runs and the headline number is the MEDIAN of
+    # the steady passes instead of the min. Per-query `spread` =
+    # (max−min)/min over the steady passes goes to BENCH_DETAIL.json —
+    # so the artifact distinguishes "noisy host" from "real regression"
+    # without a judge re-run.
     # Passes of one query run back-to-back (query-outer loop) and the
     # SQL cache is cleared BETWEEN queries: per-call .persist() inside
     # operators (LSH signatures, IVF residuals) would otherwise
@@ -159,15 +190,27 @@ def main() -> None:
     # r1 baseline was recorded (pass 2 always reused pass 1's cache).
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+
+    def _spread(ts: list[float]) -> float:
+        return (max(ts) - min(ts)) / min(ts)
+
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         times: list[float] = []
-        for _pass in range(3):
-            if _pass == 2 and times and (
-                (max(times) - min(times)) / min(times) <= 0.30
-            ):
+        for _pass in range(4):
+            # steady slice for the agreement check: when ≥3 passes
+            # exist, pass 0 is excluded — queries with internal
+            # .persist() (LSH signatures) structurally pay a cache
+            # build on pass 0 after the inter-query clearCache, which
+            # is warm-up, not host noise. The remaining passes all run
+            # against the built cache, so residual disagreement there
+            # IS noise (or a real instability worth a judge's look).
+            if _pass == 2 and times and _spread(times) <= 0.30:
                 break  # two passes agree — no adjudication needed
+            if _pass == 3 and times and _spread(times[1:]) <= 0.30:
+                break  # steady passes agree after adjudication
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
@@ -185,36 +228,65 @@ def main() -> None:
             times.append(dt)
             print(f"# pass{_pass} {name}: {dt:.3f}s", file=sys.stderr)
         if times:
-            timings[name] = min(times)
-            # spread over STEADY-STATE passes: when an adjudication
-            # pass ran, pass 0 is excluded — queries with internal
-            # .persist() (LSH signatures) structurally pay a cache
-            # build on pass 0 after the inter-query clearCache, which
-            # is warm-up, not host noise. The remaining passes all run
-            # against the built cache, so residual disagreement there
-            # IS noise (or a real instability worth a judge's look).
-            steady = times[1:] if len(times) > 2 else times
-            spreads[name] = round((max(steady) - min(steady)) / min(steady), 3)
+            timings[name], spreads[name] = summarize_passes(times)
+            passes[name] = times
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    baseline25 = (
+        # null (not a partial sum) when any baseline query failed — a
+        # silently-deflated subtotal would read as a phantom speedup
+        # against the recorded r1 number
+        round(sum(timings[n] for n in BASELINE25), 3)
+        if all(n in timings for n in BASELINE25)
+        else None
+    )
+    # Queries whose steady-state passes STILL disagree >30% after 4
+    # passes — the compact pointer a judge needs; full per-pass data is
+    # in the detail file.
+    noisy = sorted(n for n, s in spreads.items() if s > 0.30)
+
+    # Full per-query evidence goes to a FILE, not stdout: the driver
+    # captures a bounded stdout tail, and r6's spread dict pushed the
+    # machine-JSON line past it (BENCH_r06.json "parsed": null). The
+    # final stdout line must stay compact and self-contained.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+                "spread": spreads,
+                "passes": passes,
+                "noisy": noisy,
+                "errors": errors,
+                "baseline25_sec": baseline25,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+
     out = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "spread": spreads,
         "sf": sf,
-        "runs_per_query": "2 (+1 adjudication pass when spread > 0.30)",
-        # null (not a partial sum) when any baseline query failed — a
-        # silently-deflated subtotal would read as a phantom speedup
-        # against the recorded r1 number
-        "baseline25_sec": (
-            round(sum(timings[n] for n in BASELINE25), 3)
-            if all(n in timings for n in BASELINE25)
-            else None
-        ),
+        # numeric so cross-round consumers can compare/arithmetic it
+        # (ADVICE r6); the adjudication policy is its own field
+        "runs_per_query": 2,
+        "adjudication": "3rd/4th pass while steady spread > 0.30; "
+        "median of steady passes when 4 ran (spreads in BENCH_DETAIL.json)",
+        "baseline25_sec": baseline25,
     }
+    if noisy:
+        out["noisy"] = noisy
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

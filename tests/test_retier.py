@@ -139,6 +139,51 @@ def test_defs_seen_inside_toplevel_try_blocks():
     assert "SynthDocsReader" in names
 
 
+def _emitted_names(stdout: str) -> list[str]:
+    """Query names from the printed _PRIORITY list body."""
+    return [
+        line.strip().strip(",").split(",")[0].strip('"')
+        for line in stdout.splitlines()
+        if line.strip().startswith('"')
+    ]
+
+
+def test_tier0_counts_against_slot_cap(monkeypatch, capsys):
+    """The r6 off-by-one: a new query (no CORRECTNESS row) must be
+    emitted as tier 0 BY THE TOOL and counted against the slot budget —
+    r6 prepended it by hand on top of the tool's 50 and the 51st name
+    (emb_quantized_topk's refresh) silently fell off the driver cap."""
+    import sys as _sys
+
+    monkeypatch.setattr(retier, "changed_symbols", lambda base: set())
+    real_ages = retier.latest_green_round()
+    reg = retier.registry_queries()
+    newbie = next(iter(reg))
+    fake_ages = dict(real_ages)
+    fake_ages.pop(newbie, None)  # pretend it was registered this round
+    monkeypatch.setattr(retier, "latest_green_round", lambda: fake_ages)
+    monkeypatch.setattr(_sys, "argv", ["retier.py", "--slots", "10"])
+    retier.main()
+    out = capsys.readouterr().out
+    names = _emitted_names(out)
+    assert len(names) == 10, f"cap must hold WITH tier 0: {len(names)}"
+    assert names[0] == newbie  # tier 0 leads
+    assert "tier 0" in out
+
+
+def test_emitted_list_never_exceeds_driver_slots(monkeypatch, capsys):
+    """Against the live repo state (real ages, empty diff) the default
+    emission must fit DRIVER_SLOTS exactly — the contract the driver's
+    cap enforces silently."""
+    import sys as _sys
+
+    monkeypatch.setattr(retier, "changed_symbols", lambda base: set())
+    monkeypatch.setattr(_sys, "argv", ["retier.py"])
+    retier.main()
+    names = _emitted_names(capsys.readouterr().out)
+    assert len(names) <= retier.DRIVER_SLOTS
+
+
 def test_slots_missing_value_is_usage_error(monkeypatch):
     import sys as _sys
 

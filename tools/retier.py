@@ -8,15 +8,26 @@ gained a seam (clustering.py:168) but its consumers ``emb_kmeans`` /
 ``emb_semantic_dedup`` kept r3/r4 green rows. This tool closes that
 gap mechanically:
 
+  tier 0  queries with NO CORRECTNESS row in any round — new
+          registrations that have never been driver-checked. Emitted by
+          the tool itself (r6 prepended the new query by hand ON TOP of
+          the tool's 50 and the 51st name silently fell off the
+          driver's cap — the emb_quantized_topk miss).
   tier 1  queries whose implementation DIFF-transitively changed this
           round: any function/constant touched by the round's git diff
           → every REGISTRY query that transitively calls/uses it
           (static AST call graph over the package, bare-name matching —
           a deliberate OVER-approximation: a false positive costs one
           driver slot, a false negative is a stale green row)
-  tier 2  oldest-green back-fill: remaining slots up to the driver cap
-          go to queries whose latest CORRECTNESS_r*.json row is oldest
-          (round-robin so every query's row is ≤3 rounds old by r8)
+  tier 2  oldest-green back-fill: remaining slots — i.e.
+          DRIVER_SLOTS − len(tier0) − len(tier1) — go to queries whose
+          latest CORRECTNESS_r*.json row is oldest (round-robin so
+          every query's row is ≤3 rounds old by r8)
+
+The emitted list NEVER exceeds the slot cap: tiers 0+1 are kept whole
+(with a loud stderr warning if they alone exceed it — that means the
+round genuinely touched more than a driver pass can verify) and tier 2
+absorbs all the truncation.
 
 Usage:
   python tools/retier.py [BASE_REV] [--slots N]
@@ -320,19 +331,37 @@ def main() -> None:
     print(f"# changed symbols ({len(changed)}): {sorted(changed)}", file=sys.stderr)
 
     reg = registry_queries()
-    tier1 = transitive_consumers(changed, reg)
     reg_order = list(reg)
+    ages = latest_green_round()
+
+    # tier 0: never driver-checked (no CORRECTNESS row in any round)
+    tier0 = [q for q in reg_order if ages.get(q, 0) == 0]
+    print(f"# tier 0 (never checked, {len(tier0)}): {tier0}", file=sys.stderr)
+
+    tier1 = [q for q in transitive_consumers(changed, reg) if q not in tier0]
     tier1.sort(key=reg_order.index)
     print(f"# tier 1 (diff consumers, {len(tier1)}): {tier1}", file=sys.stderr)
 
-    ages = latest_green_round()
-    fill = [q for q in reg_order if q not in tier1]
-    # never-checked first (age 0), then oldest round, stable by registry
+    fixed = len(tier0) + len(tier1)
+    if fixed > slots:
+        print(
+            f"# WARNING: tiers 0+1 alone hold {fixed} queries > {slots} "
+            "slots — the driver will only check the first "
+            f"{slots}; consider a narrower diff base",
+            file=sys.stderr,
+        )
+    fill = [q for q in reg_order if q not in tier1 and q not in tier0]
+    # oldest round first, stable by registry order
     fill.sort(key=lambda q: (ages.get(q, 0), reg_order.index(q)))
-    tier2 = fill[: max(slots - len(tier1), 0)]
+    tier2 = fill[: max(slots - fixed, 0)]
     print(f"# tier 2 (oldest-green fill, {len(tier2)})", file=sys.stderr)
+    assert len(tier0) + len(tier1) + len(tier2) <= max(slots, fixed)
 
     print("_PRIORITY = [")
+    if tier0:
+        print("    # tier 0 — NEW registered queries (no CORRECTNESS row yet)")
+        for q in tier0:
+            print(f'    "{q}",')
     print("    # tier 1 — implementation diff-reachable this round")
     for q in tier1:
         print(f'    "{q}",')
