@@ -122,18 +122,25 @@ def _round_like_spark(raw):
     disagree by 1 on boundary doubles (the 0.49999999999999994 class,
     where fl(v+0.5) lands on the next integer while the shortest
     decimal is still below .5). Elements whose fractional part sits
-    inside a ±5e-7 band around .5 — a superset of everywhere the
-    disagreement can live — are re-rounded through the exact Decimal
-    replica (oracles.lsh_ref._round_half_up_spark), so the result is
-    bit-identical to F.round on ALL inputs. The band admits ~1e-6 of
-    uniformly-distributed elements, so the scalar repair touches a
-    handful of cells per million."""
+    inside a ±5e-7 band around .5 are re-rounded through the exact
+    Decimal replica (oracles.lsh_ref._round_half_up_spark). The probe
+    pair ``floor(v+0.4999995) != floor(v+0.5000005)`` detects the band
+    reliably only while ulp(v) ≪ 1e-6: once magnitudes reach ~2^31 the
+    two probe additions can collapse to the same double and a true
+    boundary slips through (ADVICE r6) — so any element with
+    ``ulp(|v|+0.5) > 2.5e-7`` (|v| ≳ 2.1e9, i.e. a per-dimension
+    coordinate diff ≳ 45 at micro scale — far outside normalized
+    embeddings) is routed to the exact path unconditionally. With both
+    guards the result is bit-identical to F.round on ALL inputs. The
+    band admits ~1e-6 of uniformly-distributed elements, so the scalar
+    repair touches a handful of cells per million."""
     import numpy as np  # noqa: PLC0415
 
     from ..oracles.lsh_ref import _round_half_up_spark  # noqa: PLC0415
 
     r = np.floor(raw + 0.5).astype(np.int64)
     sus = np.floor(raw + 0.4999995) != np.floor(raw + 0.5000005)
+    sus |= np.spacing(np.abs(raw) + 0.5) > 2.5e-7
     if sus.any():
         flat_r, flat_raw = r.reshape(-1), raw.reshape(-1)
         for idx in np.flatnonzero(sus.reshape(-1)):
@@ -161,11 +168,12 @@ def assign_clusters_pandas(
     the two disagree by 1 on boundary doubles (the
     0.49999999999999994 class, where fl(v+0.5) lands on the next
     integer). Elements whose fractional part sits inside a ±5e-7 band
-    around .5 — where the disagreement lives — are re-rounded through
-    the exact Decimal replica (oracles.lsh_ref._round_half_up_spark),
-    so the twin is bit-identical to F.round on ALL inputs, not just
-    away from ties. The band admits ~1e-6 of elements, so the scalar
-    repair touches a handful of cells per million."""
+    around .5 — or whose magnitude is large enough (ulp > 2.5e-7) that
+    the band probes themselves become unreliable — are re-rounded
+    through the exact Decimal replica (see _round_like_spark), so the
+    twin is bit-identical to F.round on ALL inputs, not just away from
+    ties. The band admits ~1e-6 of elements, so the scalar repair
+    touches a handful of cells per million."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -261,9 +269,22 @@ def kmeans_fit_predict(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    impl: str = "pandas",
 ) -> DataFrame:
-    """Assignment-only wrapper of :func:`kmeans_fit`."""
-    return kmeans_fit(df, k, iters, id_col, vec_col, keep_vec)[0]
+    """Assignment-only wrapper of :func:`kmeans_fit`.
+
+    ``impl`` picks the per-round assignment kernel — ``"pandas"``
+    (default) runs the Arrow/numpy twin (~3× faster at sf0.1; the
+    single most expensive headline query before this flip), ``"hof"``
+    the interpreted higher-order-function reference. The twin is
+    bit-identical (assign_clusters_pandas replicates F.round exactly,
+    boundary doubles included), so BOTH impls satisfy the same
+    unrolled-CTE oracle — the semantic_dedup / pq_ann_topk
+    default-to-throughput precedent."""
+    if impl not in ("pandas", "hof"):
+        raise ValueError(f"impl must be 'pandas' or 'hof', got {impl!r}")
+    assign = assign_clusters_pandas if impl == "pandas" else assign_clusters
+    return kmeans_fit(df, k, iters, id_col, vec_col, keep_vec, assign_fn=assign)[0]
 
 
 def kmeans_fit_predict_pandas(
@@ -318,13 +339,11 @@ def semantic_dedup(
 
     Returns ``(id, cluster_id, is_dropped)`` for every input row.
     """
-    if impl == "pandas":
-        fit = kmeans_fit_predict_pandas
-    elif impl == "hof":
-        fit = kmeans_fit_predict
-    else:
+    if impl not in ("pandas", "hof"):
         raise ValueError(f"impl must be 'pandas' or 'hof', got {impl!r}")
-    assigned = fit(df, k, iters, id_col, vec_col, keep_vec=True)
+    assigned = kmeans_fit_predict(
+        df, k, iters, id_col, vec_col, keep_vec=True, impl=impl
+    )
     # quantize + self-norm map-side, BEFORE the pair join: per-pair
     # work is then a bare integer dot product (same staging as
     # similarity.all_pairs_ann). |q| ≤ ~1e6 ⇒ dot ≤ dims·1e12 — int64-

@@ -3913,7 +3913,14 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means, k=8, 3 assignment rounds (operators/
     clustering.py) — iterative Lloyd's with micro-quantized integer
     accumulators, so even this loop hash-matches a DuckDB oracle (the
-    oracle unrolls the iterations as CTEs; see kmeans_oracle_sql)."""
+    oracle unrolls the iterations as CTEs; see kmeans_oracle_sql).
+
+    Runs kmeans_fit_predict's DEFAULT kernel — since r7 the Arrow/numpy
+    assignment twin (bit-identical to the HOF reference on all inputs;
+    ~3× faster at sf0.1, previously the single most expensive headline
+    query). The interpreted-HOF reference kernel stays selectable
+    (impl="hof") and is pinned to the twin by the parity tests in
+    tests/test_clustering.py and tests/test_round6_fixes.py."""
     from .operators.clustering import (  # noqa: PLC0415
         kmeans_cluster_summary,
         kmeans_fit_predict,

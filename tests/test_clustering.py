@@ -113,6 +113,6 @@ def test_kmeans_pandas_twin_bit_identical(spark):
     a = sorted(map(tuple, assign_clusters(df, cents).collect()))
     b = sorted(map(tuple, assign_clusters_pandas(df, cents).collect()))
     assert a == b
-    fa = sorted(map(tuple, kmeans_fit_predict(df, k=4, iters=2).collect()))
+    fa = sorted(map(tuple, kmeans_fit_predict(df, k=4, iters=2, impl="hof").collect()))
     fb = sorted(map(tuple, kmeans_fit_predict_pandas(df, k=4, iters=2).collect()))
     assert fa == fb
