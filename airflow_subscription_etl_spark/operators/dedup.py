@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import pin
 from .sketch import MERSENNE31, hash60, portable_hash_params
 
 
@@ -395,8 +396,9 @@ def minhash_lsh_pairs(
         .select(id_col, "minhash")
         .persist()
     )
-    return banded_pairs_from_signatures(
-        sig, num_hashes, bands, threshold, id_col
+    return pin(
+        banded_pairs_from_signatures(sig, num_hashes, bands, threshold, id_col),
+        sig,
     )
 
 
@@ -456,8 +458,11 @@ def portable_minhash_pairs(
     tail-shingle access legal under ANSI mode.
     """
     sig = portable_signatures(df, text_col, k_shingle, num_hashes, id_col).persist()
-    return banded_pairs_from_signatures(
-        sig, num_hashes, bands, threshold, id_col, bucket_hash=hash60
+    return pin(
+        banded_pairs_from_signatures(
+            sig, num_hashes, bands, threshold, id_col, bucket_hash=hash60
+        ),
+        sig,
     )
 
 
@@ -533,10 +538,11 @@ def incremental_minhash_pairs(
     precomputed via ``delta_sigs`` so the tokenize+hash pass runs once.
 
     Cache lifecycle: when ``delta_sigs`` is NOT passed, the
-    internally-built signature frame is ``.persist()``-ed and stays in
-    the SQL cache until the caller clears it (the return value is
-    lazy, so the function cannot unpersist it itself). Repeated calls
-    in one session should either pass ``delta_sigs`` with a
+    internally-built signature frame is ``.persist()``-ed (the return
+    value is lazy, so the function cannot unpersist it itself) and
+    ``pin()``-ed to the result — consume under
+    ``with cache.released(result):`` or call ``cache.release(result)``
+    to free it scoped. Alternatives: pass ``delta_sigs`` with a
     caller-owned lifecycle (the streaming path's finally-unpersist) or
     ``spark.catalog.clearCache()`` between invocations (bench.py and
     tools/check_oracle.py do).
@@ -545,16 +551,18 @@ def incremental_minhash_pairs(
     # its own lifecycle (the streaming path persists per batch and
     # unpersists in a finally — pinning it here too would leak one
     # cached frame per micro-batch for the life of the application)
+    own: list[DataFrame] = []
     if delta_sigs is None:
         delta_sigs = portable_signatures(
             delta, text_col, k_shingle, num_hashes, id_col
         ).persist()
+        own.append(delta_sigs)
     all_sigs = corpus_sigs.select(id_col, "minhash").unionByName(delta_sigs)
     delta_b = banded_signature_keys(
         delta_sigs, num_hashes, bands, id_col, suffix="d"
     )
     corpus_b = banded_signature_keys(all_sigs, num_hashes, bands, id_col, suffix="c")
-    return _delta_band_join(delta_b, corpus_b, num_hashes, threshold)
+    return pin(_delta_band_join(delta_b, corpus_b, num_hashes, threshold), *own)
 
 
 def banded_signature_keys(
@@ -679,11 +687,15 @@ def incremental_minhash_pairs_indexed(
     path). Per-batch drivers pass ``delta_sigs`` precomputed and own
     its persist/unpersist lifecycle (the same escape hatch as
     :func:`incremental_minhash_pairs` — a per-call self-persist would
-    pin one cached frame per batch for the life of the application)."""
+    pin one cached frame per batch for the life of the application);
+    when it is NOT passed, the internal signature persist is
+    ``pin()``-ed to the result for ``cache.released()`` scoping."""
+    own: list[DataFrame] = []
     if delta_sigs is None:
         delta_sigs = portable_signatures(
             delta, text_col, k_shingle, num_hashes, id_col
         ).persist()
+        own.append(delta_sigs)
     delta_d = banded_signature_keys(delta_sigs, num_hashes, bands, id_col, suffix="d")
     corpus_b = spark.table(table)
     vs_corpus = _delta_band_join(delta_d, corpus_b, num_hashes, threshold)
@@ -696,7 +708,9 @@ def incremental_minhash_pairs_indexed(
         "bucket",
     )
     vs_self = _delta_band_join(delta_d, delta_c, num_hashes, threshold)
-    return vs_corpus.unionByName(vs_self).dropDuplicates(["id_a", "id_b"])
+    return pin(
+        vs_corpus.unionByName(vs_self).dropDuplicates(["id_a", "id_b"]), *own
+    )
 
 
 # --- simhash -----------------------------------------------------------------
@@ -771,7 +785,7 @@ def simhash_near_pairs(
     # aggregates); without a materialization boundary it would be
     # recomputed for all 4 chunk branches on both join sides
     sig = with_simhash(df, text_col).select(id_col, "simhash").persist()
-    return _simhash_band_pairs(sig, max_hamming, id_col)
+    return pin(_simhash_band_pairs(sig, max_hamming, id_col), sig)
 
 
 def portable_simhash_pairs(
@@ -797,7 +811,7 @@ def portable_simhash_pairs(
     sig = th.select(
         id_col, simhash_from_hashes(F.col("_th")).alias("simhash")
     ).persist()
-    return _simhash_band_pairs(sig, max_hamming, id_col)
+    return pin(_simhash_band_pairs(sig, max_hamming, id_col), sig)
 
 
 def _simhash_band_pairs(
@@ -868,7 +882,7 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return pin(out, sh)
 
 
 def span_dedup(

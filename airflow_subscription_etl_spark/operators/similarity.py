@@ -26,6 +26,8 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import pin
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ — zip_with + aggregate, sequential order (deterministic)."""
@@ -300,7 +302,7 @@ def all_pairs_ann(
         "band",
         "bucket",
     )
-    return (
+    return pin(
         a.join(c, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
@@ -309,7 +311,8 @@ def all_pairs_ann(
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"]),
+        b,
     )
 
 
@@ -343,12 +346,12 @@ def hard_negative_mining(
     a trainer wants first).
 
     Cache lifecycle: the banded-signature frame is ``.persist()``-ed
-    (it feeds both sides of the self-join) and stays in the SQL cache
-    until the caller clears it — the return value is lazy, so the
-    function cannot unpersist it itself. Long-running sessions that
-    call this repeatedly should ``spark.catalog.clearCache()`` between
-    invocations; the repo's harnesses (bench.py, tools/check_oracle.py)
-    do exactly that.
+    (it feeds both sides of the self-join) — the return value is lazy,
+    so the function cannot unpersist it itself. It is ``pin()``-ed to
+    the result: consume under ``with cache.released(result):`` (or
+    call ``cache.release(result)`` when done) to free it scoped;
+    ``spark.catalog.clearCache()`` between invocations also works
+    (bench.py and tools/check_oracle.py do that).
     """
     normed = df.select(
         F.col(id_col), F.col(vec_col), F.col(label_col), l2_norm(F.col(vec_col)).alias("_norm")
@@ -387,7 +390,7 @@ def hard_negative_mining(
         F.col("sim").desc(), F.col("cand_id").asc()
     )
     best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    return (
+    return pin(
         best.groupBy("anchor_id")
         .agg(
             F.min(F.when(F.col("same"), F.col("cand_id"))).alias("pos_id"),
@@ -396,7 +399,8 @@ def hard_negative_mining(
             F.min(F.when(~F.col("same"), F.col("sim"))).alias("neg_sim"),
         )
         .filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
-        .withColumn("margin", F.col("pos_sim") - F.col("neg_sim"))
+        .withColumn("margin", F.col("pos_sim") - F.col("neg_sim")),
+        b,
     )
 
 
@@ -1194,11 +1198,12 @@ def ivfpq_topk(
     ``(id, list_id, pq_codes, approx_d2_micro)`` ascending, ties → id.
 
     Cache lifecycle: the residual frame is ``.persist()``-ed (it feeds
-    both the codebook-sample job and the scoring scan) and stays in
-    the SQL cache until the caller clears it — the return value is
-    lazy, so this function cannot unpersist it itself. Repeated calls
-    in one session should ``spark.catalog.clearCache()`` between
-    invocations (bench.py and tools/check_oracle.py do).
+    both the codebook-sample job and the scoring scan) — the return
+    value is lazy, so this function cannot unpersist it itself. It is
+    ``pin()``-ed to the result: consume under
+    ``with cache.released(result):`` (or ``cache.release(result)``) to
+    free it scoped; ``spark.catalog.clearCache()`` between invocations
+    also works (bench.py and tools/check_oracle.py do that).
     """
     dims = len(query_vec)
     if dims % m != 0:
@@ -1263,7 +1268,7 @@ def ivfpq_topk(
             F.element_at(F.col("_cb")[j], F.col(f"_c{j}") + 1),
         )
         approx = t if approx is None else approx + t
-    return (
+    return pin(
         enc.select(
             F.col(id_col),
             F.col("list_id").cast("int").alias("list_id"),
@@ -1273,7 +1278,8 @@ def ivfpq_topk(
             approx.alias("approx_d2_micro"),
         )
         .orderBy(F.col("approx_d2_micro").asc(), F.col(id_col).asc())
-        .limit(k)
+        .limit(k),
+        res,
     )
 
 

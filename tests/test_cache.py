@@ -1,0 +1,109 @@
+"""cache.pin/release/released — the caller-owned lifecycle for
+operator-internal persisted frames (r6 verdict #7). The harnesses
+(bench.py, check_oracle) clear the whole SQL cache between queries;
+library consumers instead release per-result, scoped."""
+
+from __future__ import annotations
+
+import gc
+
+import pytest
+
+from airflow_subscription_etl_spark import cache
+from airflow_subscription_etl_spark.operators.dedup import (
+    incremental_minhash_pairs,
+    minhash_lsh_pairs,
+    portable_signatures,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (i, f"the quick brown fox jumps over dog number {i % 4} again and again")
+        for i in range(12)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _cached_level(df) -> bool:
+    return df.storageLevel.useMemory or df.storageLevel.useDisk
+
+
+def test_pin_release_roundtrip(spark):
+    df = spark.range(10).persist()
+    result = df.selectExpr("sum(id) as s")
+    cache.pin(result, df)
+    assert cache.pinned_count(result) == 1
+    result.collect()
+    assert _cached_level(df)
+    assert cache.release(result) == 1
+    assert not _cached_level(df)
+    # idempotent / safe on unpinned frames
+    assert cache.release(result) == 0
+    assert cache.release(spark.range(1)) == 0
+
+
+def test_released_context_frees_on_exit_and_error(spark):
+    df = spark.range(10).persist()
+    result = cache.pin(df.selectExpr("count(*) as n"), df)
+    with cache.released(result) as r:
+        assert r is result
+        r.collect()
+        assert _cached_level(df)
+    assert not _cached_level(df)
+
+    df2 = spark.range(10).persist()
+    result2 = cache.pin(df2.selectExpr("count(*) as n"), df2)
+    with pytest.raises(RuntimeError, match="boom"):
+        with cache.released(result2):
+            raise RuntimeError("boom")
+    assert not _cached_level(df2)
+
+
+def test_registration_is_weak(spark):
+    """An un-released result must drop its registration when it goes
+    out of scope — pin never extends any frame's lifetime."""
+    df = spark.range(5).persist()
+    before = len(cache._PINS)
+    result = cache.pin(df.selectExpr("count(*) as n"), df)
+    assert len(cache._PINS) == before + 1
+    del result
+    gc.collect()
+    assert len(cache._PINS) == before
+    df.unpersist()
+
+
+def test_minhash_lsh_pairs_pins_its_signature_cache(spark, docs):
+    result = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    assert cache.pinned_count(result) == 1
+    with cache.released(result) as pairs:
+        assert pairs.count() >= 0
+        (sig,) = cache._PINS[pairs]
+        assert _cached_level(sig)
+    assert not _cached_level(sig)
+
+
+def test_simhash_near_pairs_pins(spark, docs):
+    result = simhash_near_pairs(docs)
+    assert cache.pinned_count(result) == 1
+    cache.release(result)
+
+
+def test_incremental_pairs_pin_only_internal_sigs(spark, docs):
+    """A caller-passed delta_sigs owns its own lifecycle — the operator
+    must NOT pin it (the streaming path unpersists per batch; a pin
+    would double-release or leak)."""
+    corpus = portable_signatures(docs, num_hashes=8)
+    delta = docs.filter("doc_id >= 8")
+    internal = incremental_minhash_pairs(corpus, delta, num_hashes=8, bands=4)
+    assert cache.pinned_count(internal) == 1
+    cache.release(internal)
+
+    own_sigs = portable_signatures(delta, num_hashes=8).persist()
+    passed = incremental_minhash_pairs(
+        corpus, delta, num_hashes=8, bands=4, delta_sigs=own_sigs
+    )
+    assert cache.pinned_count(passed) == 0
+    own_sigs.unpersist()
