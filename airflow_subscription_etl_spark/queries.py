@@ -8017,74 +8017,73 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Round-6 verification priority — GENERATED by tools/retier.py
-#: (VERDICT r5 #1/#2): tier 1 is every registry query that transitively
-#: consumes a symbol touched by this round's git diff (static AST call
-#: graph — the mechanical replacement for round 5's hand-curated list,
-#: which missed the kmeans_fit→emb_kmeans/emb_semantic_dedup edge);
-#: tier 2 back-fills the remaining driver slots with the queries whose
-#: latest CORRECTNESS row is oldest (round-robin: every row ≤3 rounds
-#: old by r8). Regenerate each round: python tools/retier.py
-_PRIORITY_R6 = [
-    # tier 0 — NEW registered query this round (no CORRECTNESS row yet)
-    "doc_minhash_indexed",
+#: Round-7 verification priority — GENERATED by tools/retier.py
+#: (VERDICT r5 #1/#2; r6 off-by-one fixed: tier 0 is emitted by the
+#: tool and counted against the 50-slot driver cap). Tier 1 is every
+#: registry query that transitively consumes a symbol touched by this
+#: round's git diff (static AST call graph); tier 2 back-fills the
+#: remaining slots with the queries whose latest CORRECTNESS row is
+#: oldest — r7 exhausts the r2 set (emb_quantized_topk, the r6 cap
+#: casualty, leads) and bites into r3, holding the "every row ≤3
+#: rounds old" invariant. Regenerate each round: python tools/retier.py
+_PRIORITY_R7 = [
     # tier 1 — implementation diff-reachable this round
+    "emb_kmeans",
     "emb_kmeans_pandas",
+    "doc_minhash_portable",
     "emb_semantic_dedup",
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "emb_near_pairs",
+    "doc_simhash_portable",
     "emb_hard_negatives",
     "emb_ivfpq_topk",
     "doc_minhash_incremental",
-    "orders_bitmap_distinct",
+    "doc_minhash_indexed",
     # tier 2 — oldest-green driver rows, round-robin back-fill
-    "p1_projection",  # last row r1
-    "p2_label",  # last row r1
-    "p3_filter",  # last row r1
-    "p5_p6_cast_default",  # last row r1
-    "e1_e2_case",  # last row r1
-    "e5_e6_row_json",  # last row r1
-    "j1_lookup",  # last row r1
-    "j2_left_existence",  # last row r1
-    "j4_latest_enriched",  # last row r1
-    "a1_top1_per_key",  # last row r1
-    "a2_next_id",  # last row r1
-    "a3_existence_counts",  # last row r1
-    "q3_shipping_priority",  # last row r1
-    "q5_local_volume",  # last row r1
-    "q10_returned_revenue",  # last row r1
-    "doc_exact_dedup",  # last row r1
-    "doc_token_stats",  # last row r1
-    "doc_quality_score",  # last row r1
-    "doc_lang_id",  # last row r1
-    "doc_fingerprint",  # last row r1
-    "doc_jaccard_adjacent",  # last row r1
-    "emb_topk_cosine",  # last row r1
-    "emb_topk_cosine_pandas",  # last row r1
-    "mm_featurize",  # last row r1
-    "mm_frame_sample",  # last row r1
-    "q6_forecast_revenue",  # last row r1
-    "q14_promo_share",  # last row r1
-    "q18_large_orders",  # last row r1
-    "rollup_revenue",  # last row r1
-    "pivot_order_priority",  # last row r1
-    "window_running_spend",  # last row r1
-    "anti_join_idle_customers",  # last row r1
-    "distinct_part_types",  # last row r1
-    "set_ops_custkeys",  # last row r1
-    "scalar_subquery_pricey_parts",  # last row r1
-    "orders_by_month",  # last row r1
-    "quantity_percentiles",  # last row r1
-    "string_functions",  # last row r1
-    "doc_domain_quota",  # last row r2
-    "q11_important_suppliers",  # last row r2
-    "cube_revenue",  # last row r2
-    "doc_near_dup_clusters",  # last row r2
-    "doc_vocab_topk",  # last row r2
     "emb_quantized_topk",  # last row r2
+    "conditional_agg",  # last row r2
+    "array_agg_stats",  # last row r2
+    "ev_value_zscore_outliers",  # last row r2
+    "m1_union_ragged",  # last row r2
+    "doc_scrub_text",  # last row r2
+    "doc_weighted_sample",  # last row r2
+    "dq_audit",  # last row r2
+    "doc_bigram_topk",  # last row r2
+    "kmv_sketch_rollup",  # last row r2
+    "emb_knn_join",  # last row r2
+    "mode_median_per_group",  # last row r2
+    "unpivot_nation_metrics",  # last row r2
+    "date_functions",  # last row r2
+    "scd2_customer_orders",  # last row r2
+    "ev_funnel",  # last row r3
+    "ev_window_frames",  # last row r3
+    "doc_repetition_signals",  # last row r3
+    "doc_span_dedup",  # last row r3
+    "doc_contamination",  # last row r3
+    "doc_bigram_lm",  # last row r3
+    "graph_pagerank",  # last row r3
+    "ev_resample_hourly",  # last row r3
+    "ev_retention_cohorts",  # last row r3
+    "doc_curation_pipeline",  # last row r3
+    "quantile_sketch_by_priority",  # last row r3
+    "sql_segment_revenue",  # last row r3
+    "ev_interval_join_binned",  # last row r3
+    "neg_sampling",  # last row r3
+    "doc_pack_sequences",  # last row r3
+    "doc_chunk_windows",  # last row r3
+    "doc_bpe_token_stats",  # last row r3
+    "mm_audio_windows",  # last row r3
+    "salted_supplier_volume",  # last row r3
+    "salted_join_segments",  # last row r3
+    "doc_cms_heavy_hitters",  # last row r3
+    "incremental_order_stats",  # last row r3
+    "bloom_pruned_join",  # last row r3
 ]
 
 
 def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: REGISTRY[name] for name in _PRIORITY_R6 if name in REGISTRY}
+    out = {name: REGISTRY[name] for name in _PRIORITY_R7 if name in REGISTRY}
     out.update({name: v for name, v in REGISTRY.items() if name not in out})
     return out
 
