@@ -67,6 +67,18 @@ def release(result: DataFrame) -> int:
     return len(frames)
 
 
+def adopt(result: DataFrame, source: DataFrame) -> DataFrame:
+    """Move the pins registered on ``source`` to ``result`` — for
+    operators that build their return value ON TOP of another
+    operator's (or an internal stage's) pinned result, so the caller
+    releases through the frame they actually hold. Safe when ``source``
+    has no pins. Returns ``result`` unchanged."""
+    frames = _PINS.pop(source, [])
+    if frames:
+        _PINS.setdefault(result, []).extend(frames)
+    return result
+
+
 @contextmanager
 def released(result: DataFrame) -> Iterator[DataFrame]:
     """Scope the internal caches of an operator result: yields the

@@ -34,6 +34,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import adopt, pin
+
 _SCALE = 1_000_000
 
 
@@ -230,6 +232,10 @@ def kmeans_fit(
     sample or accept the re-scan).
     """
     assign = assign_fn or assign_clusters
+    # cached for the Lloyd iterations (standard iterative-ML posture);
+    # pin()-ed to the returned assignment so library callers can free
+    # it via cache.release / cache.released — the harnesses' clearCache
+    # also works (see cache.py)
     df = df.select(id_col, vec_col).cache()
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[_quant(float(x)) for x in r[vec_col]] for r in init_rows]
@@ -259,7 +265,7 @@ def kmeans_fit(
             ) / (float(r["n"]) * float(_SCALE))
         # empty clusters (absent from `new`) keep their previous centroid
         cents = [new.get(cid, cents[cid - 1]) for cid in range(1, k + 1)]
-    return assign(df, cents, id_col, vec_col, keep_vec=keep_vec), cents
+    return pin(assign(df, cents, id_col, vec_col, keep_vec=keep_vec), df), cents
 
 
 def kmeans_fit_predict(
@@ -297,10 +303,12 @@ def kmeans_fit_predict_pandas(
 ) -> DataFrame:
     """:func:`kmeans_fit_predict` with the Arrow/numpy assignment twin
     on every Lloyd round — bit-identical output (integer-micro
-    distances are order-free), vectorized per-row cost."""
-    return kmeans_fit(
-        df, k, iters, id_col, vec_col, keep_vec, assign_fn=assign_clusters_pandas
-    )[0]
+    distances are order-free), vectorized per-row cost. Since r7 this
+    is exactly the default (``impl="pandas"``); the name is kept as the
+    stable explicit-twin entry point (the emb_kmeans_pandas query and
+    prior callers), delegating so there is one implementation to
+    maintain."""
+    return kmeans_fit_predict(df, k, iters, id_col, vec_col, keep_vec, impl="pandas")
 
 
 def semantic_dedup(
@@ -393,22 +401,28 @@ def semantic_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return (
+    return adopt(
         assigned.select(id_col, "cluster_id")
         .join(dropped.withColumn("_d", F.lit(True)), id_col, "left")
         .select(
             id_col,
             "cluster_id",
             F.coalesce(F.col("_d"), F.lit(False)).alias("is_dropped"),
-        )
+        ),
+        assigned,
     )
 
 
 def kmeans_cluster_summary(assigned: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Per-cluster summary of an assignment: size, member-id checksum,
-    total micro-distance — a hashable projection of the full result."""
-    return assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum(id_col).alias("member_checksum"),
-        F.sum("dist_micro").alias("sum_dist_micro"),
+    total micro-distance — a hashable projection of the full result.
+    Adopts the assignment's cache pins (kmeans_fit's Lloyd-input cache)
+    so callers holding only the summary can still release them."""
+    return adopt(
+        assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(id_col).alias("member_checksum"),
+            F.sum("dist_micro").alias("sum_dist_micro"),
+        ),
+        assigned,
     )

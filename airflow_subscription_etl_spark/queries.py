@@ -3377,11 +3377,16 @@ def q_kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_distinct").alias("exact_region_customers"),
         F.count(F.lit(1)).alias("n_nations"),
     )
-    return merged.join(exacts, "n_regionkey").select(
-        F.col("n_regionkey").cast("bigint").alias("regionkey"),
-        F.col("kmv_estimate").alias("kmv_region_estimate"),
-        "exact_region_customers",
-        "n_nations",
+    from .cache import pin  # noqa: PLC0415
+
+    return pin(
+        merged.join(exacts, "n_regionkey").select(
+            F.col("n_regionkey").cast("bigint").alias("regionkey"),
+            F.col("kmv_estimate").alias("kmv_region_estimate"),
+            "exact_region_customers",
+            "n_nations",
+        ),
+        nat,
     )
 
 
@@ -4281,11 +4286,15 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
         )
 
-    return (
+    from .cache import pin  # noqa: PLC0415
+
+    return pin(
         stage(0, "raw", docs)
         .unionByName(stage(1, "quality", s1))
         .unionByName(stage(2, "exact_dedup", s2))
-        .unionByName(stage(3, "near_dup_collapse", s3))
+        .unionByName(stage(3, "near_dup_collapse", s3)),
+        s1,
+        s2,
     )
 
 

@@ -75,6 +75,52 @@ def test_registration_is_weak(spark):
     df.unpersist()
 
 
+def test_adopt_moves_pins(spark):
+    df = spark.range(5).persist()
+    a = cache.pin(df.selectExpr("count(*) as c"), df)
+    b = a.selectExpr("c + 1 as d")
+    assert cache.adopt(b, a) is b
+    assert cache.pinned_count(a) == 0
+    assert cache.pinned_count(b) == 1
+    cache.release(b)
+    assert not _cached_level(df)
+    # adopt from an unpinned source is a no-op
+    c = b.selectExpr("d")
+    cache.adopt(c, b)
+    assert cache.pinned_count(c) == 0
+
+
+def test_kmeans_results_carry_pins(spark):
+    """The review-r7 gap: kmeans_fit's Lloyd-input .cache() must be
+    releasable through every public result shape — the raw assignment,
+    the cluster summary (adopting wrapper), and semantic_dedup."""
+    from airflow_subscription_etl_spark.operators.clustering import (
+        kmeans_cluster_summary,
+        kmeans_fit_predict,
+        semantic_dedup,
+    )
+
+    rows = [
+        (i, [float((i * 5 + d) % 7) / 7.0 for d in range(4)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    r = kmeans_fit_predict(emb, k=3, iters=2)
+    assert cache.pinned_count(r) == 1
+    summary = kmeans_cluster_summary(r)
+    assert cache.pinned_count(summary) == 1  # adopted …
+    assert cache.pinned_count(r) == 0  # … not duplicated
+    with cache.released(summary) as s:
+        s.collect()
+        (lloyd_input,) = cache._PINS[s]
+        assert _cached_level(lloyd_input)
+    assert not _cached_level(lloyd_input)
+
+    sd = semantic_dedup(emb, k=3, iters=2)
+    assert cache.pinned_count(sd) == 1
+    cache.release(sd)
+
+
 def test_minhash_lsh_pairs_pins_its_signature_cache(spark, docs):
     result = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
     assert cache.pinned_count(result) == 1
