@@ -8037,14 +8037,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: rounds old" invariant. Regenerate each round: python tools/retier.py
 _PRIORITY_R7 = [
     # tier 1 — implementation diff-reachable this round
+    "kmv_sketch_rollup",
     "emb_kmeans",
     "emb_kmeans_pandas",
+    "doc_curation_pipeline",
     "doc_minhash_portable",
     "emb_semantic_dedup",
     "doc_minhash_pairs",
     "doc_simhash_pairs",
     "emb_near_pairs",
     "doc_simhash_portable",
+    "emb_ivf_portable",
     "emb_hard_negatives",
     "emb_ivfpq_topk",
     "doc_minhash_incremental",
@@ -8059,7 +8062,6 @@ _PRIORITY_R7 = [
     "doc_weighted_sample",  # last row r2
     "dq_audit",  # last row r2
     "doc_bigram_topk",  # last row r2
-    "kmv_sketch_rollup",  # last row r2
     "emb_knn_join",  # last row r2
     "mode_median_per_group",  # last row r2
     "unpivot_nation_metrics",  # last row r2
@@ -8074,7 +8076,6 @@ _PRIORITY_R7 = [
     "graph_pagerank",  # last row r3
     "ev_resample_hourly",  # last row r3
     "ev_retention_cohorts",  # last row r3
-    "doc_curation_pipeline",  # last row r3
     "quantile_sketch_by_priority",  # last row r3
     "sql_segment_revenue",  # last row r3
     "ev_interval_join_binned",  # last row r3
@@ -8087,7 +8088,6 @@ _PRIORITY_R7 = [
     "salted_join_segments",  # last row r3
     "doc_cms_heavy_hitters",  # last row r3
     "incremental_order_stats",  # last row r3
-    "bloom_pruned_join",  # last row r3
 ]
 
 
