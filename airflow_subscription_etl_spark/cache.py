@@ -68,12 +68,16 @@ def release(result: DataFrame) -> int:
 
 
 def adopt(result: DataFrame, source: DataFrame) -> DataFrame:
-    """Move the pins registered on ``source`` to ``result`` — for
+    """COPY the pins registered on ``source`` onto ``result`` — for
     operators that build their return value ON TOP of another
     operator's (or an internal stage's) pinned result, so the caller
-    releases through the frame they actually hold. Safe when ``source``
-    has no pins. Returns ``result`` unchanged."""
-    frames = _PINS.pop(source, [])
+    releases through the frame they actually hold. A copy, not a move:
+    releasing through EITHER handle works (``DataFrame.unpersist()`` is
+    an idempotent no-op on an unpersisted frame, so double release is
+    harmless), whereas a move would silently strip the release path
+    from ``source`` when a caller summarizes a result they keep using.
+    Safe when ``source`` has no pins. Returns ``result`` unchanged."""
+    frames = _PINS.get(source, [])
     if frames:
         _PINS.setdefault(result, []).extend(frames)
     return result

@@ -230,8 +230,17 @@ def kmeans_fit(
     centroid. The input is cached for the iterations (the standard
     iterative-ML posture — MLlib does the same; at 100 TB you cache a
     sample or accept the re-scan).
+
+    ``assign_fn`` defaults to the Arrow/numpy twin (bit-identical to
+    the HOF reference — consistent with :func:`kmeans_fit_predict`'s
+    ``impl="pandas"`` default since r7); pass ``assign_clusters`` for
+    the interpreted reference kernel.
     """
-    assign = assign_fn or assign_clusters
+    # default kernel = the Arrow/numpy twin, CONSISTENT with
+    # kmeans_fit_predict's default (bit-identical to assign_clusters on
+    # all inputs — see _round_like_spark); pass assign_fn for the
+    # interpreted HOF reference kernel
+    assign = assign_fn or assign_clusters_pandas
     # cached for the Lloyd iterations (standard iterative-ML posture);
     # pin()-ed to the returned assignment so library callers can free
     # it via cache.release / cache.released — the harnesses' clearCache

@@ -711,7 +711,9 @@ def q_doc_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    from .cache import pin  # noqa: PLC0415
+
+    return pin(
         a.join(b, F.col("id_b") == F.col("id_a") + 1)
         .select(
             "id_a",
@@ -720,7 +722,8 @@ def q_doc_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
                 / F.size(F.array_union("sh_a", "sh_b"))
             ).alias("jaccard"),
-        )
+        ),
+        sh,
     )
 
 
@@ -6590,7 +6593,11 @@ def q_emb_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = assigned.filter(F.col("cluster_id").isin(probe)).select(
         "vec_id", "embedding"
     )
-    return similarity.brute_force_topk(candidates, qv, k=20)
+    from .cache import adopt  # noqa: PLC0415
+
+    # carry kmeans_fit's Lloyd-input cache pin onto the frame the
+    # caller holds, so cache.released() frees it
+    return adopt(similarity.brute_force_topk(candidates, qv, k=20), assigned)
 
 
 def _ivf_portable_oracle_sql(
@@ -8043,6 +8050,7 @@ _PRIORITY_R7 = [
     "doc_curation_pipeline",
     "doc_minhash_portable",
     "emb_semantic_dedup",
+    "doc_jaccard_adjacent",
     "doc_minhash_pairs",
     "doc_simhash_pairs",
     "emb_near_pairs",
@@ -8087,7 +8095,6 @@ _PRIORITY_R7 = [
     "salted_supplier_volume",  # last row r3
     "salted_join_segments",  # last row r3
     "doc_cms_heavy_hitters",  # last row r3
-    "incremental_order_stats",  # last row r3
 ]
 
 

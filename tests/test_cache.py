@@ -75,15 +75,20 @@ def test_registration_is_weak(spark):
     df.unpersist()
 
 
-def test_adopt_moves_pins(spark):
+def test_adopt_copies_pins(spark):
+    """adopt COPIES (does not move): releasing through either handle
+    must work — a move would strip the release path from a result the
+    caller keeps using after summarizing it. Double release is safe
+    because unpersist() is an idempotent no-op."""
     df = spark.range(5).persist()
     a = cache.pin(df.selectExpr("count(*) as c"), df)
     b = a.selectExpr("c + 1 as d")
     assert cache.adopt(b, a) is b
-    assert cache.pinned_count(a) == 0
+    assert cache.pinned_count(a) == 1  # still releasable via a
     assert cache.pinned_count(b) == 1
     cache.release(b)
     assert not _cached_level(df)
+    assert cache.release(a) == 1  # harmless second unpersist
     # adopt from an unpinned source is a no-op
     c = b.selectExpr("d")
     cache.adopt(c, b)
@@ -108,8 +113,8 @@ def test_kmeans_results_carry_pins(spark):
     r = kmeans_fit_predict(emb, k=3, iters=2)
     assert cache.pinned_count(r) == 1
     summary = kmeans_cluster_summary(r)
-    assert cache.pinned_count(summary) == 1  # adopted …
-    assert cache.pinned_count(r) == 0  # … not duplicated
+    assert cache.pinned_count(summary) == 1  # adopted (copied) …
+    assert cache.pinned_count(r) == 1  # … r stays releasable too
     with cache.released(summary) as s:
         s.collect()
         (lloyd_input,) = cache._PINS[s]
