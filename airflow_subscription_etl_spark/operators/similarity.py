@@ -806,6 +806,100 @@ def matryoshka_topk(
     )
 
 
+def rp_sign_matrix(dims: int, r_dims: int) -> list[list[int]]:
+    """±1 Achlioptas-style sign matrix for Johnson–Lindenstrauss
+    random projection, from the SAME portable affine Mersenne-31 hash
+    family as the sketch/LSH twins (sketch.portable_hash_params) so
+    every engine — and the DuckDB oracle — regenerates it exactly:
+    ``sign[j][i] = ((a_j·(i+1) + b_j) mod M31) mod 2 · 2 − 1``.
+    Dense ±1 entries satisfy the JL guarantee with the same variance
+    as Gaussian projections (Achlioptas 2003, "Database-friendly
+    random projections") while keeping the arithmetic integer-exact."""
+    from .sketch import MERSENNE31, portable_hash_params  # noqa: PLC0415
+
+    return [
+        [(((a * (i + 1) + b) % MERSENNE31) % 2) * 2 - 1 for i in range(dims)]
+        for a, b in portable_hash_params(r_dims)
+    ]
+
+
+def random_projection_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    r_dims: int = 8,
+    candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL random-projection prefilter + exact cosine rerank — the
+    fourth member of the compressed-retrieval family (int8 quantized =
+    precision cut, matryoshka = prefix-dims cut, PQ = codebook cut;
+    this = dimensionality cut that needs NO model cooperation: works on
+    any embedding, trained for truncation or not).
+
+    Stage 1 (map-only): micro-quantize the vector, fold it through the
+    plan-constant ±1 sign matrix (``r_dims`` int64 components — exact
+    integer arithmetic end-to-end), score by squared L2 distance to
+    the identically-projected query, and keep the ``candidates`` best
+    in a TakeOrdered. Stage 2 reranks only those rows with exact
+    full-width cosine. The 100 TB arithmetic: per-row compare cost
+    drops from ``dims`` float ops to ``r_dims`` int64 ops after a
+    one-pass projection (at scale the projected column is materialized
+    once, exactly like LSH signatures), and no stage ever materializes
+    more than ``candidates`` rows. Deterministic: stage 1 tiebreaks
+    (approx asc, id asc), stage 2 (cosine desc, id asc); the sign
+    matrix and the projected query are plan constants, so a DuckDB
+    oracle replays the whole pipeline bit-for-bit.
+
+    Approximation contract: recall<k depends on r_dims/candidates (JL
+    ε ~ sqrt(log n / r_dims)); with ``candidates`` ≥ corpus size the
+    prefilter is a no-op and the result EQUALS brute_force_topk —
+    pinned by test. Overflow: |proj| ≤ dims·1e6·max|v| (≈6.4e7 at
+    64 dims, unit-scale), squared-diff sums ≤ r_dims·(2·6.4e7)² ≈
+    1.3e17 — int64-safe with >60× headroom."""
+    import math  # noqa: PLC0415
+
+    dims = len(query_vec)
+    signs = rp_sign_matrix(dims, r_dims)
+    qmic = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query_vec]
+    # exact Python ints — same affine family the SQL oracle regenerates
+    pq = [sum(s * m for s, m in zip(srow, qmic)) for srow in signs]
+
+    signs_lit = F.array(
+        *[
+            F.array(*[F.lit(int(s)).cast("bigint") for s in srow])
+            for srow in signs
+        ]
+    )
+    pq_lit = F.array(*[F.lit(int(v)).cast("bigint") for v in pq])
+    vmic = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(1_000_000.0) + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    proj = F.transform(
+        signs_lit,
+        lambda srow: F.aggregate(
+            F.zip_with(vmic, srow, lambda x, s: x * s),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    approx = F.aggregate(
+        F.zip_with(proj, pq_lit, lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col), approx.alias("approx_d2"))
+        .orderBy(F.col("approx_d2").asc(), F.col(id_col).asc())
+        .limit(candidates)
+    )
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def embedding_dim_stats(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -7837,6 +7837,92 @@ def q_emb_kmeans_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_summary(kmeans_fit_predict_pandas(emb, k=8, iters=3))
 
 
+def q_emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection prefilter retrieval
+    (similarity.random_projection_topk): micro-quantized vectors folded
+    through a plan-constant ±1 sign matrix (portable affine Mersenne-31
+    hashes — the sketch/LSH family) to 8 int64 components, squared-L2
+    prefilter to 64 candidates, exact cosine rerank to top-20. The
+    dimensionality-cut member of the compressed-retrieval family
+    (int8 = precision, matryoshka = prefix dims, PQ = codebook);
+    integer-exact through the prefilter, so DuckDB replays it
+    bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.random_projection_topk(
+        emb, qv, k=20, r_dims=8, candidates=64
+    )
+
+
+def _rp_oracle_sql(
+    dims: int = 64, r_dims: int = 8, candidates: int = 64, k: int = 20
+) -> str:
+    """DuckDB replay of q_emb_rp_topk: regenerates the ±1 sign matrix
+    from the same affine params, projects corpus and query with the
+    same floor-micro quantization, prefilters by integer squared-L2
+    with the same (approx asc, id asc) tiebreak, and reranks with the
+    SQL_EMB_TOPK cosine formula."""
+    from .operators.sketch import portable_hash_params  # noqa: PLC0415
+
+    params = ", ".join(
+        f"({j}, {a}, {b})"
+        for j, (a, b) in enumerate(portable_hash_params(r_dims))
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+params(j, a, b) AS (VALUES {params}),
+dim AS (SELECT i FROM range({dims}) t(i)),
+signs AS (
+  SELECT p.j, d.i,
+         ((p.a * (d.i + 1) + p.b) % 2147483647) % 2 * 2 - 1 AS s
+  FROM params p CROSS JOIN dim d
+),
+vm AS (
+  SELECT e.vec_id, d.i,
+         CAST(floor(e.embedding[d.i + 1]::DOUBLE * 1000000.0 + 0.5)
+              AS BIGINT) AS mic
+  FROM embeddings e CROSS JOIN dim d
+),
+qm AS (
+  SELECT d.i,
+         CAST(floor(q.qv[d.i + 1]::DOUBLE * 1000000.0 + 0.5)
+              AS BIGINT) AS mic
+  FROM q CROSS JOIN dim d
+),
+pv AS (
+  SELECT vm.vec_id, s.j, SUM(vm.mic * s.s) AS p
+  FROM vm JOIN signs s ON vm.i = s.i GROUP BY 1, 2
+),
+pq AS (
+  SELECT s.j, SUM(qm.mic * s.s) AS p
+  FROM qm JOIN signs s ON qm.i = s.i GROUP BY 1
+),
+approx AS (
+  SELECT pv.vec_id,
+         CAST(SUM((pv.p - pq.p) * (pv.p - pq.p)) AS BIGINT) AS ad
+  FROM pv JOIN pq USING (j) GROUP BY 1
+),
+cand AS (
+  SELECT vec_id FROM approx ORDER BY ad ASC, vec_id ASC LIMIT {candidates}
+),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS cosine_sim
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
@@ -8030,6 +8116,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_rrf_retrieval": (q_doc_rrf_retrieval, SQL_DOC_RRF),
     "orders_bitmap_distinct": (q_orders_bitmap_distinct, SQL_ORDERS_BITMAP_DISTINCT),
     "doc_curation_report": (q_doc_curation_report, SQL_DOC_CURATION_REPORT),
+    # -- round 7 --
+    "emb_rp_topk": (q_emb_rp_topk, _rp_oracle_sql),
 }
 
 
@@ -8043,6 +8131,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: casualty, leads) and bites into r3, holding the "every row ≤3
 #: rounds old" invariant. Regenerate each round: python tools/retier.py
 _PRIORITY_R7 = [
+    # tier 0 — NEW registered queries (no CORRECTNESS row yet)
+    "emb_rp_topk",
     # tier 1 — implementation diff-reachable this round
     "kmv_sketch_rollup",
     "emb_kmeans",
@@ -8094,7 +8184,6 @@ _PRIORITY_R7 = [
     "mm_audio_windows",  # last row r3
     "salted_supplier_volume",  # last row r3
     "salted_join_segments",  # last row r3
-    "doc_cms_heavy_hitters",  # last row r3
 ]
 
 

@@ -123,6 +123,10 @@ HEADLINE = [
     # stays comparable round-over-round (the HOF kernel is pinned to
     # the twin by parity tests, not by a headline slot)
     "emb_kmeans_pandas",
+    # round-7 addition: JL random-projection prefilter retrieval — the
+    # dimensionality-cut member of the compressed-retrieval family
+    # (map-only projection + bounded TakeOrdered; no shuffle)
+    "emb_rp_topk",
     # round 6 adds one registered query (doc_minhash_indexed) which
     # stays correctness-gated but OUT of the headline: each call
     # (re)writes the bucketed index table before probing it, so its

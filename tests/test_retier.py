@@ -43,11 +43,24 @@ def test_unrelated_change_flags_nothing():
     assert hits == []
 
 
-def test_ages_cover_registry():
+def test_never_checked_queries_lead_the_emitted_list(monkeypatch, capsys):
+    """Mid-round, a freshly-registered query legitimately has no
+    CORRECTNESS row yet — but then it MUST be emitted in tier 0 at the
+    head of the priority list, or the driver never verifies it (the
+    old form of this test asserted zero missing rows, which is only
+    true between rounds)."""
+    import sys as _sys
+
     ages = retier.latest_green_round()
     reg = retier.registry_queries()
     missing = [q for q in reg if q not in ages]
-    assert not missing, f"queries with no CORRECTNESS row: {missing[:5]}"
+    # only this round's registrations may lack rows — never a backlog
+    assert len(missing) <= 3, f"stale unchecked backlog: {missing[:5]}"
+    monkeypatch.setattr(retier, "changed_symbols", lambda base: set())
+    monkeypatch.setattr(_sys, "argv", ["retier.py"])
+    retier.main()
+    names = _emitted_names(capsys.readouterr().out)
+    assert names[: len(missing)] == missing
 
 
 def test_cycle_does_not_poison_memo():
@@ -80,14 +93,20 @@ def test_slots_arg_forms(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(
         retier, "changed_symbols", lambda base: set()
     )
+    # tier 0 (never-checked registrations) occupies slots first, so
+    # the fill count is 7 minus however many exist right now
+    ages = retier.latest_green_round()
+    tier0 = sum(1 for q in retier.registry_queries() if q not in ages)
     for argv in (["retier.py", "--slots", "7"], ["retier.py", "--slots=7"]):
         monkeypatch.setattr(_sys, "argv", argv)
         retier.main()
         out = capsys.readouterr()
         assert "_PRIORITY = [" in out.out
         assert out.out.count("#  tier") <= 2
-        # 0 tier-1 + 7 fill slots
-        assert sum(1 for line in out.out.splitlines() if "last row r" in line) == 7
+        assert (
+            sum(1 for line in out.out.splitlines() if "last row r" in line)
+            == 7 - tier0
+        )
 
 
 def test_deleted_method_lines_do_not_flood(monkeypatch):

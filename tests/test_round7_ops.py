@@ -1,0 +1,74 @@
+"""Round-7 operator: Johnson–Lindenstrauss random-projection
+prefilter retrieval (similarity.random_projection_topk)."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_subscription_etl_spark.operators.similarity import (
+    brute_force_topk,
+    random_projection_topk,
+    rp_sign_matrix,
+)
+
+
+@pytest.fixture()
+def emb(spark):
+    rows = [
+        (i, [float(((i * 13 + d * 7) % 29) - 14) / 14.0 for d in range(16)])
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_sign_matrix_is_deterministic_and_pm1():
+    a = rp_sign_matrix(16, 4)
+    b = rp_sign_matrix(16, 4)
+    assert a == b
+    assert len(a) == 4 and all(len(row) == 16 for row in a)
+    assert {v for row in a for v in row} <= {-1, 1}
+    # rows differ (independent hash params per output dim)
+    assert len({tuple(r) for r in a}) == 4
+
+
+def test_rp_equals_brute_force_when_candidates_cover_corpus(spark, emb):
+    """With candidates ≥ n the prefilter is a no-op: the result must
+    EQUAL exact brute-force top-k, cosine values included."""
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    exact = brute_force_topk(emb, qv, k=10).collect()
+    rp = random_projection_topk(emb, qv, k=10, r_dims=4, candidates=100).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in rp] == [
+        (r["vec_id"], r["cosine_sim"]) for r in exact
+    ]
+
+
+def test_rp_prefilter_is_deterministic_and_exact_on_survivors(spark, emb):
+    """With a tight candidate budget the result is (a) stable across
+    partitioning and (b) every returned cosine is the TRUE cosine (the
+    rerank is exact — approximation affects only candidate recall)."""
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    r1 = random_projection_topk(emb, qv, k=5, r_dims=4, candidates=12).collect()
+    r2 = random_projection_topk(
+        emb.repartition(7), qv, k=5, r_dims=4, candidates=12
+    ).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    truth = {
+        r["vec_id"]: r["cosine_sim"] for r in brute_force_topk(emb, qv, k=60).collect()
+    }
+    for r in r1:
+        assert r["cosine_sim"] == truth[r["vec_id"]]
+    # scores come back best-first
+    sims = [r["cosine_sim"] for r in r1]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_rp_plan_is_map_only_takeordered(spark, emb):
+    """Scale pin: the prefilter must compile to a map-side scan feeding
+    TakeOrderedAndProject — no Exchange (shuffle) anywhere; both stages
+    are bounded top-N merges."""
+    qv = [0.1 * d for d in range(16)]
+    plan = random_projection_topk(
+        emb, qv, k=5, r_dims=4, candidates=12
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
