@@ -7846,10 +7846,17 @@ def q_emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensionality-cut member of the compressed-retrieval family
     (int8 = precision, matryoshka = prefix dims, PQ = codebook);
     integer-exact through the prefilter, so DuckDB replays it
-    bit-for-bit."""
+    bit-for-bit.
+
+    Runs the Arrow/numpy twin (random_projection_topk_pandas) — the
+    default-to-throughput pattern (pq_ann_topk, semantic_dedup,
+    kmeans): the prefilter is exact int64 arithmetic in both kernels,
+    so the twin and the interpreted-HOF reference
+    (random_projection_topk, pinned equal by tests/test_round7_ops.py)
+    satisfy the SAME oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    return similarity.random_projection_topk(
+    return similarity.random_projection_topk_pandas(
         emb, qv, k=20, r_dims=8, candidates=64
     )
 

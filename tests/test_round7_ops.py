@@ -8,6 +8,7 @@ import pytest
 from airflow_subscription_etl_spark.operators.similarity import (
     brute_force_topk,
     random_projection_topk,
+    random_projection_topk_pandas,
     rp_sign_matrix,
 )
 
@@ -60,6 +61,34 @@ def test_rp_prefilter_is_deterministic_and_exact_on_survivors(spark, emb):
     # scores come back best-first
     sims = [r["cosine_sim"] for r in r1]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_rp_pandas_twin_is_identical(spark, emb):
+    """The Arrow/numpy twin must return EXACTLY the HOF reference's
+    rows — the prefilter is int64-exact in both kernels (np.floor on
+    identical IEEE doubles), so this is equality, not approximation.
+    Checked at a tight candidate budget where any prefilter divergence
+    would change the candidate set."""
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    for cand in (12, 100):
+        hof = random_projection_topk(
+            emb, qv, k=5, r_dims=4, candidates=cand
+        ).collect()
+        twin = random_projection_topk_pandas(
+            emb, qv, k=5, r_dims=4, candidates=cand
+        ).collect()
+        assert [tuple(r) for r in twin] == [tuple(r) for r in hof]
+
+
+def test_rp_pandas_plan_has_no_exchange(spark, emb):
+    """Twin scale pin: one Arrow scan into TakeOrdered — no shuffle,
+    no second scan / join back for the rerank."""
+    qv = [0.1 * d for d in range(16)]
+    plan = random_projection_topk_pandas(
+        emb, qv, k=5, r_dims=4, candidates=12
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_rp_plan_is_map_only_takeordered(spark, emb):
