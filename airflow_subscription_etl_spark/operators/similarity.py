@@ -823,6 +823,60 @@ def rp_sign_matrix(dims: int, r_dims: int) -> list[list[int]]:
     ]
 
 
+def _rp_micro_limit(dims: int, r_dims: int) -> int:
+    """Largest per-element |micro| for which the whole prefilter is
+    int64-exact: |proj| ≤ dims·m, |diff| ≤ 2·dims·m, and the fold sums
+    r_dims·diff² — so m ≤ √(2⁶³/r_dims) / (2·dims). At 64 dims /
+    r_dims 8 this is ≈ 8.39e6 micro, i.e. |x| ≲ 8.39 — generous for
+    unit-scale embeddings, and SILENT wraparound beyond it would
+    corrupt the candidate set identically on Spark and numpy (DuckDB's
+    HUGEINT would NOT wrap, surfacing as an oracle mismatch with no
+    hint of the cause), hence the loud guards below."""
+    import math  # noqa: PLC0415
+
+    return int(math.sqrt(2.0**63 / r_dims) / (2.0 * dims))
+
+
+def _rp_query_projection(
+    query_vec: list[float], r_dims: int
+) -> tuple[list[list[int]], list[int]]:
+    """(sign matrix, projected query) — the driver-side half both
+    kernels share, exact Python ints (one definition: quantization or
+    rounding drift between the kernels would silently break the pinned
+    twin-equality and oracle parity). Raises when the query vector
+    alone would exceed the int64-exact envelope."""
+    import math  # noqa: PLC0415
+
+    dims = len(query_vec)
+    signs = rp_sign_matrix(dims, r_dims)
+    qmic = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query_vec]
+    limit = _rp_micro_limit(dims, r_dims)
+    if max((abs(m) for m in qmic), default=0) > limit:
+        raise ValueError(
+            f"query magnitude exceeds the int64-exact envelope "
+            f"(|micro| > {limit} at dims={dims}, r_dims={r_dims}); "
+            "normalize the vectors or lower r_dims"
+        )
+    pq = [sum(s * m for s, m in zip(srow, qmic)) for srow in signs]
+    return signs, pq
+
+
+def _rp_valid_rows(df: DataFrame, dims: int, vec_col: str) -> DataFrame:
+    """Exclude rows no engine scores meaningfully: NULL vectors,
+    wrong-length (ragged) vectors, and vectors containing NaN. Without
+    this the three engines DIVERGE instead of degrade — Spark's ASC
+    puts NULL approx first (null rows eat candidate slots and surface
+    with None cosine), numpy's np.stack raises on ragged batches and
+    its NaN→int64 cast is undefined, and DuckDB errors on
+    CAST(nan AS BIGINT). One vectorized pass, stays in codegen."""
+    v = F.col(vec_col)
+    return df.filter(
+        v.isNotNull()
+        & (F.size(v) == dims)
+        & ~F.exists(v, lambda x: F.isnan(x.cast("double")))
+    )
+
+
 def random_projection_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -854,17 +908,16 @@ def random_projection_topk(
 
     Approximation contract: recall<k depends on r_dims/candidates (JL
     ε ~ sqrt(log n / r_dims)); with ``candidates`` ≥ corpus size the
-    prefilter is a no-op and the result EQUALS brute_force_topk —
-    pinned by test. Overflow: |proj| ≤ dims·1e6·max|v| (≈6.4e7 at
-    64 dims, unit-scale), squared-diff sums ≤ r_dims·(2·6.4e7)² ≈
-    1.3e17 — int64-safe with >60× headroom."""
-    import math  # noqa: PLC0415
-
+    prefilter is a no-op and the result EQUALS brute_force_topk on
+    valid rows — pinned by test. Rows with NULL / ragged / NaN vectors
+    are EXCLUDED up front (_rp_valid_rows — engines diverge rather
+    than degrade on them). Int64 envelope: exact for |x| ≲ 8.39 at
+    64 dims / r_dims 8 (_rp_micro_limit; the query side raises, the
+    corpus side is guarded in the twin — this interpreted path trusts
+    the documented bound rather than paying a per-row check)."""
     dims = len(query_vec)
-    signs = rp_sign_matrix(dims, r_dims)
-    qmic = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query_vec]
-    # exact Python ints — same affine family the SQL oracle regenerates
-    pq = [sum(s * m for s, m in zip(srow, qmic)) for srow in signs]
+    signs, pq = _rp_query_projection(query_vec, r_dims)
+    df = _rp_valid_rows(df, dims, vec_col)
 
     signs_lit = F.array(
         *[
@@ -921,19 +974,20 @@ def random_projection_topk_pandas(
     instead of ~r_dims·dims interpreted HOF lambda calls per row
     (~5× at sf0.1). The established throughput-twin pattern
     (brute_force_topk_pandas, pq_topk_pandas, assign_clusters_pandas);
-    both paths satisfy the same oracle."""
-    import math  # noqa: PLC0415
-
+    both paths satisfy the same oracle. NULL / ragged / NaN rows are
+    excluded Spark-side before the Arrow transfer (np.stack would
+    raise on ragged batches and NaN→int64 is undefined); corpus
+    magnitudes beyond the int64-exact envelope raise per-batch instead
+    of silently wrapping the candidate scores."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     dims = len(query_vec)
-    S = np.array(rp_sign_matrix(dims, r_dims), dtype=np.int64)  # (r, d)
-    qmic = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in query_vec]
-    pq = np.array(
-        [sum(s * m for s, m in zip(srow, qmic)) for srow in S.tolist()],
-        dtype=np.int64,
-    )
+    signs, pq_list = _rp_query_projection(query_vec, r_dims)
+    S = np.array(signs, dtype=np.int64)  # (r, d)
+    pq = np.array(pq_list, dtype=np.int64)
+    limit = _rp_micro_limit(dims, r_dims)
+    df = _rp_valid_rows(df, dims, vec_col)
 
     def score(batches):
         for pdf in batches:
@@ -941,6 +995,12 @@ def random_projection_topk_pandas(
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Xmic = np.floor(X * 1_000_000.0 + 0.5).astype(np.int64)
+            if np.abs(Xmic).max() > limit:
+                raise ValueError(
+                    f"corpus magnitude exceeds the int64-exact envelope "
+                    f"(|micro| > {limit} at dims={dims}, r_dims={r_dims}); "
+                    "normalize the vectors or lower r_dims"
+                )
             P = Xmic @ S.T  # (n, r) exact int64
             D = P - pq[None, :]
             yield pd.DataFrame(

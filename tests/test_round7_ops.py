@@ -91,6 +91,49 @@ def test_rp_pandas_plan_has_no_exchange(spark, emb):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_rp_dirty_rows_are_excluded_identically(spark, emb):
+    """NULL, ragged, and NaN vectors are excluded up front by BOTH
+    kernels (review r7: without the filter, null rows ate candidate
+    slots and surfaced with None cosine in the HOF path, np.stack
+    crashed the twin on ragged batches, and NaN ranked first with nan
+    cosine) — the result must equal the clean-data result."""
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    dirty = emb.unionByName(
+        spark.createDataFrame(
+            [
+                (997, None),
+                (998, [1.0, 2.0]),
+                (999, [float("nan")] * 16),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    clean = random_projection_topk(emb, qv, k=5, r_dims=4, candidates=12).collect()
+    for fn in (random_projection_topk, random_projection_topk_pandas):
+        got = fn(dirty, qv, k=5, r_dims=4, candidates=12).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in clean], fn.__name__
+
+
+def test_rp_overflow_guard_raises_loudly(spark):
+    """Magnitudes beyond the int64-exact envelope must raise, not
+    silently wrap the candidate scores (review r7: |x| ≳ 8.4 at
+    64 dims wraps two's-complement identically on Spark and numpy
+    while DuckDB's HUGEINT doesn't — an undiagnosable mismatch)."""
+    big = spark.createDataFrame(
+        [(i, [50.0] * 64) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    qv_big = [50.0] * 64
+    with pytest.raises(ValueError, match="envelope"):
+        random_projection_topk_pandas(big, qv_big, k=2, r_dims=8, candidates=3)
+    # an in-envelope query over an out-of-envelope corpus: the twin's
+    # per-batch guard fires at execution time
+    qv_ok = [0.1] * 64
+    with pytest.raises(Exception, match="envelope"):
+        random_projection_topk_pandas(
+            big, qv_ok, k=2, r_dims=8, candidates=3
+        ).collect()
+
+
 def test_rp_plan_is_map_only_takeordered(spark, emb):
     """Scale pin: the prefilter must compile to a map-side scan feeding
     TakeOrderedAndProject — no Exchange (shuffle) anywhere; both stages
