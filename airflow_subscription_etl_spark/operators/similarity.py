@@ -826,15 +826,28 @@ def rp_sign_matrix(dims: int, r_dims: int) -> list[list[int]]:
 def _rp_micro_limit(dims: int, r_dims: int) -> int:
     """Largest per-element |micro| for which the whole prefilter is
     int64-exact: |proj| ≤ dims·m, |diff| ≤ 2·dims·m, and the fold sums
-    r_dims·diff² — so m ≤ √(2⁶³/r_dims) / (2·dims). At 64 dims /
-    r_dims 8 this is ≈ 8.39e6 micro, i.e. |x| ≲ 8.39 — generous for
-    unit-scale embeddings, and SILENT wraparound beyond it would
-    corrupt the candidate set identically on Spark and numpy (DuckDB's
-    HUGEINT would NOT wrap, surfacing as an oracle mismatch with no
-    hint of the cause), hence the loud guards below."""
+    r_dims·diff² — so m ≤ √((2⁶³−1)/r_dims) / (2·dims), computed in
+    exact integer math (float √2⁶³ admitted a worst case of exactly
+    2⁶³, one past INT64_MAX — review r7). At 64 dims / r_dims 8 this
+    is ≈ 8.39e6 micro, i.e. |x| ≲ 8.39 — generous for unit-scale
+    embeddings. SILENT wraparound beyond it would corrupt the
+    candidate set identically on Spark and numpy (DuckDB's HUGEINT
+    would NOT wrap, surfacing as an oracle mismatch with no hint of
+    the cause) — hence out-of-envelope elements are EXCLUDED by the
+    validity filter, uniformly in every engine."""
     import math  # noqa: PLC0415
 
-    return int(math.sqrt(2.0**63 / r_dims) / (2.0 * dims))
+    return math.isqrt((2**63 - 1) // r_dims) // (2 * dims)
+
+
+def _rp_max_abs(dims: int, r_dims: int) -> float:
+    """The float-domain bound the validity filter enforces:
+    |x| ≤ (limit−1)/1e6 guarantees floor(|x|·1e6 + 0.5) ≤ limit even
+    after the half-ulp of the multiply. One shared double constant —
+    Spark compares F.lit(value), the oracle compares the same repr —
+    so the boundary decision is the identical IEEE comparison in every
+    engine."""
+    return (_rp_micro_limit(dims, r_dims) - 1) / 1_000_000.0
 
 
 def _rp_query_projection(
@@ -861,19 +874,36 @@ def _rp_query_projection(
     return signs, pq
 
 
-def _rp_valid_rows(df: DataFrame, dims: int, vec_col: str) -> DataFrame:
+def _rp_valid_rows(
+    df: DataFrame, dims: int, r_dims: int, vec_col: str
+) -> DataFrame:
     """Exclude rows no engine scores meaningfully: NULL vectors,
-    wrong-length (ragged) vectors, and vectors containing NaN. Without
-    this the three engines DIVERGE instead of degrade — Spark's ASC
-    puts NULL approx first (null rows eat candidate slots and surface
-    with None cosine), numpy's np.stack raises on ragged batches and
-    its NaN→int64 cast is undefined, and DuckDB errors on
-    CAST(nan AS BIGINT). One vectorized pass, stays in codegen."""
+    wrong-length (ragged) vectors, and vectors with any element that
+    is NULL, NaN, ±Inf, or beyond the int64-exact envelope. Without
+    this the engines DIVERGE instead of degrade — Spark's ASC puts
+    NULL approx first (null rows eat candidate slots and surface with
+    None cosine), numpy's np.stack raises on ragged batches and its
+    NaN/Inf/overflow→int64 casts are undefined, DuckDB errors on
+    CAST(nan AS BIGINT), and out-of-envelope magnitudes wrap int64
+    silently on Spark/numpy but not DuckDB's HUGEINT. The single
+    predicate ``|x| ≤ max_abs`` handles ALL element cases at once:
+    it is false for NaN and +Inf under both Spark's and DuckDB's
+    NaN-is-greatest ordering, and the surrounding ``forall`` maps a
+    NULL element to non-true. The oracle applies the same WHERE
+    clause, so exclusion is engine-uniform. Cost: the null/size
+    checks codegen; the element predicate is an interpreted array
+    pass (HOFs are CodegenFallback) — one pass, far cheaper than the
+    r_dims-fold it protects, and shared by both kernels."""
     v = F.col(vec_col)
+    max_abs = _rp_max_abs(dims, r_dims)
     return df.filter(
         v.isNotNull()
         & (F.size(v) == dims)
-        & ~F.exists(v, lambda x: F.isnan(x.cast("double")))
+        & F.forall(
+            v,
+            lambda x: x.isNotNull()
+            & (F.abs(x.cast("double")) <= F.lit(max_abs)),
+        )
     )
 
 
@@ -909,15 +939,16 @@ def random_projection_topk(
     Approximation contract: recall<k depends on r_dims/candidates (JL
     ε ~ sqrt(log n / r_dims)); with ``candidates`` ≥ corpus size the
     prefilter is a no-op and the result EQUALS brute_force_topk on
-    valid rows — pinned by test. Rows with NULL / ragged / NaN vectors
-    are EXCLUDED up front (_rp_valid_rows — engines diverge rather
-    than degrade on them). Int64 envelope: exact for |x| ≲ 8.39 at
-    64 dims / r_dims 8 (_rp_micro_limit; the query side raises, the
-    corpus side is guarded in the twin — this interpreted path trusts
-    the documented bound rather than paying a per-row check)."""
+    valid rows — pinned by test. Rows with NULL / ragged / NaN / ±Inf
+    / out-of-envelope vectors are EXCLUDED up front (_rp_valid_rows —
+    engines diverge rather than degrade on them; the int64-exact
+    envelope is |x| ≲ 8.39 at 64 dims / r_dims 8, _rp_micro_limit).
+    The filter is shared by both kernels and mirrored in the oracle's
+    WHERE clause, so exclusion is engine-uniform; the query vector
+    itself raises when out of envelope (driver-side, actionable)."""
     dims = len(query_vec)
     signs, pq = _rp_query_projection(query_vec, r_dims)
-    df = _rp_valid_rows(df, dims, vec_col)
+    df = _rp_valid_rows(df, dims, r_dims, vec_col)
 
     signs_lit = F.array(
         *[
@@ -974,11 +1005,12 @@ def random_projection_topk_pandas(
     instead of ~r_dims·dims interpreted HOF lambda calls per row
     (~5× at sf0.1). The established throughput-twin pattern
     (brute_force_topk_pandas, pq_topk_pandas, assign_clusters_pandas);
-    both paths satisfy the same oracle. NULL / ragged / NaN rows are
-    excluded Spark-side before the Arrow transfer (np.stack would
-    raise on ragged batches and NaN→int64 is undefined); corpus
-    magnitudes beyond the int64-exact envelope raise per-batch instead
-    of silently wrapping the candidate scores."""
+    both paths satisfy the same oracle. NULL / ragged / NaN / ±Inf /
+    out-of-envelope rows are excluded Spark-side before the Arrow
+    transfer (the SHARED _rp_valid_rows filter — np.stack would raise
+    on ragged batches and the NaN/Inf/overflow→int64 casts are
+    undefined); the in-batch check below is a pure backstop asserting
+    the filter's post-condition on the pre-cast floats."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -986,21 +1018,23 @@ def random_projection_topk_pandas(
     signs, pq_list = _rp_query_projection(query_vec, r_dims)
     S = np.array(signs, dtype=np.int64)  # (r, d)
     pq = np.array(pq_list, dtype=np.int64)
-    limit = _rp_micro_limit(dims, r_dims)
-    df = _rp_valid_rows(df, dims, vec_col)
+    max_abs = _rp_max_abs(dims, r_dims)
+    df = _rp_valid_rows(df, dims, r_dims, vec_col)
 
     def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Xmic = np.floor(X * 1_000_000.0 + 0.5).astype(np.int64)
-            if np.abs(Xmic).max() > limit:
-                raise ValueError(
-                    f"corpus magnitude exceeds the int64-exact envelope "
-                    f"(|micro| > {limit} at dims={dims}, r_dims={r_dims}); "
-                    "normalize the vectors or lower r_dims"
+            # backstop BEFORE the lossy int64 cast (a post-cast check
+            # can't fire: NaN/Inf/huge floats cast to INT64_MIN, whose
+            # np.abs is still negative — review r7)
+            if not np.isfinite(X).all() or np.abs(X).max() > max_abs:
+                raise AssertionError(
+                    "_rp_valid_rows invariant violated: non-finite or "
+                    "out-of-envelope element reached the twin kernel"
                 )
+            Xmic = np.floor(X * 1_000_000.0 + 0.5).astype(np.int64)
             P = Xmic @ S.T  # (n, r) exact int64
             D = P - pq[None, :]
             yield pd.DataFrame(

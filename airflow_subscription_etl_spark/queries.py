@@ -7865,20 +7865,34 @@ def _rp_oracle_sql(
     dims: int = 64, r_dims: int = 8, candidates: int = 64, k: int = 20
 ) -> str:
     """DuckDB replay of q_emb_rp_topk: regenerates the ±1 sign matrix
-    from the same affine params, projects corpus and query with the
-    same floor-micro quantization, prefilters by integer squared-L2
-    with the same (approx asc, id asc) tiebreak, and reranks with the
-    SQL_EMB_TOPK cosine formula."""
+    from the same affine params, applies the SAME validity filter as
+    _rp_valid_rows (NULL / ragged / NaN / ±Inf / out-of-envelope rows
+    excluded — the |x| ≤ max_abs comparison is false for NaN and +Inf
+    under DuckDB's NaN-is-greatest ordering exactly as under Spark's,
+    and the bound is the identical double via its repr), projects
+    corpus and query with the same floor-micro quantization,
+    prefilters by integer squared-L2 with the same (approx asc,
+    id asc) tiebreak, and reranks with the SQL_EMB_TOPK cosine
+    formula."""
+    from .operators.similarity import _rp_max_abs  # noqa: PLC0415
     from .operators.sketch import portable_hash_params  # noqa: PLC0415
 
     params = ", ".join(
         f"({j}, {a}, {b})"
         for j, (a, b) in enumerate(portable_hash_params(r_dims))
     )
+    max_abs = repr(_rp_max_abs(dims, r_dims))
     return f"""
 WITH q AS (
   SELECT embedding AS qv FROM embeddings
   WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+valid AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dims}
+    AND coalesce(list_bool_and(list_transform(embedding,
+          x -> x IS NOT NULL
+               AND abs(x::DOUBLE) <= '{max_abs}'::DOUBLE)), false)
 ),
 params(j, a, b) AS (VALUES {params}),
 dim AS (SELECT i FROM range({dims}) t(i)),
@@ -7891,7 +7905,7 @@ vm AS (
   SELECT e.vec_id, d.i,
          CAST(floor(e.embedding[d.i + 1]::DOUBLE * 1000000.0 + 0.5)
               AS BIGINT) AS mic
-  FROM embeddings e CROSS JOIN dim d
+  FROM valid e CROSS JOIN dim d
 ),
 qm AS (
   SELECT d.i,

@@ -114,24 +114,40 @@ def test_rp_dirty_rows_are_excluded_identically(spark, emb):
         assert [tuple(r) for r in got] == [tuple(r) for r in clean], fn.__name__
 
 
-def test_rp_overflow_guard_raises_loudly(spark):
-    """Magnitudes beyond the int64-exact envelope must raise, not
-    silently wrap the candidate scores (review r7: |x| ≳ 8.4 at
-    64 dims wraps two's-complement identically on Spark and numpy
-    while DuckDB's HUGEINT doesn't — an undiagnosable mismatch)."""
-    big = spark.createDataFrame(
-        [(i, [50.0] * 64) for i in range(5)], "vec_id long, embedding array<float>"
-    )
+def test_rp_out_of_envelope_handling(spark):
+    """Magnitudes beyond the int64-exact envelope must never reach the
+    integer fold (review r7: |x| ≳ 8.4 at 64 dims wraps
+    two's-complement identically on Spark and numpy while DuckDB's
+    HUGEINT doesn't — an undiagnosable mismatch). Corpus side: such
+    rows are EXCLUDED by the shared validity filter, uniformly in both
+    kernels and the oracle's WHERE clause. Query side: raises
+    driver-side (actionable)."""
     qv_big = [50.0] * 64
+    ok = spark.createDataFrame(
+        [(i, [0.1 + 0.01 * i] * 64) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
     with pytest.raises(ValueError, match="envelope"):
-        random_projection_topk_pandas(big, qv_big, k=2, r_dims=8, candidates=3)
-    # an in-envelope query over an out-of-envelope corpus: the twin's
-    # per-batch guard fires at execution time
-    qv_ok = [0.1] * 64
-    with pytest.raises(Exception, match="envelope"):
-        random_projection_topk_pandas(
-            big, qv_ok, k=2, r_dims=8, candidates=3
-        ).collect()
+        random_projection_topk_pandas(ok, qv_big, k=2, r_dims=8, candidates=3)
+    with pytest.raises(ValueError, match="envelope"):
+        random_projection_topk(ok, qv_big, k=2, r_dims=8, candidates=3)
+    # out-of-envelope corpus rows (plus ±Inf and NULL-element rows —
+    # the same predicate catches all of them) drop out identically
+    rows = [(i, [0.1 + 0.01 * i] * 64) for i in range(6)]
+    dirty = rows + [
+        (97, [50.0] * 64),
+        (98, [float("inf")] * 64),
+        (99, [0.1] * 63 + [None]),
+    ]
+    dirty_df = spark.createDataFrame(
+        dirty, "vec_id long, embedding array<float>"
+    )
+    clean_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [0.1] * 64
+    want = random_projection_topk(clean_df, qv, k=3, r_dims=4, candidates=6).collect()
+    for fn in (random_projection_topk, random_projection_topk_pandas):
+        got = fn(dirty_df, qv, k=3, r_dims=4, candidates=6).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], fn.__name__
 
 
 def test_rp_plan_is_map_only_takeordered(spark, emb):
