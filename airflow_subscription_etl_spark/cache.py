@@ -76,7 +76,20 @@ def adopt(result: DataFrame, source: DataFrame) -> DataFrame:
     an idempotent no-op on an unpersisted frame, so double release is
     harmless), whereas a move would silently strip the release path
     from ``source`` when a caller summarizes a result they keep using.
-    Safe when ``source`` has no pins. Returns ``result`` unchanged."""
+
+    SHARED FATE (ADVICE r7): the copied pins reference the SAME
+    underlying caches, so ``release()`` through one handle unpersists
+    them for every sibling handle too — a caller who releases the
+    summary while still iterating on the raw assignment loses the
+    cache reuse (never correctness; Spark recomputes). Hold releases
+    until the last consumer of ANY adopted handle is done, or scope
+    the whole consumption under one ``released()`` block.
+
+    ``adopt(x, x)`` is an explicit no-op (a self-adopt would duplicate
+    the pin list and make ``pinned_count`` lie). Safe when ``source``
+    has no pins. Returns ``result`` unchanged."""
+    if result is source:
+        return result
     frames = _PINS.get(source, [])
     if frames:
         _PINS.setdefault(result, []).extend(frames)

@@ -426,7 +426,10 @@ def kmeans_cluster_summary(assigned: DataFrame, id_col: str = "vec_id") -> DataF
     """Per-cluster summary of an assignment: size, member-id checksum,
     total micro-distance — a hashable projection of the full result.
     Adopts the assignment's cache pins (kmeans_fit's Lloyd-input cache)
-    so callers holding only the summary can still release them."""
+    so callers holding only the summary can still release them.
+    Adopted pins are SHARED-FATE: releasing the summary unpersists the
+    Lloyd-input cache for ``assigned`` too (recompute, not breakage) —
+    release after the LAST consumer of either handle (cache.adopt)."""
     return adopt(
         assigned.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("n_members"),

@@ -196,7 +196,12 @@ def brute_force_topk_pandas(
         for pdf in batches:
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             sims = (m * q).sum(axis=1) / (np.sqrt((m * m).sum(axis=1)) * qn)
-            yield pd.DataFrame({id_col: pdf[id_col], "cosine_sim": sims})
+            # .to_numpy(): all columns positional — mixing a raw Series
+            # with ndarrays would make the pairing depend on the batch
+            # carrying a default RangeIndex (ADVICE r7)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cosine_sim": sims}
+            )
 
     scored = df.select(id_col, vec_col).mapInPandas(
         score, schema=f"{id_col} bigint, cosine_sim double"
@@ -963,9 +968,14 @@ def random_projection_topk(
             x.cast("double") * F.lit(1_000_000.0) + F.lit(0.5)
         ).cast("bigint"),
     )
-    # STAGE the quantized vector behind a projection boundary: inlined,
-    # Catalyst re-expands it inside each of the r_dims fold lambdas
-    # (r_dims× the floor/cast work per row)
+    # The select puts the quantized vector behind a named column, but
+    # that is NOT a materialization barrier: Catalyst collapses the
+    # projection and re-expands `_vmic` inside each of the r_dims fold
+    # lambdas, so every row pays the floor/cast pass r_dims times.
+    # ACCEPTED here — this HOF kernel is the oracle-anchor reference,
+    # not the query default (the Arrow twin below computes the
+    # quantization once per batch); if this kernel ever becomes the
+    # default, force an honest barrier (persist or an Exchange) first.
     staged = df.select(F.col(id_col), F.col(vec_col), vmic.alias("_vmic"))
     proj = F.transform(
         signs_lit,
@@ -1037,10 +1047,14 @@ def random_projection_topk_pandas(
             Xmic = np.floor(X * 1_000_000.0 + 0.5).astype(np.int64)
             P = Xmic @ S.T  # (n, r) exact int64
             D = P - pq[None, :]
+            # every column positional (.to_numpy()): a raw Series here
+            # would align by index, so id/vec pairing would silently
+            # depend on the Arrow batch carrying a default RangeIndex
+            # (ADVICE r7)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    vec_col: pdf[vec_col],
+                    vec_col: pdf[vec_col].to_numpy(),
                     "approx_d2": (D * D).sum(axis=1),
                 }
             )

@@ -6596,7 +6596,8 @@ def q_emb_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cache import adopt  # noqa: PLC0415
 
     # carry kmeans_fit's Lloyd-input cache pin onto the frame the
-    # caller holds, so cache.released() frees it
+    # caller holds, so cache.released() frees it (shared-fate with
+    # `assigned` — releasing here drops its cache too; see cache.adopt)
     return adopt(similarity.brute_force_topk(candidates, qv, k=20), assigned)
 
 

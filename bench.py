@@ -240,7 +240,12 @@ def main() -> None:
             passes[name] = times
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    # null (not a partial sum) when ANY headline query errored — an
+    # errored query contributes no timing, so summing the rest would
+    # silently deflate the cross-round total and read as a phantom
+    # speedup (ADVICE r7; same policy baseline25_sec already had). The
+    # surviving per-query timings stay in `queries` for comparison.
+    total = round(sum(timings.values()), 3) if not errors else None
     baseline25 = (
         # null (not a partial sum) when any baseline query failed — a
         # silently-deflated subtotal would read as a phantom speedup

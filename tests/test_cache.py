@@ -95,6 +95,18 @@ def test_adopt_copies_pins(spark):
     assert cache.pinned_count(c) == 0
 
 
+def test_adopt_self_is_noop(spark):
+    """adopt(x, x) must not duplicate the pin list (ADVICE r7) — a
+    duplicated entry would make pinned_count lie and release() call
+    unpersist twice per frame."""
+    df = spark.range(5).persist()
+    r = cache.pin(df.selectExpr("count(*) as n"), df)
+    assert cache.adopt(r, r) is r
+    assert cache.pinned_count(r) == 1
+    assert cache.release(r) == 1
+    df.unpersist()
+
+
 def test_kmeans_results_carry_pins(spark):
     """The review-r7 gap: kmeans_fit's Lloyd-input .cache() must be
     releasable through every public result shape — the raw assignment,

@@ -89,7 +89,9 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert idx_after == idx_before
 
 
-@pytest.mark.timeout(300)
+# NOTE: no @pytest.mark.timeout here — pytest-timeout is not installed
+# in this environment, so the mark would be a silent no-op (VERDICT r7);
+# the hang guard is the awaitTermination timeout inside the test body.
 def test_real_readstream_end_to_end(spark, tmp_path):
     """The same parity through an actual Structured Streaming query:
     parquet file source, maxFilesPerTrigger=1 → one micro-batch per
@@ -119,7 +121,10 @@ def test_real_readstream_end_to_end(spark, tmp_path):
     q = start_dedup_index_sink(
         stream, root, checkpoint=str(tmp_path / "ckpt"), threshold=TH
     )
-    q.awaitTermination(240)
+    # availableNow drain: the query self-terminates when the backlog is
+    # consumed; a False return means it was still running at 240 s — a
+    # hang, surfaced as a failure (not a silent partial read)
+    assert q.awaitTermination(240), "streaming drain did not finish in 240s"
     got = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
         for r in read_all_pairs(spark, root).collect()
