@@ -7862,6 +7862,38 @@ def q_emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_rp_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed twin of ``emb_rp_topk``
+    (similarity.write_rp_index / rp_topk_indexed): the SAME prefilter +
+    rerank result, but the ±1-sign projection AND the validity envelope
+    are evaluated ONCE at index build and materialized as an
+    ``rp_proj array<bigint>`` column next to the vectors — the
+    "project once, probe many" deployment the one-shot operator's
+    docstring promises (VERDICT r7 #3), delivered like the family's
+    other indexes (build_ivf_index, write_banded_signature_index). The
+    probe projects only the query (driver-side exact ints) and scores
+    the stored r-dim ints — no quantization, no sign fold, no validity
+    pass at probe time (plan-pinned in tests/test_round8_ops.py: no
+    ``floor`` in the probe plan; ``rp_proj`` read from the scan). The
+    oracle is the one-shot variant's generated SQL: identical output
+    from the indexed path is exactly the claim under test.
+
+    Side effect: (re)writes ``rp_index_<sf-tag>/`` under the session
+    warehouse each call (the lazy result reads it, so it cannot be
+    dropped here — the doc_minhash_indexed pattern). Two concurrent
+    runs against the SAME sf_dir would race the overwrite — run
+    same-sf sweeps sequentially."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    path = os.path.join(re.sub(r"^file:/*", "/", wh), f"rp_index_{tag}")
+    similarity.write_rp_index(emb, path, dims=len(qv), r_dims=8)
+    return similarity.rp_topk_indexed(spark, path, qv, k=20, candidates=64)
+
+
 def _rp_oracle_sql(
     dims: int = 64, r_dims: int = 8, candidates: int = 64, k: int = 20
 ) -> str:
@@ -8140,6 +8172,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_curation_report": (q_doc_curation_report, SQL_DOC_CURATION_REPORT),
     # -- round 7 --
     "emb_rp_topk": (q_emb_rp_topk, _rp_oracle_sql),
+    # -- round 8 --
+    "emb_rp_indexed": (q_emb_rp_indexed, _rp_oracle_sql),
 }
 
 

@@ -1,0 +1,140 @@
+"""Round-8 operator: materialized JL random-projection index
+(similarity.write_rp_index / rp_topk_indexed) — the "project once,
+probe many" deployment of the r7 one-shot prefilter (VERDICT r7 #3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from airflow_subscription_etl_spark.operators.similarity import (
+    random_projection_topk,
+    rp_index_candidates,
+    rp_sign_matrix,
+    rp_topk_indexed,
+    write_rp_index,
+)
+
+
+@pytest.fixture()
+def emb(spark):
+    rows = [
+        (i, [float(((i * 13 + d * 7) % 29) - 14) / 14.0 for d in range(16)])
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture()
+def dirty(spark, emb):
+    """The full r7 dirty-input zoo: NULL vector, ragged, NaN, +Inf,
+    NULL element, out-of-envelope magnitude."""
+    return emb.unionByName(
+        spark.createDataFrame(
+            [
+                (994, None),
+                (995, [1.0, 2.0]),
+                (996, [float("nan")] * 16),
+                (997, [float("inf")] * 16),
+                (998, [0.1] * 15 + [None]),
+                (999, [1e9] * 16),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+    )
+
+
+def test_indexed_probe_equals_oneshot(spark, emb, dirty, tmp_path):
+    """The index just materializes the projection the one-shot operator
+    computes inline, so the probe result must EQUAL
+    random_projection_topk on the same corpus — including when the
+    build input carries every class of invalid row (the validity
+    envelope moves to build time, the exclusion set is identical).
+    Checked at a tight candidate budget where any prefilter divergence
+    would change the candidate set, and at covering budget where the
+    result must equal brute force."""
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    path = str(tmp_path / "rp_idx")
+    write_rp_index(dirty, path, dims=16, r_dims=4)
+    for cand in (12, 100):
+        want = random_projection_topk(
+            dirty, qv, k=5, r_dims=4, candidates=cand
+        ).collect()
+        got = rp_topk_indexed(spark, path, qv, k=5, candidates=cand).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], cand
+
+
+def test_index_stores_exact_projection_and_drops_invalid(spark, dirty, tmp_path):
+    """Build-time pins: (a) every invalid row is absent from the
+    materialized table, (b) rp_proj holds the EXACT integer projection
+    (recomputed driver-side from the same sign matrix and quantization
+    — the Arrow build kernel must be bit-identical to the reference
+    arithmetic), (c) meta records (dims, r_dims)."""
+    path = str(tmp_path / "rp_idx")
+    write_rp_index(dirty, path, dims=16, r_dims=4)
+    rows = {
+        r["vec_id"]: (list(r["embedding"]), list(r["rp_proj"]))
+        for r in spark.read.parquet(f"{path}/vectors").collect()
+    }
+    assert set(rows) == set(range(60))  # all dirty ids excluded
+    signs = rp_sign_matrix(16, 4)
+    for vid in (0, 7, 59):
+        vec, proj = rows[vid]
+        mic = [int(math.floor(float(x) * 1_000_000.0 + 0.5)) for x in vec]
+        want = [sum(s * m for s, m in zip(srow, mic)) for srow in signs]
+        assert proj == want, vid
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert (meta["dims"], meta["r_dims"]) == (16, 4)
+
+
+def test_probe_plans_are_column_pruned_and_pushed_down(spark, emb, tmp_path):
+    """Scale pins (VERDICT r7 #3), one per probe pass:
+
+    pass 1 (prefilter): the plan must NOT re-project — no quantization
+    (`floor`), no validity `forall` (both paid at build) — and its
+    parquet scan must read ONLY (id, rp_proj): the wide vector column
+    absent from ReadSchema means the heavy bytes are never bulk-read.
+    TakeOrderedAndProject, zero Exchange.
+
+    pass 2 (rerank): the candidate-id filter must reach the parquet
+    scan as a pushed `In` filter, so row-group stats prune the vector
+    read to the candidate rows; no Exchange either."""
+    qv = [0.1 * d for d in range(16)]
+    path = str(tmp_path / "rp_idx")
+    write_rp_index(emb, path, dims=16, r_dims=4)
+
+    pre = (
+        rp_index_candidates(spark, path, qv, candidates=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rp_proj" in pre
+    assert "embedding" not in pre  # vector column pruned from the scan
+    assert "floor" not in pre.lower().replace("takeordered", "")
+    assert "forall" not in pre  # validity was paid at build
+    assert "TakeOrderedAndProject" in pre
+    assert "Exchange" not in pre
+
+    rerank = (
+        rp_topk_indexed(spark, path, qv, k=5, candidates=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(vec_id" in rerank
+    assert "rp_proj" not in rerank  # projection column pruned here
+    assert "Exchange" not in rerank
+
+
+def test_probe_guards_query_compatibility(spark, emb, tmp_path):
+    """A probe against an incompatible query must fail loudly: wrong
+    dimensionality (meta check) and out-of-envelope magnitude (the
+    driver-side projection raises, same as the one-shot operators)."""
+    path = str(tmp_path / "rp_idx")
+    write_rp_index(emb, path, dims=16, r_dims=4)
+    with pytest.raises(ValueError, match="dims"):
+        rp_topk_indexed(spark, path, [0.1] * 8, k=3)
+    with pytest.raises(ValueError, match="envelope"):
+        rp_topk_indexed(spark, path, [1e9] * 16, k=3)
