@@ -2527,6 +2527,35 @@ FROM isl
 """
 
 
+def q_doc_islands_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The islands USE CASE routed to its right-default operator
+    (VERDICT r7 #4): the same occupied-bucket clustering as
+    ``doc_cc_islands``, computed by the declarative
+    ``temporal.gaps_and_islands`` window form instead of iterative
+    connected components — two window passes over ONE source-keyed
+    shuffle (the second window's (source, island) clustering is
+    satisfied by the first's hash partitioning, so no second Exchange)
+    versus CC's O(log n) rounds (measured at sf0.1: 0.23s vs 2.94s — ~13×).
+    ``doc_cc_islands`` deliberately KEEPS the two-star CC formulation:
+    it is the transitive-closure verification anchor (chain-shaped
+    components against this very SQL) and a member of the recorded r1
+    baseline set, which must stay implementation-comparable across
+    rounds. Same oracle for both — equal output from two independent
+    formulations is the cross-check."""
+    from .operators.temporal import gaps_and_islands  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.floor(F.col("n_chars") / F.lit(100)).alias("b")
+    )
+    isl = gaps_and_islands(
+        docs, "source", "b", max_gap=1, order_tiebreak="doc_id"
+    )
+    w = Window.partitionBy("source", "island")
+    return isl.select(
+        "doc_id", F.min("doc_id").over(w).alias("cluster_id")
+    )
+
+
 def q_doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup pipeline: EXACT-Jaccard pair graph
     (dedup.py::exact_jaccard_pairs, inverted-index join — deterministic,
@@ -8174,6 +8203,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_rp_topk": (q_emb_rp_topk, _rp_oracle_sql),
     # -- round 8 --
     "emb_rp_indexed": (q_emb_rp_indexed, _rp_oracle_sql),
+    "doc_islands_window": (q_doc_islands_window, SQL_DOC_CC_ISLANDS),
 }
 
 

@@ -87,12 +87,16 @@ HEADLINE = [
     # the r1 baseline's cost class)
     "emb_matryoshka_topk",
     "doc_tfidf_topk",
-    # round-4 additions: PQ retrieval (HOF reference + numpy twin),
-    # batch assembly, shuffle diagnostics, layout planning, MERGE.
+    # round-4 additions: PQ retrieval, batch assembly, shuffle
+    # diagnostics, layout planning, MERGE.
     # doc_keep_best stays correctness-gated but OUT of the headline:
     # its exact-Jaccard pair graph is the same deliberate cost class
     # that keeps doc_near_dup_clusters out (see round-3 note above).
-    "emb_pq_topk",
+    # Since r8 the interpreted-HOF reference kernel `emb_pq_topk` is
+    # correctness-gated but OUT of the headline (VERDICT r7 #5 — the
+    # kmeans precedent): it exists as the oracle ANCHOR the pandas twin
+    # is pinned against, while the headline times what production runs
+    # — the twin-backed path below (pq_ann_topk's kernel).
     "emb_pq_topk_pandas",
     "doc_length_batches",
     "key_skew_report",
@@ -133,6 +137,16 @@ HEADLINE = [
     # cost class is a table write, not a query — the delta-probe
     # latency itself is benchmarked at held density by
     # tools/synth_probe.py (flat 1.0x vs 8x corpus).
+    # round-8 addition: the islands use case on its right-default
+    # operator (declarative gaps-and-islands window form, one
+    # source-keyed Exchange) — timed alongside doc_cc_islands, which
+    # stays in BASELINE25 unchanged as the iterative-CC
+    # transitive-closure anchor (VERDICT r7 #4; see COVERAGE.md).
+    # emb_rp_indexed stays correctness-gated but OUT of the headline
+    # (the doc_minhash_indexed precedent: each call rewrites its index
+    # — a table-write cost class; probe latency is measured in
+    # tools/synth_probe.py and SCALE.md, flat across 32x corpus).
+    "doc_islands_window",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from airflow_subscription_etl_spark.operators.similarity import (
@@ -138,3 +140,81 @@ def test_probe_guards_query_compatibility(spark, emb, tmp_path):
         rp_topk_indexed(spark, path, [0.1] * 8, k=3)
     with pytest.raises(ValueError, match="envelope"):
         rp_topk_indexed(spark, path, [1e9] * 16, k=3)
+
+
+# --- gaps_and_islands (temporal.py) — the declarative islands default
+# (VERDICT r7 #4) -------------------------------------------------------------
+
+
+@pytest.fixture()
+def bucketed(spark):
+    """Chain-shaped runs with gaps, per source: A has runs {1,2,3} and
+    {7,8}; B has singletons {1} and {5}; C has a duplicate-bucket tie
+    (two rows in bucket 4) plus an adjacent 5."""
+    rows = [
+        (10, "A", 1), (11, "A", 2), (12, "A", 3),
+        (13, "A", 7), (14, "A", 8),
+        (20, "B", 1), (21, "B", 5),
+        (30, "C", 4), (31, "C", 4), (32, "C", 5),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, b long")
+
+
+def test_islands_labels_runs_and_breaks(spark, bucketed):
+    from airflow_subscription_etl_spark.operators.temporal import (
+        gaps_and_islands,
+    )
+
+    got = {
+        r["doc_id"]: r["island"]
+        for r in gaps_and_islands(
+            bucketed, "source", "b", max_gap=1, order_tiebreak="doc_id"
+        ).collect()
+    }
+    # runs share a label, breaks increment it; ties (C: two rows in
+    # bucket 4) never break a run
+    assert got[10] == got[11] == got[12]
+    assert got[13] == got[14]
+    assert got[13] != got[12]
+    assert got[20] != got[21]
+    assert got[30] == got[31] == got[32]
+
+
+def test_islands_query_matches_cc_formulation(spark, bucketed, monkeypatch):
+    """The window query and the two-star-CC query are two independent
+    formulations of the same clustering — their (doc_id, cluster_id)
+    output must be identical (both also satisfy SQL_DOC_CC_ISLANDS at
+    the driver gate; this pins the equivalence on a shape with runs,
+    gaps, ties, and singletons)."""
+    from airflow_subscription_etl_spark import queries as Q
+
+    docs = bucketed.withColumn("n_chars", (F.col("b") * 100 + 7).cast("int"))
+    monkeypatch.setattr(
+        Q, "_t", lambda spark_, sf_dir_, name_: docs.select(
+            "doc_id", "source", "n_chars"
+        )
+    )
+    cc = {tuple(r) for r in Q.q_doc_cc_islands(spark, "unused").collect()}
+    win = {tuple(r) for r in Q.q_doc_islands_window(spark, "unused").collect()}
+    assert win == cc
+
+
+def test_islands_query_plan_has_single_exchange(spark, bucketed, monkeypatch):
+    """Scale pin: one source-keyed Exchange total — the second window
+    (min doc_id per (source, island)) must reuse the first's hash
+    partitioning (subset clustering), adding only a sort."""
+    from airflow_subscription_etl_spark import queries as Q
+
+    docs = bucketed.withColumn("n_chars", (F.col("b") * 100 + 7).cast("int"))
+    monkeypatch.setattr(
+        Q, "_t", lambda spark_, sf_dir_, name_: docs.select(
+            "doc_id", "source", "n_chars"
+        )
+    )
+    plan = (
+        Q.q_doc_islands_window(spark, "unused")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
