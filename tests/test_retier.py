@@ -209,3 +209,29 @@ def test_slots_missing_value_is_usage_error(monkeypatch):
     monkeypatch.setattr(_sys, "argv", ["retier.py", "--slots"])
     with pytest.raises(SystemExit, match="usage"):
         retier.main()
+
+
+def test_rotation_invariant_arithmetic(monkeypatch, capsys):
+    """The reconciled invariant (VERDICT r7 #2): a full rotation takes
+    ceil(Q/S) rounds, so the steady-state age bound is ceil(Q/S) — NOT
+    a fixed 3 — and tier-2 fill is oldest-first, so any slots consumed
+    by tiers 0/1 displace the YOUNGEST eligible rows, never the
+    oldest (the stale tail is always drained first)."""
+    import math
+    import sys as _sys
+
+    reg = retier.registry_queries()
+    bound = math.ceil(len(reg) / retier.DRIVER_SLOTS)
+    assert bound == 4  # 185 queries / 50 slots — update if either moves
+
+    monkeypatch.setattr(retier, "changed_symbols", lambda base: set())
+    monkeypatch.setattr(_sys, "argv", ["retier.py"])
+    retier.main()
+    names = _emitted_names(capsys.readouterr().out)
+    ages = retier.latest_green_round()
+    emitted_ages = [ages.get(q, 0) for q in names]
+    left_out = [ages.get(q, 0) for q in reg if q not in set(names)]
+    # oldest-first: every emitted back-fill row is at least as old as
+    # every row left out (tier 0 age=0 sorts oldest by construction)
+    if left_out:
+        assert max(emitted_ages) <= min(left_out)

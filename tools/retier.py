@@ -21,8 +21,18 @@ gap mechanically:
           driver slot, a false negative is a stale green row)
   tier 2  oldest-green back-fill: remaining slots — i.e.
           DRIVER_SLOTS − len(tier0) − len(tier1) — go to queries whose
-          latest CORRECTNESS_r*.json row is oldest (round-robin so
-          every query's row is ≤3 rounds old by r8)
+          latest CORRECTNESS_r*.json row is oldest (oldest-first, so
+          truncation by tiers 0/1 always displaces the YOUNGEST rows)
+
+Rotation invariant (reconciled r8 — VERDICT r7 #2): with Q registered
+queries and S driver slots, a full verification rotation takes
+⌈Q/S⌉ rounds even when tiers 0/1 are EMPTY — at 185/50 that is 4 —
+so the steady-state guarantee is "every query's latest row is
+≤ ⌈Q/S⌉ rounds old", tighter in rounds whose tiers 0/1 are small
+and looser by exactly the slots those tiers consume. (The earlier
+"≤3 rounds by r8" phrasing assumed Q ≤ 3·S, which the registry
+outgrew.) tests/test_retier.py pins the arithmetic and the
+oldest-first displacement order.
 
 The emitted list NEVER exceeds the slot cap: tiers 0+1 are kept whole
 (with a loud stderr warning if they alone exceed it — that means the
