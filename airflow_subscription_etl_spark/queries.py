@@ -8207,74 +8207,75 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Round-7 verification priority — GENERATED by tools/retier.py
-#: (VERDICT r5 #1/#2; r6 off-by-one fixed: tier 0 is emitted by the
-#: tool and counted against the 50-slot driver cap). Tier 1 is every
-#: registry query that transitively consumes a symbol touched by this
-#: round's git diff (static AST call graph); tier 2 back-fills the
-#: remaining slots with the queries whose latest CORRECTNESS row is
-#: oldest — r7 exhausts the r2 set (emb_quantized_topk, the r6 cap
-#: casualty, leads) and bites into r3, holding the "every row ≤3
-#: rounds old" invariant. Regenerate each round: python tools/retier.py
-_PRIORITY_R7 = [
+#: Round-8 verification priority — GENERATED by tools/retier.py at
+#: round end (diff base: the r7 round commit). Tier 0: the two r8
+#: registrations. Tier 1: every registry query transitively consuming
+#: a symbol this round's diff touched (RP operators, the pandas-twin
+#: positional fix, cache.adopt, kmeans_cluster_summary's docstring).
+#: Tier 2 drains the stale tail oldest-first: ALL 20 r3-latest rows
+#: and 22 of the 29 r4-latest rows fit; the 8 tier-0/1 slots displace
+#: exactly the 7 YOUNGEST r4 rows (registry-latest order), which lead
+#: r9's fill. Steady-state age bound is ceil(185/50) = 4 rounds
+#: (tools/retier.py, reconciled r8). Regenerate: python tools/retier.py
+_PRIORITY_R8 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
-    "emb_rp_topk",
+    "emb_rp_indexed",
+    "doc_islands_window",
     # tier 1 — implementation diff-reachable this round
-    "kmv_sketch_rollup",
     "emb_kmeans",
     "emb_kmeans_pandas",
-    "doc_curation_pipeline",
-    "doc_minhash_portable",
     "emb_semantic_dedup",
-    "doc_jaccard_adjacent",
-    "doc_minhash_pairs",
-    "doc_simhash_pairs",
-    "emb_near_pairs",
-    "doc_simhash_portable",
+    "emb_topk_cosine_pandas",
     "emb_ivf_portable",
-    "emb_hard_negatives",
-    "emb_ivfpq_topk",
-    "doc_minhash_incremental",
-    "doc_minhash_indexed",
+    "emb_rp_topk",
     # tier 2 — oldest-green driver rows, round-robin back-fill
-    "emb_quantized_topk",  # last row r2
-    "conditional_agg",  # last row r2
-    "array_agg_stats",  # last row r2
-    "ev_value_zscore_outliers",  # last row r2
-    "m1_union_ragged",  # last row r2
-    "doc_scrub_text",  # last row r2
-    "doc_weighted_sample",  # last row r2
-    "dq_audit",  # last row r2
-    "doc_bigram_topk",  # last row r2
-    "emb_knn_join",  # last row r2
-    "mode_median_per_group",  # last row r2
-    "unpivot_nation_metrics",  # last row r2
-    "date_functions",  # last row r2
-    "scd2_customer_orders",  # last row r2
-    "ev_funnel",  # last row r3
-    "ev_window_frames",  # last row r3
-    "doc_repetition_signals",  # last row r3
-    "doc_span_dedup",  # last row r3
-    "doc_contamination",  # last row r3
-    "doc_bigram_lm",  # last row r3
-    "graph_pagerank",  # last row r3
-    "ev_resample_hourly",  # last row r3
-    "ev_retention_cohorts",  # last row r3
-    "quantile_sketch_by_priority",  # last row r3
-    "sql_segment_revenue",  # last row r3
-    "ev_interval_join_binned",  # last row r3
-    "neg_sampling",  # last row r3
-    "doc_pack_sequences",  # last row r3
-    "doc_chunk_windows",  # last row r3
-    "doc_bpe_token_stats",  # last row r3
-    "mm_audio_windows",  # last row r3
-    "salted_supplier_volume",  # last row r3
-    "salted_join_segments",  # last row r3
+    "doc_cms_heavy_hitters",  # last row r3
+    "incremental_order_stats",  # last row r3
+    "bloom_pruned_join",  # last row r3
+    "ev_multi_touch",  # last row r3
+    "cdc_orders_diff",  # last row r3
+    "graph_triangles",  # last row r3
+    "doc_char_entropy",  # last row r3
+    "ev_mad_outliers",  # last row r3
+    "price_histogram",  # last row r3
+    "ev_variant_props",  # last row r3
+    "doc_term_vectors",  # last row r3
+    "zorder_key",  # last row r3
+    "sql_recursive_months",  # last row r3
+    "sql_pipe_returns",  # last row r3
+    "collated_distinct_words",  # last row r3
+    "doc_feature_hashing",  # last row r3
+    "doc_tfidf_topk",  # last row r3
+    "part_fuzzy_pairs",  # last row r3
+    "window_suite",  # last row r3
+    "emb_matryoshka_topk",  # last row r3
+    "doc_cc_islands",  # last row r4
+    "mm_resize",  # last row r4
+    "pareto_customers",  # last row r4
+    "emb_pq_topk",  # last row r4
+    "doc_length_batches",  # last row r4
+    "compaction_plan",  # last row r4
+    "doc_collapse_runs",  # last row r4
+    "orders_merge_upsert",  # last row r4
+    "doc_exact_split",  # last row r4
+    "ev_rollup_pyramid",  # last row r4
+    "orders_profile",  # last row r4
+    "ivm_join_delta",  # last row r4
+    "vocab_zipf_fit",  # last row r4
+    "doc_mixture_sample",  # last row r4
+    "doc_pmi_collocations",  # last row r4
+    "ev_session_transitions",  # last row r4
+    "emb_dim_stats",  # last row r4
+    "ev_attribution_left",  # last row r4
+    "dq_expectations",  # last row r4
+    "source_vocab_overlap",  # last row r4
+    "doc_weighted_reservoir",  # last row r4
+    "cogroup_reconcile",  # last row r4
 ]
 
 
 def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: REGISTRY[name] for name in _PRIORITY_R7 if name in REGISTRY}
+    out = {name: REGISTRY[name] for name in _PRIORITY_R8 if name in REGISTRY}
     out.update({name: v for name, v in REGISTRY.items() if name not in out})
     return out
 
