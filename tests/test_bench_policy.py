@@ -1,0 +1,57 @@
+"""bench.py machine-line policy — the no-silent-deflation rule for
+cross-round totals (ADVICE r7) and the pass-summary adjudication, both
+pure functions testable without a SparkSession."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from bench import BASELINE25, HEADLINE, machine_totals, summarize_passes
+
+
+def test_totals_clean_run():
+    total, base = machine_totals({"a": 1.0, "b": 2.5}, {}, ["a"])
+    assert total == 3.5
+    assert base == 1.0
+
+
+def test_total_nulls_when_any_query_errored():
+    """A query that errors on a LATER pass vanishes from timings — the
+    headline total must become null, never a deflated partial sum that
+    reads as a speedup; surviving timings are untouched."""
+    timings = {"a": 1.0}
+    total, base = machine_totals(timings, {"b": "KABOOM"}, ["a"])
+    assert total is None
+    assert base == 1.0  # baseline set itself is complete
+    assert timings == {"a": 1.0}
+
+
+def test_baseline_nulls_on_missing_member_independently():
+    total, base = machine_totals({"a": 1.0}, {}, ["a", "gone"])
+    assert total == 1.0  # no error recorded — total stands
+    assert base is None
+
+
+def test_baseline25_is_the_recorded_r1_prefix():
+    """BASELINE25 must stay exactly the first 25 headline entries
+    (through scd2_customer_orders) — the set BENCH_r01 recorded;
+    reordering or removing any of them breaks the one-field
+    cross-round comparison."""
+    assert BASELINE25 == HEADLINE[:25]
+    assert BASELINE25[-1] == "scd2_customer_orders"
+    assert "doc_cc_islands" in BASELINE25
+
+
+def test_summarize_passes_min_vs_median():
+    # 2 agreeing passes: min
+    assert summarize_passes([1.0, 1.1])[0] == 1.0
+    # 3 passes: steady slice drops pass 0, min of the rest
+    assert summarize_passes([5.0, 1.2, 1.0])[0] == 1.0
+    # 4 passes (adjudication ran): median of steady passes — a single
+    # anomalous fast pass cannot anoint the headline number
+    val, spread = summarize_passes([5.0, 2.0, 0.5, 2.2])
+    assert val == 2.0
+    assert spread > 0.30
