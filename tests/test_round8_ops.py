@@ -218,3 +218,20 @@ def test_islands_query_plan_has_single_exchange(spark, bucketed, monkeypatch):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_empty_index_probe_returns_empty(spark, tmp_path):
+    """A build whose every row is invalid still writes a schema-complete
+    index, and probing it returns an EMPTY result frame with the result
+    schema — not a crash (isin([]) is engine-ambiguous; the probe uses
+    an explicit false predicate)."""
+    all_bad = spark.createDataFrame(
+        [(1, None), (2, [float("nan")] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "rp_idx_empty")
+    write_rp_index(all_bad, path, dims=16, r_dims=4)
+    assert spark.read.parquet(f"{path}/vectors").count() == 0
+    got = rp_topk_indexed(spark, path, [0.1] * 16, k=5, candidates=8)
+    assert got.collect() == []
+    assert [f.name for f in got.schema.fields] == ["vec_id", "cosine_sim"]
