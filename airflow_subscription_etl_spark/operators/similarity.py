@@ -1101,7 +1101,46 @@ def write_rp_index(
     query disappears from probe time entirely (VERDICT r7: at a real
     100 TB deployment validity belongs at index build). At scale the
     index is corpus + 8 bigints per row; probes then read r_dims
-    stored ints per row instead of quantizing + folding dims floats."""
+    stored ints per row instead of quantizing + folding dims floats.
+
+    Layout: the base build owns partition directory ``batch=0`` under
+    ``vectors/``; streaming maintenance
+    (:mod:`..streaming.rp_stream`) appends sibling ``batch=<n>``
+    directories, so probes pick up fresh rows at the next read with no
+    rewrite of the base."""
+    projected = rp_projected_frame(df, dims, r_dims, id_col, vec_col)
+    projected.withColumn("batch", F.lit(0)).write.mode(
+        "overwrite"
+    ).partitionBy("batch").parquet(f"{path}/vectors")
+    spark = df.sparkSession
+    # meta also records the vectors schema (incl. the batch partition
+    # column): probes read with it EXPLICITLY, so an index whose every
+    # build row was invalid (zero data files under vectors/) still
+    # probes as an empty frame instead of failing schema inference
+    vec_schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        f"{vec_col} {df.schema[vec_col].dataType.simpleString()}, "
+        f"rp_proj array<bigint>, batch int"
+    )
+    spark.createDataFrame(
+        [(int(dims), int(r_dims), vec_schema)],
+        "dims int, r_dims int, vec_schema string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def rp_projected_frame(
+    df: DataFrame,
+    dims: int,
+    r_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The lazy ``(id, vector, rp_proj)`` frame both index writers
+    share (:func:`write_rp_index` and the streaming appender): validity
+    envelope first (_rp_valid_rows), then the exact int64 projection as
+    ONE vectorized Arrow batch matmul — the same arithmetic as the
+    retrieval kernels, so stored and recomputed projections are
+    bit-identical (pinned in tests/test_round8_ops.py)."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -1126,15 +1165,10 @@ def write_rp_index(
 
     id_type = df.schema[id_col].dataType.simpleString()
     vec_type = df.schema[vec_col].dataType.simpleString()
-    projected = valid.select(id_col, vec_col).mapInPandas(
+    return valid.select(id_col, vec_col).mapInPandas(
         project,
         f"{id_col} {id_type}, {vec_col} {vec_type}, rp_proj array<bigint>",
     )
-    projected.write.mode("overwrite").parquet(f"{path}/vectors")
-    spark = df.sparkSession
-    spark.createDataFrame(
-        [(int(dims), int(r_dims))], "dims int, r_dims int"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def rp_index_candidates(
@@ -1168,8 +1202,10 @@ def rp_index_candidates(
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+    # explicit schema from meta: an all-invalid build leaves zero data
+    # files under vectors/, which would otherwise fail inference
     return (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.schema(meta["vec_schema"]).parquet(f"{path}/vectors")
         .select(F.col(id_col), approx.alias("approx_d2"))
         .orderBy(F.col("approx_d2").asc(), F.col(id_col).asc())
         .limit(candidates)
@@ -1212,8 +1248,9 @@ def rp_topk_indexed(
     # empty index → empty result frame with the result schema (isin([])
     # is engine-ambiguous; an explicit false filter isn't)
     pred = F.col(id_col).isin(cand_ids) if cand_ids else F.lit(False)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
     cand = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.schema(meta["vec_schema"]).parquet(f"{path}/vectors")
         .filter(pred)
         .select(id_col, vec_col)
     )

@@ -1,0 +1,84 @@
+"""Streaming maintenance for the materialized RP index: project each
+arriving micro-batch once and append it as a new ``batch=<n>``
+partition of the index — the streaming face of
+:func:`..operators.similarity.write_rp_index`, completing the same
+batch/stream symmetry the MinHash index has in :mod:`.dedup_stream`.
+
+An ingestion pipeline serving "project once, probe many" retrieval
+cannot rebuild the index per batch (that is the full-corpus rescan);
+it projects ONLY the delta. The operator is stateless — validity
+filter + one Arrow matmul per batch, no watermark, no keyed state —
+so exactly-once reduces to idempotent output:
+
+- each micro-batch writes ``vectors/batch=<epoch+1>`` with OVERWRITE,
+  so a foreachBatch REPLAY of the same epoch rewrites the same
+  directory, never double-appends (the ``pairs/batch_<id>`` discipline
+  of dedup_stream); the base build owns ``batch=0``;
+- probes (:func:`..operators.similarity.rp_topk_indexed`) discover new
+  partition directories at the next read — index freshness with zero
+  rewrite of existing data.
+
+The index is an APPEND-ONLY vector log keyed by nothing: a document
+re-ingested under the same id appears twice and scores twice
+(identically). Streams that re-deliver ids should dedup upstream or
+maintain the keyed pointer-swap snapshot (:mod:`.sinks`) instead —
+last-writer-wins upsert is that sink's contract, at the cost of a
+snapshot rewrite per batch that this log deliberately avoids.
+
+At 100 TB the per-batch work is the delta's scan + matmul only;
+periodic compaction of small ``batch=`` directories is the same
+maintenance any streaming parquet sink needs (compaction_plan's cost
+model applies unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.similarity import rp_projected_frame
+
+
+def process_rp_batch(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Project one micro-batch against the index's recorded (dims,
+    r_dims) and overwrite its own ``batch=<batch_id+1>`` directory.
+    Exposed separately from the stream wiring so batch backfills drive
+    the same code path (the dedup_stream convention). The meta read is
+    1 row per batch — catalog-sized."""
+    spark = batch.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    projected = rp_projected_frame(
+        batch, int(meta["dims"]), int(meta["r_dims"]), id_col, vec_col
+    )
+    # overwrite (not append): a replayed epoch rewrites its own dir
+    projected.write.mode("overwrite").parquet(
+        f"{path}/vectors/batch={int(batch_id) + 1}"
+    )
+
+
+def start_rp_index_append(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Wire a vector stream into the index: one ``process_rp_batch``
+    per micro-batch. ``availableNow`` drains the backlog and stops
+    (backfill shape); pass False for a continuous ingestion query."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: process_rp_batch(b, i, path, id_col, vec_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -231,7 +231,9 @@ def test_empty_index_probe_returns_empty(spark, tmp_path):
     )
     path = str(tmp_path / "rp_idx_empty")
     write_rp_index(all_bad, path, dims=16, r_dims=4)
-    assert spark.read.parquet(f"{path}/vectors").count() == 0
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    vectors = spark.read.schema(meta["vec_schema"]).parquet(f"{path}/vectors")
+    assert vectors.count() == 0
     got = rp_topk_indexed(spark, path, [0.1] * 16, k=5, candidates=8)
     assert got.collect() == []
     assert [f.name for f in got.schema.fields] == ["vec_id", "cosine_sim"]

@@ -1,0 +1,123 @@
+"""streaming/rp_stream.py — streaming maintenance of the RP index:
+batch/stream parity, replay idempotence, probe freshness through a
+real readStream."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from airflow_subscription_etl_spark.operators.similarity import (
+    random_projection_topk,
+    rp_topk_indexed,
+    write_rp_index,
+)
+from airflow_subscription_etl_spark.streaming.rp_stream import (
+    process_rp_batch,
+    start_rp_index_append,
+)
+
+
+def _vec(i: int, dims: int = 16) -> list[float]:
+    return [float(((i * 13 + d * 7) % 29) - 14) / 14.0 for d in range(dims)]
+
+
+def _rows(ids):
+    return [(i, _vec(i)) for i in ids]
+
+
+def test_batch_backfill_parity_and_replay(spark, tmp_path):
+    """Base build + two backfill batches must probe IDENTICALLY to a
+    one-shot over the union corpus; replaying a batch (same epoch id)
+    must leave the index bit-unchanged (overwrite-own-directory
+    idempotence)."""
+    base = spark.createDataFrame(
+        _rows(range(40)), "vec_id long, embedding array<float>"
+    )
+    full = spark.createDataFrame(
+        _rows(range(60)), "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "idx")
+    write_rp_index(base, path, dims=16, r_dims=4)
+
+    b0 = spark.createDataFrame(
+        _rows(range(40, 50)) + [(997, None)],  # dirty row drops at append
+        "vec_id long, embedding array<float>",
+    )
+    b1 = spark.createDataFrame(
+        _rows(range(50, 60)), "vec_id long, embedding array<float>"
+    )
+    process_rp_batch(b0, 0, path)
+    process_rp_batch(b1, 1, path)
+
+    qv = _vec(0)
+    want = random_projection_topk(full, qv, k=5, r_dims=4, candidates=60).collect()
+    got = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/vectors")
+        .select("vec_id", "rp_proj")
+        .collect()
+    )
+    process_rp_batch(b0, 0, path)  # replay epoch 0
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/vectors")
+        .select("vec_id", "rp_proj")
+        .collect()
+    )
+    assert after == before
+    got2 = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want]
+
+
+def test_real_readstream_appends_and_probe_sees_them(spark, tmp_path):
+    """The same parity through an actual Structured Streaming query:
+    parquet file source, maxFilesPerTrigger=1 → one epoch per file,
+    availableNow drain; the probe sees the appended rows with no
+    rebuild of batch=0."""
+    base = spark.createDataFrame(
+        _rows(range(40)), "vec_id long, embedding array<float>"
+    )
+    full = spark.createDataFrame(
+        _rows(range(60)), "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "idx")
+    write_rp_index(base, path, dims=16, r_dims=4)
+
+    src = str(tmp_path / "src")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for bid, ids in enumerate((range(40, 50), range(50, 60))):
+        spark.createDataFrame(
+            _rows(ids), "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{bid}")
+        part = glob.glob(f"{src}/b{bid}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/vecs_{bid}.parquet")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    q = start_rp_index_append(
+        stream, path, checkpoint=str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(240), "streaming drain did not finish in 240s"
+
+    qv = _vec(0)
+    want = random_projection_topk(full, qv, k=5, r_dims=4, candidates=60).collect()
+    got = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # base partition untouched; two appended epochs present
+    batches = {
+        r["batch"]
+        for r in spark.read.parquet(f"{path}/vectors")
+        .select("batch")
+        .distinct()
+        .collect()
+    }
+    assert batches == {0, 1, 2}
