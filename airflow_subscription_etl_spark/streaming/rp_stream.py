@@ -34,6 +34,7 @@ model applies unchanged).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.similarity import rp_projected_frame
 
@@ -82,3 +83,36 @@ def start_rp_index_append(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_rp_index(spark, path: str) -> int:
+    """Offline compaction: rewrite every ``batch=<n>`` partition into a
+    single fresh ``batch=0`` — the periodic maintenance the append-only
+    log needs once streaming has accumulated many small directories
+    (each micro-batch is its own parquet dir; probes then pay one
+    file-listing + footer read per batch, the exact small-files cost
+    compaction_plan models for any streaming parquet sink).
+
+    SINGLE-WRITER discipline: run only while no append stream is
+    active, like any parquet-sink compaction — the rewrite swaps the
+    whole ``vectors/`` directory (write aside, then rename), and a
+    concurrent epoch write would land in the doomed directory. Epoch
+    numbering is unaffected: checkpointed epoch ids keep increasing, so
+    post-compaction appends never collide with the new ``batch=0``.
+    Returns the compacted row count (one 1-row meta read + one count —
+    both bounded)."""
+    import shutil  # noqa: PLC0415
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    vectors = spark.read.schema(meta["vec_schema"]).parquet(f"{path}/vectors")
+    data_cols = [f.name for f in vectors.schema.fields if f.name != "batch"]
+    compacted = vectors.select(*data_cols).withColumn("batch", F.lit(0))
+    compacted.write.mode("overwrite").partitionBy("batch").parquet(
+        f"{path}/vectors_compacting"
+    )
+    n = spark.read.schema(meta["vec_schema"]).parquet(
+        f"{path}/vectors_compacting"
+    ).count()
+    shutil.rmtree(f"{path}/vectors")
+    shutil.move(f"{path}/vectors_compacting", f"{path}/vectors")
+    return n

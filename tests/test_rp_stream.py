@@ -121,3 +121,50 @@ def test_real_readstream_appends_and_probe_sees_them(spark, tmp_path):
         .collect()
     }
     assert batches == {0, 1, 2}
+
+
+def test_compaction_preserves_probe_and_collapses_batches(spark, tmp_path):
+    """Compaction must be invisible to probes (identical result) while
+    collapsing every batch partition into a fresh batch=0; appends
+    after compaction keep working (epoch ids never collide with 0)."""
+    from airflow_subscription_etl_spark.streaming.rp_stream import (
+        compact_rp_index,
+    )
+
+    base = spark.createDataFrame(
+        _rows(range(40)), "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "idx")
+    write_rp_index(base, path, dims=16, r_dims=4)
+    process_rp_batch(
+        spark.createDataFrame(
+            _rows(range(40, 50)), "vec_id long, embedding array<float>"
+        ),
+        0,
+        path,
+    )
+    qv = _vec(0)
+    before = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
+
+    n = compact_rp_index(spark, path)
+    assert n == 50
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    vectors = spark.read.schema(meta["vec_schema"]).parquet(f"{path}/vectors")
+    assert {r["batch"] for r in vectors.select("batch").distinct().collect()} == {0}
+    after = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+    # post-compaction append lands in its own partition and is seen
+    process_rp_batch(
+        spark.createDataFrame(
+            _rows(range(50, 60)), "vec_id long, embedding array<float>"
+        ),
+        7,
+        path,
+    )
+    full = spark.createDataFrame(
+        _rows(range(60)), "vec_id long, embedding array<float>"
+    )
+    want = random_projection_topk(full, qv, k=5, r_dims=4, candidates=60).collect()
+    got = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
