@@ -828,6 +828,27 @@ def rp_sign_matrix(dims: int, r_dims: int) -> list[list[int]]:
     ]
 
 
+def _rp_quantize_batch(vals, max_abs: float):
+    """Stack one Arrow batch's vectors and quantize to exact int64
+    micro-units — the ONE lossy step every RP kernel shares, so the
+    one-shot twin and the index build can never drift apart (review
+    r8: the durable build path had re-implemented this without the
+    backstop, so a filter/numpy divergence would have been PERSISTED
+    as garbage instead of raising). Asserts the _rp_valid_rows
+    post-condition BEFORE the cast: a post-cast check cannot fire —
+    NaN/Inf/huge floats cast to INT64_MIN, whose np.abs is still
+    negative (review r7)."""
+    import numpy as np  # noqa: PLC0415
+
+    X = np.stack(vals).astype(np.float64)
+    if not np.isfinite(X).all() or np.abs(X).max() > max_abs:
+        raise AssertionError(
+            "_rp_valid_rows invariant violated: non-finite or "
+            "out-of-envelope element reached an RP kernel"
+        )
+    return np.floor(X * 1_000_000.0 + 0.5).astype(np.int64)
+
+
 def _rp_micro_limit(dims: int, r_dims: int) -> int:
     """Largest per-element |micro| for which the whole prefilter is
     int64-exact: |proj| ≤ dims·m, |diff| ≤ 2·dims·m, and the fold sums
@@ -1035,16 +1056,7 @@ def random_projection_topk_pandas(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            # backstop BEFORE the lossy int64 cast (a post-cast check
-            # can't fire: NaN/Inf/huge floats cast to INT64_MIN, whose
-            # np.abs is still negative — review r7)
-            if not np.isfinite(X).all() or np.abs(X).max() > max_abs:
-                raise AssertionError(
-                    "_rp_valid_rows invariant violated: non-finite or "
-                    "out-of-envelope element reached the twin kernel"
-                )
-            Xmic = np.floor(X * 1_000_000.0 + 0.5).astype(np.int64)
+            Xmic = _rp_quantize_batch(pdf[vec_col].to_numpy(), max_abs)
             P = Xmic @ S.T  # (n, r) exact int64
             D = P - pq[None, :]
             # every column positional (.to_numpy()): a raw Series here
@@ -1146,14 +1158,17 @@ def rp_projected_frame(
 
     signs = rp_sign_matrix(dims, r_dims)
     S = np.array(signs, dtype=np.int64)
+    max_abs = _rp_max_abs(dims, r_dims)
     valid = _rp_valid_rows(df, dims, r_dims, vec_col)
 
     def project(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Xmic = np.floor(X * 1_000_000.0 + 0.5).astype(np.int64)
+            # shared quantize kernel, backstop included: the STORED
+            # projection is the durable copy, so an invariant breach
+            # here must raise, never persist (review r8)
+            Xmic = _rp_quantize_batch(pdf[vec_col].to_numpy(), max_abs)
             P = Xmic @ S.T  # (n, r) exact int64
             yield pd.DataFrame(
                 {
@@ -1177,6 +1192,7 @@ def rp_index_candidates(
     query_vec: list[float],
     candidates: int = 64,
     id_col: str = "vec_id",
+    meta=None,
 ) -> DataFrame:
     """The lazy prefilter frame of an RP-index probe: ``(id,
     approx_d2)`` for the ``candidates`` best rows, scoring the STORED
@@ -1187,8 +1203,12 @@ def rp_index_candidates(
     ``floor``, no validity ``forall``, no Exchange — everything but
     the r_dims-int zip_with was paid at build). Raises when the query
     is dimension-incompatible with the index or out of the int64
-    envelope (driver-side, actionable)."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    envelope (driver-side, actionable). ``meta`` takes the index's
+    already-collected 1-row meta so a caller that needs it too (the
+    two-pass probe) pays the read job once per probe, not per pass
+    (review r8); omitted, it is read here."""
+    if meta is None:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
     dims, r_dims = int(meta["dims"]), int(meta["r_dims"])
     if len(query_vec) != dims:
         raise ValueError(
@@ -1241,14 +1261,17 @@ def rp_topk_indexed(
     rows. Result is IDENTICAL to :func:`random_projection_topk` on the
     same corpus/parameters (pinned by test): the index just
     materializes the projection that operator computes inline."""
+    # one meta read per probe, shared by both passes (review r8: the
+    # re-read was a third fixed job per probe — a real round trip on
+    # an object store — and let the passes straddle a rebuild)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
     cand_rows = rp_index_candidates(
-        spark, path, query_vec, candidates, id_col
+        spark, path, query_vec, candidates, id_col, meta=meta
     ).collect()
     cand_ids = [r[id_col] for r in cand_rows]
     # empty index → empty result frame with the result schema (isin([])
     # is engine-ambiguous; an explicit false filter isn't)
     pred = F.col(id_col).isin(cand_ids) if cand_ids else F.lit(False)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
     cand = (
         spark.read.schema(meta["vec_schema"]).parquet(f"{path}/vectors")
         .filter(pred)

@@ -86,33 +86,86 @@ def start_rp_index_append(
 
 
 def compact_rp_index(spark, path: str) -> int:
-    """Offline compaction: rewrite every ``batch=<n>`` partition into a
+    """Offline compaction: fold the ``batch=<n>`` partitions into a
     single fresh ``batch=0`` — the periodic maintenance the append-only
     log needs once streaming has accumulated many small directories
     (each micro-batch is its own parquet dir; probes then pay one
     file-listing + footer read per batch, the exact small-files cost
     compaction_plan models for any streaming parquet sink).
 
+    REPLAY SAFETY: the HIGHEST-numbered batch directory is preserved
+    at its original number, never folded. Structured Streaming has at
+    most one in-flight epoch (epoch N+1 starts only after N's commit),
+    so only the latest directory can hold a written-but-uncommitted
+    epoch; folding it would let the post-restart replay re-append rows
+    already in ``batch=0``, duplicating them (review r8). Preserved at
+    its original number, a replay OVERWRITES that same directory with
+    identical rows — the module's idempotence contract holds across
+    compaction. Every older directory is committed by that invariant
+    and safe to fold.
+
     SINGLE-WRITER discipline: run only while no append stream is
-    active, like any parquet-sink compaction — the rewrite swaps the
-    whole ``vectors/`` directory (write aside, then rename), and a
-    concurrent epoch write would land in the doomed directory. Epoch
-    numbering is unaffected: checkpointed epoch ids keep increasing, so
-    post-compaction appends never collide with the new ``batch=0``.
-    Returns the compacted row count (one 1-row meta read + one count —
-    both bounded)."""
+    active, like any parquet-sink compaction. The rewrite is written
+    ASIDE and swapped in with two renames (``vectors`` →
+    ``vectors_old``, ``vectors_compacting`` → ``vectors``) before the
+    old copy is deleted — a crash at any step leaves a full copy of
+    the data on disk (delete-before-rename would not: review r8), and
+    a stale ``vectors_old`` from a crashed run is recovered or cleaned
+    on the next call. Epoch numbering is unaffected: checkpointed
+    epoch ids keep increasing, so post-compaction appends never
+    collide with the new ``batch=0``. Returns the number of rows
+    folded into ``batch=0`` (0 = nothing to fold; one 1-row meta read
+    + one count — both bounded)."""
+    import os  # noqa: PLC0415
+    import re  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    vectors = spark.read.schema(meta["vec_schema"]).parquet(f"{path}/vectors")
-    data_cols = [f.name for f in vectors.schema.fields if f.name != "batch"]
-    compacted = vectors.select(*data_cols).withColumn("batch", F.lit(0))
-    compacted.write.mode("overwrite").partitionBy("batch").parquet(
-        f"{path}/vectors_compacting"
+    vectors_dir = f"{path}/vectors"
+    old_dir = f"{path}/vectors_old"
+    new_dir = f"{path}/vectors_compacting"
+    # recovery from a prior crashed swap: between the two renames the
+    # full data sits in vectors_old — restore it; after both, it is a
+    # leftover copy — drop it
+    if not os.path.isdir(vectors_dir) and os.path.isdir(old_dir):
+        shutil.move(old_dir, vectors_dir)
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+
+    batches = sorted(
+        int(m.group(1))
+        for m in (
+            re.fullmatch(r"batch=(\d+)", name)
+            for name in os.listdir(vectors_dir)
+        )
+        if m
     )
-    n = spark.read.schema(meta["vec_schema"]).parquet(
-        f"{path}/vectors_compacting"
-    ).count()
-    shutil.rmtree(f"{path}/vectors")
-    shutil.move(f"{path}/vectors_compacting", f"{path}/vectors")
+    if len(batches) <= 1:
+        return 0  # base only (or a single partition): nothing to fold
+    tail = batches[-1]
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    vectors = spark.read.schema(meta["vec_schema"]).parquet(vectors_dir)
+    data_cols = [f.name for f in vectors.schema.fields if f.name != "batch"]
+    folded = (
+        vectors.filter(F.col("batch") != tail)
+        .select(*data_cols)
+        .withColumn("batch", F.lit(0))
+    )
+    kept = (
+        vectors.filter(F.col("batch") == tail)
+        .select(*data_cols)
+        .withColumn("batch", F.lit(tail))
+    )
+    folded.unionByName(kept).write.mode("overwrite").partitionBy(
+        "batch"
+    ).parquet(new_dir)
+    n = (
+        spark.read.schema(meta["vec_schema"])
+        .parquet(new_dir)
+        .filter(F.col("batch") != tail)
+        .count()
+    )
+    shutil.move(vectors_dir, old_dir)
+    shutil.move(new_dir, vectors_dir)
+    shutil.rmtree(old_dir)
     return n

@@ -237,3 +237,30 @@ def test_empty_index_probe_returns_empty(spark, tmp_path):
     got = rp_topk_indexed(spark, path, [0.1] * 16, k=5, candidates=8)
     assert got.collect() == []
     assert [f.name for f in got.schema.fields] == ["vec_id", "cosine_sim"]
+
+
+def test_shared_quantize_backstop_raises_before_cast():
+    """_rp_quantize_batch is the ONE lossy step every RP kernel shares
+    (one-shot twin AND the durable index build — review r8: the build
+    path had its own copy WITHOUT the backstop, so a validity-filter
+    drift would have been persisted as garbage). Pin that it raises on
+    non-finite and out-of-envelope input BEFORE the int64 cast, and is
+    exact inside the envelope."""
+    import numpy as np
+
+    from airflow_subscription_etl_spark.operators.similarity import (
+        _rp_quantize_batch,
+    )
+
+    good = np.array([[0.5, -0.25], [1.0, 0.0]])
+    out = _rp_quantize_batch(list(good), max_abs=8.0)
+    assert out.dtype == np.int64
+    assert out.tolist() == [[500_000, -250_000], [1_000_000, 0]]
+
+    for bad in (
+        [np.array([0.1, float("nan")])],
+        [np.array([float("inf"), 0.1])],
+        [np.array([9.0, 0.1])],  # over max_abs
+    ):
+        with pytest.raises(AssertionError, match="_rp_valid_rows"):
+            _rp_quantize_batch(bad, max_abs=8.0)

@@ -125,8 +125,10 @@ def test_real_readstream_appends_and_probe_sees_them(spark, tmp_path):
 
 def test_compaction_preserves_probe_and_collapses_batches(spark, tmp_path):
     """Compaction must be invisible to probes (identical result) while
-    collapsing every batch partition into a fresh batch=0; appends
-    after compaction keep working (epoch ids never collide with 0)."""
+    folding every batch partition EXCEPT the highest-numbered one into
+    a fresh batch=0 (the tail may be a written-but-uncommitted epoch —
+    see the replay test below); appends after compaction keep working
+    (epoch ids never collide with 0)."""
     from airflow_subscription_etl_spark.streaming.rp_stream import (
         compact_rp_index,
     )
@@ -136,28 +138,39 @@ def test_compaction_preserves_probe_and_collapses_batches(spark, tmp_path):
     )
     path = str(tmp_path / "idx")
     write_rp_index(base, path, dims=16, r_dims=4)
-    process_rp_batch(
-        spark.createDataFrame(
-            _rows(range(40, 50)), "vec_id long, embedding array<float>"
-        ),
-        0,
-        path,
-    )
+    for epoch, ids in enumerate(
+        (range(40, 45), range(45, 50), range(50, 55))
+    ):
+        process_rp_batch(
+            spark.createDataFrame(
+                _rows(ids), "vec_id long, embedding array<float>"
+            ),
+            epoch,
+            path,
+        )
     qv = _vec(0)
     before = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
 
+    # dirs {0,1,2,3}: folds 0..2 (40+5+5 rows), preserves tail dir 3
     n = compact_rp_index(spark, path)
     assert n == 50
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     vectors = spark.read.schema(meta["vec_schema"]).parquet(f"{path}/vectors")
-    assert {r["batch"] for r in vectors.select("batch").distinct().collect()} == {0}
+    assert {
+        r["batch"] for r in vectors.select("batch").distinct().collect()
+    } == {0, 3}
     after = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+    # base-only index: nothing to fold, index untouched
+    solo = str(tmp_path / "solo")
+    write_rp_index(base, solo, dims=16, r_dims=4)
+    assert compact_rp_index(spark, solo) == 0
 
     # post-compaction append lands in its own partition and is seen
     process_rp_batch(
         spark.createDataFrame(
-            _rows(range(50, 60)), "vec_id long, embedding array<float>"
+            _rows(range(55, 60)), "vec_id long, embedding array<float>"
         ),
         7,
         path,
@@ -168,3 +181,50 @@ def test_compaction_preserves_probe_and_collapses_batches(spark, tmp_path):
     want = random_projection_topk(full, qv, k=5, r_dims=4, candidates=60).collect()
     got = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_compaction_replay_idempotent_and_crash_recoverable(spark, tmp_path):
+    """The review-r8 failure scenario: an epoch written but NOT yet
+    committed when the stream went down is replayed after compaction.
+    Because the tail directory is preserved at its original number,
+    the replay overwrites it with identical rows — no duplication, and
+    the probe result is byte-identical. Also pins crash recovery: a
+    stale ``vectors_old`` left mid-swap is restored/cleaned on the
+    next call."""
+    import shutil as sh
+
+    from airflow_subscription_etl_spark.streaming.rp_stream import (
+        compact_rp_index,
+    )
+
+    base = spark.createDataFrame(
+        _rows(range(40)), "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "idx")
+    write_rp_index(base, path, dims=16, r_dims=4)
+    b0 = spark.createDataFrame(
+        _rows(range(40, 50)), "vec_id long, embedding array<float>"
+    )
+    b1 = spark.createDataFrame(
+        _rows(range(50, 60)), "vec_id long, embedding array<float>"
+    )
+    process_rp_batch(b0, 0, path)  # committed epoch
+    process_rp_batch(b1, 1, path)  # written, then crash before commit
+
+    qv = _vec(0)
+    before = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
+    compact_rp_index(spark, path)  # folds {0,1}, preserves dir 2
+    process_rp_batch(b1, 1, path)  # restart replays the in-flight epoch
+
+    rows = spark.read.parquet(f"{path}/vectors").select("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 60  # no duplicated rows
+    got = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in before]
+
+    # crash between the two swap renames: vectors/ missing, full copy
+    # in vectors_old — the next call restores it and proceeds
+    sh.move(f"{path}/vectors", f"{path}/vectors_old")
+    assert compact_rp_index(spark, path) == 50  # folds {0,1}, keeps 2
+    recovered = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
+    assert [tuple(r) for r in recovered] == [tuple(r) for r in before]

@@ -252,16 +252,35 @@ def main() -> None:
     # ints. Sizes large enough that the scan, not the fixed Arrow/task
     # overhead, is the dominant term (the sf* embeddings tables are ≤2k
     # rows — overhead-dominated, see SCALE.md).
+    import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
+    r1n, r8n = 50_000 // scale, 400_000 // scale
+    # try/finally: the two corpora + two indexes are ~0.5 GB at full
+    # size and this tool is re-run every round — leaking them fills
+    # /tmp (review r8; every other section cleans up after itself)
+    base = tempfile.mkdtemp(prefix="rp_idx_probe_")
+    try:
+        _rp_probe(spark, base, r1n, r8n, rows, timed)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    spark.catalog.clearCache()
+
+    print("\n".join(rows))
+    for t in ("probe_idx_1x", "probe_idx_8x"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.stop()
+
+
+def _rp_probe(spark, base: str, r1n: int, r8n: int, rows, timed) -> None:
+    """Build, warm, and time the RP one-shot vs indexed probe under
+    ``base`` (a temp dir the caller owns and removes)."""
     from airflow_subscription_etl_spark.operators.similarity import (  # noqa: PLC0415
         random_projection_topk_pandas,
         rp_topk_indexed,
         write_rp_index,
     )
 
-    r1n, r8n = 50_000 // scale, 400_000 // scale
-    base = tempfile.mkdtemp(prefix="rp_idx_probe_")
     synth_emb(spark, r1n).select("vec_id", "embedding").write.mode(
         "overwrite"
     ).parquet(f"{base}/corpus_1x")
@@ -298,12 +317,6 @@ def main() -> None:
         f"| rp_topk_indexed (stored projection, same corpora) "
         f"| {g1:.2f}s | {g8:.2f}s | {g8 / g1:.1f}x |"
     )
-    spark.catalog.clearCache()
-
-    print("\n".join(rows))
-    for t in ("probe_idx_1x", "probe_idx_8x"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-    spark.stop()
 
 
 if __name__ == "__main__":
