@@ -1280,6 +1280,230 @@ def rp_topk_indexed(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def rp_knn_candidate_pairs(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    candidates: int = 64,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta=None,
+    qrows=None,
+) -> DataFrame:
+    """The lazy prefilter stage of a batched RP-index KNN join: the
+    ``(query_id, id)`` candidate pairs — per query, the ``candidates``
+    stored projections nearest in integer squared-L2, tiebroken
+    (approx asc, id asc) exactly like :func:`rp_index_candidates`.
+    The multi-query sibling of that function, shaped for scale:
+
+    - ONE narrow ``(id, rp_proj)`` scan scores ALL queries — each
+      Arrow batch computes the (n, q) distance matrix as one
+      vectorized int64 subtract-square-sum (the same per-component
+      (p−q)² as the one-shot fold, no algebraic rearrangement, so the
+      _rp_micro_limit envelope applies unchanged) and emits only its
+      LOCAL top-``candidates`` per query, ≤ batches·q·c rows — never
+      the n·q cross product.
+    - one window over those rows makes the cut global (local-then-
+      global top-c is exact under the total (approx, id) order); the
+      single Exchange in the plan is this candidate-sized shuffle,
+      pinned by test.
+
+    ``meta``/``qrows`` take the already-collected index meta and
+    projected-query rows so :func:`rp_knn_join_indexed` pays those
+    jobs once; omitted, they are computed here (queries pass the same
+    validity envelope as corpus rows — invalid queries are EXCLUDED,
+    engine-uniformly)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    if meta is None:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    dims, r_dims = int(meta["dims"]), int(meta["r_dims"])
+    if qrows is None:
+        qrows = rp_projected_frame(
+            queries_df, dims, r_dims, query_id_col, vec_col
+        ).collect()
+
+    narrow = (
+        spark.read.schema(meta["vec_schema"])
+        .parquet(f"{path}/vectors")
+        .select(id_col, "rp_proj")
+    )
+    qid_type = queries_df.schema[query_id_col].dataType.simpleString()
+    id_type = narrow.schema[id_col].dataType.simpleString()
+    pre_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, _ad bigint"
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} {qid_type}, {id_col} {id_type}"
+        )
+    Q = np.array([list(r["rp_proj"]) for r in qrows], dtype=np.int64)
+    qids = [r[query_id_col] for r in qrows]
+
+    def prefilter(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            P = np.stack(pdf["rp_proj"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            D = P[:, None, :] - Q[None, :, :]
+            AD = (D * D).sum(axis=2)  # (n, q) exact int64
+            c = min(candidates, len(pdf))
+            out_q, out_i, out_a = [], [], []
+            for j, qid in enumerate(qids):
+                col = AD[:, j]
+                # local top-c under the global (approx asc, id asc)
+                # order — lexsort's last key is primary
+                order = np.lexsort((ids, col))[:c]
+                out_q.extend([qid] * len(order))
+                out_i.extend(ids[order])
+                out_a.extend(col[order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: out_q,
+                    id_col: np.asarray(out_i, dtype=ids.dtype),
+                    "_ad": np.asarray(out_a, dtype=np.int64),
+                }
+            )
+
+    local = narrow.mapInPandas(prefilter, schema=pre_schema)
+    w_pre = Window.partitionBy(query_id_col).orderBy(
+        F.col("_ad").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("_rn", F.row_number().over(w_pre))
+        .filter(F.col("_rn") <= candidates)
+        .select(query_id_col, id_col)
+    )
+
+
+def rp_knn_join_indexed(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    candidates: int = 64,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched KNN join against a materialized RP index
+    (:func:`write_rp_index`): top-``k`` corpus neighbours for EVERY
+    query in ``queries_df`` — the multi-query form of
+    :func:`rp_topk_indexed`, which is what retrieval actually runs at
+    scale (hard-negative mining, dedup-by-query, eval-set neighbour
+    dumps probe thousands of queries per pass, not one).
+
+    Per query, the result is IDENTICAL to a :func:`rp_topk_indexed`
+    loop (pinned by test) — same integer-exact prefilter, same
+    (approx asc, id asc) / (cosine desc, id asc) tiebreaks — but the
+    corpus work is shared:
+
+    1. queries pass the same validity envelope as corpus rows
+       (:func:`_rp_valid_rows` — invalid queries are EXCLUDED, engine-
+       uniformly) and are projected once via :func:`rp_projected_frame`
+       (the shared quantize kernel), then collected: the query batch is
+       the SMALL side by contract — mining batches are 10²–10⁵ rows of
+       (r_dims+dims) scalars (MBs) against a corpus of billions, the
+       same bounded-collect class as the IVF codebook and the probe's
+       candidate list.
+    2. prefilter: ONE narrow ``(id, rp_proj)`` scan of the index; each
+       Arrow batch scores all queries with one vectorized int64
+       subtract-square-sum (bit-identical to the one-shot kernel's
+       per-pair fold) and emits only its local top-``candidates`` per
+       query — ≤ batches·q·c rows leave the map side, never n·q.
+    3. global candidate cut: one window over those tiny rows
+       (row_number ≤ ``candidates`` per query — local-then-global
+       top-c is exact under the total (approx, id) order).
+    4. rerank: the distinct candidate ids (≤ q·c, bounded) become a
+       pushed parquet ``In`` filter on the vector column — the heavy
+       column is read for candidate rows only, exactly like the
+       single-query probe — then exact cosine per (query, candidate)
+       pair and a per-query top-``k`` window.
+
+    At 100 TB: the corpus is touched by one narrow map-only scan plus
+    a candidate-row vector read; every shuffle is candidate-sized
+    (q·c), so cost is flat in corpus size and linear in queries — the
+    whole point of joining batched instead of looping the single-query
+    probe (which would re-scan the projection column per query).
+
+    Returns ``(query_id, id, cosine_sim)`` ordered by (query_id asc,
+    cosine desc, id asc). Empty/invalid query batch or empty index →
+    empty frame with that schema."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    dims, r_dims = int(meta["dims"]), int(meta["r_dims"])
+
+    qid_type = queries_df.schema[query_id_col].dataType.simpleString()
+    # id type comes from the index's recorded schema, not an assumption
+    id_type = (
+        spark.read.schema(meta["vec_schema"])
+        .parquet(f"{path}/vectors")
+        .schema[id_col]
+        .dataType.simpleString()
+    )
+    out_schema = (
+        f"{query_id_col} {qid_type}, {id_col} {id_type}, cosine_sim double"
+    )
+    # bounded collect (see docstring): q rows of r_dims ints + dims
+    # floats, already validity-filtered and projected by the shared
+    # build kernel — the projections are exactly what the index stores
+    qrows = rp_projected_frame(
+        queries_df, dims, r_dims, query_id_col, vec_col
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+
+    cand_pairs = rp_knn_candidate_pairs(
+        spark, path, queries_df, candidates,
+        query_id_col, id_col, vec_col, meta=meta, qrows=qrows,
+    )
+    # bounded collect: ≤ q·candidates pairs — feeds the pushed-In
+    # pruning AND pins the candidate set so the rerank can't drift
+    pairs = cand_pairs.collect()
+    if not pairs:
+        return spark.createDataFrame([], out_schema)
+    cand_ids = sorted({r[id_col] for r in pairs})
+    pairs_df = spark.createDataFrame(
+        [(r[query_id_col], r[id_col]) for r in pairs],
+        f"{query_id_col} {qid_type}, {id_col} {id_type}",
+    )
+    # double, not float: preserves the query values bit-exactly (the
+    # single-query probe sees them as double literals — a float32
+    # round-trip here would shift cosines by an ulp and break parity)
+    qvec_df = spark.createDataFrame(
+        [(r[query_id_col], [float(x) for x in r[vec_col]]) for r in qrows],
+        f"{query_id_col} {qid_type}, _qv array<double>",
+    )
+    vecs = (
+        spark.read.schema(meta["vec_schema"])
+        .parquet(f"{path}/vectors")
+        .filter(F.col(id_col).isin(cand_ids))
+        .select(id_col, vec_col)
+    )
+    scored = (
+        vecs.join(F.broadcast(pairs_df), on=id_col)
+        .join(F.broadcast(qvec_df), on=query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("_qv")).alias("cosine_sim"),
+        )
+    )
+    w_k = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cosine_sim")
+        .orderBy(
+            F.col(query_id_col).asc(),
+            F.col("cosine_sim").desc(),
+            F.col(id_col).asc(),
+        )
+    )
+
+
 def embedding_dim_stats(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

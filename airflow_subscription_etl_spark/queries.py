@@ -6865,7 +6865,9 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def reconcile(key, o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:  # noqa: E741
+    # fully hinted (incl. key) so pyspark's eval-type inference
+    # resolves silently instead of warning + falling back
+    def reconcile(key: tuple, o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:  # noqa: E741
         order_keys = set(o["o_orderkey"]) if len(o) else set()
         line_keys = set(l["o_orderkey"]) if len(l) else set()
         return pd.DataFrame(
@@ -6964,7 +6966,10 @@ def q_source_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
 
-    def stats(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # key needs a hint too: with a PARTIAL hint set pyspark's eval-type
+    # inference warns (UserWarning per call site) and falls back to
+    # argument counting — fully hinted, it resolves silently
+    def stats(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["n_chars"].to_numpy(dtype="float64")
         return pd.DataFrame(
             [
@@ -7923,6 +7928,133 @@ def q_emb_rp_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rp_topk_indexed(spark, path, qv, k=20, candidates=64)
 
 
+def q_emb_rp_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched KNN join over the materialized RP index
+    (similarity.rp_knn_join_indexed): top-10 neighbours for EACH of the
+    4 smallest valid vec_ids in one pass — the multi-query deployment
+    shape of ``emb_rp_indexed`` (mining/eval runs probe thousands of
+    queries, not one). The corpus cost is shared across queries: one
+    narrow ``(id, rp_proj)`` scan scores every query per Arrow batch
+    and emits only local top-candidates (≤ batches·q·c rows, never
+    n·q), then a candidate-sized window + pushed-``In`` vector rerank.
+    Per query the result is IDENTICAL to a ``rp_topk_indexed`` loop
+    (pinned in tests/test_round8_ops.py); the oracle replays the whole
+    pipeline per query with the same generated-SQL machinery as
+    ``emb_rp_topk``.
+
+    Side effect: (re)writes ``rp_knn_index_<sf-tag>/`` under the
+    session warehouse each call (the emb_rp_indexed pattern — own
+    path, so concurrent same-sf runs of the two queries don't race
+    each other's overwrite)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = len(_query_vector(spark, sf_dir))
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    path = os.path.join(re.sub(r"^file:/*", "/", wh), f"rp_knn_index_{tag}")
+    similarity.write_rp_index(emb, path, dims=dims, r_dims=8)
+    queries = (
+        similarity._rp_valid_rows(emb, dims, 8, "embedding")
+        .orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return similarity.rp_knn_join_indexed(
+        spark, path, queries, k=10, candidates=64
+    )
+
+
+def _rp_knn_oracle_sql(
+    dims: int = 64, r_dims: int = 8, candidates: int = 64, k: int = 10,
+    nq: int = 4,
+) -> str:
+    """DuckDB replay of q_emb_rp_knn_join — the per-query
+    generalization of :func:`_rp_oracle_sql`: same sign matrix,
+    validity envelope, floor-micro quantization, and tiebreaks, but
+    queries are the ``nq`` smallest valid vec_ids and both the
+    candidate cut and the final top-k are per-query windows."""
+    from .operators.similarity import _rp_max_abs  # noqa: PLC0415
+    from .operators.sketch import portable_hash_params  # noqa: PLC0415
+
+    params = ", ".join(
+        f"({j}, {a}, {b})"
+        for j, (a, b) in enumerate(portable_hash_params(r_dims))
+    )
+    max_abs = repr(_rp_max_abs(dims, r_dims))
+    return f"""
+WITH valid AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dims}
+    AND coalesce(list_bool_and(list_transform(embedding,
+          x -> x IS NOT NULL
+               AND abs(x::DOUBLE) <= '{max_abs}'::DOUBLE)), false)
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM valid
+  ORDER BY vec_id ASC LIMIT {nq}
+),
+params(j, a, b) AS (VALUES {params}),
+dim AS (SELECT i FROM range({dims}) t(i)),
+signs AS (
+  SELECT p.j, d.i,
+         ((p.a * (d.i + 1) + p.b) % 2147483647) % 2 * 2 - 1 AS s
+  FROM params p CROSS JOIN dim d
+),
+vm AS (
+  SELECT e.vec_id, d.i,
+         CAST(floor(e.embedding[d.i + 1]::DOUBLE * 1000000.0 + 0.5)
+              AS BIGINT) AS mic
+  FROM valid e CROSS JOIN dim d
+),
+qm AS (
+  SELECT q.query_id, d.i,
+         CAST(floor(q.qv[d.i + 1]::DOUBLE * 1000000.0 + 0.5)
+              AS BIGINT) AS mic
+  FROM qs q CROSS JOIN dim d
+),
+pv AS (
+  SELECT vm.vec_id, s.j, SUM(vm.mic * s.s) AS p
+  FROM vm JOIN signs s ON vm.i = s.i GROUP BY 1, 2
+),
+pq AS (
+  SELECT qm.query_id, s.j, SUM(qm.mic * s.s) AS p
+  FROM qm JOIN signs s ON qm.i = s.i GROUP BY 1, 2
+),
+approx AS (
+  SELECT pq.query_id, pv.vec_id,
+         CAST(SUM((pv.p - pq.p) * (pv.p - pq.p)) AS BIGINT) AS ad
+  FROM pv JOIN pq ON pv.j = pq.j GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY ad ASC, vec_id ASC) AS rn
+    FROM approx) WHERE rn <= {candidates}
+),
+scored AS (
+  SELECT c.query_id, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> e.embedding[i]::DOUBLE * qs.qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(qs.qv) + 1),
+              i -> qs.qv[i]::DOUBLE * qs.qv[i]::DOUBLE)))) AS cosine_sim
+  FROM embeddings e
+  JOIN cand c ON e.vec_id = c.vec_id
+  JOIN qs ON qs.query_id = c.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT scored.*,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= {k}
+ORDER BY query_id ASC, cosine_sim DESC, vec_id ASC
+"""
+
+
 def _rp_oracle_sql(
     dims: int = 64, r_dims: int = 8, candidates: int = 64, k: int = 20
 ) -> str:
@@ -8204,29 +8336,34 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- round 8 --
     "emb_rp_indexed": (q_emb_rp_indexed, _rp_oracle_sql),
     "doc_islands_window": (q_doc_islands_window, SQL_DOC_CC_ISLANDS),
+    "emb_rp_knn_join": (q_emb_rp_knn_join, _rp_knn_oracle_sql),
 }
 
 
 #: Round-8 verification priority — GENERATED by tools/retier.py at
-#: round end (diff base: the r7 round commit). Tier 0: the two r8
-#: registrations. Tier 1: every registry query transitively consuming
-#: a symbol this round's diff touched (RP operators, the pandas-twin
-#: positional fix, cache.adopt, kmeans_cluster_summary's docstring).
-#: Tier 2 drains the stale tail oldest-first: ALL 20 r3-latest rows
-#: and 22 of the 29 r4-latest rows fit; the 8 tier-0/1 slots displace
-#: exactly the 7 YOUNGEST r4 rows (registry-latest order), which lead
-#: r9's fill. Steady-state age bound is ceil(185/50) = 4 rounds
-#: (tools/retier.py, reconciled r8). Regenerate: python tools/retier.py
+#: round end (diff base: the r7 round commit). Tier 0: the three r8
+#: registrations (incl. emb_rp_knn_join). Tier 1: every registry query
+#: transitively consuming a symbol this round's diff touched (RP
+#: operators, the pandas-twin positional fix, cache.adopt, the two
+#: fully-hinted applyInPandas queries). Tier 2 drains the stale tail
+#: oldest-first: ALL 20 r3-latest rows and 19 of the 29 r4-latest rows
+#: fit; the 11 tier-0/1 slots displace the 10 YOUNGEST r4 rows
+#: (registry-latest order), which lead r9's fill. Steady-state age
+#: bound is ceil(186/50) = 4 rounds (tools/retier.py, reconciled r8).
+#: Regenerate: python tools/retier.py
 _PRIORITY_R8 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
     "emb_rp_indexed",
     "doc_islands_window",
+    "emb_rp_knn_join",
     # tier 1 — implementation diff-reachable this round
     "emb_kmeans",
     "emb_kmeans_pandas",
     "emb_semantic_dedup",
     "emb_topk_cosine_pandas",
     "emb_ivf_portable",
+    "cogroup_reconcile",
+    "source_length_stats",
     "emb_rp_topk",
     # tier 2 — oldest-green driver rows, round-robin back-fill
     "doc_cms_heavy_hitters",  # last row r3
@@ -8268,9 +8405,6 @@ _PRIORITY_R8 = [
     "emb_dim_stats",  # last row r4
     "ev_attribution_left",  # last row r4
     "dq_expectations",  # last row r4
-    "source_vocab_overlap",  # last row r4
-    "doc_weighted_reservoir",  # last row r4
-    "cogroup_reconcile",  # last row r4
 ]
 
 

@@ -142,10 +142,11 @@ HEADLINE = [
     # source-keyed Exchange) — timed alongside doc_cc_islands, which
     # stays in BASELINE25 unchanged as the iterative-CC
     # transitive-closure anchor (VERDICT r7 #4; see COVERAGE.md).
-    # emb_rp_indexed stays correctness-gated but OUT of the headline
-    # (the doc_minhash_indexed precedent: each call rewrites its index
-    # — a table-write cost class; probe latency is measured in
-    # tools/synth_probe.py and SCALE.md, flat across 32x corpus).
+    # emb_rp_indexed and emb_rp_knn_join stay correctness-gated but
+    # OUT of the headline (the doc_minhash_indexed precedent: each
+    # call rewrites its index — a table-write cost class; probe and
+    # batched-join latency are measured in tools/synth_probe.py and
+    # SCALE.md instead).
     "doc_islands_window",
 ]
 

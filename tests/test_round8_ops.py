@@ -264,3 +264,116 @@ def test_shared_quantize_backstop_raises_before_cast():
     ):
         with pytest.raises(AssertionError, match="_rp_valid_rows"):
             _rp_quantize_batch(bad, max_abs=8.0)
+
+
+def test_knn_join_equals_probe_loop(spark, emb, dirty, tmp_path):
+    """rp_knn_join_indexed must equal a per-query rp_topk_indexed loop
+    EXACTLY (same candidate sets, same cosines, same tiebreaks) — the
+    batched join only shares the corpus work, it may not change any
+    answer. Corpus carries the full dirty zoo (excluded at build);
+    the query batch carries its own dirty rows (excluded by the same
+    envelope) and valid queries absent from the corpus."""
+    from airflow_subscription_etl_spark.operators.similarity import (
+        rp_knn_join_indexed,
+    )
+
+    path = str(tmp_path / "rp_idx")
+    write_rp_index(dirty, path, dims=16, r_dims=4)
+    queries = spark.createDataFrame(
+        [(0, [float(((0 * 13 + d * 7) % 29) - 14) / 14.0 for d in range(16)]),
+         (7, [float(((7 * 13 + d * 7) % 29) - 14) / 14.0 for d in range(16)]),
+         (333, [0.05 * d for d in range(16)]),  # not in the corpus
+         (994, None),  # dirty queries: every envelope class
+         (995, [1.0, 2.0]),
+         (996, [float("nan")] * 16),
+         (999, [1e9] * 16)],
+        "query_id long, embedding array<float>",
+    )
+    got = rp_knn_join_indexed(
+        spark, path, queries, k=5, candidates=12
+    ).collect()
+    assert {r["query_id"] for r in got} == {0, 7, 333}  # dirty excluded
+    for qid in (0, 7, 333):
+        stored = queries.filter(F.col("query_id") == qid).collect()[0][
+            "embedding"
+        ]
+        want = rp_topk_indexed(
+            spark, path, [float(x) for x in stored], k=5, candidates=12
+        ).collect()
+        mine = [
+            (r["vec_id"], r["cosine_sim"]) for r in got
+            if r["query_id"] == qid
+        ]
+        assert mine == [(r["vec_id"], r["cosine_sim"]) for r in want]
+
+
+def test_knn_join_plan_shape(spark, emb, tmp_path):
+    """Scale pins for the batched join: the prefilter stage
+    (rp_knn_candidate_pairs) reads ONLY (id, rp_proj) — the heavy
+    vector column absent from its scan — does not re-project (no
+    floor/forall; paid at build), and shuffles exactly ONCE (the
+    candidate-sized window on query_id). The join's final frame prunes
+    the vector read to candidate rows via a pushed parquet In filter,
+    like the single-query probe."""
+    from airflow_subscription_etl_spark.operators.similarity import (
+        rp_knn_candidate_pairs,
+        rp_knn_join_indexed,
+    )
+
+    path = str(tmp_path / "rp_idx")
+    write_rp_index(emb, path, dims=16, r_dims=4)
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    pre = (
+        rp_knn_candidate_pairs(spark, path, queries, candidates=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rp_proj" in pre
+    assert "embedding" not in pre  # vector column pruned from the scan
+    assert "floor" not in pre.lower()
+    assert "forall" not in pre  # validity was paid at build
+    assert pre.count("Exchange") == 1  # the candidate-sized window only
+
+    final = (
+        rp_knn_join_indexed(spark, path, queries, k=5, candidates=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(vec_id" in final
+    assert "rp_proj" not in final  # projection column pruned at rerank
+
+
+def test_knn_join_empty_cases(spark, emb, tmp_path):
+    """Empty/all-invalid query batch and empty index both return an
+    EMPTY frame with the result schema — never a crash."""
+    from airflow_subscription_etl_spark.operators.similarity import (
+        rp_knn_join_indexed,
+    )
+
+    path = str(tmp_path / "rp_idx")
+    write_rp_index(emb, path, dims=16, r_dims=4)
+    all_bad = spark.createDataFrame(
+        [(1, None), (2, [float("nan")] * 16)],
+        "query_id long, embedding array<float>",
+    )
+    got = rp_knn_join_indexed(spark, path, all_bad, k=5, candidates=12)
+    assert got.collect() == []
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "vec_id", "cosine_sim",
+    ]
+
+    empty_idx = str(tmp_path / "rp_idx_empty")
+    write_rp_index(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        empty_idx, dims=16, r_dims=4,
+    )
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = rp_knn_join_indexed(spark, empty_idx, queries, k=5, candidates=12)
+    assert got.collect() == []

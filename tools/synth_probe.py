@@ -318,6 +318,56 @@ def _rp_probe(spark, base: str, r1n: int, r8n: int, rows, timed) -> None:
         f"| {g1:.2f}s | {g8:.2f}s | {g8 / g1:.1f}x |"
     )
 
+    # batched KNN join vs a single-query probe loop: the join shares
+    # the narrow corpus scan across all queries, so per-batch latency
+    # should be probe-like (flat in corpus), while the loop pays the
+    # full fixed probe cost per query
+    from airflow_subscription_etl_spark.operators.similarity import (  # noqa: PLC0415
+        rp_knn_join_indexed,
+    )
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    nq = 16
+    qdf1 = rp1.orderBy("vec_id").limit(nq).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qdf8 = rp8.orderBy("vec_id").limit(nq).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qvecs1 = [list(map(float, r["embedding"])) for r in qdf1.collect()]
+    qvecs8 = [list(map(float, r["embedding"])) for r in qdf8.collect()]
+
+    def loop(path, qvecs):
+        for qv_i in qvecs:
+            rp_topk_indexed(
+                spark, path, qv_i, k=20, candidates=64
+            ).write.format("noop").mode("overwrite").save()
+
+    def timed_loop(path, qvecs, passes=2):
+        # the loop writes internally (it is not a single frame), so
+        # time the whole action with the same best-of-passes rule
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.time()
+            loop(path, qvecs)
+            best = min(best, time.time() - t0)
+        return best
+
+    l1 = timed_loop(f"{base}/idx_1x", qvecs1)
+    l8 = timed_loop(f"{base}/idx_8x", qvecs8)
+    j1 = timed(lambda: rp_knn_join_indexed(spark, f"{base}/idx_1x", qdf1,
+                                           k=20, candidates=64))
+    j8 = timed(lambda: rp_knn_join_indexed(spark, f"{base}/idx_8x", qdf8,
+                                           k=20, candidates=64))
+    rows.append(
+        f"| rp_topk_indexed ×{nq} loop (per-query probes) "
+        f"| {l1:.2f}s | {l8:.2f}s | {l8 / l1:.1f}x |"
+    )
+    rows.append(
+        f"| rp_knn_join_indexed ({nq} queries, one shared pass) "
+        f"| {j1:.2f}s | {j8:.2f}s | {j8 / j1:.1f}x |"
+    )
+
 
 if __name__ == "__main__":
     main()
