@@ -29,6 +29,13 @@ At 100 TB the per-batch work is the delta's scan + matmul only;
 periodic compaction of small ``batch=`` directories is the same
 maintenance any streaming parquet sink needs (compaction_plan's cost
 model applies unchanged).
+
+The QUERY side streams too (:func:`process_rp_query_batch` /
+:func:`start_rp_knn_stream`): each micro-batch of query vectors is
+answered by the batched KNN join — one shared narrow index scan per
+batch, never a per-query loop — and written to its own ``batch=<id>``
+results directory under the same overwrite-own-directory idempotence
+discipline as the append side.
 """
 
 from __future__ import annotations
@@ -76,6 +83,74 @@ def start_rp_index_append(
     writer = (
         stream.writeStream.foreachBatch(
             lambda b, i: process_rp_batch(b, i, path, id_col, vec_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def process_rp_query_batch(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    out_root: str,
+    k: int = 10,
+    candidates: int = 64,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of QUERIES answered against the index: the
+    batched KNN join (:func:`..operators.similarity.rp_knn_join_indexed`
+    — one shared narrow scan for the whole batch, results identical
+    per query to a single-probe loop) written to the batch's OWN
+    ``batch=<id>`` directory with OVERWRITE, so a replayed epoch
+    rewrites the same rows — the module's idempotence discipline on
+    the query side. Exposed separately from the stream wiring so batch
+    backfills drive the same code path.
+
+    Queries are independent of each other, so per-batch results equal
+    a one-shot join over the union of all batches, restricted to that
+    batch's queries (pinned by test). Results reflect the index at
+    probe time: a CONCURRENT index-append stream may land rows between
+    two query batches (each batch then sees the fresher index — the
+    expected streaming semantics); for bit-stable replays across index
+    growth, probe a quiesced or snapshot index."""
+    from ..operators.similarity import rp_knn_join_indexed  # noqa: PLC0415
+
+    res = rp_knn_join_indexed(
+        batch.sparkSession, path, batch, k, candidates,
+        query_id_col, id_col, vec_col,
+    )
+    res.write.mode("overwrite").parquet(f"{out_root}/batch={int(batch_id)}")
+
+
+def start_rp_knn_stream(
+    stream: DataFrame,
+    path: str,
+    out_root: str,
+    checkpoint: str,
+    k: int = 10,
+    candidates: int = 64,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Wire a query stream into continuous retrieval: one
+    ``process_rp_query_batch`` per micro-batch, results landing as
+    ``batch=<id>`` partitions under ``out_root``. ``availableNow``
+    drains the backlog and stops (backfill shape); pass False for a
+    continuous serving query."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: process_rp_query_batch(
+                b, i, path, out_root, k, candidates,
+                query_id_col, id_col, vec_col,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

@@ -228,3 +228,85 @@ def test_compaction_replay_idempotent_and_crash_recoverable(spark, tmp_path):
     assert compact_rp_index(spark, path) == 50  # folds {0,1}, keeps 2
     recovered = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
     assert [tuple(r) for r in recovered] == [tuple(r) for r in before]
+
+
+def test_query_stream_parity_and_replay(spark, tmp_path):
+    """The query side of the module: a real readStream of query
+    vectors drained through start_rp_knn_stream must produce, per
+    batch, EXACTLY the batched-join answer for that batch's queries
+    (queries are independent, so per-batch results equal the one-shot
+    join restricted to those queries); replaying a batch id leaves the
+    results byte-unchanged; dirty queries drop engine-uniformly."""
+    from pyspark.sql import functions as F
+
+    from airflow_subscription_etl_spark.operators.similarity import (
+        rp_knn_join_indexed,
+    )
+    from airflow_subscription_etl_spark.streaming.rp_stream import (
+        process_rp_query_batch,
+        start_rp_knn_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        _rows(range(60)), "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "idx")
+    write_rp_index(corpus, path, dims=16, r_dims=4)
+
+    q_batches = (
+        _rows(range(3)) + [(901, None)],  # dirty query drops
+        _rows(range(30, 34)),
+    )
+    src = str(tmp_path / "qsrc")
+    flat = str(tmp_path / "qflat")
+    os.makedirs(flat)
+    for bid, rows in enumerate(q_batches):
+        spark.createDataFrame(
+            rows, "query_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{bid}")
+        part = glob.glob(f"{src}/b{bid}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/queries_{bid}.parquet")
+
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out_root = str(tmp_path / "results")
+    q = start_rp_knn_stream(
+        stream, path, out_root, checkpoint=str(tmp_path / "qckpt"),
+        k=5, candidates=60,
+    )
+    assert q.awaitTermination(240), "query-stream drain did not finish"
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_root)
+        .select("query_id", "vec_id", "cosine_sim")
+        .collect()
+    )
+    all_queries = spark.createDataFrame(
+        [r for rows in q_batches for r in rows],
+        "query_id long, embedding array<float>",
+    )
+    want = sorted(
+        tuple(r)
+        for r in rp_knn_join_indexed(
+            spark, path, all_queries, k=5, candidates=60
+        ).collect()
+    )
+    assert got == want
+    assert {t[0] for t in got} == {0, 1, 2, 30, 31, 32, 33}  # 901 dropped
+
+    # replay of one batch id rewrites its own dir: byte-identical state
+    replay = spark.createDataFrame(
+        q_batches[1], "query_id long, embedding array<float>"
+    )
+    process_rp_query_batch(replay, 1, path, out_root, k=5, candidates=60)
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_root)
+        .select("query_id", "vec_id", "cosine_sim")
+        .collect()
+    )
+    assert again == got
