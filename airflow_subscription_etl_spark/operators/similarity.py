@@ -1346,18 +1346,27 @@ def rp_knn_candidate_pairs(
                 continue
             P = np.stack(pdf["rp_proj"].to_numpy()).astype(np.int64)
             ids = pdf[id_col].to_numpy()
-            D = P[:, None, :] - Q[None, :, :]
-            AD = (D * D).sum(axis=2)  # (n, q) exact int64
             c = min(candidates, len(pdf))
             out_q, out_i, out_a = [], [], []
-            for j, qid in enumerate(qids):
-                col = AD[:, j]
-                # local top-c under the global (approx asc, id asc)
-                # order — lexsort's last key is primary
-                order = np.lexsort((ids, col))[:c]
-                out_q.extend([qid] * len(order))
-                out_i.extend(ids[order])
-                out_a.extend(col[order])
+            # slab the query axis: the (n, q_slab, r) int64 diff cube is
+            # capped at ~4M elements (~32 MB) however large the query
+            # batch is — the contract allows 1e5 queries, and an
+            # unslabbed cube would be n·q·r ints = tens of GB per task
+            # (review r8). Per-query results are unchanged: slabbing
+            # partitions the queries, never the corpus rows.
+            slab = max(1, 4_000_000 // max(1, len(pdf) * Q.shape[1]))
+            for j0 in range(0, len(qids), slab):
+                Qs = Q[j0 : j0 + slab]
+                D = P[:, None, :] - Qs[None, :, :]
+                AD = (D * D).sum(axis=2)  # (n, q_slab) exact int64
+                for jj in range(Qs.shape[0]):
+                    col = AD[:, jj]
+                    # local top-c under the global (approx asc, id asc)
+                    # order — lexsort's last key is primary
+                    order = np.lexsort((ids, col))[:c]
+                    out_q.extend([qids[j0 + jj]] * len(order))
+                    out_i.extend(ids[order])
+                    out_a.extend(col[order])
             yield pd.DataFrame(
                 {
                     query_id_col: out_q,
@@ -1386,6 +1395,7 @@ def rp_knn_join_indexed(
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pushdown_limit: int = 8192,
 ) -> DataFrame:
     """Batched KNN join against a materialized RP index
     (:func:`write_rp_index`): top-``k`` corpus neighbours for EVERY
@@ -1415,17 +1425,26 @@ def rp_knn_join_indexed(
     3. global candidate cut: one window over those tiny rows
        (row_number ≤ ``candidates`` per query — local-then-global
        top-c is exact under the total (approx, id) order).
-    4. rerank: the distinct candidate ids (≤ q·c, bounded) become a
-       pushed parquet ``In`` filter on the vector column — the heavy
-       column is read for candidate rows only, exactly like the
-       single-query probe — then exact cosine per (query, candidate)
-       pair and a per-query top-``k`` window.
+    4. rerank, two regimes on the SAME semantics (review r8 — a single
+       collect+``In`` design would bloat the driver and the plan past
+       ~10⁴ pairs): when the candidate-pair count is ≤
+       ``pushdown_limit``, the pairs collect (bounded, small) and the
+       distinct ids become a pushed parquet ``In`` filter — the heavy
+       vector column is read for candidate rows only, exactly like the
+       single-query probe. Above the limit nothing collects: the pair
+       frame persists (pinned to the result — ``cache.release`` frees
+       it) and broadcast-joins the vector scan — ONE map-only pass over
+       the heavy column shared by ALL queries, which at 10⁵ queries is
+       the efficient plan (the per-query pruning the small path buys is
+       worth less than one amortized scan). Then exact cosine per
+       (query, candidate) pair and a per-query top-``k`` window.
 
     At 100 TB: the corpus is touched by one narrow map-only scan plus
-    a candidate-row vector read; every shuffle is candidate-sized
-    (q·c), so cost is flat in corpus size and linear in queries — the
-    whole point of joining batched instead of looping the single-query
-    probe (which would re-scan the projection column per query).
+    a candidate-row vector read (small batches) or one shared vector
+    scan (huge batches); every shuffle is candidate-sized (q·c), so
+    cost is flat in corpus size and linear in queries — the whole
+    point of joining batched instead of looping the single-query probe
+    (which would re-scan the projection column per query).
 
     Returns ``(query_id, id, cosine_sim)`` ordered by (query_id asc,
     cosine desc, id asc). Empty/invalid query batch or empty index →
@@ -1453,32 +1472,46 @@ def rp_knn_join_indexed(
     if not qrows:
         return spark.createDataFrame([], out_schema)
 
-    cand_pairs = rp_knn_candidate_pairs(
+    lazy_pairs = rp_knn_candidate_pairs(
         spark, path, queries_df, candidates,
         query_id_col, id_col, vec_col, meta=meta, qrows=qrows,
     )
-    # bounded collect: ≤ q·candidates pairs — feeds the pushed-In
-    # pruning AND pins the candidate set so the rerank can't drift
-    pairs = cand_pairs.collect()
-    if not pairs:
-        return spark.createDataFrame([], out_schema)
-    cand_ids = sorted({r[id_col] for r in pairs})
-    pairs_df = spark.createDataFrame(
-        [(r[query_id_col], r[id_col]) for r in pairs],
-        f"{query_id_col} {qid_type}, {id_col} {id_type}",
-    )
+    pinned: list = []
+    if len(qrows) * candidates <= pushdown_limit:
+        # small regime: collect the pairs (≤ pushdown_limit rows) so
+        # the distinct ids feed a pushed-In pruned vector scan
+        pairs = lazy_pairs.collect()
+        if not pairs:
+            return spark.createDataFrame([], out_schema)
+        cand_ids = sorted({r[id_col] for r in pairs})
+        pairs_df = spark.createDataFrame(
+            [(r[query_id_col], r[id_col]) for r in pairs],
+            f"{query_id_col} {qid_type}, {id_col} {id_type}",
+        )
+        vecs = (
+            spark.read.schema(meta["vec_schema"])
+            .parquet(f"{path}/vectors")
+            .filter(F.col(id_col).isin(cand_ids))
+            .select(id_col, vec_col)
+        )
+    else:
+        # huge regime: no collect — persist the pair frame (it feeds
+        # the broadcast exactly once, but persisting keeps a re-run of
+        # the result frame from re-paying the prefilter scan) and
+        # broadcast-join it against one shared map-only vector scan
+        pairs_df = lazy_pairs.persist()
+        pinned.append(pairs_df)
+        vecs = (
+            spark.read.schema(meta["vec_schema"])
+            .parquet(f"{path}/vectors")
+            .select(id_col, vec_col)
+        )
     # double, not float: preserves the query values bit-exactly (the
     # single-query probe sees them as double literals — a float32
     # round-trip here would shift cosines by an ulp and break parity)
     qvec_df = spark.createDataFrame(
         [(r[query_id_col], [float(x) for x in r[vec_col]]) for r in qrows],
         f"{query_id_col} {qid_type}, _qv array<double>",
-    )
-    vecs = (
-        spark.read.schema(meta["vec_schema"])
-        .parquet(f"{path}/vectors")
-        .filter(F.col(id_col).isin(cand_ids))
-        .select(id_col, vec_col)
     )
     scored = (
         vecs.join(F.broadcast(pairs_df), on=id_col)
@@ -1492,7 +1525,7 @@ def rp_knn_join_indexed(
     w_k = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
-    return (
+    result = (
         scored.withColumn("_rn", F.row_number().over(w_k))
         .filter(F.col("_rn") <= k)
         .select(query_id_col, id_col, "cosine_sim")
@@ -1502,6 +1535,7 @@ def rp_knn_join_indexed(
             F.col(id_col).asc(),
         )
     )
+    return pin(result, *pinned)
 
 
 def embedding_dim_stats(

@@ -6865,8 +6865,9 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # fully hinted (incl. key) so pyspark's eval-type inference
-    # resolves silently instead of warning + falling back
+    # cogrouped applyInPandas performs no type-hint inference (the
+    # warning-prone path is grouped-map only — see `stats` below); the
+    # key hint here is for consistency with that sibling, nothing more
     def reconcile(key: tuple, o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:  # noqa: E741
         order_keys = set(o["o_orderkey"]) if len(o) else set()
         line_keys = set(l["o_orderkey"]) if len(l) else set()

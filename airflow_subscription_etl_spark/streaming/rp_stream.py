@@ -214,8 +214,12 @@ def compact_rp_index(spark, path: str) -> int:
         )
         if m
     )
-    if len(batches) <= 1:
-        return 0  # base only (or a single partition): nothing to fold
+    # nothing to fold: base only, a single partition, or an
+    # already-compacted layout ({0, tail} with nothing between) — a
+    # rewrite would re-copy the whole corpus for zero consolidation
+    # and report n>0 as if work was folded (review r8)
+    if len(batches) <= 1 or batches[:-1] == [0]:
+        return 0
     tail = batches[-1]
 
     meta = spark.read.parquet(f"{path}/meta").collect()[0]

@@ -377,3 +377,31 @@ def test_knn_join_empty_cases(spark, emb, tmp_path):
     )
     got = rp_knn_join_indexed(spark, empty_idx, queries, k=5, candidates=12)
     assert got.collect() == []
+
+
+def test_knn_join_huge_regime_matches_pushdown_regime(spark, emb, tmp_path):
+    """Above ``pushdown_limit`` the rerank switches from collect+pushed-
+    In to a no-collect broadcast join over one shared vector scan
+    (review r8: a 10⁵-query batch would otherwise collect ~10⁶ pairs
+    and bloat the plan with a multi-million-literal In). Same semantics
+    either way: forcing the huge regime (pushdown_limit=0) must return
+    EXACTLY the small-regime answer, and the persisted pair frame must
+    be released through the cache lifecycle."""
+    from airflow_subscription_etl_spark.cache import release
+    from airflow_subscription_etl_spark.operators.similarity import (
+        rp_knn_join_indexed,
+    )
+
+    path = str(tmp_path / "rp_idx")
+    write_rp_index(emb, path, dims=16, r_dims=4)
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    small = rp_knn_join_indexed(
+        spark, path, queries, k=5, candidates=12
+    ).collect()
+    huge = rp_knn_join_indexed(
+        spark, path, queries, k=5, candidates=12, pushdown_limit=0
+    )
+    assert [tuple(r) for r in huge.collect()] == [tuple(r) for r in small]
+    assert release(huge) == 1  # the persisted pair frame was pinned

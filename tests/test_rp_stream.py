@@ -223,9 +223,11 @@ def test_compaction_replay_idempotent_and_crash_recoverable(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in before]
 
     # crash between the two swap renames: vectors/ missing, full copy
-    # in vectors_old — the next call restores it and proceeds
+    # in vectors_old — the next call restores it, then returns 0: the
+    # recovered layout {0, 2} is already compacted (nothing between
+    # base and tail), so re-folding would copy the corpus for nothing
     sh.move(f"{path}/vectors", f"{path}/vectors_old")
-    assert compact_rp_index(spark, path) == 50  # folds {0,1}, keeps 2
+    assert compact_rp_index(spark, path) == 0
     recovered = rp_topk_indexed(spark, path, qv, k=5, candidates=60).collect()
     assert [tuple(r) for r in recovered] == [tuple(r) for r in before]
 
@@ -237,8 +239,6 @@ def test_query_stream_parity_and_replay(spark, tmp_path):
     (queries are independent, so per-batch results equal the one-shot
     join restricted to those queries); replaying a batch id leaves the
     results byte-unchanged; dirty queries drop engine-uniformly."""
-    from pyspark.sql import functions as F
-
     from airflow_subscription_etl_spark.operators.similarity import (
         rp_knn_join_indexed,
     )
