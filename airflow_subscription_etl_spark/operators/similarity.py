@@ -1396,6 +1396,7 @@ def rp_knn_join_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pushdown_limit: int = 8192,
+    broadcast_limit: int = 4_000_000,
 ) -> DataFrame:
     """Batched KNN join against a materialized RP index
     (:func:`write_rp_index`): top-``k`` corpus neighbours for EVERY
@@ -1425,24 +1426,30 @@ def rp_knn_join_indexed(
     3. global candidate cut: one window over those tiny rows
        (row_number ≤ ``candidates`` per query — local-then-global
        top-c is exact under the total (approx, id) order).
-    4. rerank, two regimes on the SAME semantics (review r8 — a single
-       collect+``In`` design would bloat the driver and the plan past
-       ~10⁴ pairs): when the candidate-pair count is ≤
+    4. rerank, three regimes on the SAME semantics (review r8 — a
+       single collect+``In`` design would bloat the driver and the
+       plan past ~10⁴ pairs): when the candidate-pair count is ≤
        ``pushdown_limit``, the pairs collect (bounded, small) and the
        distinct ids become a pushed parquet ``In`` filter — the heavy
        vector column is read for candidate rows only, exactly like the
        single-query probe. Above the limit nothing collects: the pair
        frame persists (pinned to the result — ``cache.release`` frees
-       it) and broadcast-joins the vector scan — ONE map-only pass over
-       the heavy column shared by ALL queries, which at 10⁵ queries is
-       the efficient plan (the per-query pruning the small path buys is
-       worth less than one amortized scan). Then exact cosine per
-       (query, candidate) pair and a per-query top-``k`` window.
+       it) and joins one shared map-only vector scan. Up to
+       ``broadcast_limit`` pairs it broadcast-joins (two scalars per
+       pair — tens of MB, executor-resident); beyond that a broadcast
+       would itself collect the pair set driver-side (Spark builds
+       broadcast relations on the driver), so the join degrades
+       honestly to a shuffle-hash join with the CANDIDATE side as the
+       build side — both sides hash-partition on id, the corpus pays
+       one amortized wide shuffle shared by ALL queries, and the
+       driver holds nothing. Then exact cosine per (query, candidate)
+       pair and a per-query top-``k`` window.
 
     At 100 TB: the corpus is touched by one narrow map-only scan plus
     a candidate-row vector read (small batches) or one shared vector
-    scan (huge batches); every shuffle is candidate-sized (q·c), so
-    cost is flat in corpus size and linear in queries — the whole
+    scan (huge batches); through ``broadcast_limit`` every shuffle is
+    candidate-sized (q·c), and past it the one corpus-wide shuffle is
+    amortized over ≥ broadcast_limit/candidates queries — the whole
     point of joining batched instead of looping the single-query probe
     (which would re-scan the projection column per query).
 
@@ -1453,13 +1460,17 @@ def rp_knn_join_indexed(
     dims, r_dims = int(meta["dims"]), int(meta["r_dims"])
 
     qid_type = queries_df.schema[query_id_col].dataType.simpleString()
-    # id type comes from the index's recorded schema, not an assumption
-    id_type = (
+    # ONE base scan definition shared by every rerank regime (review
+    # r8: the branches copy-pasting it invited silent divergence) —
+    # narrow only in the sense of columns; each regime decides how
+    # much of it is actually read (pushed In / full shared pass)
+    base_vecs = (
         spark.read.schema(meta["vec_schema"])
         .parquet(f"{path}/vectors")
-        .schema[id_col]
-        .dataType.simpleString()
+        .select(id_col, vec_col)
     )
+    # id type comes from the index's recorded schema, not an assumption
+    id_type = base_vecs.schema[id_col].dataType.simpleString()
     out_schema = (
         f"{query_id_col} {qid_type}, {id_col} {id_type}, cosine_sim double"
     )
@@ -1477,7 +1488,8 @@ def rp_knn_join_indexed(
         query_id_col, id_col, vec_col, meta=meta, qrows=qrows,
     )
     pinned: list = []
-    if len(qrows) * candidates <= pushdown_limit:
+    pair_bound = len(qrows) * candidates  # exact upper bound, driver-known
+    if pair_bound <= pushdown_limit:
         # small regime: collect the pairs (≤ pushdown_limit rows) so
         # the distinct ids feed a pushed-In pruned vector scan
         pairs = lazy_pairs.collect()
@@ -1488,24 +1500,27 @@ def rp_knn_join_indexed(
             [(r[query_id_col], r[id_col]) for r in pairs],
             f"{query_id_col} {qid_type}, {id_col} {id_type}",
         )
-        vecs = (
-            spark.read.schema(meta["vec_schema"])
-            .parquet(f"{path}/vectors")
-            .filter(F.col(id_col).isin(cand_ids))
-            .select(id_col, vec_col)
-        )
+        vecs = base_vecs.filter(F.col(id_col).isin(cand_ids))
     else:
         # huge regime: no collect — persist the pair frame (it feeds
-        # the broadcast exactly once, but persisting keeps a re-run of
-        # the result frame from re-paying the prefilter scan) and
-        # broadcast-join it against one shared map-only vector scan
+        # the rerank join exactly once, but persisting keeps a re-run
+        # of the result frame from re-paying the prefilter scan) and
+        # join it against one shared map-only vector scan
         pairs_df = lazy_pairs.persist()
         pinned.append(pairs_df)
-        vecs = (
-            spark.read.schema(meta["vec_schema"])
-            .parquet(f"{path}/vectors")
-            .select(id_col, vec_col)
-        )
+        vecs = base_vecs
+    if pair_bound <= broadcast_limit:
+        # pairs fit executor memory: broadcast keeps the corpus scan
+        # map-only (zero corpus shuffle)
+        pair_side = F.broadcast(pairs_df)
+    else:
+        # a broadcast past this bound would collect the pair set on
+        # the driver to build the relation — the exact bloat the huge
+        # regime exists to avoid (review r8). Shuffle-hash with the
+        # candidate side as build: both sides hash on id, the hash map
+        # is pair-sized, the corpus-wide shuffle is paid once for the
+        # whole query batch and never touches the driver.
+        pair_side = pairs_df.hint("shuffle_hash")
     # double, not float: preserves the query values bit-exactly (the
     # single-query probe sees them as double literals — a float32
     # round-trip here would shift cosines by an ulp and break parity)
@@ -1514,7 +1529,7 @@ def rp_knn_join_indexed(
         f"{query_id_col} {qid_type}, _qv array<double>",
     )
     scored = (
-        vecs.join(F.broadcast(pairs_df), on=id_col)
+        vecs.join(pair_side, on=id_col)
         .join(F.broadcast(qvec_df), on=query_id_col)
         .select(
             query_id_col,

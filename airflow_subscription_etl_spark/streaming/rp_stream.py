@@ -102,6 +102,8 @@ def process_rp_query_batch(
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pushdown_limit: int = 8192,
+    broadcast_limit: int = 4_000_000,
 ) -> None:
     """One micro-batch of QUERIES answered against the index: the
     batched KNN join (:func:`..operators.similarity.rp_knn_join_indexed`
@@ -119,13 +121,22 @@ def process_rp_query_batch(
     two query batches (each batch then sees the fresher index — the
     expected streaming semantics); for bit-stable replays across index
     growth, probe a quiesced or snapshot index."""
+    from ..cache import released  # noqa: PLC0415
     from ..operators.similarity import rp_knn_join_indexed  # noqa: PLC0415
 
     res = rp_knn_join_indexed(
         batch.sparkSession, path, batch, k, candidates,
         query_id_col, id_col, vec_col,
+        pushdown_limit=pushdown_limit, broadcast_limit=broadcast_limit,
     )
-    res.write.mode("overwrite").parquet(f"{out_root}/batch={int(batch_id)}")
+    # released(): huge-regime batches pin a persisted pair frame to
+    # the result; a long-lived stream that never releases it leaks one
+    # JVM cache block PER MICRO-BATCH (review r8) — scope it to the
+    # batch's single write
+    with released(res):
+        res.write.mode("overwrite").parquet(
+            f"{out_root}/batch={int(batch_id)}"
+        )
 
 
 def start_rp_knn_stream(
@@ -139,17 +150,23 @@ def start_rp_knn_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger_available_now: bool = True,
+    pushdown_limit: int = 8192,
+    broadcast_limit: int = 4_000_000,
 ):
     """Wire a query stream into continuous retrieval: one
     ``process_rp_query_batch`` per micro-batch, results landing as
     ``batch=<id>`` partitions under ``out_root``. ``availableNow``
     drains the backlog and stops (backfill shape); pass False for a
-    continuous serving query."""
+    continuous serving query. The rerank regime knobs pass through to
+    :func:`..operators.similarity.rp_knn_join_indexed` — a serving
+    stream sized for huge batches tunes them here."""
     writer = (
         stream.writeStream.foreachBatch(
             lambda b, i: process_rp_query_batch(
                 b, i, path, out_root, k, candidates,
                 query_id_col, id_col, vec_col,
+                pushdown_limit=pushdown_limit,
+                broadcast_limit=broadcast_limit,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -405,3 +405,37 @@ def test_knn_join_huge_regime_matches_pushdown_regime(spark, emb, tmp_path):
     )
     assert [tuple(r) for r in huge.collect()] == [tuple(r) for r in small]
     assert release(huge) == 1  # the persisted pair frame was pinned
+
+
+def test_knn_join_giant_regime_shuffles_instead_of_broadcasting(
+    spark, emb, tmp_path
+):
+    """Past ``broadcast_limit`` a broadcast of the pair frame would
+    itself collect all q·c pairs on the DRIVER to build the broadcast
+    relation — the exact bloat the no-collect regime exists to avoid
+    (review r8). The giant regime must drop the hint and shuffle-hash
+    with the pair side as build (the plan's only broadcast is then the
+    tiny query-vector frame), returning EXACTLY the same answer."""
+    from airflow_subscription_etl_spark.cache import release
+    from airflow_subscription_etl_spark.operators.similarity import (
+        rp_knn_join_indexed,
+    )
+
+    path = str(tmp_path / "rp_idx")
+    write_rp_index(emb, path, dims=16, r_dims=4)
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    small = rp_knn_join_indexed(
+        spark, path, queries, k=5, candidates=12
+    ).collect()
+    giant = rp_knn_join_indexed(
+        spark, path, queries, k=5, candidates=12,
+        pushdown_limit=0, broadcast_limit=0,
+    )
+    plan = giant._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan  # pairs ⋈ vectors: no broadcast
+    # the one remaining broadcast is the q-row query-vector frame
+    assert plan.count("BroadcastHashJoin") == 1
+    assert [tuple(r) for r in giant.collect()] == [tuple(r) for r in small]
+    assert release(giant) == 1  # the persisted pair frame was pinned

@@ -310,3 +310,33 @@ def test_query_stream_parity_and_replay(spark, tmp_path):
         .collect()
     )
     assert again == got
+
+
+def test_query_batch_releases_internal_cache(spark, tmp_path):
+    """Huge-regime batches pin a persisted pair frame to the result;
+    the sink must release it after its write, or a continuous serving
+    stream leaks one JVM cache block PER MICRO-BATCH (review r8). The
+    regime knobs pass through the sink, so a batch forced huge
+    (pushdown_limit=0) must leave the SQL cache exactly as it found
+    it — and still land correct results."""
+    from airflow_subscription_etl_spark.streaming.rp_stream import (
+        process_rp_query_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        _rows(range(40)), "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "idx")
+    write_rp_index(corpus, path, dims=16, r_dims=4)
+    queries = spark.createDataFrame(
+        _rows(range(4)), "query_id long, embedding array<float>"
+    )
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    out_root = str(tmp_path / "res")
+    process_rp_query_batch(
+        queries, 0, path, out_root, k=3, candidates=12, pushdown_limit=0
+    )
+    assert cm.isEmpty(), "huge-regime pair cache leaked past the write"
+    assert spark.read.parquet(out_root).count() == 4 * 3
