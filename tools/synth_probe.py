@@ -368,6 +368,37 @@ def _rp_probe(spark, base: str, r1n: int, r8n: int, rows, timed) -> None:
         f"| {j1:.2f}s | {j8:.2f}s | {j8 / j1:.1f}x |"
     )
 
+    # rerank regimes, forced on the same batch: the no-collect
+    # broadcast join (pushdown_limit=0) vs the giant-regime
+    # shuffle-hash (broadcast_limit=0 too). The shuffle regime pays
+    # one corpus-wide shuffle instead of a map-only pass — the price
+    # of keeping unbounded pair sets off the driver — so its growth
+    # in corpus size bounds what a real >broadcast_limit batch adds.
+    b1 = timed(lambda: rp_knn_join_indexed(spark, f"{base}/idx_1x", qdf1,
+                                           k=20, candidates=64,
+                                           pushdown_limit=0))
+    b8 = timed(lambda: rp_knn_join_indexed(spark, f"{base}/idx_8x", qdf8,
+                                           k=20, candidates=64,
+                                           pushdown_limit=0))
+    s1 = timed(lambda: rp_knn_join_indexed(spark, f"{base}/idx_1x", qdf1,
+                                           k=20, candidates=64,
+                                           pushdown_limit=0,
+                                           broadcast_limit=0))
+    s8 = timed(lambda: rp_knn_join_indexed(spark, f"{base}/idx_8x", qdf8,
+                                           k=20, candidates=64,
+                                           pushdown_limit=0,
+                                           broadcast_limit=0))
+    # each timed pass pinned a fresh pair cache; drop them all
+    spark.catalog.clearCache()
+    rows.append(
+        f"| rp_knn_join forced broadcast rerank (same {nq}-query batch) "
+        f"| {b1:.2f}s | {b8:.2f}s | {b8 / b1:.1f}x |"
+    )
+    rows.append(
+        f"| rp_knn_join forced shuffle-hash rerank (giant regime) "
+        f"| {s1:.2f}s | {s8:.2f}s | {s8 / s1:.1f}x |"
+    )
+
 
 if __name__ == "__main__":
     main()
