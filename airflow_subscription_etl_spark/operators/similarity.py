@@ -1432,18 +1432,20 @@ def rp_knn_join_indexed(
        ``pushdown_limit``, the pairs collect (bounded, small) and the
        distinct ids become a pushed parquet ``In`` filter — the heavy
        vector column is read for candidate rows only, exactly like the
-       single-query probe. Above the limit nothing collects: the pair
-       frame persists (pinned to the result — ``cache.release`` frees
-       it) and joins one shared map-only vector scan. Up to
-       ``broadcast_limit`` pairs it broadcast-joins (two scalars per
-       pair — tens of MB, executor-resident); beyond that a broadcast
-       would itself collect the pair set driver-side (Spark builds
-       broadcast relations on the driver), so the join degrades
-       honestly to a shuffle-hash join with the CANDIDATE side as the
-       build side — both sides hash-partition on id, the corpus pays
-       one amortized wide shuffle shared by ALL queries, and the
-       driver holds nothing. Then exact cosine per (query, candidate)
-       pair and a per-query top-``k`` window.
+       single-query probe. Above the limit nothing collects into
+       Python: the pair frame persists (pinned to the result —
+       ``cache.release`` frees it) and joins one shared map-only
+       vector scan. Up to ``broadcast_limit`` pairs it
+       broadcast-joins — Spark still builds the broadcast relation on
+       the JVM driver transiently (that is what a broadcast is), but
+       the knob bounds the transient (4M two-scalar pairs ≈ low
+       hundreds of MB) and the plan carries no multi-million-literal
+       ``In``; beyond it even that transient is too big, so the join
+       degrades honestly to a shuffle-hash join with the CANDIDATE
+       side as the build side — both sides hash-partition on id, the
+       corpus pays one amortized wide shuffle shared by ALL queries,
+       and the driver holds nothing. Then exact cosine per (query,
+       candidate) pair and a per-query top-``k`` window.
 
     At 100 TB: the corpus is touched by one narrow map-only scan plus
     a candidate-row vector read (small batches) or one shared vector
@@ -1501,26 +1503,37 @@ def rp_knn_join_indexed(
             f"{query_id_col} {qid_type}, {id_col} {id_type}",
         )
         vecs = base_vecs.filter(F.col(id_col).isin(cand_ids))
+        # the pairs are already driver-local (just collected), so the
+        # broadcast is always the right join here — broadcast_limit
+        # governs only the no-collect regimes below (a clamp, so
+        # pushdown_limit > broadcast_limit can't combine a full
+        # driver collect with a pointless corpus shuffle: review r8)
+        pair_side = F.broadcast(pairs_df)
     else:
-        # huge regime: no collect — persist the pair frame (it feeds
-        # the rerank join exactly once, but persisting keeps a re-run
-        # of the result frame from re-paying the prefilter scan) and
-        # join it against one shared map-only vector scan
+        # huge regime: no Python-side collect — persist the pair
+        # frame (it feeds the rerank join exactly once, but persisting
+        # keeps a re-run of the result frame from re-paying the
+        # prefilter scan) and join it against one shared map-only
+        # vector scan
         pairs_df = lazy_pairs.persist()
         pinned.append(pairs_df)
         vecs = base_vecs
-    if pair_bound <= broadcast_limit:
-        # pairs fit executor memory: broadcast keeps the corpus scan
-        # map-only (zero corpus shuffle)
-        pair_side = F.broadcast(pairs_df)
-    else:
-        # a broadcast past this bound would collect the pair set on
-        # the driver to build the relation — the exact bloat the huge
-        # regime exists to avoid (review r8). Shuffle-hash with the
-        # candidate side as build: both sides hash on id, the hash map
-        # is pair-sized, the corpus-wide shuffle is paid once for the
-        # whole query batch and never touches the driver.
-        pair_side = pairs_df.hint("shuffle_hash")
+        if pair_bound <= broadcast_limit:
+            # broadcast keeps the corpus scan map-only (zero corpus
+            # shuffle). NOTE: Spark still builds the broadcast
+            # relation ON the JVM driver transiently — this regime
+            # avoids the Python round-trip and the multi-million-
+            # literal plan, not driver residency; broadcast_limit
+            # bounds that transient (4M narrow pairs ≈ low hundreds
+            # of MB of UnsafeRows)
+            pair_side = F.broadcast(pairs_df)
+        else:
+            # past the bound even the JVM-driver transient is too
+            # big. Shuffle-hash with the candidate side as build:
+            # both sides hash on id, the hash map is pair-sized and
+            # per-partition, the corpus-wide shuffle is paid once for
+            # the whole query batch, and the driver holds nothing.
+            pair_side = pairs_df.hint("shuffle_hash")
     # double, not float: preserves the query values bit-exactly (the
     # single-query probe sees them as double literals — a float32
     # round-trip here would shift cosines by an ulp and break parity)

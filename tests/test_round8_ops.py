@@ -439,3 +439,15 @@ def test_knn_join_giant_regime_shuffles_instead_of_broadcasting(
     assert plan.count("BroadcastHashJoin") == 1
     assert [tuple(r) for r in giant.collect()] == [tuple(r) for r in small]
     assert release(giant) == 1  # the persisted pair frame was pinned
+
+    # clamp (review r8): in the SMALL regime the pairs are already
+    # driver-local, so broadcast_limit must not push the join to a
+    # pointless corpus shuffle — pushdown_limit > pair_bound with
+    # broadcast_limit=0 still broadcasts both small sides
+    clamped = rp_knn_join_indexed(
+        spark, path, queries, k=5, candidates=12, broadcast_limit=0
+    )
+    cplan = clamped._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" not in cplan
+    assert cplan.count("BroadcastHashJoin") == 2  # pairs + query vecs
+    assert [tuple(r) for r in clamped.collect()] == [tuple(r) for r in small]

@@ -388,7 +388,11 @@ def _rp_probe(spark, base: str, r1n: int, r8n: int, rows, timed) -> None:
                                            k=20, candidates=64,
                                            pushdown_limit=0,
                                            broadcast_limit=0))
-    # each timed pass pinned a fresh pair cache; drop them all
+    # Spark's CacheManager dedups persists by logical plan, so the
+    # four passes per corpus share ONE pair-cache entry (the
+    # shuffle passes start with the broadcast passes' pre-warmed
+    # prefilter — fair, since min-of-2 warms both regimes anyway);
+    # drop the two shared entries
     spark.catalog.clearCache()
     rows.append(
         f"| rp_knn_join forced broadcast rerank (same {nq}-query batch) "
