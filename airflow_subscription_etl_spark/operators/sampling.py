@@ -333,3 +333,84 @@ def temporal_holdout_split(
         .when(t < F.lit(cutoff), F.lit("train"))
         .otherwise(F.lit("valid")),
     )
+
+
+def stride_schedule(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    n_shards: int = 8,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic interleaved TRAINING ORDER for a multi-source
+    corpus — the manifest-writing step after mixing: every document
+    gets a global position and a shard, with sources interleaved
+    proportionally to their temperature weight (w_s ∝ count_s^alpha)
+    by STRIDE SCHEDULING (Waldspurger & Weihl, OSDI '94): document
+    number ``i`` of source ``s`` runs at virtual time ``i / w_s``, and
+    the global order is virtual time ascending. Within any prefix of
+    the schedule each source appears ≈ its weight share — no long
+    single-source runs (which bias SGD), no rand() (the order must be
+    reproducible across retries, engines, and re-ingestion).
+
+    Determinism end to end: within-source order is (md5(key), key) — a
+    content-keyed shuffle, like every sampler here; virtual time is
+    exact integer arithmetic, ``i·10^12 div w_micro`` evaluated in
+    DECIMAL(38,0) so it cannot overflow at any corpus size a bigint
+    index can address (w_micro ≥ 10^6 keeps the quotient inside int64);
+    and ties break on (source, key).
+
+    Plan at 100 TB: one source-keyed window shuffle for the per-source
+    index, then ONE range-repartition for the global order via
+    :func:`operators.scale.distributed_prefix_sum` — NOT a bare
+    ``row_number() over (order by ...)``, which would funnel the corpus
+    through a single task. Driver traffic: |sources| weight rows + one
+    row per partition (both catalog-sized). Shard = (pos-1) % n_shards,
+    so shards are balanced to ±1 row by construction.
+
+    Returns the input columns plus ``global_pos`` (bigint, 1-based) and
+    ``shard`` (int).
+    """
+    from .scale import distributed_prefix_sum  # noqa: PLC0415
+
+    counts = {
+        r[source_col]: r["_n"]
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()  # |sources| rows — catalog-sized
+    }
+    w = {s: _micro_half_up(math.pow(n, alpha)) for s, n in counts.items()}
+    spark = df.sparkSession
+    w_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(w.items()), f"{source_col} string, _w_micro bigint"
+        )
+    )
+    k = F.col(key_col)
+    iw = Window.partitionBy(source_col).orderBy(F.md5(k.cast("string")), k)
+    d = (
+        df.join(w_df, source_col)
+        .withColumn("_i", F.row_number().over(iw))
+        .withColumn(
+            "_v",
+            F.expr(
+                "CAST(CAST(_i AS DECIMAL(38,0)) * 1000000000000"
+                " div _w_micro AS BIGINT)"
+            ),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = distributed_prefix_sum(
+        d,
+        [F.col("_v"), F.col(source_col), k],
+        "_one",
+        "global_pos",
+        num_partitions=num_partitions,
+    )
+    return (
+        ranked.withColumn(
+            "shard", ((F.col("global_pos") - 1) % n_shards).cast("int")
+        )
+        .drop("_i", "_v", "_one", "_w_micro")
+    )

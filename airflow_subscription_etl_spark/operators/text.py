@@ -660,3 +660,131 @@ def collapse_token_runs(
             .alias("n_removed"),
         )
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    top_words: int = 200,
+    n_merges: int = 4,
+) -> DataFrame:
+    """Distributed BPE merge induction (Sennrich et al. 2016) — the
+    tokenizer-training step of an LLM data pipeline, run on the corpus
+    the engine just curated. Returns the learned merge table
+    ``(merge_rank, left_sym, right_sym, merged, pair_count)``.
+
+    Algorithm on the word-frequency dictionary (classic BPE, not the
+    byte-level variant): words → ``[a-z]+`` runs of lowercased text;
+    the ``top_words`` most frequent (count desc, word asc — a
+    deterministic boundary) form the dict, each word spelled as a
+    space-joined character sequence. Each of ``n_merges`` rounds counts
+    adjacent symbol pairs weighted by word frequency (BOTH occurrences
+    in ``a a a`` count, per the reference algorithm), picks the argmax
+    (count desc, pair asc), and rewrites every word by merging that
+    pair greedily left-to-right.
+
+    The merge rewrite is pure string algebra both engines evaluate
+    identically — no regex, no Python: double every separator space,
+    then one global non-overlapping leftmost ``replace`` of
+    ``' l  r '`` with ``' lr '`` (each match consumes one of the two
+    boundary spaces on each side, so back-to-back occurrences such as
+    ``a b a b`` still both match — the doubled-space trick), then
+    re-normalize by splitting on spaces and dropping empties.
+
+    Scale posture (100 TB): the corpus is touched ONCE — the word-count
+    groupBy (an ordinary AQE-safe shuffle on the word key) — and that
+    dict is persisted (``top_words`` rows; pinned to the result for the
+    caller-owned release discipline, cache.py). Every merge round is
+    then a vocab-sized explode + groupBy (hundreds of rows) plus a
+    TakeOrdered(1) argmax that is cross-joined back as a 1-row
+    broadcast — ZERO driver-side collects, zero Python in any hot
+    path; at real scale rounds cost seconds regardless of corpus size.
+    The iteration count is a bounded hyper-parameter exactly like
+    k-means' ``n_iters`` (clustering.py), and the same unrolled-CTE
+    oracle strategy verifies it end-to-end.
+    """
+    from ..cache import pin  # noqa: PLC0415
+
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dict0 = (
+        words.orderBy(F.col("cnt").desc(), "word")
+        .limit(top_words)
+        .select(
+            # spell the word as space-joined single characters; index
+            # arithmetic (substring(word, i, 1)) rather than regex so
+            # the DuckDB oracle can mirror it with plain list_transform
+            F.expr(
+                "array_join(transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1)), ' ')"
+            ).alias("syms"),
+            "cnt",
+        )
+        .persist()
+    )
+
+    def pair_counts(d: DataFrame) -> DataFrame:
+        arr = F.split(F.col("syms"), " ")
+        n = F.size(arr)
+        pairs = F.zip_with(
+            F.slice(arr, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        return (
+            d.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+
+    merge_rows: list[DataFrame] = []
+    d = dict0
+    for k in range(n_merges):
+        best = (
+            pair_counts(d)
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .select("l", "r", "c")
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(k + 1).alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged"),
+                F.col("c").cast("bigint").alias("pair_count"),
+            )
+        )
+        doubled = F.concat(
+            F.lit(" "),
+            F.replace(F.col("syms"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        pat = F.concat(
+            F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+        d = d.crossJoin(F.broadcast(best)).select(
+            F.array_join(
+                F.filter(
+                    F.split(F.replace(doubled, pat, rep), " "),
+                    lambda x: x != "",
+                ),
+                " ",
+            ).alias("syms"),
+            "cnt",
+        )
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return pin(out, dict0)

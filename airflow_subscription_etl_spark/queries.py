@@ -6441,6 +6441,131 @@ ORDER BY pmi_micro DESC, w1, w2 LIMIT 30
 """
 
 
+def q_vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge induction (text.py::bpe_merges) — learn
+    the first 4 merge rules of a subword tokenizer from the corpus's
+    top-200 word-frequency dict. One corpus-scale shuffle (the word
+    count), then vocab-sized merge rounds with a 1-row broadcast
+    argmax each — zero driver collects, zero Python. The oracle
+    replays all 4 rounds as unrolled CTEs (the k-means unrolled-CTE
+    strategy) with the same doubled-space greedy-merge string algebra,
+    so the merge TABLE — rule order, symbols, weighted pair counts —
+    must match bit-for-bit."""
+    from .operators.text import bpe_merges  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges(docs, top_words=200, n_merges=4).orderBy("merge_rank")
+
+
+def _build_bpe_oracle_sql(top_words: int, n_merges: int) -> str:
+    """Unrolled-CTE oracle for :func:`q_vocab_bpe_merges`: dict0 spells
+    the top words as spaced characters; each round k counts adjacent
+    pairs (lateral unnest over index range — both occurrences in
+    ``a a a`` count), picks argmax (count desc, pair asc), and rewrites
+    via the doubled-space replace — the exact string algebra of the
+    Spark operator."""
+    parts = [
+        f"""
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents) u
+  GROUP BY 1
+), dict0 AS (
+  SELECT array_to_string(list_transform(range(1, len(word) + 1),
+                                        i -> word[i]), ' ') AS syms, cnt
+  FROM words ORDER BY cnt DESC, word LIMIT {top_words}
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(f"""
+, pairs{k} AS (
+  SELECT arr[i] AS l, arr[i + 1] AS r, SUM(cnt) AS c
+  FROM (SELECT string_split(syms, ' ') AS arr, cnt FROM dict{k}) t,
+       UNNEST(range(1, greatest(len(arr), 1))) AS u(i)
+  GROUP BY 1, 2
+), best{k} AS (
+  SELECT l, r, c FROM pairs{k} ORDER BY c DESC, l, r LIMIT 1
+), dict{k + 1} AS (
+  SELECT array_to_string(
+           list_filter(string_split(
+             replace(' ' || replace(d.syms, ' ', '  ') || ' ',
+                     ' ' || b.l || '  ' || b.r || ' ',
+                     ' ' || b.l || b.r || ' '), ' '), x -> x <> ''),
+           ' ') AS syms, d.cnt
+  FROM dict{k} d, best{k} b
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k + 1} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM best{k}"
+        for k in range(n_merges)
+    )
+    parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY merge_rank")
+    return "".join(parts)
+
+
+SQL_VOCAB_BPE_MERGES = _build_bpe_oracle_sql(top_words=200, n_merges=4)
+
+
+def q_doc_shard_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride-interleaved training order
+    (sampling.py::stride_schedule, α=0.5, 8 shards): sources
+    interleave ∝ √count, global position via distributed_prefix_sum
+    (no single-partition window), shard = (pos-1) % 8. Verified
+    corpus-WIDE, not just on a prefix: the per-(shard, source) count
+    pins the interleave proportions and shard balance, and
+    pos_checksum = Σ (global_pos mod 100003)·(doc_id mod 997) pins
+    EVERY row's exact global position — any transposition of two
+    docs' positions breaks it. The oracle replays the schedule with
+    plain windows (fine at oracle scale) and HUGEINT stride math."""
+    from .operators.sampling import stride_schedule  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sched = stride_schedule(docs, alpha=0.5, n_shards=8)
+    return (
+        sched.groupBy("shard", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("global_pos") % 100003) * (F.col("doc_id") % 997))
+            .cast("bigint")
+            .alias("pos_checksum"),
+            F.min("global_pos").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("shard", "source")
+    )
+
+
+SQL_DOC_SHARD_SCHEDULE = """
+WITH n AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+), w AS (
+  SELECT source, CAST(round(pow(n, 0.5) * 1000000) AS HUGEINT) AS w_micro
+  FROM n
+), idx AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS i,
+         w.w_micro
+  FROM documents d JOIN w ON d.source = w.source
+), vt AS (
+  SELECT doc_id, source,
+         CAST((CAST(i AS HUGEINT) * 1000000000000) // w_micro AS BIGINT) AS v
+  FROM idx
+), pos AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY v, source, doc_id) AS global_pos
+  FROM vt
+)
+SELECT CAST((global_pos - 1) % 8 AS INTEGER) AS shard, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((global_pos % 100003) * (doc_id % 997)) AS BIGINT)
+         AS pos_checksum,
+       CAST(MIN(global_pos) AS BIGINT) AS first_pos
+FROM pos GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_ev_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts between event types WITHIN
     a user session (30-min gap sessionization feeds a lead() over the
@@ -8301,6 +8426,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vocab_zipf_fit": (q_vocab_zipf_fit, SQL_VOCAB_ZIPF_FIT),
     "doc_mixture_sample": (q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
+    "vocab_bpe_merges": (q_vocab_bpe_merges, SQL_VOCAB_BPE_MERGES),
+    "doc_shard_schedule": (q_doc_shard_schedule, SQL_DOC_SHARD_SCHEDULE),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
     "emb_dim_stats": (q_emb_dim_stats, SQL_EMB_DIM_STATS),
     "doc_simhash_portable": (q_doc_simhash_portable, SQL_DOC_SIMHASH_PORTABLE),
@@ -8342,18 +8469,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 
 #: Round-8 verification priority — GENERATED by tools/retier.py at
-#: round end (diff base: the r7 round commit). Tier 0: the three r8
-#: registrations (incl. emb_rp_knn_join). Tier 1: every registry query
-#: transitively consuming a symbol this round's diff touched (RP
-#: operators, the pandas-twin positional fix, cache.adopt, the two
-#: fully-hinted applyInPandas queries). Tier 2 drains the stale tail
-#: oldest-first: ALL 20 r3-latest rows and 19 of the 29 r4-latest rows
-#: fit; the 11 tier-0/1 slots displace the 10 YOUNGEST r4 rows
-#: (registry-latest order), which lead r9's fill. Steady-state age
-#: bound is ceil(186/50) = 4 rounds (tools/retier.py, reconciled r8).
+#: round end (diff base: the r7 round commit). Tier 0: the five r8
+#: registrations (RP index/KNN-join, islands window, BPE merges,
+#: stride schedule). Tier 1: every registry query transitively
+#: consuming a symbol this round's diff touched (RP operators, the
+#: pandas-twin positional fix, cache.adopt, the two fully-hinted
+#: applyInPandas queries). Tier 2 drains the stale tail oldest-first:
+#: ALL 20 r3-latest rows and 17 of the 29 r4-latest rows fit; the 13
+#: tier-0/1 slots displace the 12 YOUNGEST r4 rows (registry-latest
+#: order), which lead r9's fill. Steady-state age bound is
+#: ceil(188/50) = 4 rounds (tools/retier.py, reconciled r8).
 #: Regenerate: python tools/retier.py
 _PRIORITY_R8 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
+    "vocab_bpe_merges",
+    "doc_shard_schedule",
     "emb_rp_indexed",
     "doc_islands_window",
     "emb_rp_knn_join",
@@ -8404,8 +8534,6 @@ _PRIORITY_R8 = [
     "doc_pmi_collocations",  # last row r4
     "ev_session_transitions",  # last row r4
     "emb_dim_stats",  # last row r4
-    "ev_attribution_left",  # last row r4
-    "dq_expectations",  # last row r4
 ]
 
 
