@@ -788,3 +788,101 @@ def bpe_merges(
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return pin(out, dict0)
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_words: int = 200,
+    n_merges: int = 4,
+) -> DataFrame:
+    """Apply the learned BPE merges (:func:`bpe_merges`) back to the
+    WHOLE corpus — the second half of the tokenizer story: train on the
+    frequency dict, then measure how the corpus actually tokenizes
+    under those rules. Returns one row per document:
+    ``(id_col, n_words, n_tokens, fertility_micro)`` where
+    ``fertility_micro = (n_tokens · 10^6) div n_words`` (BPE fertility,
+    tokens per word, exact integer micro-units; NULL for wordless
+    docs, whose counts are 0).
+
+    Encoding is the classic apply-merges-in-rank-order: each word is
+    spelled as spaced characters and each merge ``(l, r)`` is replayed
+    with the SAME doubled-space greedy-leftmost string algebra the
+    learner used — so a word outside the training dict (OOV) still
+    encodes, exactly like a real tokenizer.
+
+    Scale posture (100 TB): the learned merge table is collected —
+    ``n_merges`` rows, a bounded hyper-parameter exactly like k-means'
+    ``k·d`` centroid collect (clustering.py) — and applied as chained
+    LITERAL string replaces, pure JVM map work. The corpus is touched
+    by two scans (the learner's word count; the per-doc word count),
+    each an ordinary AQE-safe groupBy shuffle. Each DISTINCT word is
+    encoded once (vocab-sized map work), then joined back to the
+    per-doc counts on the word key — the join input is already
+    word-shuffled, and AQE broadcasts the vocab side when it is small.
+    No Python anywhere; no driver data beyond the n_merges rules.
+    """
+    from ..cache import released  # noqa: PLC0415
+
+    mtable = bpe_merges(df, text_col, top_words, n_merges)
+    with released(mtable):
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in mtable.orderBy("merge_rank").collect()
+        ]
+
+    dwords = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+                )
+            ).alias("word"),
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    syms = F.expr(
+        "array_join(transform(sequence(1, length(word)),"
+        " i -> substring(word, i, 1)), ' ')"
+    )
+    for left, right in merges:
+        doubled = F.concat(
+            F.lit(" "), F.replace(syms, F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        syms = F.array_join(
+            F.filter(
+                F.split(
+                    F.replace(
+                        doubled,
+                        F.lit(f" {left}  {right} "),
+                        F.lit(f" {left}{right} "),
+                    ),
+                    " ",
+                ),
+                lambda x: x != "",
+            ),
+            " ",
+        )
+    enc = dwords.select("word").distinct().select(
+        "word", F.size(F.split(syms, " ")).alias("n_tok")
+    )
+
+    per_doc = (
+        dwords.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("_w"),
+            F.sum(F.col("c") * F.col("n_tok")).cast("bigint").alias("_t"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("_w", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("_t", F.lit(0)).cast("bigint").alias("n_tokens"),
+        # NULL-propagating on purpose: wordless docs have no fertility
+        F.expr("(_t * 1000000) div _w").alias("fertility_micro"),
+    )

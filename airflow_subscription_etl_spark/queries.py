@@ -6507,6 +6507,73 @@ WITH words AS (
 SQL_VOCAB_BPE_MERGES = _build_bpe_oracle_sql(top_words=200, n_merges=4)
 
 
+def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the LEARNED BPE tokenizer
+    (text.py::bpe_encode): train 4 merges on the top-200 frequency
+    dict, replay them in rank order over every distinct corpus word
+    (including OOV words outside the dict), and report per-document
+    token counts and integer-micro fertility. The oracle re-learns the
+    same merges via the unrolled CTEs of ``vocab_bpe_merges`` and then
+    applies them with the identical doubled-space string algebra, so
+    EVERY document's exact token count is pinned."""
+    from .operators.text import bpe_encode  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, top_words=200, n_merges=4).orderBy("doc_id")
+
+
+def _build_bpe_encode_oracle_sql(top_words: int, n_merges: int) -> str:
+    """Oracle for :func:`q_doc_bpe_encode`: the learning CTEs of
+    :func:`_build_bpe_oracle_sql` (shared text, same best{k} rules)
+    plus encode CTEs — every distinct corpus word spelled as spaced
+    characters and rewritten once per learned rule, then joined back to
+    the per-doc word counts."""
+    learn = _build_bpe_oracle_sql(top_words, n_merges)
+    ctes = learn[: learn.rindex("\nSELECT * FROM (")]
+    parts = [ctes]
+    parts.append("""
+, dwords AS (
+  SELECT doc_id, w AS word, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents) u
+  GROUP BY 1, 2
+), e0 AS (
+  SELECT word, array_to_string(list_transform(range(1, len(word) + 1),
+                                              i -> word[i]), ' ') AS syms
+  FROM (SELECT DISTINCT word FROM dwords) v
+)""")
+    for k in range(n_merges):
+        parts.append(f"""
+, e{k + 1} AS (
+  SELECT word, array_to_string(
+           list_filter(string_split(
+             replace(' ' || replace(e.syms, ' ', '  ') || ' ',
+                     ' ' || b.l || '  ' || b.r || ' ',
+                     ' ' || b.l || b.r || ' '), ' '), x -> x <> ''),
+           ' ') AS syms
+  FROM e{k} e, best{k} b
+)""")
+    parts.append(f"""
+, enc AS (
+  SELECT word, len(string_split(syms, ' ')) AS n_tok FROM e{n_merges}
+), perdoc AS (
+  SELECT d.doc_id, SUM(d.c) AS w, SUM(d.c * e.n_tok) AS t
+  FROM dwords d JOIN enc e USING (word) GROUP BY 1
+)
+SELECT doc.doc_id,
+       CAST(COALESCE(p.w, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS n_tokens,
+       CAST((p.t * 1000000) // p.w AS BIGINT) AS fertility_micro
+FROM documents doc LEFT JOIN perdoc p USING (doc_id)
+ORDER BY doc.doc_id
+""")
+    return "".join(parts)
+
+
+SQL_DOC_BPE_ENCODE = _build_bpe_encode_oracle_sql(top_words=200, n_merges=4)
+
+
 def q_doc_shard_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stride-interleaved training order
     (sampling.py::stride_schedule, α=0.5, 8 shards): sources
@@ -8428,6 +8495,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_pmi_collocations": (q_doc_pmi_collocations, SQL_DOC_PMI),
     "vocab_bpe_merges": (q_vocab_bpe_merges, SQL_VOCAB_BPE_MERGES),
     "doc_shard_schedule": (q_doc_shard_schedule, SQL_DOC_SHARD_SCHEDULE),
+    "doc_bpe_encode": (q_doc_bpe_encode, SQL_DOC_BPE_ENCODE),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
     "emb_dim_stats": (q_emb_dim_stats, SQL_EMB_DIM_STATS),
     "doc_simhash_portable": (q_doc_simhash_portable, SQL_DOC_SIMHASH_PORTABLE),
@@ -8469,21 +8537,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 
 #: Round-8 verification priority — GENERATED by tools/retier.py at
-#: round end (diff base: the r7 round commit). Tier 0: the five r8
+#: round end (diff base: the r7 round commit). Tier 0: the six r8
 #: registrations (RP index/KNN-join, islands window, BPE merges,
-#: stride schedule). Tier 1: every registry query transitively
-#: consuming a symbol this round's diff touched (RP operators, the
-#: pandas-twin positional fix, cache.adopt, the two fully-hinted
-#: applyInPandas queries). Tier 2 drains the stale tail oldest-first:
-#: ALL 20 r3-latest rows and 17 of the 29 r4-latest rows fit; the 13
-#: tier-0/1 slots displace the 12 YOUNGEST r4 rows (registry-latest
-#: order), which lead r9's fill. Steady-state age bound is
-#: ceil(188/50) = 4 rounds (tools/retier.py, reconciled r8).
+#: BPE encode, stride schedule). Tier 1: every registry query
+#: transitively consuming a symbol this round's diff touched (RP
+#: operators, the pandas-twin positional fix, cache.adopt, the two
+#: fully-hinted applyInPandas queries). Tier 2 drains the stale tail
+#: oldest-first: ALL 20 r3-latest rows and 16 of the 29 r4-latest rows
+#: fit; the 14 tier-0/1 slots displace the 13 YOUNGEST r4 rows
+#: (registry-latest order), which lead r9's fill. Steady-state age
+#: bound is ceil(189/50) = 4 rounds (tools/retier.py, reconciled r8).
 #: Regenerate: python tools/retier.py
 _PRIORITY_R8 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
     "vocab_bpe_merges",
     "doc_shard_schedule",
+    "doc_bpe_encode",
     "emb_rp_indexed",
     "doc_islands_window",
     "emb_rp_knn_join",
@@ -8533,7 +8602,6 @@ _PRIORITY_R8 = [
     "doc_mixture_sample",  # last row r4
     "doc_pmi_collocations",  # last row r4
     "ev_session_transitions",  # last row r4
-    "emb_dim_stats",  # last row r4
 ]
 
 

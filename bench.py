@@ -148,6 +148,17 @@ HEADLINE = [
     # batched-join latency are measured in tools/synth_probe.py and
     # SCALE.md instead).
     "doc_islands_window",
+    # round-8 second wave: tokenizer training (iterative vocab-sized
+    # merge rounds after one corpus word-count shuffle — the emb_kmeans
+    # cost class) and training-order assembly (one source-keyed window
+    # + distributed prefix sum — an ordinary query cost class). Neither
+    # writes a table, so both belong in the headline. doc_bpe_encode
+    # stays correctness-gated but OUT of the headline: its plan embeds
+    # the whole vocab_bpe_merges learning DAG (the merge table is
+    # collected before encoding), so a headline slot would double-time
+    # the learning cost class already measured above.
+    "vocab_bpe_merges",
+    "doc_shard_schedule",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

@@ -55,9 +55,9 @@ def test_never_checked_queries_lead_the_emitted_list(monkeypatch, capsys):
     reg = retier.registry_queries()
     missing = [q for q in reg if q not in ages]
     # only this round's registrations may lack rows — never a backlog
-    # (r8 registered five: RP index + KNN join, islands window, BPE
-    # merges, stride schedule)
-    assert len(missing) <= 5, f"stale unchecked backlog: {missing[:8]}"
+    # (r8 registered six: RP index + KNN join, islands window, BPE
+    # merges, BPE encode, stride schedule)
+    assert len(missing) <= 6, f"stale unchecked backlog: {missing[:8]}"
     monkeypatch.setattr(retier, "changed_symbols", lambda base: set())
     monkeypatch.setattr(_sys, "argv", ["retier.py"])
     retier.main()

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from airflow_subscription_etl_spark.cache import pinned_count, release
 from airflow_subscription_etl_spark.operators.sampling import stride_schedule
-from airflow_subscription_etl_spark.operators.text import bpe_merges
+from airflow_subscription_etl_spark.operators.text import bpe_encode, bpe_merges
 
 
 # --- reference BPE (independent row-at-a-time implementation) ---
@@ -132,6 +132,89 @@ def test_bpe_pins_dict_cache_for_caller_release(spark):
     assert pinned_count(out) == 1
     out.collect()
     assert release(out) == 1
+
+
+# --- BPE encode ---
+
+
+def _ref_encode(texts: list[str], top_words: int, n_merges: int):
+    """Per-doc (n_words, n_tokens, fertility_micro) under the learned
+    merges, applied in rank order with greedy leftmost rewrite — the
+    row-at-a-time reference for bpe_encode."""
+    import re
+
+    merges = _ref_bpe(texts, top_words, n_merges)
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for _rank, l, r, _m, _c in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    rows = {}
+    for doc_id, t in enumerate(texts):
+        ws = re.findall(r"[a-z]+", t.lower())
+        n_words = len(ws)
+        n_tokens = sum(encode(w) for w in ws)
+        fert = (n_tokens * 1_000_000) // n_words if n_words else None
+        rows[doc_id] = (n_words, n_tokens, fert)
+    return rows
+
+
+def test_bpe_encode_matches_reference_including_oov(spark):
+    """top_words=2 keeps 'zq' OUT of the training dict; the learned
+    merges must still apply to it (real-tokenizer OOV behavior)."""
+    texts = ["low low low lower", "lower lowest", "zq low"]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility_micro"])
+        for r in bpe_encode(
+            _docs(spark, texts), top_words=2, n_merges=3
+        ).collect()
+    }
+    assert got == _ref_encode(texts, 2, 3)
+
+
+def test_bpe_encode_merges_greedily_per_word(spark):
+    """With merge (a,a) learned, 'aaa' is 2 tokens (aa+a) and 'aaaa'
+    is 2 tokens (aa+aa) — greedy leftmost, non-overlapping."""
+    texts = ["aa aa aa aa aaa aaaa"]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility_micro"])
+        for r in bpe_encode(
+            _docs(spark, texts), top_words=200, n_merges=1
+        ).collect()
+    }
+    assert got == _ref_encode(texts, 200, 1)
+    # 6 words -> aa x4 = 4 tokens, aaa = 2, aaaa = 2 -> 8 tokens
+    assert got[0] == (6, 8, (8 * 1_000_000) // 6)
+
+
+def test_bpe_encode_wordless_doc_is_zero_with_null_fertility(spark):
+    texts = ["low lower", "12345 !!!"]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility_micro"])
+        for r in bpe_encode(_docs(spark, texts), n_merges=2).collect()
+    }
+    assert got[1] == (0, 0, None)
+    assert got == _ref_encode(texts, 200, 2)
+
+
+def test_bpe_encode_releases_learner_cache(spark):
+    from airflow_subscription_etl_spark.cache import pinned_count as pc
+
+    out = bpe_encode(_docs(spark, ["aa ab ba bb"]), n_merges=2)
+    # the learner's dict cache was released inside bpe_encode; the
+    # result itself owns no pins
+    assert pc(out) == 0
+    out.collect()
 
 
 # --- stride schedule ---
