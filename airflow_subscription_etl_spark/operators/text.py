@@ -747,6 +747,7 @@ def bpe_merges(
         )
 
     merge_rows: list[DataFrame] = []
+    pinned: list[DataFrame] = [dict0]
     d = dict0
     for k in range(n_merges):
         best = (
@@ -783,11 +784,20 @@ def bpe_merges(
             ).alias("syms"),
             "cnt",
         )
+        if k + 1 < n_merges:
+            # Persist each intermediate dict (top_words rows — bounded
+            # like dict0): best{k} feeds BOTH the merge table and
+            # dict{k+1}, so without a per-round barrier Catalyst
+            # re-evaluates round k's whole rewrite chain inside every
+            # later round's subtree — O(n²) planning/codegen depth that
+            # dominates wall time (the data is vocab-sized either way).
+            d = d.persist()
+            pinned.append(d)
 
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
-    return pin(out, dict0)
+    return pin(out, *pinned)
 
 
 def bpe_encode(

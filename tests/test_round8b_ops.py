@@ -128,10 +128,12 @@ def test_bpe_top_words_boundary_is_deterministic(spark):
 
 
 def test_bpe_pins_dict_cache_for_caller_release(spark):
+    # one pin per materialized dict: dict0 plus each intermediate
+    # rewrite (n_merges - 1 of them) — all top_words-row bounded
     out = bpe_merges(_docs(spark, ["aa ab ac"]), n_merges=2)
-    assert pinned_count(out) == 1
+    assert pinned_count(out) == 2
     out.collect()
-    assert release(out) == 1
+    assert release(out) == 2
 
 
 # --- BPE encode ---
