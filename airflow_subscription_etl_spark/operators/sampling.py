@@ -259,6 +259,108 @@ def weighted_reservoir(
     )
 
 
+def _ln_micro(x: Column) -> Column:
+    """round(ln(x)·1e6) → bigint — the repo-wide micro-quantized log
+    (vocab_zipf_fit precedent): every ln is quantized BEFORE any
+    arithmetic so downstream sums/differences are exact integers and
+    replay bit-identically in any engine."""
+    return F.round(F.log(x.cast("double")) * F.lit(1_000_000.0)).cast("bigint")
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    num_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): pick ``k`` documents from a raw corpus so the
+    selection is distributed like a small TARGET domain (the rows where
+    ``target`` is true), using hashed-n-gram importance weights.
+
+    Three-step pipeline, all corpus-scale work in two keyed shuffles:
+
+    1. featurize — hashed unigram bag per doc (text.feature_hashing,
+       portable md5 bucketing), with the target flag carried through
+       the groupBy (no join-back shuffle);
+    2. weight — two multinomial bag models with add-1 smoothing:
+       p(b) on target docs, q(b) on the full corpus. Per-bucket
+       log-ratio λ_b = ln p(b) − ln q(b) is assembled from FOUR
+       individually micro-quantized lns (exact-integer algebra from
+       there on); the ≤``num_buckets``-row λ table broadcasts onto the
+       doc-bucket counts and the per-doc importance log-weight is the
+       integer sum Σ_b n_b·λ_b (one doc-keyed shuffle);
+    3. resample — Gumbel top-k: sampling WITHOUT replacement with
+       inclusion probability ∝ exp(logw) is exactly "add standard
+       Gumbel noise to each logw, keep the k largest keys". The noise
+       is content-keyed (md5 of 'dsir|'+id → u ∈ (0, 0.5], denominator
+       2^61 so u=1/ln(0)=∞ is unreachable), micro-quantized, and the
+       final key is integer logw_micro + gumbel_micro → a map-only
+       TakeOrdered(k); the driver holds k rows only.
+
+    Deterministic across engines, retries, and repartitioning: bucket
+    hash, every ln, and the Gumbel draw all replay in DuckDB. At 100 TB
+    the λ table is ``num_buckets`` rows regardless of corpus size, the
+    model fit is one pass, and nothing materializes more than the
+    doc-bucket count matrix (≤ min(tokens, buckets) rows per doc).
+
+    Rows where ``target`` is NULL count as non-target (coalesce to
+    false) — the raw model q includes EVERY doc, matching the paper
+    (target ⊆ raw)."""
+    from .text import feature_hashing  # noqa: PLC0415
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    flagged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.coalesce(target.cast("boolean"), F.lit(False)).alias("_is_t"),
+    )
+    feats = feature_hashing(
+        flagged, id_col, text_col, num_buckets, carry_cols=["_is_t"]
+    )
+    bstats = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_t"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum("cnt").cast("bigint").alias("cr"),
+    )
+    tot = bstats.agg(
+        F.sum("ct").cast("bigint").alias("t_tot"),
+        F.sum("cr").cast("bigint").alias("r_tot"),
+    )
+    alpha_b = float(num_buckets)  # add-1 smoothing over num_buckets cells
+    lam = bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            _ln_micro(F.col("ct") + F.lit(1.0))
+            - _ln_micro(F.col("t_tot") + F.lit(alpha_b))
+            - _ln_micro(F.col("cr") + F.lit(1.0))
+            + _ln_micro(F.col("r_tot") + F.lit(alpha_b))
+        ).alias("lam_micro"),
+    )
+    logw = (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("lam_micro")).alias("logw_micro"))
+    )
+    from .sketch import hash60  # noqa: PLC0415
+
+    u = (
+        hash60(F.concat(F.lit("dsir|"), F.col(id_col).cast("string")))
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 61))
+    gumbel_micro = F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("bigint")
+    return (
+        logw.withColumn("key_micro", F.col("logw_micro") + gumbel_micro)
+        .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "logw_micro", "key_micro")
+    )
+
+
 def exact_stratified_split(
     df: DataFrame,
     strata_col: str,

@@ -209,6 +209,139 @@ def brute_force_topk_pandas(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 25,
+    lam_bp: int = 7000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): rerank
+    the top-``pool`` cosine candidates into ``k`` results that balance
+    relevance against redundancy —
+    ``argmax_d λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` greedily, with
+    ``λ = lam_bp/10000``. The diversity pass retrieval stacks run after
+    ANN so near-duplicate hits don't crowd out coverage.
+
+    Distribution of work follows the operator's natural split:
+
+    - stage 1 (corpus-scale, distributed): exact cosine against the
+      query, micro-quantized, top-``pool`` via map-only TakeOrdered —
+      identical plan shape to :func:`brute_force_topk`;
+    - stage 2 (pool², distributed): pairwise candidate cosines through
+      the SAME sequential-fold kernel, so every float sum happens in
+      the engine (and replays in the oracle's list_sum) — never in
+      driver numpy, whose reduction order differs;
+    - stage 3 (driver, bounded): the greedy selection itself is
+      inherently sequential in k, over pure-INTEGER tables of ``pool``
+      and ``pool·(pool−1)/2`` rows — the kmeans centroid-collect
+      precedent. Scores are exact integers (bp·micro), tiebreak
+      (score desc, id asc); rank 1 is pure relevance (empty penalty
+      set), matching the standard formulation.
+
+    Scale: corpus cost is stage 1 (one scan + k-row heap per
+    partition); stages 2–3 are O(pool²) regardless of corpus size.
+    Result is a ``k``-row DataFrame (rank, id, rel_micro, mmr_score
+    where score = lam_bp·rel_micro − (10000−lam_bp)·max_sim_micro)."""
+    if not 0 <= lam_bp <= 10_000:
+        raise ValueError(f"lam_bp must be in [0, 10000], got {lam_bp}")
+    if k <= 0 or pool < k:
+        raise ValueError(f"need pool >= k >= 1, got k={k} pool={pool}")
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(cosine(F.col(vec_col), q) * F.lit(1_000_000.0))
+            .cast("bigint")
+            .alias("rel_micro"),
+        )
+        .orderBy(F.col("rel_micro").desc(), F.col(id_col).asc())
+        .limit(pool)
+    )
+    cand = cand.persist()
+    try:
+        rel_rows = cand.select(id_col, "rel_micro").collect()
+        a = cand.select(
+            F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va")
+        )
+        b = cand.select(
+            F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb")
+        )
+        pair_rows = (
+            a.join(F.broadcast(b), F.col("_ia") < F.col("_ib"))
+            .select(
+                "_ia",
+                "_ib",
+                F.round(cosine(F.col("_va"), F.col("_vb")) * F.lit(1_000_000.0))
+                .cast("bigint")
+                .alias("sim_micro"),
+            )
+            .collect()
+        )
+    finally:
+        cand.unpersist()
+
+    rel = {r[id_col]: r["rel_micro"] for r in rel_rows}
+    sim: dict[tuple, int] = {}
+    for r in pair_rows:
+        sim[(r["_ia"], r["_ib"])] = r["sim_micro"]
+        sim[(r["_ib"], r["_ia"])] = r["sim_micro"]
+    mu = 10_000 - lam_bp
+    selected: list[tuple] = []  # (rank, id, rel_micro, mmr_score)
+    chosen: set = set()
+    while len(selected) < min(k, len(rel)):
+        best = None
+        for d, rd in rel.items():
+            if d in chosen:
+                continue
+            penalty = (
+                max(sim[(d, s)] for _, s, _, _ in selected) if selected else 0
+            )
+            score = lam_bp * rd - mu * penalty
+            key = (score, _NegOrder(d))
+            if best is None or key > best[0]:
+                best = (key, d, rd, score)
+        _, d, rd, score = best
+        selected.append((len(selected) + 1, d, rd, score))
+        chosen.add(d)
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField(id_col, id_type, False),
+            T.StructField("rel_micro", T.LongType(), False),
+            T.StructField("mmr_score", T.LongType(), False),
+        ]
+    )
+    return df.sparkSession.createDataFrame(selected, schema)
+
+
+class _NegOrder:
+    """Inverts comparison so a max() over (score, _NegOrder(id)) breaks
+    score ties by SMALLEST id — the engine-wide (desc, id asc) rule —
+    for any orderable id type (int, str)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):  # noqa: ANN001
+        self.v = v
+
+    def __lt__(self, other) -> bool:  # noqa: ANN001
+        return self.v > other.v
+
+    def __gt__(self, other) -> bool:  # noqa: ANN001
+        return self.v < other.v
+
+    def __eq__(self, other) -> bool:  # noqa: ANN001
+        return self.v == other.v
+
+
 def query_signature(query_vec: list[float], n_planes: int, dims: int) -> int:
     """Driver-side hyperplane signature of one query vector.
 

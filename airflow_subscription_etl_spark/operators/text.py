@@ -11,6 +11,8 @@ heuristic), document fingerprinting.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -543,6 +545,7 @@ def feature_hashing(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 256,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The hashing trick: project an unbounded vocabulary into a fixed
     ``num_buckets``-dimensional sparse count vector per document — the
@@ -555,16 +558,134 @@ def feature_hashing(
     reproducible in any engine (and DuckDB-oracle-checkable). One
     explode + one partial-aggregated groupBy keyed (doc, bucket):
     shuffle rows per doc ≤ min(tokens, buckets).
+
+    ``carry_cols`` rides per-document attributes (a label, a target
+    flag) THROUGH the groupBy as extra grouping keys instead of joining
+    them back afterwards — free because they are functionally dependent
+    on ``id_col``, and it saves the consumers (dsir_sample,
+    nb_classify) a doc-keyed shuffle join each.
     """
     from .sketch import hash60  # noqa: PLC0415
 
+    carry = [F.col(c) for c in carry_cols]
     toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+        F.col(id_col), *carry, F.explode(tokens(F.col(text_col))).alias("w")
     )
     return (
         toks.withColumn("bucket", (hash60(F.col("w")) % num_buckets).cast("int"))
-        .groupBy(id_col, "bucket")
+        .groupBy(id_col, *carry_cols, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def nb_classifier_eval(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 256,
+    train_bp: int = 8000,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes text classifier IN the engine
+    and evaluate it on a held-out split, returning the confusion matrix
+    — the model-based quality/domain filter every curation pipeline
+    runs (CCNet/fastText-style), expressed as pure aggregations so the
+    whole train→score→evaluate loop is one declarative plan with no
+    driver-side learning step.
+
+    - Split: content-keyed (md5 of ``text_col``, sampling.hash_bucket
+      semantics) — ``train_bp``/10000 of docs train, the rest evaluate;
+      exact duplicates land in the same split so eval can't leak.
+    - Train: per-(class, bucket) hashed-unigram counts with add-1
+      smoothing — the model is a DENSE classes×``num_buckets`` table
+      (classes seen in train × all buckets, so test-only buckets score
+      the smoothed floor), small enough to broadcast at any corpus
+      size. Every ln is micro-quantized at the leaf (the zipf-fit
+      convention), so scores are exact integers.
+    - Score: test doc-bucket counts ⋈ broadcast model → per-(doc,
+      class) log-likelihood Σ n_b·lnP(b|c) + lnP(c); argmax per doc
+      with (score desc, class asc) tiebreak via an integer min-struct.
+    - Evaluate: groupBy (true, predicted) counts.
+
+    Scale: one corpus shuffle to featurize, then doc-keyed aggs whose
+    width is |classes|; the model and priors are broadcast-sized by
+    construction. Test docs whose true class never appeared in train
+    are still scored (against train classes only) and show up as their
+    own confusion rows."""
+    from .sampling import _ln_micro, hash_bucket  # noqa: PLC0415
+
+    flagged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col(label_col),
+        (hash_bucket(F.col(text_col)) < train_bp).alias("_is_train"),
+    )
+    feats = feature_hashing(
+        flagged, id_col, text_col, num_buckets, carry_cols=[label_col, "_is_train"]
+    )
+    train_feats = feats.filter(F.col("_is_train"))
+    cb = train_feats.groupBy(label_col, "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_cb")
+    )
+    ctot = cb.groupBy(label_col).agg(F.sum("cnt_cb").cast("bigint").alias("tok_c"))
+    prior = (
+        flagged.filter(F.col("_is_train"))
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs_c"))
+    )
+    nrow = prior.agg(
+        F.sum("docs_c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+    )
+    dense = prior.select(
+        F.col(label_col).alias("cand"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_buckets - 1))).alias("bucket"),
+    )
+    model = (
+        dense.join(
+            cb.select(
+                F.col(label_col).alias("cand"), "bucket", "cnt_cb"
+            ),
+            ["cand", "bucket"],
+            "left",
+        )
+        .join(ctot.select(F.col(label_col).alias("cand"), "tok_c"), "cand")
+        .select(
+            "cand",
+            "bucket",
+            (
+                _ln_micro(F.coalesce(F.col("cnt_cb"), F.lit(0)) + F.lit(1.0))
+                - _ln_micro(F.col("tok_c") + F.lit(float(num_buckets)))
+            ).alias("lp_micro"),
+        )
+    )
+    prior_lp = prior.crossJoin(F.broadcast(nrow)).select(
+        F.col(label_col).alias("cand"),
+        (
+            _ln_micro(F.col("docs_c") + F.lit(1.0))
+            - _ln_micro(F.col("n_docs") + F.col("n_classes"))
+        ).alias("prior_micro"),
+    )
+    ll = (
+        feats.filter(~F.col("_is_train"))
+        .join(F.broadcast(model), "bucket")
+        .groupBy(id_col, F.col(label_col).alias("true_label"), "cand")
+        .agg(F.sum(F.col("cnt") * F.col("lp_micro")).alias("ll"))
+    )
+    scored = ll.join(F.broadcast(prior_lp), "cand").select(
+        id_col,
+        "true_label",
+        "cand",
+        (F.col("ll") + F.col("prior_micro")).alias("score"),
+    )
+    pred = scored.groupBy(id_col, "true_label").agg(
+        F.min(F.struct((-F.col("score")).alias("n"), F.col("cand").alias("c")))
+        .alias("m")
+    )
+    return (
+        pred.select("true_label", F.col("m.c").alias("pred_label"))
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
 
 

@@ -909,6 +909,77 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
 SQL_EMB_ANN_TOPK = _ann_oracle_sql()
 
 
+def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (similarity.py::mmr_rerank): top-25
+    cosine candidates reranked into 10 results balancing relevance vs
+    redundancy (λ=0.7). All float math runs in the engine's sequential
+    fold (micro-quantized); the greedy k-step selection is pure-integer
+    over the bounded candidate tables, replayed by the oracle's
+    unrolled per-step CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.mmr_rerank(emb, qv, k=10, pool=25, lam_bp=7000)
+
+
+def _mmr_oracle_sql(k: int = 10, pool: int = 25, lam_bp: int = 7000) -> str:
+    """Unrolled-CTE MMR replay (the kmeans/BPE oracle strategy): one
+    CTE pair per greedy step — step i picks the argmax of
+    lam·rel − (1−lam)·max sim to the i−1 already-selected rows."""
+    mu = 10_000 - lam_bp
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) "
+            f"/ (sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE))) "
+            f"* sqrt(list_sum(list_transform(range(1, len({b}) + 1), "
+            f"i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))))"
+        )
+
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(
+            f""", s{i} AS (
+  SELECT c.vec_id, c.rel_micro,
+         CAST({lam_bp} * c.rel_micro - {mu} * (
+           SELECT MAX(p.sim_micro) FROM pairs p
+           JOIN sel{i - 1} s ON p.ib = s.vec_id
+           WHERE p.ia = c.vec_id) AS BIGINT) AS mmr_score,
+         {i} AS rank
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1
+), sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})"""
+        )
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         CAST(round({cos("embedding", "qv")} * 1000000) AS BIGINT) AS rel_micro
+  FROM embeddings, q
+  ORDER BY rel_micro DESC, vec_id ASC LIMIT {pool}
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(round({cos("a.embedding", "b.embedding")} * 1000000) AS BIGINT)
+           AS sim_micro
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+sel1 AS (
+  SELECT vec_id, rel_micro,
+         CAST({lam_bp} * rel_micro AS BIGINT) AS mmr_score, 1 AS rank
+  FROM cand ORDER BY rel_micro DESC, vec_id ASC LIMIT 1
+){"".join(steps)}
+SELECT CAST(rank AS INT) AS rank, vec_id, rel_micro, mmr_score FROM sel{k}
+"""
+
+
+SQL_EMB_MMR_RERANK = _mmr_oracle_sql()
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse k-means lists + nprobe probing).
     List membership depends on xxhash64 seeding, so the oracle is the
@@ -7022,6 +7093,123 @@ FROM s ORDER BY score_nano DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (sampling.py::dsir_sample): pick 60
+    docs distributed like the English slice of the corpus, via hashed
+    unigram importance weights (target/raw multinomial log-ratio,
+    add-1 smoothed, every ln micro-quantized) and content-keyed Gumbel
+    top-k — the Xie et al. 2023 data-selection recipe in two keyed
+    shuffles + a broadcast λ table + TakeOrdered."""
+    from .operators.sampling import dsir_sample  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_sample(docs, F.col("lang") == "en", k=60)
+
+
+SQL_DOC_DSIR_SAMPLE = r"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2, 3
+), b AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS ct,
+         SUM(cnt) AS cr
+  FROM feats GROUP BY 1
+), tot AS (SELECT SUM(ct) AS t_tot, SUM(cr) AS r_tot FROM b),
+lam AS (
+  SELECT bucket,
+         CAST(round(ln(ct + 1.0) * 1000000) AS BIGINT)
+       - CAST(round(ln(t_tot + 256.0) * 1000000) AS BIGINT)
+       - CAST(round(ln(cr + 1.0) * 1000000) AS BIGINT)
+       + CAST(round(ln(r_tot + 256.0) * 1000000) AS BIGINT) AS lam_micro
+  FROM b CROSS JOIN tot
+), w AS (
+  SELECT doc_id, CAST(SUM(cnt * lam_micro) AS BIGINT) AS logw_micro
+  FROM feats JOIN lam USING (bucket) GROUP BY 1
+)
+SELECT doc_id, logw_micro,
+       logw_micro + CAST(round(-ln(-ln(
+         (CAST(('0x' || substring(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) + 1.0) / 2305843009213693952.0))
+         * 1000000) AS BIGINT) AS key_micro
+FROM w
+ORDER BY key_micro DESC, doc_id ASC LIMIT 60
+"""
+
+
+def q_doc_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine model training + eval (text.py::nb_classifier_eval):
+    multinomial Naive Bayes over hashed unigrams predicting ``lang``,
+    trained on the content-keyed 80% split and evaluated on the rest —
+    output is the confusion matrix. Train, score, argmax, and evaluate
+    are all one declarative plan (broadcast dense model, integer-exact
+    micro-log scores, min-struct argmax tiebreak)."""
+    from .operators.text import nb_classifier_eval  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_classifier_eval(docs, label_col="lang")
+
+
+SQL_DOC_NB_CONFUSION = r"""
+WITH d AS (
+  SELECT doc_id, lang, text,
+         (CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 10000) < 8000
+           AS is_train
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, is_train,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, lang, is_train,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM d)
+  GROUP BY 1, 2, 3, 4
+), cb AS (
+  SELECT lang AS cand, bucket, SUM(cnt) AS cnt_cb
+  FROM feats WHERE is_train GROUP BY 1, 2
+), ctot AS (SELECT cand, SUM(cnt_cb) AS tok_c FROM cb GROUP BY 1),
+prior AS (
+  SELECT lang AS cand, COUNT(*) AS docs_c FROM d WHERE is_train GROUP BY 1
+), nrow AS (SELECT SUM(docs_c) AS n_docs, COUNT(*) AS n_classes FROM prior),
+dense AS (
+  SELECT p.cand, r.range AS bucket FROM prior p CROSS JOIN range(0, 256) r
+), model AS (
+  SELECT dn.cand, dn.bucket,
+         CAST(round(ln(COALESCE(cb.cnt_cb, 0) + 1.0) * 1000000) AS BIGINT)
+       - CAST(round(ln(ct.tok_c + 256.0) * 1000000) AS BIGINT) AS lp_micro
+  FROM dense dn
+  LEFT JOIN cb ON cb.cand = dn.cand AND cb.bucket = dn.bucket
+  JOIN ctot ct ON ct.cand = dn.cand
+), prior_lp AS (
+  SELECT p.cand,
+         CAST(round(ln(p.docs_c + 1.0) * 1000000) AS BIGINT)
+       - CAST(round(ln(n.n_docs + n.n_classes + 0.0) * 1000000) AS BIGINT)
+           AS prior_micro
+  FROM prior p CROSS JOIN nrow n
+), ll AS (
+  SELECT f.doc_id, f.lang AS true_label, m.cand,
+         CAST(SUM(f.cnt * m.lp_micro) AS BIGINT) AS ll
+  FROM feats f JOIN model m USING (bucket)
+  WHERE NOT f.is_train GROUP BY 1, 2, 3
+), scored AS (
+  SELECT ll.doc_id, ll.true_label, ll.cand, ll.ll + pl.prior_micro AS score
+  FROM ll JOIN prior_lp pl USING (cand)
+), pred AS (
+  SELECT doc_id, true_label, cand AS pred_label,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand ASC) AS rk
+  FROM scored
+)
+SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1 GROUP BY 1, 2
+"""
+
+
 def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped COGROUP (Spark's pandas cogroup → applyInPandas): orders
     and lineitem co-partitioned per customer, reconciled in one
@@ -8440,6 +8628,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_topk_cosine": (q_emb_topk_cosine, SQL_EMB_TOPK),
     "emb_topk_cosine_pandas": (q_emb_topk_cosine_pandas, SQL_EMB_TOPK_PANDAS),
     "emb_ann_topk": (q_emb_ann_topk, SQL_EMB_ANN_TOPK),
+    "emb_mmr_rerank": (q_emb_mmr_rerank, SQL_EMB_MMR_RERANK),
     "emb_ivf_topk": (q_emb_ivf_topk, sql_emb_ivf_topk),
     "emb_near_pairs": (q_emb_near_pairs, SQL_EMB_NEAR_PAIRS),
     "mm_featurize": (q_mm_featurize, SQL_MM_FEATURIZE),
@@ -8504,6 +8693,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dq_expectations": (q_dq_expectations, SQL_DQ_EXPECTATIONS),
     "source_vocab_overlap": (q_source_vocab_overlap, SQL_SOURCE_VOCAB_OVERLAP),
     "doc_weighted_reservoir": (q_doc_weighted_reservoir, SQL_DOC_WEIGHTED_RESERVOIR),
+    "doc_dsir_sample": (q_doc_dsir_sample, SQL_DOC_DSIR_SAMPLE),
+    "doc_nb_confusion": (q_doc_nb_confusion, SQL_DOC_NB_CONFUSION),
     "cogroup_reconcile": (q_cogroup_reconcile, SQL_COGROUP_RECONCILE),
     "mm_arrow_bytes": (q_mm_arrow_bytes, SQL_MM_ARROW_BYTES),
     "source_length_stats": (q_source_length_stats, SQL_SOURCE_LENGTH_STATS),
@@ -8550,9 +8741,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: Regenerate: python tools/retier.py
 _PRIORITY_R8 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
+    "emb_mmr_rerank",
     "vocab_bpe_merges",
     "doc_shard_schedule",
     "doc_bpe_encode",
+    "doc_dsir_sample",
+    "doc_nb_confusion",
     "emb_rp_indexed",
     "doc_islands_window",
     "emb_rp_knn_join",
@@ -8561,6 +8755,7 @@ _PRIORITY_R8 = [
     "emb_kmeans_pandas",
     "emb_semantic_dedup",
     "emb_topk_cosine_pandas",
+    "doc_feature_hashing",
     "emb_ivf_portable",
     "cogroup_reconcile",
     "source_length_stats",
@@ -8581,7 +8776,6 @@ _PRIORITY_R8 = [
     "sql_recursive_months",  # last row r3
     "sql_pipe_returns",  # last row r3
     "collated_distinct_words",  # last row r3
-    "doc_feature_hashing",  # last row r3
     "doc_tfidf_topk",  # last row r3
     "part_fuzzy_pairs",  # last row r3
     "window_suite",  # last row r3
@@ -8599,9 +8793,6 @@ _PRIORITY_R8 = [
     "orders_profile",  # last row r4
     "ivm_join_delta",  # last row r4
     "vocab_zipf_fit",  # last row r4
-    "doc_mixture_sample",  # last row r4
-    "doc_pmi_collocations",  # last row r4
-    "ev_session_transitions",  # last row r4
 ]
 
 

@@ -159,6 +159,12 @@ HEADLINE = [
     # the learning cost class already measured above.
     "vocab_bpe_merges",
     "doc_shard_schedule",
+    # round-8 third wave: data-selection + in-engine model eval +
+    # diversity reranking — all ordinary query cost classes (keyed
+    # shuffles / broadcast model / map-only + bounded pool² work).
+    "doc_dsir_sample",
+    "doc_nb_confusion",
+    "emb_mmr_rerank",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

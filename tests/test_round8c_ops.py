@@ -1,0 +1,310 @@
+"""Round-8 third wave: DSIR importance resampling
+(sampling.dsir_sample), the in-engine Naive Bayes train/eval loop
+(text.nb_classifier_eval), and MMR diversified reranking
+(similarity.mmr_rerank). Each is pinned against an independent
+in-test reference (the kmeans/LSH oracle strategy) plus contract and
+degenerate-input checks."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_subscription_etl_spark.operators.sampling import dsir_sample
+from airflow_subscription_etl_spark.operators.similarity import (
+    brute_force_topk,
+    mmr_rerank,
+)
+from airflow_subscription_etl_spark.operators.text import (
+    feature_hashing,
+    nb_classifier_eval,
+)
+
+# --- shared reference helpers (independent row-at-a-time math) ---
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ln_micro(x: float) -> int:
+    v = math.log(x) * 1_000_000.0
+    # round-half-even like both engines' round() on a double that is
+    # essentially never an exact .5 here
+    return int(round(v))
+
+
+def _ref_dsir(docs, target_ids, k, buckets=256):
+    """docs: list[(id, text)]; returns [(id, logw, key)] desc."""
+    from collections import Counter
+
+    feats = {}
+    for i, t in docs:
+        c = Counter(
+            _h60(w) % buckets for w in t.strip().split() or [""]
+        )
+        feats[i] = c
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for i, c in feats.items():
+        for b, n in c.items():
+            cr[b] += n
+            if i in target_ids:
+                ct[b] += n
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    lam = {
+        b: _ln_micro(ct.get(b, 0) + 1.0)
+        - _ln_micro(t_tot + float(buckets))
+        - _ln_micro(cr[b] + 1.0)
+        + _ln_micro(r_tot + float(buckets))
+        for b in cr
+    }
+    out = []
+    for i, c in feats.items():
+        logw = sum(n * lam[b] for b, n in c.items())
+        u = (_h60(f"dsir|{i}") + 1.0) / float(1 << 61)
+        g = int(round(-math.log(-math.log(u)) * 1_000_000.0))
+        out.append((i, logw, logw + g))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+DOCS = [
+    (1, "spark shuffle join broadcast join spark"),
+    (2, "gradient descent loss epoch gradient"),
+    (3, "spark partition scan filter spark spark"),
+    (4, "loss epoch batch gradient descent descent"),
+    (5, "join scan shuffle partition broadcast"),
+    (6, "epoch epoch loss batch batch gradient"),
+    (7, "spark scan spark filter shuffle"),
+    (8, "descent loss gradient epoch batch"),
+]
+
+
+def test_dsir_matches_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    got = dsir_sample(df, F.col("doc_id") % 2 == 1, k=4).collect()
+    target = {i for i, _ in DOCS if i % 2 == 1}
+    want = _ref_dsir(DOCS, target, 4)
+    assert [(r.doc_id, r.logw_micro, r.key_micro) for r in got] == want
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Odd docs are 'spark' vocabulary, even docs are 'ML' vocabulary:
+    with target = odd docs, every odd doc must out-weigh every even
+    doc on logw (the importance weight, before Gumbel noise)."""
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    all_w = dsir_sample(df, F.col("doc_id") % 2 == 1, k=len(DOCS))
+    rows = {r.doc_id: r.logw_micro for r in all_w.collect()}
+    assert min(rows[i] for i in (1, 3, 5, 7)) > max(
+        rows[i] for i in (2, 4, 6, 8)
+    )
+
+
+def test_dsir_all_target_degenerates_to_uniform_gumbel(spark):
+    """target == whole corpus → p == q → λ ≡ 0 → logw ≡ 0: the sample
+    is a uniform draw (pure Gumbel keys)."""
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    got = dsir_sample(df, F.lit(True), k=3).collect()
+    assert all(r.logw_micro == 0 for r in got)
+    assert len(got) == 3
+
+
+def test_dsir_partitioning_invariant(spark):
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    a = dsir_sample(df.coalesce(1), F.col("doc_id") <= 4, k=5).collect()
+    b = dsir_sample(df.repartition(7), F.col("doc_id") <= 4, k=5).collect()
+    assert a == b
+
+
+def test_dsir_rejects_nonpositive_k(spark):
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="k must be positive"):
+        dsir_sample(df, F.lit(True), k=0)
+
+
+def test_feature_hashing_carry_cols_ride_the_groupby(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a", "x"), (2, "b", "y")], "doc_id bigint, text string, lab string"
+    )
+    out = feature_hashing(df, carry_cols=["lab"]).collect()
+    assert {r.lab for r in out} == {"x", "y"}
+    # carried column is functionally dependent on doc_id: row count
+    # identical to the uncarried call
+    base = feature_hashing(df).collect()
+    assert len(out) == len(base)
+
+
+# --- Naive Bayes train/eval ---
+
+
+def test_nb_separable_classes_score_diagonal(spark):
+    """Two classes with disjoint vocabulary: every test doc must be
+    classified correctly → the confusion matrix is purely diagonal."""
+    rows = []
+    for i in range(40):
+        lab = "a" if i % 2 == 0 else "b"
+        text = ("apple pie apple " if lab == "a" else "rust iron rust ") + f"w{i}"
+        rows.append((i, text, lab))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    conf = nb_classifier_eval(df, label_col="lang").collect()
+    assert conf, "empty confusion matrix — test split produced no docs"
+    assert all(r.true_label == r.pred_label for r in conf)
+
+
+def test_nb_matches_reference_on_small_frame(spark):
+    """Full integer replay of the train→score→argmax loop."""
+    from collections import Counter, defaultdict
+
+    rows = [
+        (1, "dog cat dog", "pets"),
+        (2, "cat cat fish", "pets"),
+        (3, "stock bond stock", "fin"),
+        (4, "bond bond trade", "fin"),
+        (5, "dog fish trade", "pets"),
+        (6, "stock trade trade", "fin"),
+        (7, "dog stock cat", "pets"),
+        (8, "bond trade fish", "fin"),
+    ]
+    B, train_bp = 256, 8000
+    is_train = {
+        i: (_h60(t) % 10_000) < train_bp for i, t, _ in rows
+    }
+    feats = {i: Counter(_h60(w) % B for w in t.split()) for i, t, _ in rows}
+    lab = {i: c for i, _, c in rows}
+    cb: dict = defaultdict(Counter)
+    prior: Counter = Counter()
+    for i, t, c in rows:
+        if is_train[i]:
+            prior[c] += 1
+            cb[c].update(feats[i])
+    n_docs, n_classes = sum(prior.values()), len(prior)
+    want: Counter = Counter()
+    for i, t, c in rows:
+        if is_train[i]:
+            continue
+        best = None
+        for cand in prior:
+            tok_c = sum(cb[cand].values())
+            score = (
+                _ln_micro(prior[cand] + 1.0)
+                - _ln_micro(float(n_docs + n_classes))
+            )
+            for b, n in feats[i].items():
+                score += n * (
+                    _ln_micro(cb[cand].get(b, 0) + 1.0)
+                    - _ln_micro(tok_c + float(B))
+                )
+            key = (score, [-ord(ch) for ch in cand])
+            if best is None or key > best[0]:
+                best = (key, cand)
+        want[(c, best[1])] += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = Counter(
+        {(r.true_label, r.pred_label): r.n_docs
+         for r in nb_classifier_eval(df, label_col="lang").collect()}
+    )
+    assert got == want
+    assert sum(got.values()) == sum(1 for i in is_train if not is_train[i])
+
+
+def test_nb_unseen_true_class_still_scored(spark):
+    """A test doc whose true label never appears in train must still be
+    classified (among train classes) and show up as an off-diagonal
+    confusion row — labels are assigned AFTER computing the content
+    split, so 'ghost' exists only in the test slice by construction."""
+    texts = [f"alpha beta w{i}" for i in range(40)]
+    split = {t: (_h60(t) % 10_000) < 8000 for t in texts}
+    assert any(not v for v in split.values()), "fixture: need a test doc"
+    rows = [
+        (i, t, "a" if split[t] else "ghost") for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    conf = nb_classifier_eval(df, label_col="lang").collect()
+    assert conf
+    # every test doc's true label is ghost; every prediction must be a
+    # TRAIN class — i.e. 'a' — so the matrix is exactly one row
+    assert [(r.true_label, r.pred_label) for r in conf] == [("ghost", "a")]
+
+
+# --- MMR rerank ---
+
+
+def _unit(vs):
+    n = math.sqrt(sum(v * v for v in vs))
+    return [v / n for v in vs]
+
+
+EMB = [
+    (1, _unit([0.95, 0.312, 0.0])),  # rel ≈ .950 — cluster
+    (2, _unit([0.95, 0.311, 0.01])),  # rel ≈ .9503 — cluster, top hit
+    (3, _unit([0.949, 0.315, 0.0])),  # rel ≈ .949 — cluster
+    (4, _unit([0.8, -0.6, 0.0])),  # rel .8, far from the cluster
+    (5, _unit([0.7, 0.0, -0.714])),  # rel ≈ .7, far from both
+    (6, _unit([-1.0, 0.0, 0.0])),  # anti-relevant
+]
+QV = [1.0, 0.0, 0.0]
+
+
+def test_mmr_full_lambda_equals_brute_force(spark):
+    df = spark.createDataFrame(
+        EMB, "vec_id bigint, embedding array<double>"
+    )
+    got = mmr_rerank(df, QV, k=4, pool=6, lam_bp=10_000).collect()
+    bf = brute_force_topk(df, QV, k=4).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in bf]
+    assert [r.rank for r in got] == [1, 2, 3, 4]
+
+
+def test_mmr_diversifies_near_duplicates(spark):
+    """ids 1/2/3 are one tight cluster of top hits; with diversity on,
+    ranks 2–3 must leave that cluster (4 then 5 — each farther from
+    everything already picked than another cluster copy would be),
+    instead of returning three near-duplicates like pure top-k does."""
+    df = spark.createDataFrame(
+        EMB, "vec_id bigint, embedding array<double>"
+    )
+    bf = [r.vec_id for r in brute_force_topk(df, QV, k=3).collect()]
+    assert set(bf) == {1, 2, 3}  # pure relevance returns the whole cluster
+    got = mmr_rerank(df, QV, k=3, pool=6, lam_bp=5_000).collect()
+    assert got[0].vec_id == 2  # pure relevance first pick (highest cos)
+    assert [r.vec_id for r in got[1:]] == [4, 5]
+
+
+def test_mmr_k_equals_pool_returns_everything_ranked(spark):
+    df = spark.createDataFrame(
+        EMB, "vec_id bigint, embedding array<double>"
+    )
+    got = mmr_rerank(df, QV, k=6, pool=6, lam_bp=7_000).collect()
+    assert sorted(r.vec_id for r in got) == [1, 2, 3, 4, 5, 6]
+    assert [r.rank for r in got] == [1, 2, 3, 4, 5, 6]
+
+
+def test_mmr_first_rank_score_is_pure_relevance(spark):
+    df = spark.createDataFrame(
+        EMB, "vec_id bigint, embedding array<double>"
+    )
+    got = mmr_rerank(df, QV, k=2, pool=4, lam_bp=7_000).collect()
+    assert got[0].mmr_score == 7_000 * got[0].rel_micro
+
+
+def test_mmr_rejects_bad_params(spark):
+    df = spark.createDataFrame(
+        EMB, "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="lam_bp"):
+        mmr_rerank(df, QV, lam_bp=10_001)
+    with pytest.raises(ValueError, match="pool >= k"):
+        mmr_rerank(df, QV, k=5, pool=4)
+
+
+def test_mmr_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        EMB, "vec_id bigint, embedding array<double>"
+    )
+    a = mmr_rerank(df.coalesce(1), QV, k=4, pool=6, lam_bp=6_000).collect()
+    b = mmr_rerank(df.repartition(5), QV, k=4, pool=6, lam_bp=6_000).collect()
+    assert a == b
