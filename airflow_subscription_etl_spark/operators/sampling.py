@@ -321,12 +321,19 @@ def dsir_sample(
     feats = feature_hashing(
         flagged, id_col, text_col, num_buckets, carry_cols=["_is_t"]
     )
+    # Cache the ≤num_buckets-row MODEL frame, not the corpus-scale
+    # count matrix: its three consumers (totals + λ assembly) would
+    # otherwise each re-run the featurize pass (differently-pruned
+    # scans defeat ReuseExchange), while caching `feats` itself would
+    # commit corpus-scale memory for a one-pass saving. Net: exactly
+    # TWO streaming corpus passes (model fit, weight join) at any
+    # scale. Pinned to the result — callers release when done.
     bstats = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("_is_t"), F.col("cnt")).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("ct"),
         F.sum("cnt").cast("bigint").alias("cr"),
-    )
+    ).persist()
     tot = bstats.agg(
         F.sum("ct").cast("bigint").alias("t_tot"),
         F.sum("cr").cast("bigint").alias("r_tot"),
@@ -353,11 +360,14 @@ def dsir_sample(
         + F.lit(1.0)
     ) / F.lit(float(1 << 61))
     gumbel_micro = F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("bigint")
-    return (
+    from ..cache import pin  # noqa: PLC0415
+
+    return pin(
         logw.withColumn("key_micro", F.col("logw_micro") + gumbel_micro)
         .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
         .limit(k)
-        .select(id_col, "logw_micro", "key_micro")
+        .select(id_col, "logw_micro", "key_micro"),
+        bstats,
     )
 
 

@@ -623,15 +623,24 @@ def nb_classifier_eval(
     feats = feature_hashing(
         flagged, id_col, text_col, num_buckets, carry_cols=[label_col, "_is_train"]
     )
+    # Cache the TINY model frames (classes×buckets counts, class
+    # priors), not the corpus-scale count matrix: the model/prior
+    # assembly fans out to several consumers that would each re-run
+    # the featurize pass otherwise (differently-pruned scans defeat
+    # ReuseExchange), while caching `feats` would commit corpus-scale
+    # memory to save one streaming pass. Net: THREE bounded corpus
+    # passes (train counts, priors, test scoring) at any scale.
+    # Pinned to the result — callers release when done.
     train_feats = feats.filter(F.col("_is_train"))
     cb = train_feats.groupBy(label_col, "bucket").agg(
         F.sum("cnt").cast("bigint").alias("cnt_cb")
-    )
+    ).persist()
     ctot = cb.groupBy(label_col).agg(F.sum("cnt_cb").cast("bigint").alias("tok_c"))
     prior = (
         flagged.filter(F.col("_is_train"))
         .groupBy(label_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("docs_c"))
+        .persist()
     )
     nrow = prior.agg(
         F.sum("docs_c").cast("bigint").alias("n_docs"),
@@ -682,10 +691,14 @@ def nb_classifier_eval(
         F.min(F.struct((-F.col("score")).alias("n"), F.col("cand").alias("c")))
         .alias("m")
     )
-    return (
+    from ..cache import pin  # noqa: PLC0415
+
+    return pin(
         pred.select("true_label", F.col("m.c").alias("pred_label"))
         .groupBy("true_label", "pred_label")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")),
+        cb,
+        prior,
     )
 
 

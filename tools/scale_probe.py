@@ -58,6 +58,13 @@ NEEDS = {
     "ev_next_event": ["events"],
     "doc_rrf_retrieval": ["documents", "embeddings"],
     "orders_bitmap_distinct": ["orders"],
+    # r8 third wave — all linear-scan ops (no pair generation), so
+    # verbatim-clone replication measures exactly what we claim:
+    # dsir/nb featurize shuffles scale with tokens, mmr stage 1 with
+    # corpus rows (stages 2-3 are O(pool²), corpus-independent).
+    "doc_dsir_sample": ["documents"],
+    "doc_nb_confusion": ["documents"],
+    "emb_mmr_rerank": ["embeddings"],
 }
 
 
