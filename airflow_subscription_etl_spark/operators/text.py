@@ -758,6 +758,113 @@ def tfidf_topk(
     )
 
 
+def keyness_topk(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k DISTINCTIVE terms per group by Dunning's log-likelihood
+    ratio (G², Dunning 1993) — the corpus-linguistics "keyness" test:
+    which words does this source over-use relative to the rest of the
+    corpus? The domain-drift / source-fingerprint diagnostic TF-IDF
+    (per-document) and PMI (bigram association) don't cover.
+
+    For each (group, term) the 2×2 contingency table is (a = term in
+    group, b = term elsewhere, c = other tokens in group, d = other
+    tokens elsewhere) and G² = 2·Σ obs·ln(obs/exp), zero-observation
+    cells contributing 0. Every cell's ln(obs/exp) is computed as
+    ln(obs·N / (row_tot·col_tot)) with the integer products formed in
+    DECIMAL(38,0) (exact at any corpus size — bigint·bigint would wrap
+    silently past 2^63) and cast to double only for the ratio; both
+    engines round that cast and division to nearest, so the
+    micro-quantized cell values and the per-group ranking replay
+    bit-for-bit in the oracle.
+
+    Plan: one token explode → (group, term) counts; term totals and
+    group totals as second aggs over the same frame; the grand total
+    rides in via a broadcast 1-row frame; top-k per group through a
+    group-keyed window (|groups| partitions — bounded by the catalog,
+    not the corpus)."""
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    gt = toks.groupBy(group_col, "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    term_tot = gt.groupBy("w").agg(F.sum("a").cast("bigint").alias("ct"))
+    grp_tot = gt.groupBy(group_col).agg(F.sum("a").cast("bigint").alias("rt"))
+    n_tot = gt.agg(F.sum("a").cast("bigint").alias("n"))
+
+    d38 = "decimal(38,0)"
+
+    def cell(obs: Column, row_tot: Column, col_tot: Column, n: Column) -> Column:
+        """obs·micro-ln(obs·n/(row_tot·col_tot)), 0 when obs = 0."""
+        lnm = F.round(
+            F.log(
+                (obs.cast(d38) * n.cast(d38)).cast("double")
+                / (row_tot.cast(d38) * col_tot.cast(d38)).cast("double")
+            )
+            * F.lit(1_000_000.0)
+        ).cast("bigint")
+        return F.when(obs > 0, obs * lnm).otherwise(F.lit(0).cast("bigint"))
+
+    scored = (
+        gt.join(term_tot, "w")
+        .join(F.broadcast(grp_tot), group_col)
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            group_col,
+            "w",
+            "a",
+            (
+                F.lit(2)
+                * (
+                    cell(F.col("a"), F.col("rt"), F.col("ct"), F.col("n"))
+                    + cell(
+                        F.col("ct") - F.col("a"),
+                        F.col("n") - F.col("rt"),
+                        F.col("ct"),
+                        F.col("n"),
+                    )
+                    + cell(
+                        F.col("rt") - F.col("a"),
+                        F.col("rt"),
+                        F.col("n") - F.col("ct"),
+                        F.col("n"),
+                    )
+                    + cell(
+                        (F.col("n") - F.col("rt")) - (F.col("ct") - F.col("a")),
+                        F.col("n") - F.col("rt"),
+                        F.col("n") - F.col("ct"),
+                        F.col("n"),
+                    )
+                )
+            ).alias("g2_micro"),
+        )
+        # keyness = OVER-use only: keep terms whose group share exceeds
+        # the corpus share (a/rt > ct/n ⟺ a·n > rt·ct, exact decimals)
+        .filter(
+            F.col("a").cast("decimal(38,0)") * F.col("n")
+            > F.col("rt").cast("decimal(38,0)") * F.col("ct")
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("g2_micro").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            F.col("w").alias("term"),
+            F.col("a").alias("freq_in_group"),
+            "g2_micro",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def collapse_token_runs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

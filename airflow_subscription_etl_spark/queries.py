@@ -7067,6 +7067,59 @@ FROM p
 """
 
 
+def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary via Dunning log-likelihood G²
+    (text.py::keyness_topk): the domain-drift / source-fingerprint
+    diagnostic — top-5 over-used terms per source, integer-exact cell
+    arithmetic (decimal38 products → correctly-rounded double ratios →
+    micro-quantized lns)."""
+    from .operators.text import keyness_topk  # noqa: PLC0415
+
+    return keyness_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+SQL_SOURCE_KEYNESS = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+), t AS (SELECT * FROM toks WHERE w <> ''),
+gt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a FROM t GROUP BY 1, 2),
+ctot AS (SELECT w, CAST(SUM(a) AS BIGINT) AS ct FROM gt GROUP BY 1),
+rtot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS rt FROM gt GROUP BY 1),
+ntot AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM gt),
+sc AS (
+  SELECT g.source, g.w, g.a,
+    2 * (
+      CASE WHEN g.a > 0 THEN g.a * CAST(round(ln(
+        (CAST(g.a AS HUGEINT) * n.n)::DOUBLE
+        / (CAST(r.rt AS HUGEINT) * c.ct)::DOUBLE) * 1000000) AS BIGINT)
+      ELSE 0 END
+    + CASE WHEN c.ct - g.a > 0 THEN (c.ct - g.a) * CAST(round(ln(
+        (CAST(c.ct - g.a AS HUGEINT) * n.n)::DOUBLE
+        / (CAST(n.n - r.rt AS HUGEINT) * c.ct)::DOUBLE) * 1000000) AS BIGINT)
+      ELSE 0 END
+    + CASE WHEN r.rt - g.a > 0 THEN (r.rt - g.a) * CAST(round(ln(
+        (CAST(r.rt - g.a AS HUGEINT) * n.n)::DOUBLE
+        / (CAST(r.rt AS HUGEINT) * (n.n - c.ct))::DOUBLE) * 1000000) AS BIGINT)
+      ELSE 0 END
+    + CASE WHEN (n.n - r.rt) - (c.ct - g.a) > 0
+      THEN ((n.n - r.rt) - (c.ct - g.a)) * CAST(round(ln(
+        (CAST((n.n - r.rt) - (c.ct - g.a) AS HUGEINT) * n.n)::DOUBLE
+        / (CAST(n.n - r.rt AS HUGEINT) * (n.n - c.ct))::DOUBLE) * 1000000)
+        AS BIGINT)
+      ELSE 0 END
+    ) AS g2_micro
+  FROM gt g JOIN ctot c USING (w) JOIN rtot r USING (source) CROSS JOIN ntot n
+  WHERE CAST(g.a AS HUGEINT) * n.n > CAST(r.rt AS HUGEINT) * c.ct
+)
+SELECT source, w AS term, a AS freq_in_group, g2_micro,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY g2_micro DESC, w ASC) AS rank FROM sc)
+WHERE rank <= 5
+"""
+
+
 def q_doc_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-20 weighted sample of documents ∝ length via A-ES
     (sampling.py::weighted_reservoir): joint without-replacement
@@ -8692,6 +8745,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_attribution_left": (q_ev_attribution_left, SQL_EV_ATTRIBUTION_LEFT),
     "dq_expectations": (q_dq_expectations, SQL_DQ_EXPECTATIONS),
     "source_vocab_overlap": (q_source_vocab_overlap, SQL_SOURCE_VOCAB_OVERLAP),
+    "source_keyness": (q_source_keyness, SQL_SOURCE_KEYNESS),
     "doc_weighted_reservoir": (q_doc_weighted_reservoir, SQL_DOC_WEIGHTED_RESERVOIR),
     "doc_dsir_sample": (q_doc_dsir_sample, SQL_DOC_DSIR_SAMPLE),
     "doc_nb_confusion": (q_doc_nb_confusion, SQL_DOC_NB_CONFUSION),
@@ -8745,6 +8799,7 @@ _PRIORITY_R8 = [
     "vocab_bpe_merges",
     "doc_shard_schedule",
     "doc_bpe_encode",
+    "source_keyness",
     "doc_dsir_sample",
     "doc_nb_confusion",
     "emb_rp_indexed",
@@ -8792,7 +8847,6 @@ _PRIORITY_R8 = [
     "ev_rollup_pyramid",  # last row r4
     "orders_profile",  # last row r4
     "ivm_join_delta",  # last row r4
-    "vocab_zipf_fit",  # last row r4
 ]
 
 

@@ -160,11 +160,13 @@ HEADLINE = [
     "vocab_bpe_merges",
     "doc_shard_schedule",
     # round-8 third wave: data-selection + in-engine model eval +
-    # diversity reranking — all ordinary query cost classes (keyed
-    # shuffles / broadcast model / map-only + bounded pool² work).
+    # diversity reranking + source keyness — all ordinary query cost
+    # classes (keyed shuffles / broadcast model / map-only + bounded
+    # pool² work / one token shuffle + group-keyed window).
     "doc_dsir_sample",
     "doc_nb_confusion",
     "emb_mmr_rerank",
+    "source_keyness",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

@@ -55,10 +55,10 @@ def test_never_checked_queries_lead_the_emitted_list(monkeypatch, capsys):
     reg = retier.registry_queries()
     missing = [q for q in reg if q not in ages]
     # only this round's registrations may lack rows — never a backlog
-    # (r8 registered nine: RP index + KNN join, islands window, BPE
+    # (r8 registered ten: RP index + KNN join, islands window, BPE
     # merges, BPE encode, stride schedule, DSIR sample, NB confusion,
-    # MMR rerank)
-    assert len(missing) <= 9, f"stale unchecked backlog: {missing[:10]}"
+    # MMR rerank, source keyness)
+    assert len(missing) <= 10, f"stale unchecked backlog: {missing[:11]}"
     monkeypatch.setattr(retier, "changed_symbols", lambda base: set())
     monkeypatch.setattr(_sys, "argv", ["retier.py"])
     retier.main()
@@ -178,11 +178,12 @@ def test_tier0_counts_against_slot_cap(monkeypatch, capsys):
     import sys as _sys
 
     monkeypatch.setattr(retier, "changed_symbols", lambda base: set())
-    real_ages = retier.latest_green_round()
     reg = retier.registry_queries()
     newbie = next(iter(reg))
-    fake_ages = dict(real_ages)
-    fake_ages.pop(newbie, None)  # pretend it was registered this round
+    # controlled ages: EVERY query checked in r5 except the newbie —
+    # the test must not depend on how many real tier-0 rows this round
+    # happens to carry (mid-round that can legitimately exceed 10)
+    fake_ages = {q: 5 for q in reg if q != newbie}
     monkeypatch.setattr(retier, "latest_green_round", lambda: fake_ages)
     monkeypatch.setattr(_sys, "argv", ["retier.py", "--slots", "10"])
     retier.main()

@@ -20,6 +20,7 @@ from airflow_subscription_etl_spark.operators.similarity import (
 )
 from airflow_subscription_etl_spark.operators.text import (
     feature_hashing,
+    keyness_topk,
     nb_classifier_eval,
 )
 
@@ -228,6 +229,96 @@ def test_nb_unseen_true_class_still_scored(spark):
     # every test doc's true label is ghost; every prediction must be a
     # TRAIN class — i.e. 'a' — so the matrix is exactly one row
     assert [(r.true_label, r.pred_label) for r in conf] == [("ghost", "a")]
+
+
+# --- Dunning keyness ---
+
+
+def _ref_keyness(rows, k=5):
+    """rows: list[(group, text)]; Dunning G² over whitespace tokens,
+    integer micro arithmetic mirroring the operator."""
+    from collections import Counter, defaultdict
+
+    gt: Counter = Counter()
+    for g, t in rows:
+        for w in t.split():
+            gt[(g, w)] += 1
+    ct: Counter = Counter()
+    rt: Counter = Counter()
+    for (g, w), a in gt.items():
+        ct[w] += a
+        rt[g] += a
+    n = sum(ct.values())
+
+    def cell(obs, row_tot, col_tot):
+        if obs <= 0:
+            return 0
+        return obs * int(round(math.log((obs * n) / (row_tot * col_tot)) * 1e6))
+
+    out = defaultdict(list)
+    for (g, w), a in gt.items():
+        if a * n <= rt[g] * ct[w]:
+            continue
+        g2 = 2 * (
+            cell(a, rt[g], ct[w])
+            + cell(ct[w] - a, n - rt[g], ct[w])
+            + cell(rt[g] - a, rt[g], n - ct[w])
+            + cell((n - rt[g]) - (ct[w] - a), n - rt[g], n - ct[w])
+        )
+        out[g].append((g2, w, a))
+    want = []
+    for g in out:
+        for rank, (g2, w, a) in enumerate(
+            sorted(out[g], key=lambda r: (-r[0], r[1]))[:k], 1
+        ):
+            want.append((g, w, a, g2, rank))
+    return sorted(want)
+
+
+KEY_ROWS = [
+    ("news", "election vote poll vote election result"),
+    ("news", "vote poll turnout election"),
+    ("sport", "goal match goal score match team"),
+    ("sport", "team goal score match"),
+    ("mixed", "vote goal result score team poll"),
+]
+
+
+def test_keyness_matches_reference(spark):
+    df = spark.createDataFrame(KEY_ROWS, "source string, text string")
+    got = sorted(
+        (r.source, r.term, r.freq_in_group, r.g2_micro, r.rank)
+        for r in keyness_topk(df, k=5).collect()
+    )
+    assert got == _ref_keyness(KEY_ROWS, k=5)
+
+
+def test_keyness_exclusive_term_tops_its_group(spark):
+    """'election' appears ONLY in news; it must be news's #1 key term,
+    and no group may surface a term it under-uses vs the corpus."""
+    df = spark.createDataFrame(KEY_ROWS, "source string, text string")
+    got = keyness_topk(df, k=5).collect()
+    news = [r for r in got if r.source == "news"]
+    assert news[0].term == "election" and news[0].rank == 1
+    # over-use filter: every surfaced term is over-represented
+    from collections import Counter
+
+    ct: Counter = Counter()
+    rt: Counter = Counter()
+    for g, t in KEY_ROWS:
+        for w in t.split():
+            ct[w] += 1
+            rt[g] += 1
+    n = sum(ct.values())
+    for r in got:
+        assert r.freq_in_group * n > rt[r.source] * ct[r.term]
+
+
+def test_keyness_partitioning_invariant(spark):
+    df = spark.createDataFrame(KEY_ROWS, "source string, text string")
+    a = keyness_topk(df.coalesce(1), k=3).collect()
+    b = keyness_topk(df.repartition(7), k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 # --- MMR rerank ---
