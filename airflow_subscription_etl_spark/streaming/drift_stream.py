@@ -1,0 +1,154 @@
+"""Streaming corpus-drift monitor: score each arriving micro-batch of
+documents against a FROZEN hashed-unigram baseline distribution and
+append per-(batch, source) drift rows to a log — the continuous face
+of the batch diagnostics (``sampling.dsir_sample``'s λ algebra,
+``text.keyness_topk``'s fingerprinting). An ingestion pipeline uses
+this to catch a source going off-distribution (scraper broke, new spam
+campaign, language mix shift) WITHOUT re-scanning the corpus: the
+baseline is fit once, each batch pays only its own featurize pass.
+
+Drift score: the batch's total log-likelihood ratio under its own
+(add-1 smoothed) bag model vs the baseline model,
+``llr = Σ_b n_b · (ln p̂_batch(b) − ln q_base(b))`` — n·KL(p̂‖q) up to
+smoothing, so per-token drift (``llr/tokens``) is comparable across
+batch sizes. Every ln is micro-quantized at the leaf (the repo-wide
+zipf-fit convention): scores are exact integers, and a replayed batch
+reproduces them bit-for-bit.
+
+Exactly-once follows the established discipline: each micro-batch
+OVERWRITES its own ``batch=<id>`` directory of the output log (the
+rp_stream / dedup_stream convention), so foreachBatch replays rewrite
+rather than double-append. The baseline read is ≤ ``num_buckets`` + 1
+meta rows per batch — catalog-sized. No watermark, no keyed state:
+the operator is stateless by construction, so state never grows.
+
+At 100 TB of HISTORY the monitor's cost is independent of history
+size: the baseline is a fixed ``num_buckets``-row table and each
+batch's work is one explode + one (group, bucket) agg over the batch
+alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_drift_baseline(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    num_buckets: int = 256,
+) -> None:
+    """Fit and freeze the reference distribution: (bucket, cnt) counts
+    over md5-hashed unigrams plus a 1-row meta (num_buckets, total).
+    One corpus pass; the result is ≤ num_buckets rows at any scale."""
+    from ..operators.sketch import hash60  # noqa: PLC0415
+    from ..operators.text import tokens  # noqa: PLC0415
+
+    spark = df.sparkSession
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .withColumn("bucket", (hash60(F.col("w")) % num_buckets).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    counts.write.mode("overwrite").parquet(f"{path}/counts")
+    total = spark.read.parquet(f"{path}/counts").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    ).collect()[0]["total"]
+    spark.createDataFrame(
+        [(int(num_buckets), int(total or 0))], "num_buckets int, total bigint"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def process_drift_batch(
+    batch: DataFrame,
+    batch_id: int,
+    baseline_path: str,
+    out_root: str,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Score one micro-batch: per group, integer llr_micro vs the
+    frozen baseline plus llr_per_token_micro, written to the batch's
+    own ``batch=<id>`` directory (replay-idempotent overwrite).
+    Exposed separately from the stream wiring so batch backfills drive
+    the same code path (the dedup_stream convention)."""
+    from ..operators.sampling import _ln_micro  # noqa: PLC0415
+    from ..operators.sketch import hash60  # noqa: PLC0415
+    from ..operators.text import tokens  # noqa: PLC0415
+
+    spark = batch.sparkSession
+    meta = spark.read.parquet(f"{baseline_path}/meta").collect()[0]
+    num_buckets, base_total = int(meta["num_buckets"]), int(meta["total"])
+    base = spark.read.parquet(f"{baseline_path}/counts").select(
+        "bucket", F.col("cnt").alias("base_cnt")
+    )
+
+    gb = (
+        batch.select(
+            F.col(group_col), F.explode(tokens(F.col(text_col))).alias("w")
+        )
+        .withColumn("bucket", (hash60(F.col("w")) % num_buckets).cast("int"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    gtot = gb.groupBy(group_col).agg(F.sum("nb").cast("bigint").alias("tg"))
+    alpha_b = float(num_buckets)
+    lam = (
+        gb.join(F.broadcast(base), "bucket", "left")
+        .join(F.broadcast(gtot), group_col)
+        .select(
+            group_col,
+            "nb",
+            (
+                _ln_micro(F.col("nb") + F.lit(1.0))
+                - _ln_micro(F.col("tg") + F.lit(alpha_b))
+                - _ln_micro(F.coalesce(F.col("base_cnt"), F.lit(0)) + F.lit(1.0))
+                + _ln_micro(F.lit(float(base_total)) + F.lit(alpha_b))
+            ).alias("lam_micro"),
+        )
+    )
+    out = (
+        lam.groupBy(group_col)
+        .agg(F.sum(F.col("nb") * F.col("lam_micro")).alias("llr_micro"))
+        .join(F.broadcast(gtot), group_col)
+        .select(
+            group_col,
+            F.col("tg").alias("n_tokens"),
+            "llr_micro",
+            F.round(
+                F.col("llr_micro").cast("double") / F.col("tg").cast("double")
+            )
+            .cast("bigint")
+            .alias("llr_per_token_micro"),
+        )
+    )
+    out.write.mode("overwrite").parquet(f"{out_root}/batch={int(batch_id)}")
+
+
+def start_drift_monitor(
+    stream: DataFrame,
+    baseline_path: str,
+    out_root: str,
+    checkpoint: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Wire a document stream into the monitor: one
+    ``process_drift_batch`` per micro-batch. ``availableNow`` drains
+    the backlog and stops (backfill shape); False for continuous."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: process_drift_batch(
+                b, i, baseline_path, out_root, group_col, text_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
