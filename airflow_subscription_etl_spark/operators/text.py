@@ -1082,7 +1082,20 @@ def bpe_encode(
             (r["left_sym"], r["right_sym"])
             for r in mtable.orderBy("merge_rank").collect()
         ]
+    return _encode_with_merges(df, merges, text_col, id_col)
 
+
+def _encode_with_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an in-hand merge-rule list to a corpus — the shared encode
+    body behind :func:`bpe_encode` (learns then applies) and
+    :func:`bpe_encode_indexed` (applies SAVED rules). Same plan either
+    way: per-doc word counts, each DISTINCT word encoded once with
+    chained literal replaces, word-keyed join back."""
     dwords = (
         df.select(
             F.col(id_col),
@@ -1137,3 +1150,56 @@ def bpe_encode(
         # NULL-propagating on purpose: wordless docs have no fertility
         F.expr("(_t * 1000000) div _w").alias("fertility_micro"),
     )
+
+
+def write_bpe_vocab(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    top_words: int = 200,
+    n_merges: int = 4,
+) -> None:
+    """Train the BPE merges ONCE and persist them — the
+    train-once/apply-many deployment shape every index in this engine
+    follows (write_rp_index, build_ivf_index,
+    write_banded_signature_index). A tokenizer is trained once per
+    corpus release and applied to every later ingest; re-learning per
+    encode call (what :func:`bpe_encode` does, correct for its
+    self-contained contract) would re-pay the corpus word-count scan
+    and the merge rounds every time.
+
+    Layout: ``<path>/merges`` (the n_merges-row rule table, exactly
+    :func:`bpe_merges`' output) + ``<path>/meta`` (top_words,
+    n_merges) — both catalog-sized."""
+    from ..cache import released  # noqa: PLC0415
+
+    mtable = bpe_merges(df, text_col, top_words, n_merges)
+    with released(mtable):
+        mtable.write.mode("overwrite").parquet(f"{path}/merges")
+    df.sparkSession.createDataFrame(
+        [(int(top_words), int(n_merges))], "top_words int, n_merges int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bpe_encode_indexed(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode a corpus with the SAVED merge rules at ``path``
+    (:func:`write_bpe_vocab`) — no re-learning: the only non-encode
+    cost is reading the n_merges-row rule table (a bounded,
+    catalog-sized collect, the k-means-centroid shape). Same output
+    contract as :func:`bpe_encode`; OOV words (absent from the
+    TRAINING dict — including every word of a corpus the vocab was
+    never fit on) encode through the same chained replaces, exactly
+    like a real tokenizer shipped to a new ingest."""
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in spark.read.parquet(f"{path}/merges")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return _encode_with_merges(df, merges, text_col, id_col)

@@ -6593,6 +6593,32 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, top_words=200, n_merges=4).orderBy("doc_id")
 
 
+def q_doc_bpe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed twin of ``doc_bpe_encode`` (text.py::write_bpe_vocab /
+    bpe_encode_indexed): the SAME per-document token counts, but the
+    merges are trained ONCE and persisted, then applied from the saved
+    n_merges-row rule table — the train-once/apply-many tokenizer
+    deployment (the write_rp_index shape). The oracle is the one-shot
+    variant's SQL: identical output from the saved-vocab path is
+    exactly the claim under test.
+
+    Side effect: (re)writes ``bpe_vocab_<sf-tag>/`` under the session
+    warehouse each call (the lazy result reads it, so it cannot be
+    dropped here — the doc_minhash_indexed pattern). Two concurrent
+    runs against the SAME sf_dir would race the overwrite — run
+    same-sf sweeps sequentially."""
+    from .operators.text import bpe_encode_indexed, write_bpe_vocab  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    path = os.path.join(re.sub(r"^file:/*", "/", wh), f"bpe_vocab_{tag}")
+    write_bpe_vocab(docs, path, top_words=200, n_merges=4)
+    return bpe_encode_indexed(spark, path, docs).orderBy("doc_id")
+
+
 def _build_bpe_encode_oracle_sql(top_words: int, n_merges: int) -> str:
     """Oracle for :func:`q_doc_bpe_encode`: the learning CTEs of
     :func:`_build_bpe_oracle_sql` (shared text, same best{k} rules)
@@ -8738,6 +8764,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vocab_bpe_merges": (q_vocab_bpe_merges, SQL_VOCAB_BPE_MERGES),
     "doc_shard_schedule": (q_doc_shard_schedule, SQL_DOC_SHARD_SCHEDULE),
     "doc_bpe_encode": (q_doc_bpe_encode, SQL_DOC_BPE_ENCODE),
+    "doc_bpe_indexed": (q_doc_bpe_indexed, SQL_DOC_BPE_ENCODE),
     "ev_session_transitions": (q_ev_session_transitions, SQL_EV_SESSION_TRANSITIONS),
     "emb_dim_stats": (q_emb_dim_stats, SQL_EMB_DIM_STATS),
     "doc_simhash_portable": (q_doc_simhash_portable, SQL_DOC_SIMHASH_PORTABLE),
@@ -8799,6 +8826,7 @@ _PRIORITY_R8 = [
     "vocab_bpe_merges",
     "doc_shard_schedule",
     "doc_bpe_encode",
+    "doc_bpe_indexed",
     "source_keyness",
     "doc_dsir_sample",
     "doc_nb_confusion",
@@ -8846,7 +8874,6 @@ _PRIORITY_R8 = [
     "doc_exact_split",  # last row r4
     "ev_rollup_pyramid",  # last row r4
     "orders_profile",  # last row r4
-    "ivm_join_delta",  # last row r4
 ]
 
 

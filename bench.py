@@ -156,7 +156,9 @@ HEADLINE = [
     # stays correctness-gated but OUT of the headline: its plan embeds
     # the whole vocab_bpe_merges learning DAG (the merge table is
     # collected before encoding), so a headline slot would double-time
-    # the learning cost class already measured above.
+    # the learning cost class already measured above. Its saved-vocab
+    # twin doc_bpe_indexed also stays out (each call rewrites the vocab
+    # — a table-write cost class, the doc_minhash_indexed precedent).
     "vocab_bpe_merges",
     "doc_shard_schedule",
     # round-8 third wave: data-selection + in-engine model eval +

@@ -231,6 +231,55 @@ def test_nb_unseen_true_class_still_scored(spark):
     assert [(r.true_label, r.pred_label) for r in conf] == [("ghost", "a")]
 
 
+# --- saved BPE vocab (train-once / apply-many) ---
+
+
+def test_bpe_saved_vocab_encodes_new_corpus_like_inline(spark, tmp_path):
+    """write_bpe_vocab + bpe_encode_indexed must (a) reproduce
+    bpe_encode exactly on the training corpus, and (b) encode a corpus
+    the vocab was NEVER fit on — every word OOV — identically to
+    applying the same rule list inline (the shipped-tokenizer story)."""
+    from airflow_subscription_etl_spark.operators.text import (
+        _encode_with_merges,
+        bpe_encode,
+        bpe_encode_indexed,
+        bpe_merges,
+        write_bpe_vocab,
+    )
+    from airflow_subscription_etl_spark.cache import released
+
+    train = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wide wider") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "vocab")
+    write_bpe_vocab(train, path, top_words=50, n_merges=3)
+
+    inline = sorted(
+        map(tuple, bpe_encode(train, top_words=50, n_merges=3).collect())
+    )
+    indexed = sorted(
+        map(tuple, bpe_encode_indexed(spark, path, train).collect())
+    )
+    assert indexed == inline
+
+    fresh = spark.createDataFrame(
+        [(1, "slower widest night"), (2, ""), (3, "lo we r")],
+        "doc_id bigint, text string",
+    )
+    m = bpe_merges(train, top_words=50, n_merges=3)
+    with released(m):
+        rules = [
+            (r["left_sym"], r["right_sym"])
+            for r in m.orderBy("merge_rank").collect()
+        ]
+    want = sorted(map(tuple, _encode_with_merges(fresh, rules).collect()))
+    got = sorted(map(tuple, bpe_encode_indexed(spark, path, fresh).collect()))
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[2][1] == 0 and by_id[2][3] is None  # wordless doc
+
+
 # --- Dunning keyness ---
 
 
