@@ -65,6 +65,9 @@ NEEDS = {
     "doc_dsir_sample": ["documents"],
     "doc_nb_confusion": ["documents"],
     "emb_mmr_rerank": ["embeddings"],
+    # keyness replicates per-source token mass (clones multiply counts,
+    # not the pair graph) — the G² plan is the thing under test
+    "source_keyness": ["documents"],
 }
 
 
