@@ -280,7 +280,9 @@ def dsir_sample(
     selection is distributed like a small TARGET domain (the rows where
     ``target`` is true), using hashed-n-gram importance weights.
 
-    Three-step pipeline, all corpus-scale work in two keyed shuffles:
+    Three-step pipeline; all corpus-scale work is two streaming passes
+    (model fit, weight join), each one ordinary keyed shuffle, with
+    the featurize shuffle paid once per pass:
 
     1. featurize — hashed unigram bag per doc (text.feature_hashing,
        portable md5 bucketing), with the target flag carried through

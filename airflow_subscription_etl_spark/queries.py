@@ -7177,8 +7177,8 @@ def q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs distributed like the English slice of the corpus, via hashed
     unigram importance weights (target/raw multinomial log-ratio,
     add-1 smoothed, every ln micro-quantized) and content-keyed Gumbel
-    top-k — the Xie et al. 2023 data-selection recipe in two keyed
-    shuffles + a broadcast λ table + TakeOrdered."""
+    top-k — the Xie et al. 2023 data-selection recipe in two streaming
+    corpus passes + a broadcast λ table + TakeOrdered."""
     from .operators.sampling import dsir_sample  # noqa: PLC0415
 
     docs = _t(spark, sf_dir, "documents")
