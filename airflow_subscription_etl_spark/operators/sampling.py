@@ -485,6 +485,13 @@ def stride_schedule(
 
     Returns the input columns plus ``global_pos`` (bigint, 1-based) and
     ``shard`` (int).
+
+    Rows with a NULL ``source_col`` are EXPLICITLY rejected (a loud
+    ValueError, driver-side, before any schedule math): a NULL source
+    has no temperature weight, ``sorted()`` over a None key would
+    TypeError, and the weight equi-join would silently drop the rows —
+    violating the "every document gets a global position" contract.
+    Route unattributed docs to a named bucket ('unknown') upstream.
     """
     from .scale import distributed_prefix_sum  # noqa: PLC0415
 
@@ -494,6 +501,13 @@ def stride_schedule(
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()  # |sources| rows — catalog-sized
     }
+    if None in counts:
+        raise ValueError(
+            f"stride_schedule: {counts[None]} rows have NULL "
+            f"{source_col!r} — a NULL source has no weight and would "
+            "silently drop from the schedule; map it to a named "
+            "bucket (e.g. 'unknown') upstream"
+        )
     w = {s: _micro_half_up(math.pow(n, alpha)) for s, n in counts.items()}
     spark = df.sparkSession
     w_df = F.broadcast(

@@ -244,16 +244,49 @@ def mmr_rerank(
     Scale: corpus cost is stage 1 (one scan + k-row heap per
     partition); stages 2–3 are O(pool²) regardless of corpus size.
     Result is a ``k``-row DataFrame (rank, id, rel_micro, mmr_score
-    where score = lam_bp·rel_micro − (10000−lam_bp)·max_sim_micro)."""
+    where score = lam_bp·rel_micro − (10000−lam_bp)·max_sim_micro).
+
+    Validity contract (engine-uniform, the _rp_valid_rows discipline):
+    rows whose vector is NULL, ragged vs the query's dims, contains
+    NULL/NaN/±Inf, or is all-zero are EXCLUDED up front — their cosine
+    would be NaN and the micro cast would abort the query under ANSI;
+    the oracle mirrors the same WHERE clause so engines diverge
+    nowhere. The query vector itself raises driver-side when invalid
+    (actionable at the call site)."""
     if not 0 <= lam_bp <= 10_000:
         raise ValueError(f"lam_bp must be in [0, 10000], got {lam_bp}")
     if k <= 0 or pool < k:
         raise ValueError(f"need pool >= k >= 1, got k={k} pool={pool}")
+    if any(x != x or abs(x) == float("inf") for x in query_vec) or not any(
+        x != 0.0 for x in query_vec
+    ):
+        raise ValueError("query_vec must be finite and nonzero")
     from pyspark.sql import types as T  # noqa: PLC0415
 
+    dims = len(query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # Engine-uniform validity filter (the _rp_valid_rows discipline):
+    # a NULL / ragged / NaN / ±Inf / all-zero vector would turn the
+    # micro cosine into a NaN→bigint cast, which ABORTS the whole
+    # query under Spark 4's default ANSI mode (and errors in the
+    # oracle too) — engines must diverge nowhere, so dirty rows are
+    # EXCLUDED up front and the oracle mirrors the WHERE clause.
+    v = F.col(vec_col)
+    bad_elem = F.exists(
+        v,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    valid = (
+        v.isNotNull()
+        & (F.size(v) == F.lit(dims))
+        & ~bad_elem
+        & F.exists(v, lambda x: x.cast("double") != F.lit(0.0))
+    )
     cand = (
-        df.select(
+        df.filter(valid)
+        .select(
             F.col(id_col),
             F.col(vec_col),
             F.round(cosine(F.col(vec_col), q) * F.lit(1_000_000.0))

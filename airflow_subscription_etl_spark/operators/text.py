@@ -779,7 +779,11 @@ def keyness_topk(
     silently past 2^63) and cast to double only for the ratio; both
     engines round that cast and division to nearest, so the
     micro-quantized cell values and the per-group ranking replay
-    bit-for-bit in the oracle.
+    bit-for-bit in the oracle. The obs·lnm cell products and the G²
+    sum ALSO run in DECIMAL(38,0) (HUGEINT in the oracle): a skewed
+    term puts a corpus-sized obs against a ~1e6 lnm, which overflows
+    int64 past ~3e11 tokens per cell — so ``g2_micro`` is a
+    decimal(38,0) column, exact at any scale.
 
     Plan: one token explode → (group, term) counts; term totals and
     group totals as second aggs over the same frame; the grand total
@@ -799,7 +803,10 @@ def keyness_topk(
     d38 = "decimal(38,0)"
 
     def cell(obs: Column, row_tot: Column, col_tot: Column, n: Column) -> Column:
-        """obs·micro-ln(obs·n/(row_tot·col_tot)), 0 when obs = 0."""
+        """obs·micro-ln(obs·n/(row_tot·col_tot)), 0 when obs = 0.
+        The obs·lnm product is DECIMAL(38,0) too: a skewed term can
+        put a corpus-sized obs against a ~1e6-scale lnm, and the
+        bigint product would overflow past ~3e11 tokens per cell."""
         lnm = F.round(
             F.log(
                 (obs.cast(d38) * n.cast(d38)).cast("double")
@@ -807,7 +814,9 @@ def keyness_topk(
             )
             * F.lit(1_000_000.0)
         ).cast("bigint")
-        return F.when(obs > 0, obs * lnm).otherwise(F.lit(0).cast("bigint"))
+        return F.when(obs > 0, obs.cast(d38) * lnm.cast(d38)).otherwise(
+            F.lit(0).cast(d38)
+        )
 
     scored = (
         gt.join(term_tot, "w")
@@ -818,7 +827,7 @@ def keyness_topk(
             "w",
             "a",
             (
-                F.lit(2)
+                F.lit(2).cast(d38)
                 * (
                     cell(F.col("a"), F.col("rt"), F.col("ct"), F.col("n"))
                     + cell(
@@ -859,7 +868,9 @@ def keyness_topk(
             group_col,
             F.col("w").alias("term"),
             F.col("a").alias("freq_in_group"),
-            "g2_micro",
+            # internal G² math is exact decimal; the OUTPUT is int64
+            # (ANSI raises loudly if a pathological corpus exceeds it)
+            F.col("g2_micro").cast("bigint").alias("g2_micro"),
             F.col("rank").cast("int").alias("rank"),
         )
     )

@@ -960,6 +960,13 @@ cand AS MATERIALIZED (
   SELECT vec_id, embedding,
          CAST(round({cos("embedding", "qv")} * 1000000) AS BIGINT) AS rel_micro
   FROM embeddings, q
+  WHERE embedding IS NOT NULL
+    AND len(embedding) = len(qv)
+    AND NOT COALESCE(list_bool_or(list_transform(embedding,
+          x -> x IS NULL OR isnan(x::DOUBLE)
+               OR abs(x::DOUBLE) = 'infinity'::DOUBLE)), FALSE)
+    AND COALESCE(list_bool_or(list_transform(embedding,
+          x -> x::DOUBLE <> 0.0)), FALSE)
   ORDER BY rel_micro DESC, vec_id ASC LIMIT {pool}
 ),
 pairs AS MATERIALIZED (
@@ -6522,10 +6529,15 @@ def q_vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy) with the same doubled-space greedy-merge string algebra,
     so the merge TABLE — rule order, symbols, weighted pair counts —
     must match bit-for-bit."""
+    from .cache import adopt  # noqa: PLC0415
     from .operators.text import bpe_merges  # noqa: PLC0415
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe_merges(docs, top_words=200, n_merges=4).orderBy("merge_rank")
+    mtable = bpe_merges(docs, top_words=200, n_merges=4)
+    # the orderBy is a NEW frame: adopt the learner's pins onto it or
+    # a caller's release() through the returned handle frees nothing
+    # (the r6-verdict-#7 bug class cache.adopt exists to close)
+    return adopt(mtable.orderBy("merge_rank"), mtable)
 
 
 def _build_bpe_oracle_sql(top_words: int, n_merges: int) -> str:
@@ -7115,21 +7127,21 @@ rtot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS rt FROM gt GROUP BY 1),
 ntot AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM gt),
 sc AS (
   SELECT g.source, g.w, g.a,
-    2 * (
-      CASE WHEN g.a > 0 THEN g.a * CAST(round(ln(
+    CAST(2 AS HUGEINT) * (
+      CASE WHEN g.a > 0 THEN CAST(g.a AS HUGEINT) * CAST(round(ln(
         (CAST(g.a AS HUGEINT) * n.n)::DOUBLE
         / (CAST(r.rt AS HUGEINT) * c.ct)::DOUBLE) * 1000000) AS BIGINT)
       ELSE 0 END
-    + CASE WHEN c.ct - g.a > 0 THEN (c.ct - g.a) * CAST(round(ln(
+    + CASE WHEN c.ct - g.a > 0 THEN CAST(c.ct - g.a AS HUGEINT) * CAST(round(ln(
         (CAST(c.ct - g.a AS HUGEINT) * n.n)::DOUBLE
         / (CAST(n.n - r.rt AS HUGEINT) * c.ct)::DOUBLE) * 1000000) AS BIGINT)
       ELSE 0 END
-    + CASE WHEN r.rt - g.a > 0 THEN (r.rt - g.a) * CAST(round(ln(
+    + CASE WHEN r.rt - g.a > 0 THEN CAST(r.rt - g.a AS HUGEINT) * CAST(round(ln(
         (CAST(r.rt - g.a AS HUGEINT) * n.n)::DOUBLE
         / (CAST(r.rt AS HUGEINT) * (n.n - c.ct))::DOUBLE) * 1000000) AS BIGINT)
       ELSE 0 END
     + CASE WHEN (n.n - r.rt) - (c.ct - g.a) > 0
-      THEN ((n.n - r.rt) - (c.ct - g.a)) * CAST(round(ln(
+      THEN CAST((n.n - r.rt) - (c.ct - g.a) AS HUGEINT) * CAST(round(ln(
         (CAST((n.n - r.rt) - (c.ct - g.a) AS HUGEINT) * n.n)::DOUBLE
         / (CAST(n.n - r.rt AS HUGEINT) * (n.n - c.ct))::DOUBLE) * 1000000)
         AS BIGINT)
@@ -7138,7 +7150,8 @@ sc AS (
   FROM gt g JOIN ctot c USING (w) JOIN rtot r USING (source) CROSS JOIN ntot n
   WHERE CAST(g.a AS HUGEINT) * n.n > CAST(r.rt AS HUGEINT) * c.ct
 )
-SELECT source, w AS term, a AS freq_in_group, g2_micro,
+SELECT source, w AS term, a AS freq_in_group,
+       CAST(g2_micro AS BIGINT) AS g2_micro,
        CAST(rank AS INT) AS rank
 FROM (SELECT *, row_number() OVER (
         PARTITION BY source ORDER BY g2_micro DESC, w ASC) AS rank FROM sc)
@@ -8809,16 +8822,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 
 #: Round-8 verification priority — GENERATED by tools/retier.py at
-#: round end (diff base: the r7 round commit). Tier 0: the six r8
+#: round end (diff base: the r7 round commit). Tier 0: the ELEVEN r8
 #: registrations (RP index/KNN-join, islands window, BPE merges,
-#: BPE encode, stride schedule). Tier 1: every registry query
-#: transitively consuming a symbol this round's diff touched (RP
-#: operators, the pandas-twin positional fix, cache.adopt, the two
-#: fully-hinted applyInPandas queries). Tier 2 drains the stale tail
-#: oldest-first: ALL 20 r3-latest rows and 16 of the 29 r4-latest rows
-#: fit; the 14 tier-0/1 slots displace the 13 YOUNGEST r4 rows
-#: (registry-latest order), which lead r9's fill. Steady-state age
-#: bound is ceil(189/50) = 4 rounds (tools/retier.py, reconciled r8).
+#: BPE encode + saved-vocab twin, stride schedule, DSIR sample, NB
+#: confusion, MMR rerank, source keyness). Tier 1: every registry
+#: query transitively consuming a symbol this round's diff touched.
+#: Tier 2 drains the stale tail oldest-first: ALL 20 r3-latest rows
+#: fit; the tier-0/1 slots displace the YOUNGEST r4 rows
+#: (registry-latest order), which lead r9's fill — each displaced row
+#: was independently re-checked green at sf0.01 at round end
+#: (SCALE.md). Steady-state age bound is ceil(194/50) = 4 rounds
+#: (tools/retier.py, reconciled r8).
 #: Regenerate: python tools/retier.py
 _PRIORITY_R8 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)

@@ -431,6 +431,51 @@ def test_mmr_first_rank_score_is_pure_relevance(spark):
     assert got[0].mmr_score == 7_000 * got[0].rel_micro
 
 
+def test_mmr_excludes_dirty_rows_instead_of_aborting(spark):
+    """NULL / ragged / NaN / Inf / all-zero vectors must be EXCLUDED
+    up front (engine-uniform validity, the RP discipline) — under
+    Spark 4 ANSI a NaN cosine would otherwise abort the whole query
+    at the micro cast."""
+    dirty = EMB + [
+        (90, None),
+        (91, [1.0, 2.0]),  # ragged
+        (92, [float("nan"), 0.0, 1.0]),
+        (93, [float("inf"), 0.0, 1.0]),
+        (94, [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        dirty, "vec_id bigint, embedding array<double>"
+    )
+    clean = spark.createDataFrame(
+        EMB, "vec_id bigint, embedding array<double>"
+    )
+    got = mmr_rerank(df, QV, k=4, pool=6, lam_bp=6_000).collect()
+    want = mmr_rerank(clean, QV, k=4, pool=6, lam_bp=6_000).collect()
+    assert got == want
+
+
+def test_mmr_rejects_invalid_query_vector(spark):
+    df = spark.createDataFrame(
+        EMB, "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="finite and nonzero"):
+        mmr_rerank(df, [float("nan"), 0.0, 0.0])
+    with pytest.raises(ValueError, match="finite and nonzero"):
+        mmr_rerank(df, [0.0, 0.0, 0.0])
+
+
+def test_stride_schedule_rejects_null_source(spark):
+    from airflow_subscription_etl_spark.operators.sampling import (
+        stride_schedule,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id bigint, source string"
+    )
+    with pytest.raises(ValueError, match="NULL 'source'"):
+        stride_schedule(df)
+
+
 def test_mmr_rejects_bad_params(spark):
     df = spark.createDataFrame(
         EMB, "vec_id bigint, embedding array<double>"
