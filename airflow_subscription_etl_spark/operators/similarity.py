@@ -375,6 +375,59 @@ class _NegOrder:
         return self.v == other.v
 
 
+def rp_recall_report(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    r_dims: int = 8,
+    candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Evaluation IN the engine: recall@k of the RP-prefilter retrieval
+    (:func:`random_projection_topk_pandas`, the production default)
+    against EXACT cosine search over the same validity-filtered corpus
+    — the measurement every ANN deployment runs before trusting an
+    approximate index, expressed as one declarative plan instead of a
+    driver-side eval script.
+
+    Ground truth and approximation share the operator family's
+    validity envelope (:func:`_rp_valid_rows`), so the comparison is
+    apples-to-apples: a row the prefilter excludes by contract is not
+    counted against it. Both sides order by raw cosine with the
+    (desc, id asc) tiebreak — the ordering the oracle replays exactly.
+
+    Output: one row ``(k, n_hits, recall_micro)`` with
+    ``recall_micro = (n_hits · 10^6) div k`` — exact integers.
+
+    Scale: two corpus scans (the prefilter's and the exact baseline's
+    — the exact side is the cost being amortized away in production,
+    which is why it appears here only as the eval denominator), then
+    k-row joins; the report is a 1-row aggregate."""
+    approx = random_projection_topk_pandas(
+        df, query_vec, k=k, r_dims=r_dims, candidates=candidates,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dims = len(query_vec)
+    valid = _rp_valid_rows(df, dims, r_dims, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = (
+        valid.select(F.col(id_col), cosine(F.col(vec_col), q).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return (
+        approx.select(id_col)
+        .join(exact.select(id_col), id_col, "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("n_hits"),
+            F.expr(f"(n_hits * 1000000) div {k}").alias("recall_micro"),
+        )
+    )
+
+
 def query_signature(query_vec: list[float], n_planes: int, dims: int) -> int:
     """Driver-side hyperplane signature of one query vector.
 

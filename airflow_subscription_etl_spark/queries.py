@@ -8611,6 +8611,62 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT {k}
 """
 
 
+def q_emb_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine retrieval evaluation (similarity.rp_recall_report):
+    recall@20 of the RP-prefilter retrieval vs exact cosine over the
+    same validity-filtered corpus — one declarative plan, 1-row
+    integer report. The oracle composes the full RP replay
+    (_rp_oracle_sql) with an exact-baseline CTE and counts the
+    intersection, so the recall number itself is hash-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.rp_recall_report(emb, qv, k=20, r_dims=8, candidates=64)
+
+
+def _rp_recall_oracle_sql(
+    dims: int = 64, r_dims: int = 8, candidates: int = 64, k: int = 20
+) -> str:
+    """Composes the RP pipeline replay as a CTE (nested WITH) with an
+    exact-cosine baseline over the SAME validity filter, then counts
+    the id intersection — the recall arithmetic in exact integers."""
+    from .operators.similarity import _rp_max_abs  # noqa: PLC0415
+
+    max_abs = repr(_rp_max_abs(dims, r_dims))
+    rp_body = _rp_oracle_sql(dims, r_dims, candidates, k)
+    return f"""
+WITH rp AS ({rp_body}),
+exact AS (
+  WITH q AS (
+    SELECT embedding AS qv FROM embeddings
+    WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+  ),
+  valid AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {dims}
+      AND coalesce(list_bool_and(list_transform(embedding,
+            x -> x IS NOT NULL
+                 AND abs(x::DOUBLE) <= '{max_abs}'::DOUBLE)), false)
+  )
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))) AS c
+  FROM valid e CROSS JOIN q
+  ORDER BY c DESC, e.vec_id ASC LIMIT {k}
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST((n_hits * 1000000) // {k} AS BIGINT) AS recall_micro
+FROM (SELECT COUNT(*) AS n_hits FROM rp JOIN exact USING (vec_id)) t
+"""
+
+
+SQL_EMB_RP_RECALL = _rp_recall_oracle_sql()
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
@@ -8818,6 +8874,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_rp_indexed": (q_emb_rp_indexed, _rp_oracle_sql),
     "doc_islands_window": (q_doc_islands_window, SQL_DOC_CC_ISLANDS),
     "emb_rp_knn_join": (q_emb_rp_knn_join, _rp_knn_oracle_sql),
+    "emb_rp_recall": (q_emb_rp_recall, SQL_EMB_RP_RECALL),
 }
 
 
@@ -8847,6 +8904,7 @@ _PRIORITY_R8 = [
     "emb_rp_indexed",
     "doc_islands_window",
     "emb_rp_knn_join",
+    "emb_rp_recall",
     # tier 1 — implementation diff-reachable this round
     "emb_kmeans",
     "emb_kmeans_pandas",
@@ -8887,7 +8945,6 @@ _PRIORITY_R8 = [
     "orders_merge_upsert",  # last row r4
     "doc_exact_split",  # last row r4
     "ev_rollup_pyramid",  # last row r4
-    "orders_profile",  # last row r4
 ]
 
 

@@ -169,6 +169,11 @@ HEADLINE = [
     "doc_nb_confusion",
     "emb_mmr_rerank",
     "source_keyness",
+    # emb_rp_recall stays correctness-gated but OUT of the headline:
+    # its plan is emb_rp_topk's pipeline PLUS the exact brute-force
+    # baseline (both already timed above as emb_rp_topk and
+    # emb_topk_cosine), so a slot would double-time two measured
+    # cost classes — the doc_bpe_encode precedent.
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

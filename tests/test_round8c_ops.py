@@ -231,6 +231,49 @@ def test_nb_unseen_true_class_still_scored(spark):
     assert [(r.true_label, r.pred_label) for r in conf] == [("ghost", "a")]
 
 
+# --- in-engine retrieval evaluation ---
+
+
+def test_rp_recall_is_perfect_when_prefilter_cannot_prune(spark):
+    """candidates ≥ corpus makes the RP prefilter a no-op, so the
+    approximate set EQUALS exact top-k and the report must read
+    recall 1.0 exactly (10^6 micro) — the eval harness's own
+    correctness anchor."""
+    from airflow_subscription_etl_spark.operators.similarity import (
+        rp_recall_report,
+    )
+
+    rows = [
+        (i, [float(((i * 13 + d * 7) % 29) - 14) / 14.0 for d in range(16)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = rp_recall_report(
+        df, rows[0][1], k=5, r_dims=4, candidates=30
+    ).collect()
+    assert got == [(5, 5, 1_000_000)] or (
+        got[0].k == 5 and got[0].n_hits == 5 and got[0].recall_micro == 1_000_000
+    )
+
+
+def test_rp_recall_bounded_and_consistent(spark):
+    """With a tight candidate budget recall can drop below 1 but the
+    report stays internally consistent: 0 ≤ n_hits ≤ k and
+    recall_micro = n_hits·10^6 div k."""
+    from airflow_subscription_etl_spark.operators.similarity import (
+        rp_recall_report,
+    )
+
+    rows = [
+        (i, [float(((i * 31 + d * 11) % 37) - 18) / 18.0 for d in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    r = rp_recall_report(df, rows[0][1], k=10, r_dims=2, candidates=12).collect()[0]
+    assert 0 <= r.n_hits <= 10
+    assert r.recall_micro == (r.n_hits * 1_000_000) // 10
+
+
 # --- saved BPE vocab (train-once / apply-many) ---
 
 
