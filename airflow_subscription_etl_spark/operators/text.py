@@ -631,14 +631,59 @@ def nb_classifier_eval(
     # memory to save one streaming pass. Net: THREE bounded corpus
     # passes (train counts, priors, test scoring) at any scale.
     # Pinned to the result — callers release when done.
-    train_feats = feats.filter(F.col("_is_train"))
+    model, prior_lp, cb, prior = _nb_model_frames(
+        feats.filter(F.col("_is_train")),
+        flagged.filter(F.col("_is_train")),
+        label_col,
+        num_buckets,
+    )
+    ll = (
+        feats.filter(~F.col("_is_train"))
+        .join(F.broadcast(model), "bucket")
+        .groupBy(id_col, F.col(label_col).alias("true_label"), "cand")
+        .agg(F.sum(F.col("cnt") * F.col("lp_micro")).alias("ll"))
+    )
+    scored = ll.join(F.broadcast(prior_lp), "cand").select(
+        id_col,
+        "true_label",
+        "cand",
+        (F.col("ll") + F.col("prior_micro")).alias("score"),
+    )
+    pred = scored.groupBy(id_col, "true_label").agg(
+        F.min(F.struct((-F.col("score")).alias("n"), F.col("cand").alias("c")))
+        .alias("m")
+    )
+    from ..cache import pin  # noqa: PLC0415
+
+    return pin(
+        pred.select("true_label", F.col("m.c").alias("pred_label"))
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")),
+        cb,
+        prior,
+    )
+
+
+def _nb_model_frames(
+    train_feats: DataFrame,
+    train_docs: DataFrame,
+    label_col: str,
+    num_buckets: int,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Fit the NB model frames from training doc-bucket counts +
+    training doc rows: returns (dense model (cand, bucket, lp_micro),
+    class priors (cand, prior_micro), and the two PERSISTED tiny
+    frames backing them — callers pin/release or persist to disk).
+    Shared by :func:`nb_classifier_eval` (fit+eval one plan) and
+    :func:`write_nb_model` (fit once, persist)."""
+    from .sampling import _ln_micro  # noqa: PLC0415
+
     cb = train_feats.groupBy(label_col, "bucket").agg(
         F.sum("cnt").cast("bigint").alias("cnt_cb")
     ).persist()
     ctot = cb.groupBy(label_col).agg(F.sum("cnt_cb").cast("bigint").alias("tok_c"))
     prior = (
-        flagged.filter(F.col("_is_train"))
-        .groupBy(label_col)
+        train_docs.groupBy(label_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("docs_c"))
         .persist()
     )
@@ -675,30 +720,85 @@ def nb_classifier_eval(
             - _ln_micro(F.col("n_docs") + F.col("n_classes"))
         ).alias("prior_micro"),
     )
+    return model, prior_lp, cb, prior
+
+
+def write_nb_model(
+    df: DataFrame,
+    path: str,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 256,
+) -> None:
+    """Fit the multinomial NB model on ``df`` (the caller passes the
+    TRAINING frame — a split, or the whole labeled corpus) and persist
+    it — the train-once/score-many deployment shape the engine's other
+    learned artifacts follow (write_bpe_vocab, write_rp_index,
+    build_ivf_index). Layout: ``<path>/model`` (cand, bucket,
+    lp_micro — dense classes×num_buckets), ``<path>/prior`` (cand,
+    prior_micro), ``<path>/meta`` (num_buckets) — all catalog-sized."""
+    feats = feature_hashing(
+        df.select(id_col, text_col, label_col),
+        id_col,
+        text_col,
+        num_buckets,
+        carry_cols=[label_col],
+    )
+    model, prior_lp, cb, prior = _nb_model_frames(
+        feats, df, label_col, num_buckets
+    )
+    model.write.mode("overwrite").parquet(f"{path}/model")
+    prior_lp.write.mode("overwrite").parquet(f"{path}/prior")
+    cb.unpersist()
+    prior.unpersist()
+    df.sparkSession.createDataFrame(
+        [(int(num_buckets),)], "num_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def nb_score_indexed(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify a corpus with the SAVED NB model at ``path``
+    (:func:`write_nb_model`) — no re-training: the model/prior reads
+    are catalog-sized and broadcast. One featurize pass over ``df``,
+    the same integer scoring and (score desc, class asc) min-struct
+    argmax as :func:`nb_classifier_eval`. Returns one row per scored
+    document: ``(id_col, pred_label, score_micro)`` — every input doc
+    is scored (even empty text tokenizes to [''] and gets a bucket
+    row)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    num_buckets = int(meta["num_buckets"])
+    model = spark.read.parquet(f"{path}/model")
+    prior_lp = spark.read.parquet(f"{path}/prior")
+    feats = feature_hashing(
+        df.select(id_col, text_col), id_col, text_col, num_buckets
+    )
     ll = (
-        feats.filter(~F.col("_is_train"))
-        .join(F.broadcast(model), "bucket")
-        .groupBy(id_col, F.col(label_col).alias("true_label"), "cand")
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy(id_col, "cand")
         .agg(F.sum(F.col("cnt") * F.col("lp_micro")).alias("ll"))
     )
     scored = ll.join(F.broadcast(prior_lp), "cand").select(
-        id_col,
-        "true_label",
-        "cand",
-        (F.col("ll") + F.col("prior_micro")).alias("score"),
+        id_col, "cand", (F.col("ll") + F.col("prior_micro")).alias("score")
     )
-    pred = scored.groupBy(id_col, "true_label").agg(
-        F.min(F.struct((-F.col("score")).alias("n"), F.col("cand").alias("c")))
-        .alias("m")
-    )
-    from ..cache import pin  # noqa: PLC0415
-
-    return pin(
-        pred.select("true_label", F.col("m.c").alias("pred_label"))
-        .groupBy("true_label", "pred_label")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")),
-        cb,
-        prior,
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("score")).alias("n"), F.col("cand").alias("c"))
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            F.col("m.c").alias("pred_label"),
+            (-F.col("m.n")).cast("bigint").alias("score_micro"),
+        )
     )
 
 

@@ -7302,6 +7302,88 @@ FROM pred WHERE rk = 1 GROUP BY 1, 2
 """
 
 
+def q_doc_nb_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saved-model twin of ``doc_nb_confusion`` (text.py::write_nb_model
+    / nb_score_indexed): the model is fit ONCE on the content-keyed 80%
+    split and persisted, then the held-out 20% is scored from the saved
+    broadcast-sized model — the train-once/score-many deployment shape
+    (write_bpe_vocab, write_rp_index). Output is per-document
+    (doc_id, pred_label, score_micro); the oracle replays the identical
+    split/model/prior/score math and takes the same (score desc, class
+    asc) argmax per doc.
+
+    Side effect: (re)writes ``nb_model_<sf-tag>/`` under the session
+    warehouse each call (the lazy result reads it — the
+    doc_minhash_indexed pattern). Two concurrent runs against the SAME
+    sf_dir would race the overwrite — run same-sf sweeps sequentially."""
+    from .operators.sampling import hash_bucket  # noqa: PLC0415
+    from .operators.text import nb_score_indexed, write_nb_model  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    is_train = hash_bucket(F.col("text")) < 8000
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    path = os.path.join(re.sub(r"^file:/*", "/", wh), f"nb_model_{tag}")
+    write_nb_model(docs.filter(is_train), path, label_col="lang")
+    return nb_score_indexed(spark, path, docs.filter(~is_train)).orderBy(
+        "doc_id"
+    )
+
+
+SQL_DOC_NB_INDEXED = r"""
+WITH d AS (
+  SELECT doc_id, lang, text,
+         (CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 10000) < 8000
+           AS is_train
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, is_train,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, lang, is_train,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM d)
+  GROUP BY 1, 2, 3, 4
+), cb AS (
+  SELECT lang AS cand, bucket, SUM(cnt) AS cnt_cb
+  FROM feats WHERE is_train GROUP BY 1, 2
+), ctot AS (SELECT cand, SUM(cnt_cb) AS tok_c FROM cb GROUP BY 1),
+prior AS (
+  SELECT lang AS cand, COUNT(*) AS docs_c FROM d WHERE is_train GROUP BY 1
+), nrow AS (SELECT SUM(docs_c) AS n_docs, COUNT(*) AS n_classes FROM prior),
+dense AS (
+  SELECT p.cand, r.range AS bucket FROM prior p CROSS JOIN range(0, 256) r
+), model AS (
+  SELECT dn.cand, dn.bucket,
+         CAST(round(ln(COALESCE(cb.cnt_cb, 0) + 1.0) * 1000000) AS BIGINT)
+       - CAST(round(ln(ct.tok_c + 256.0) * 1000000) AS BIGINT) AS lp_micro
+  FROM dense dn
+  LEFT JOIN cb ON cb.cand = dn.cand AND cb.bucket = dn.bucket
+  JOIN ctot ct ON ct.cand = dn.cand
+), prior_lp AS (
+  SELECT p.cand,
+         CAST(round(ln(p.docs_c + 1.0) * 1000000) AS BIGINT)
+       - CAST(round(ln(n.n_docs + n.n_classes + 0.0) * 1000000) AS BIGINT)
+           AS prior_micro
+  FROM prior p CROSS JOIN nrow n
+), ll AS (
+  SELECT f.doc_id, m.cand,
+         CAST(SUM(f.cnt * m.lp_micro) AS BIGINT) AS ll
+  FROM feats f JOIN model m USING (bucket)
+  WHERE NOT f.is_train GROUP BY 1, 2
+), scored AS (
+  SELECT ll.doc_id, ll.cand, ll.ll + pl.prior_micro AS score
+  FROM ll JOIN prior_lp pl USING (cand)
+)
+SELECT doc_id, cand AS pred_label, CAST(score AS BIGINT) AS score_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand ASC) AS rk
+      FROM scored)
+WHERE rk = 1
+"""
+
+
 def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped COGROUP (Spark's pandas cogroup → applyInPandas): orders
     and lineitem co-partitioned per customer, reconciled in one
@@ -8845,6 +8927,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_weighted_reservoir": (q_doc_weighted_reservoir, SQL_DOC_WEIGHTED_RESERVOIR),
     "doc_dsir_sample": (q_doc_dsir_sample, SQL_DOC_DSIR_SAMPLE),
     "doc_nb_confusion": (q_doc_nb_confusion, SQL_DOC_NB_CONFUSION),
+    "doc_nb_indexed": (q_doc_nb_indexed, SQL_DOC_NB_INDEXED),
     "cogroup_reconcile": (q_cogroup_reconcile, SQL_COGROUP_RECONCILE),
     "mm_arrow_bytes": (q_mm_arrow_bytes, SQL_MM_ARROW_BYTES),
     "source_length_stats": (q_source_length_stats, SQL_SOURCE_LENGTH_STATS),
@@ -8901,6 +8984,7 @@ _PRIORITY_R8 = [
     "source_keyness",
     "doc_dsir_sample",
     "doc_nb_confusion",
+    "doc_nb_indexed",
     "emb_rp_indexed",
     "doc_islands_window",
     "emb_rp_knn_join",
@@ -8944,7 +9028,6 @@ _PRIORITY_R8 = [
     "doc_collapse_runs",  # last row r4
     "orders_merge_upsert",  # last row r4
     "doc_exact_split",  # last row r4
-    "ev_rollup_pyramid",  # last row r4
 ]
 
 

@@ -173,7 +173,9 @@ HEADLINE = [
     # its plan is emb_rp_topk's pipeline PLUS the exact brute-force
     # baseline (both already timed above as emb_rp_topk and
     # emb_topk_cosine), so a slot would double-time two measured
-    # cost classes — the doc_bpe_encode precedent.
+    # cost classes — the doc_bpe_encode precedent. doc_nb_indexed
+    # likewise (each call rewrites the saved model — a table-write
+    # cost class, the doc_minhash_indexed/doc_bpe_indexed precedent).
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

@@ -55,11 +55,11 @@ def test_never_checked_queries_lead_the_emitted_list(monkeypatch, capsys):
     reg = retier.registry_queries()
     missing = [q for q in reg if q not in ages]
     # only this round's registrations may lack rows — never a backlog
-    # (r8 registered twelve: RP index + KNN join + recall report,
+    # (r8 registered thirteen: RP index + KNN join + recall report,
     # islands window, BPE merges, BPE encode + saved-vocab twin,
-    # stride schedule, DSIR sample, NB confusion, MMR rerank,
-    # source keyness)
-    assert len(missing) <= 12, f"stale unchecked backlog: {missing[:13]}"
+    # stride schedule, DSIR sample, NB confusion + saved-model twin,
+    # MMR rerank, source keyness)
+    assert len(missing) <= 13, f"stale unchecked backlog: {missing[:14]}"
     monkeypatch.setattr(retier, "changed_symbols", lambda base: set())
     monkeypatch.setattr(_sys, "argv", ["retier.py"])
     retier.main()

@@ -231,6 +231,49 @@ def test_nb_unseen_true_class_still_scored(spark):
     assert [(r.true_label, r.pred_label) for r in conf] == [("ghost", "a")]
 
 
+# --- saved NB model (train-once / score-many) ---
+
+
+def test_nb_saved_model_scores_new_corpus(spark, tmp_path):
+    """write_nb_model + nb_score_indexed must classify a corpus the
+    model was never fit on, prefer the matching vocabulary class, and
+    agree with nb_classifier_eval's integer scoring math (checked via
+    the separable-vocab construction: disjoint class vocabularies ⇒
+    every prediction matches the vocabulary used)."""
+    from airflow_subscription_etl_spark.operators.text import (
+        nb_score_indexed,
+        write_nb_model,
+    )
+
+    train = []
+    for i in range(40):
+        lab = "pets" if i % 2 == 0 else "fin"
+        text = ("dog cat fish " if lab == "pets" else "stock bond trade ") + f"w{i}"
+        train.append((i, text, lab))
+    tdf = spark.createDataFrame(train, "doc_id bigint, text string, lang string")
+    path = str(tmp_path / "nb")
+    write_nb_model(tdf, path, label_col="lang")
+
+    fresh = spark.createDataFrame(
+        [
+            (100, "dog dog cat"),
+            (101, "bond stock stock"),
+            (102, "fish cat dog dog"),
+            (103, ""),  # wordless doc still scored (smoothed floor)
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in nb_score_indexed(spark, path, fresh).collect()}
+    assert len(got) == 4
+    assert got[100].pred_label == "pets"
+    assert got[101].pred_label == "fin"
+    assert got[102].pred_label == "pets"
+    assert got[103].pred_label in ("pets", "fin")  # prior + floor decides
+    # model artifacts are catalog-sized: classes x buckets and classes
+    assert spark.read.parquet(f"{path}/model").count() == 2 * 256
+    assert spark.read.parquet(f"{path}/prior").count() == 2
+
+
 # --- in-engine retrieval evaluation ---
 
 
