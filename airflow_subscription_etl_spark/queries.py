@@ -8962,16 +8962,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 
 #: Round-8 verification priority — GENERATED by tools/retier.py at
-#: round end (diff base: the r7 round commit). Tier 0: the ELEVEN r8
-#: registrations (RP index/KNN-join, islands window, BPE merges,
-#: BPE encode + saved-vocab twin, stride schedule, DSIR sample, NB
-#: confusion, MMR rerank, source keyness). Tier 1: every registry
+#: round end (diff base: the r7 round commit). Tier 0: the THIRTEEN
+#: r8 registrations (RP index/KNN-join/recall report, islands window,
+#: BPE merges, BPE encode + saved-vocab twin, stride schedule, DSIR
+#: sample, NB confusion + saved-model twin, MMR rerank, source
+#: keyness). Tier 1: every registry
 #: query transitively consuming a symbol this round's diff touched.
 #: Tier 2 drains the stale tail oldest-first: ALL 20 r3-latest rows
 #: fit; the tier-0/1 slots displace the YOUNGEST r4 rows
 #: (registry-latest order), which lead r9's fill — each displaced row
 #: was independently re-checked green at sf0.01 at round end
-#: (SCALE.md). Steady-state age bound is ceil(194/50) = 4 rounds
+#: (SCALE.md). Steady-state age bound is ceil(196/50) = 4 rounds
 #: (tools/retier.py, reconciled r8).
 #: Regenerate: python tools/retier.py
 _PRIORITY_R8 = [
