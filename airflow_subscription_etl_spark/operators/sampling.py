@@ -297,10 +297,12 @@ def dsir_sample(
     3. resample — Gumbel top-k: sampling WITHOUT replacement with
        inclusion probability ∝ exp(logw) is exactly "add standard
        Gumbel noise to each logw, keep the k largest keys". The noise
-       is content-keyed (md5 of 'dsir|'+id → u ∈ (0, 0.5], denominator
-       2^61 so u=1/ln(0)=∞ is unreachable), micro-quantized, and the
-       final key is integer logw_micro + gumbel_micro → a map-only
-       TakeOrdered(k); the driver holds k rows only.
+       is content-keyed (md5 of 'dsir|'+id → u = (hash60+0.5)/2^60,
+       strictly inside (0,1) at BOTH ends so neither ln(0) endpoint is
+       reachable and the Gumbel is the full standard distribution, not
+       a truncated one), micro-quantized, and the final key is integer
+       logw_micro + gumbel_micro → a map-only TakeOrdered(k); the
+       driver holds k rows only.
 
     Deterministic across engines, retries, and repartitioning: bucket
     hash, every ln, and the Gumbel draw all replay in DuckDB. At 100 TB
@@ -357,10 +359,15 @@ def dsir_sample(
     )
     from .sketch import hash60  # noqa: PLC0415
 
+    # (hash60 + 0.5) / 2^60 keeps u strictly inside (0,1) — hash60=0
+    # gives u=2^-61 > 0 and hash60=2^60-1 gives u<1 — so -ln(-ln(u))
+    # draws the FULL standard Gumbel, not a right-truncated one (the
+    # earlier /2^61 form capped u at 0.5, biasing inclusion toward the
+    # highest-weight docs vs the claimed ∝ exp(logw) semantics).
     u = (
         hash60(F.concat(F.lit("dsir|"), F.col(id_col).cast("string")))
-        + F.lit(1.0)
-    ) / F.lit(float(1 << 61))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
     gumbel_micro = F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("bigint")
     from ..cache import pin  # noqa: PLC0415
 

@@ -209,6 +209,14 @@ def brute_force_topk_pandas(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+#: Upper bound on mmr_rerank's candidate pool: the greedy stage
+#: collects pool·(pool−1)/2 integer rows by design, so the knob has a
+#: driver-memory consequence and must be bounded like pushdown_limit /
+#: broadcast_limit. 2048² / 2 ≈ 2.1M small rows — comfortably
+#: driver-sized, far above any sensible diversity pool.
+MMR_POOL_CAP = 2048
+
+
 def mmr_rerank(
     df: DataFrame,
     query_vec: list[float],
@@ -247,16 +255,31 @@ def mmr_rerank(
     where score = lam_bp·rel_micro − (10000−lam_bp)·max_sim_micro).
 
     Validity contract (engine-uniform, the _rp_valid_rows discipline):
-    rows whose vector is NULL, ragged vs the query's dims, contains
-    NULL/NaN/±Inf, or is all-zero are EXCLUDED up front — their cosine
-    would be NaN and the micro cast would abort the query under ANSI;
-    the oracle mirrors the same WHERE clause so engines diverge
-    nowhere. The query vector itself raises driver-side when invalid
-    (actionable at the call site)."""
+    rows whose id is NULL, or whose vector is NULL, ragged vs the
+    query's dims, contains NULL/NaN/±Inf, or is all-zero are EXCLUDED
+    up front — a NaN cosine's micro cast would abort the query under
+    ANSI, and a NULL id would crash the non-nullable result schema /
+    the tie compare rather than fail the row; the oracle mirrors the
+    same WHERE clause so engines diverge nowhere. The query vector
+    itself raises driver-side when invalid (actionable at the call
+    site).
+
+    ``pool`` is capped at :data:`MMR_POOL_CAP` (the pushdown_limit /
+    broadcast_limit discipline): stages 2–3 are O(pool²) by design —
+    pool·(pool−1)/2 integer rows collect to the driver — so an
+    unbounded pool is a silent driver-OOM request. 2048 keeps the
+    collect ≤ ~2.1M small rows while being ~2 orders of magnitude
+    above any sensible diversity pool."""
     if not 0 <= lam_bp <= 10_000:
         raise ValueError(f"lam_bp must be in [0, 10000], got {lam_bp}")
     if k <= 0 or pool < k:
         raise ValueError(f"need pool >= k >= 1, got k={k} pool={pool}")
+    if pool > MMR_POOL_CAP:
+        raise ValueError(
+            f"pool={pool} exceeds MMR_POOL_CAP={MMR_POOL_CAP}: the greedy "
+            "stage collects pool·(pool−1)/2 pairwise rows to the driver — "
+            "shrink the pool or raise the cap deliberately"
+        )
     if any(x != x or abs(x) == float("inf") for x in query_vec) or not any(
         x != 0.0 for x in query_vec
     ):
@@ -279,7 +302,8 @@ def mmr_rerank(
         | (F.abs(x.cast("double")) == F.lit(float("inf"))),
     )
     valid = (
-        v.isNotNull()
+        F.col(id_col).isNotNull()
+        & v.isNotNull()
         & (F.size(v) == F.lit(dims))
         & ~bad_elem
         & F.exists(v, lambda x: x.cast("double") != F.lit(0.0))

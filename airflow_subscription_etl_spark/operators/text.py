@@ -770,14 +770,21 @@ def nb_score_indexed(
     the same integer scoring and (score desc, class asc) min-struct
     argmax as :func:`nb_classifier_eval`. Returns one row per scored
     document: ``(id_col, pred_label, score_micro)`` — every input doc
-    is scored (even empty text tokenizes to [''] and gets a bucket
-    row)."""
+    is scored: empty text tokenizes to [''] and gets a bucket row, and
+    NULL text is coalesced to '' up front (tokens(NULL) is NULL and
+    explode would otherwise silently drop the doc), so a NULL-text doc
+    gets the same smoothed-floor score as an empty-text one."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     num_buckets = int(meta["num_buckets"])
     model = spark.read.parquet(f"{path}/model")
     prior_lp = spark.read.parquet(f"{path}/prior")
     feats = feature_hashing(
-        df.select(id_col, text_col), id_col, text_col, num_buckets
+        df.select(
+            id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+        ),
+        id_col,
+        text_col,
+        num_buckets,
     )
     ll = (
         feats.join(F.broadcast(model), "bucket")

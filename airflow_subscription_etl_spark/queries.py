@@ -960,7 +960,8 @@ cand AS MATERIALIZED (
   SELECT vec_id, embedding,
          CAST(round({cos("embedding", "qv")} * 1000000) AS BIGINT) AS rel_micro
   FROM embeddings, q
-  WHERE embedding IS NOT NULL
+  WHERE vec_id IS NOT NULL
+    AND embedding IS NOT NULL
     AND len(embedding) = len(qv)
     AND NOT COALESCE(list_bool_or(list_transform(embedding,
           x -> x IS NULL OR isnan(x::DOUBLE)
@@ -7228,7 +7229,7 @@ lam AS (
 SELECT doc_id, logw_micro,
        logw_micro + CAST(round(-ln(-ln(
          (CAST(('0x' || substring(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 15))
-               AS BIGINT) + 1.0) / 2305843009213693952.0))
+               AS BIGINT) + 0.5) / 1152921504606846976.0))
          * 1000000) AS BIGINT) AS key_micro
 FROM w
 ORDER BY key_micro DESC, doc_id ASC LIMIT 60

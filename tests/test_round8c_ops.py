@@ -13,6 +13,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from airflow_subscription_etl_spark.cache import released
 from airflow_subscription_etl_spark.operators.sampling import dsir_sample
 from airflow_subscription_etl_spark.operators.similarity import (
     brute_force_topk,
@@ -31,11 +32,15 @@ def _h60(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
+def _half_up(v: float) -> int:
+    # half-AWAY-FROM-ZERO like both engines' round() (Spark HALF_UP,
+    # DuckDB round); Python's built-in round() is banker's half-even
+    # and would flake on an exact-.5 micro value
+    return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+
 def _ln_micro(x: float) -> int:
-    v = math.log(x) * 1_000_000.0
-    # round-half-even like both engines' round() on a double that is
-    # essentially never an exact .5 here
-    return int(round(v))
+    return _half_up(math.log(x) * 1_000_000.0)
 
 
 def _ref_dsir(docs, target_ids, k, buckets=256):
@@ -66,8 +71,8 @@ def _ref_dsir(docs, target_ids, k, buckets=256):
     out = []
     for i, c in feats.items():
         logw = sum(n * lam[b] for b, n in c.items())
-        u = (_h60(f"dsir|{i}") + 1.0) / float(1 << 61)
-        g = int(round(-math.log(-math.log(u)) * 1_000_000.0))
+        u = (_h60(f"dsir|{i}") + 0.5) / float(1 << 60)
+        g = _half_up(-math.log(-math.log(u)) * 1_000_000.0)
         out.append((i, logw, logw + g))
     out.sort(key=lambda r: (-r[2], r[0]))
     return out[:k]
@@ -87,7 +92,8 @@ DOCS = [
 
 def test_dsir_matches_reference(spark):
     df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
-    got = dsir_sample(df, F.col("doc_id") % 2 == 1, k=4).collect()
+    with released(dsir_sample(df, F.col("doc_id") % 2 == 1, k=4)) as s:
+        got = s.collect()
     target = {i for i, _ in DOCS if i % 2 == 1}
     want = _ref_dsir(DOCS, target, 4)
     assert [(r.doc_id, r.logw_micro, r.key_micro) for r in got] == want
@@ -98,8 +104,8 @@ def test_dsir_prefers_target_like_docs(spark):
     with target = odd docs, every odd doc must out-weigh every even
     doc on logw (the importance weight, before Gumbel noise)."""
     df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
-    all_w = dsir_sample(df, F.col("doc_id") % 2 == 1, k=len(DOCS))
-    rows = {r.doc_id: r.logw_micro for r in all_w.collect()}
+    with released(dsir_sample(df, F.col("doc_id") % 2 == 1, k=len(DOCS))) as w:
+        rows = {r.doc_id: r.logw_micro for r in w.collect()}
     assert min(rows[i] for i in (1, 3, 5, 7)) > max(
         rows[i] for i in (2, 4, 6, 8)
     )
@@ -109,15 +115,18 @@ def test_dsir_all_target_degenerates_to_uniform_gumbel(spark):
     """target == whole corpus → p == q → λ ≡ 0 → logw ≡ 0: the sample
     is a uniform draw (pure Gumbel keys)."""
     df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
-    got = dsir_sample(df, F.lit(True), k=3).collect()
+    with released(dsir_sample(df, F.lit(True), k=3)) as s:
+        got = s.collect()
     assert all(r.logw_micro == 0 for r in got)
     assert len(got) == 3
 
 
 def test_dsir_partitioning_invariant(spark):
     df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
-    a = dsir_sample(df.coalesce(1), F.col("doc_id") <= 4, k=5).collect()
-    b = dsir_sample(df.repartition(7), F.col("doc_id") <= 4, k=5).collect()
+    with released(dsir_sample(df.coalesce(1), F.col("doc_id") <= 4, k=5)) as sa:
+        a = sa.collect()
+    with released(dsir_sample(df.repartition(7), F.col("doc_id") <= 4, k=5)) as sb:
+        b = sb.collect()
     assert a == b
 
 
@@ -151,7 +160,8 @@ def test_nb_separable_classes_score_diagonal(spark):
         text = ("apple pie apple " if lab == "a" else "rust iron rust ") + f"w{i}"
         rows.append((i, text, lab))
     df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
-    conf = nb_classifier_eval(df, label_col="lang").collect()
+    with released(nb_classifier_eval(df, label_col="lang")) as c:
+        conf = c.collect()
     assert conf, "empty confusion matrix — test split produced no docs"
     assert all(r.true_label == r.pred_label for r in conf)
 
@@ -204,10 +214,10 @@ def test_nb_matches_reference_on_small_frame(spark):
                 best = (key, cand)
         want[(c, best[1])] += 1
     df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
-    got = Counter(
-        {(r.true_label, r.pred_label): r.n_docs
-         for r in nb_classifier_eval(df, label_col="lang").collect()}
-    )
+    with released(nb_classifier_eval(df, label_col="lang")) as c:
+        got = Counter(
+            {(r.true_label, r.pred_label): r.n_docs for r in c.collect()}
+        )
     assert got == want
     assert sum(got.values()) == sum(1 for i in is_train if not is_train[i])
 
@@ -224,7 +234,8 @@ def test_nb_unseen_true_class_still_scored(spark):
         (i, t, "a" if split[t] else "ghost") for i, t in enumerate(texts)
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
-    conf = nb_classifier_eval(df, label_col="lang").collect()
+    with released(nb_classifier_eval(df, label_col="lang")) as c:
+        conf = c.collect()
     assert conf
     # every test doc's true label is ghost; every prediction must be a
     # TRAIN class — i.e. 'a' — so the matrix is exactly one row
@@ -260,15 +271,21 @@ def test_nb_saved_model_scores_new_corpus(spark, tmp_path):
             (101, "bond stock stock"),
             (102, "fish cat dog dog"),
             (103, ""),  # wordless doc still scored (smoothed floor)
+            (104, None),  # NULL text coalesces to '' — scored, not dropped
         ],
         "doc_id bigint, text string",
     )
     got = {r.doc_id: r for r in nb_score_indexed(spark, path, fresh).collect()}
-    assert len(got) == 4
+    assert len(got) == 5
     assert got[100].pred_label == "pets"
     assert got[101].pred_label == "fin"
     assert got[102].pred_label == "pets"
     assert got[103].pred_label in ("pets", "fin")  # prior + floor decides
+    # NULL text ≡ empty text: identical smoothed-floor score + label
+    assert (got[104].pred_label, got[104].score_micro) == (
+        got[103].pred_label,
+        got[103].score_micro,
+    )
     # model artifacts are catalog-sized: classes x buckets and classes
     assert spark.read.parquet(f"{path}/model").count() == 2 * 256
     assert spark.read.parquet(f"{path}/prior").count() == 2
@@ -388,7 +405,7 @@ def _ref_keyness(rows, k=5):
     def cell(obs, row_tot, col_tot):
         if obs <= 0:
             return 0
-        return obs * int(round(math.log((obs * n) / (row_tot * col_tot)) * 1e6))
+        return obs * _half_up(math.log((obs * n) / (row_tot * col_tot)) * 1e6)
 
     out = defaultdict(list)
     for (g, w), a in gt.items():
@@ -528,6 +545,7 @@ def test_mmr_excludes_dirty_rows_instead_of_aborting(spark):
         (92, [float("nan"), 0.0, 1.0]),
         (93, [float("inf"), 0.0, 1.0]),
         (94, [0.0, 0.0, 0.0]),
+        (None, [0.5, 0.5, 0.5]),  # NULL id: non-nullable result schema
     ]
     df = spark.createDataFrame(
         dirty, "vec_id bigint, embedding array<double>"
@@ -570,6 +588,24 @@ def test_mmr_rejects_bad_params(spark):
         mmr_rerank(df, QV, lam_bp=10_001)
     with pytest.raises(ValueError, match="pool >= k"):
         mmr_rerank(df, QV, k=5, pool=4)
+
+
+def test_mmr_pool_cap_is_a_loud_error(spark):
+    """pool drives an O(pool²) driver collect by design — past
+    MMR_POOL_CAP the operator must refuse loudly instead of silently
+    requesting a driver-OOM-sized collect."""
+    from airflow_subscription_etl_spark.operators.similarity import (
+        MMR_POOL_CAP,
+    )
+
+    df = spark.createDataFrame(
+        EMB, "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="MMR_POOL_CAP"):
+        mmr_rerank(df, QV, k=4, pool=MMR_POOL_CAP + 1)
+    # the cap itself is legal (validation only; tiny corpus pads down)
+    got = mmr_rerank(df, QV, k=2, pool=MMR_POOL_CAP).collect()
+    assert [r.rank for r in got] == [1, 2]
 
 
 def test_mmr_partitioning_invariant(spark):

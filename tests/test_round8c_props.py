@@ -40,8 +40,14 @@ def _h60(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
+def _half_up(v: float) -> int:
+    # half-away-from-zero (Spark HALF_UP / DuckDB round), not Python's
+    # banker's round() — exact-.5 micro values must not flake
+    return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+
 def _lnm(x: float) -> int:
-    return int(round(math.log(x) * 1_000_000.0))
+    return _half_up(math.log(x) * 1_000_000.0)
 
 
 def _dsir_model(docs, target_ids, k, buckets=256):
@@ -70,8 +76,8 @@ def _dsir_model(docs, target_ids, k, buckets=256):
             )
             for b, n in c.items()
         )
-        u = (_h60(f"dsir|{i}") + 1.0) / float(1 << 61)
-        g = int(round(-math.log(-math.log(u)) * 1_000_000.0))
+        u = (_h60(f"dsir|{i}") + 0.5) / float(1 << 60)
+        g = _half_up(-math.log(-math.log(u)) * 1_000_000.0)
         out.append((i, logw, logw + g))
     out.sort(key=lambda r: (-r[2], r[0]))
     return out[:k]
@@ -169,7 +175,7 @@ def test_mmr_full_lambda_is_brute_force_on_random_vectors(spark, vecs, k):
     # rounds away, e.g. colinear vectors)
     bf = brute_force_topk(df, qv, k=len(vecs)).collect()
     want = sorted(
-        bf, key=lambda r: (-round(r.cosine_sim * 1_000_000), r.vec_id)
+        bf, key=lambda r: (-_half_up(r.cosine_sim * 1_000_000), r.vec_id)
     )[:k]
     assert [r.vec_id for r in got] == [r.vec_id for r in want]
 
@@ -189,7 +195,7 @@ def test_mmr_output_contract_on_random_vectors(spark, vecs, lam):
     assert len(set(ids)) == k and set(ids) <= {i for i, _ in rows}
     bf = brute_force_topk(df, vecs[0], k=len(vecs)).collect()
     top = sorted(
-        bf, key=lambda r: (-round(r.cosine_sim * 1_000_000), r.vec_id)
+        bf, key=lambda r: (-_half_up(r.cosine_sim * 1_000_000), r.vec_id)
     )[0]
     assert got[0].vec_id == top.vec_id
     assert got[0].mmr_score == lam * got[0].rel_micro
