@@ -22,6 +22,14 @@ rather than double-append. The baseline read is ≤ ``num_buckets`` + 1
 meta rows per batch — catalog-sized. No watermark, no keyed state:
 the operator is stateless by construction, so state never grows.
 
+The baseline is frozen BY DESIGN (drift is measured against a fixed
+reference), but corpora legitimately move (new quarter, new source
+mix): :func:`refresh_drift_baseline` re-fits on a new corpus and swaps
+the artifact in with the write-aside + two-rename convention
+``rp_stream.compact_rp_index`` established, so rotation needs no
+stop-the-world and a crash at any step leaves a complete baseline on
+disk.
+
 At 100 TB of HISTORY the monitor's cost is independent of history
 size: the baseline is a fixed ``num_buckets``-row table and each
 batch's work is one explode + one (group, bucket) agg over the batch
@@ -34,6 +42,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fit_counts(
+    df: DataFrame, text_col: str, num_buckets: int
+) -> DataFrame:
+    """(bucket, cnt) hashed-unigram counts — ≤ num_buckets rows at any
+    corpus size. One corpus pass (explode + partial-agg groupBy)."""
+    from ..operators.sketch import hash60  # noqa: PLC0415
+    from ..operators.text import tokens  # noqa: PLC0415
+
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .withColumn("bucket", (hash60(F.col("w")) % num_buckets).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _write_baseline_dirs(
+    df: DataFrame, path: str, text_col: str, num_buckets: int
+) -> None:
+    """Write ``<path>/counts`` + ``<path>/meta`` for one fitted
+    baseline. The total is aggregated from the PERSISTED counts frame
+    (≤ num_buckets rows) — one corpus job for the write, one
+    cached-only agg for the meta; no durable read-back job."""
+    spark = df.sparkSession
+    counts = _fit_counts(df, text_col, num_buckets).persist()
+    try:
+        counts.write.mode("overwrite").parquet(f"{path}/counts")
+        total = counts.agg(
+            F.sum("cnt").cast("bigint").alias("total")
+        ).collect()[0]["total"]
+    finally:
+        counts.unpersist()
+    spark.createDataFrame(
+        [(int(num_buckets), int(total or 0))], "num_buckets int, total bigint"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
 def write_drift_baseline(
     df: DataFrame,
     path: str,
@@ -43,48 +88,71 @@ def write_drift_baseline(
     """Fit and freeze the reference distribution: (bucket, cnt) counts
     over md5-hashed unigrams plus a 1-row meta (num_buckets, total).
     One corpus pass; the result is ≤ num_buckets rows at any scale."""
-    from ..operators.sketch import hash60  # noqa: PLC0415
-    from ..operators.text import tokens  # noqa: PLC0415
-
-    spark = df.sparkSession
-    counts = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .withColumn("bucket", (hash60(F.col("w")) % num_buckets).cast("int"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    counts.write.mode("overwrite").parquet(f"{path}/counts")
-    total = spark.read.parquet(f"{path}/counts").agg(
-        F.sum("cnt").cast("bigint").alias("total")
-    ).collect()[0]["total"]
-    spark.createDataFrame(
-        [(int(num_buckets), int(total or 0))], "num_buckets int, total bigint"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_baseline_dirs(df, path, text_col, num_buckets)
 
 
-def process_drift_batch(
-    batch: DataFrame,
-    batch_id: int,
-    baseline_path: str,
-    out_root: str,
-    group_col: str = "source",
+def refresh_drift_baseline(
+    df: DataFrame,
+    path: str,
     text_col: str = "text",
+    num_buckets: int = 256,
 ) -> None:
-    """Score one micro-batch: per group, integer llr_micro vs the
-    frozen baseline plus llr_per_token_micro, written to the batch's
-    own ``batch=<id>`` directory (replay-idempotent overwrite).
-    Exposed separately from the stream wiring so batch backfills drive
-    the same code path (the dedup_stream convention)."""
+    """Re-fit the baseline on a NEW reference corpus and swap it in —
+    baseline rotation for a corpus that drifted ON PURPOSE (new
+    quarter, new source mix) without a stop-the-world.
+
+    Crash safety is the ``compact_rp_index`` convention: the new
+    baseline is written ASIDE (``<path>_refitting``) and swapped in
+    with two renames (``path`` → ``<path>_old``, aside → ``path``)
+    before the old copy is deleted — a crash at any step leaves a
+    complete baseline on disk, and a stale ``_old``/``_refitting``
+    from a crashed run is recovered or cleaned on the next call.
+    SINGLE-WRITER discipline: don't race two refreshes; concurrent
+    monitor READS between the two renames see a missing dir only in
+    the instant window the rename pair spans — schedule refreshes
+    between micro-batches (availableNow monitors) for strict safety.
+    On a path with no existing baseline this degrades to a plain
+    :func:`write_drift_baseline`."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    old_dir = f"{path}_old"
+    new_dir = f"{path}_refitting"
+    # recovery from a prior crashed swap: between the two renames the
+    # complete previous baseline sits in _old — restore it; after
+    # both renames it is a leftover copy — drop it. A half-written
+    # _refitting from a crashed fit is always safe to discard.
+    if not os.path.isdir(path) and os.path.isdir(old_dir):
+        shutil.move(old_dir, path)
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    if os.path.isdir(new_dir):
+        shutil.rmtree(new_dir)
+
+    _write_baseline_dirs(df, new_dir, text_col, num_buckets)
+    if os.path.isdir(path):
+        shutil.move(path, old_dir)
+    shutil.move(new_dir, path)
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+
+
+def _drift_llr(
+    batch: DataFrame,
+    base: DataFrame,
+    num_buckets: int,
+    base_total: int,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group integer drift scores for one frame against a baseline
+    counts frame (bucket, base_cnt): (group, n_tokens, llr_micro,
+    llr_per_token_micro). All lns micro-quantized at the leaf, so both
+    scores are exact integers and replay bit-for-bit in any engine.
+    ``base`` is ≤ num_buckets rows — always broadcast."""
     from ..operators.sampling import _ln_micro  # noqa: PLC0415
     from ..operators.sketch import hash60  # noqa: PLC0415
     from ..operators.text import tokens  # noqa: PLC0415
-
-    spark = batch.sparkSession
-    meta = spark.read.parquet(f"{baseline_path}/meta").collect()[0]
-    num_buckets, base_total = int(meta["num_buckets"]), int(meta["total"])
-    base = spark.read.parquet(f"{baseline_path}/counts").select(
-        "bucket", F.col("cnt").alias("base_cnt")
-    )
 
     gb = (
         batch.select(
@@ -110,7 +178,7 @@ def process_drift_batch(
             ).alias("lam_micro"),
         )
     )
-    out = (
+    return (
         lam.groupBy(group_col)
         .agg(F.sum(F.col("nb") * F.col("lam_micro")).alias("llr_micro"))
         .join(F.broadcast(gtot), group_col)
@@ -124,6 +192,44 @@ def process_drift_batch(
             .cast("bigint")
             .alias("llr_per_token_micro"),
         )
+    )
+
+
+def score_drift_frame(
+    spark,
+    baseline_path: str,
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch-mode face of the monitor: score ANY frame against the
+    saved baseline and return the per-group drift rows as a DataFrame
+    (no sink side effects) — the same integer llr math every streamed
+    micro-batch pays, exposed for backfills, ad-hoc diagnostics, and
+    the driver's oracle gate. Meta/counts reads are catalog-sized."""
+    meta = spark.read.parquet(f"{baseline_path}/meta").collect()[0]
+    num_buckets, base_total = int(meta["num_buckets"]), int(meta["total"])
+    base = spark.read.parquet(f"{baseline_path}/counts").select(
+        "bucket", F.col("cnt").alias("base_cnt")
+    )
+    return _drift_llr(df, base, num_buckets, base_total, group_col, text_col)
+
+
+def process_drift_batch(
+    batch: DataFrame,
+    batch_id: int,
+    baseline_path: str,
+    out_root: str,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Score one micro-batch: per group, integer llr_micro vs the
+    frozen baseline plus llr_per_token_micro, written to the batch's
+    own ``batch=<id>`` directory (replay-idempotent overwrite).
+    Exposed separately from the stream wiring so batch backfills drive
+    the same code path (the dedup_stream convention)."""
+    out = score_drift_frame(
+        batch.sparkSession, baseline_path, batch, group_col, text_col
     )
     out.write.mode("overwrite").parquet(f"{out_root}/batch={int(batch_id)}")
 

@@ -176,6 +176,11 @@ HEADLINE = [
     # cost classes — the doc_bpe_encode precedent. doc_nb_indexed
     # likewise (each call rewrites the saved model — a table-write
     # cost class, the doc_minhash_indexed/doc_bpe_indexed precedent).
+    # round-9 addition: source_drift_llr stays correctness-gated but
+    # OUT of the headline for the same reason — each call (re)writes
+    # the drift baseline artifact before scoring (a table-write cost
+    # class); the scoring math itself is the DSIR λ algebra already
+    # timed as doc_dsir_sample.
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —
