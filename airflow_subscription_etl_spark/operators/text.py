@@ -1058,9 +1058,17 @@ def bpe_merges(
     TakeOrdered(1) argmax that is cross-joined back as a 1-row
     broadcast — ZERO driver-side collects, zero Python in any hot
     path; at real scale rounds cost seconds regardless of corpus size.
-    The iteration count is a bounded hyper-parameter exactly like
-    k-means' ``n_iters`` (clustering.py), and the same unrolled-CTE
-    oracle strategy verifies it end-to-end.
+    The iteration count is a bounded hyper-parameter like k-means'
+    ``n_iters`` (clustering.py), and the same unrolled-CTE oracle
+    strategy verifies it end-to-end — BUT unlike k-means the useful
+    range is not always small: production tokenizers run 30k–100k
+    merges, and this formulation schedules ONE Spark round per merge
+    (each cheap, but 30k sequential vocab-sized jobs is a wall-clock
+    problem). Envelope: use this form for n_merges ≲ 10² (analysis,
+    demos, oracle-checked pipelines); for production vocab sizes use
+    :func:`bpe_merges_local` — same single corpus shuffle, same merge
+    table bit-for-bit (equality-tested), with the induction loop run
+    driver-side over the collected ``top_words``-row dict.
     """
     from ..cache import pin  # noqa: PLC0415
 
@@ -1157,6 +1165,84 @@ def bpe_merges(
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return pin(out, *pinned)
+
+
+def bpe_merges_local(
+    df: DataFrame,
+    text_col: str = "text",
+    top_words: int = 200,
+    n_merges: int = 4,
+) -> DataFrame:
+    """Production-vocab twin of :func:`bpe_merges`: the corpus pays the
+    SAME single word-count shuffle and the same deterministic
+    ``top_words`` boundary (count desc, word asc), but the merge
+    induction loop runs DRIVER-SIDE over the collected dict — the dict
+    is ``top_words`` rows by construction (trivially driver-sized at
+    any corpus scale), so 30k merges cost 30k in-memory dict rewrites
+    instead of 30k sequential Spark rounds. Output is the identical
+    merge table ``(merge_rank, left_sym, right_sym, merged,
+    pair_count)``, bit-for-bit (tie-breaks: count desc, pair asc;
+    greedy leftmost non-overlapping rewrite — equality-tested against
+    the distributed form at small n_merges).
+
+    This is the 30k–100k-merge path the distributed form's envelope
+    note points at; corpus-scale cost is identical (ONE shuffle), only
+    the vocab-sized iteration moves off the scheduler. Rounds after
+    the pair supply is exhausted emit no rows (mirroring the
+    distributed form, whose empty argmax empties the dict)."""
+    from collections import Counter  # noqa: PLC0415
+
+    rows = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(top_words)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["word"]), int(r["cnt"])) for r in rows
+    ]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for k in range(n_merges):
+        counts: Counter = Counter()
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += cnt
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((k + 1, left, right, left + right, int(c)))
+        new_vocab = []
+        for syms, cnt in vocab:
+            out_syms: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out_syms.append(left + right)
+                    i += 2
+                else:
+                    out_syms.append(syms[i])
+                    i += 1
+            new_vocab.append((out_syms, cnt))
+        vocab = new_vocab
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
 
 
 def bpe_encode(

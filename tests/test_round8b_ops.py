@@ -136,6 +136,66 @@ def test_bpe_pins_dict_cache_for_caller_release(spark):
     assert release(out) == 2
 
 
+# --- driver-local induction twin (the production-vocab path) ---
+
+
+def test_bpe_local_twin_equals_distributed_form(spark):
+    """bpe_merges_local must reproduce the distributed merge table
+    bit-for-bit — same dict boundary, same tie-breaks, same greedy
+    rewrite — on corpora exercising every documented subtlety
+    (overlapping pair counts, back-to-back rewrites, truncated dict,
+    tie-broken argmax)."""
+    from airflow_subscription_etl_spark.operators.text import (
+        bpe_merges_local,
+    )
+
+    corpora = [
+        (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3, 200, 5),
+        (["aaa"] * 10 + ["xy", "xz"], 200, 3),
+        (["abab"] * 7 + ["qr", "qs"], 200, 3),
+        (["foo", "foo", "foo", "bar", "bar", "baz", "baz"], 2, 2),
+    ]
+    for words, top, n in corpora:
+        docs = _docs(spark, [" ".join(words)])
+        dist = bpe_merges(docs, top_words=top, n_merges=n)
+        want = [tuple(r) for r in dist.orderBy("merge_rank").collect()]
+        release(dist)
+        got = [
+            tuple(r)
+            for r in bpe_merges_local(docs, top_words=top, n_merges=n)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == want, f"local/distributed divergence on {words[:3]}…"
+
+
+def test_bpe_local_twin_runs_past_the_distributed_envelope(spark):
+    """The local path's reason to exist: a merge count far beyond the
+    ≲10² distributed envelope completes in one collect + an in-memory
+    loop, still matching the row-at-a-time reference, and stops
+    emitting rows once the pair supply is exhausted."""
+    from airflow_subscription_etl_spark.operators.text import (
+        bpe_merges_local,
+    )
+
+    texts = [
+        "internationalization internationalization modernization "
+        "modernization tokenization tokenization tokenizer vocabulary "
+        "vocabulary merge merge merge rank symbol symbol pair corpus"
+    ]
+    got = [
+        tuple(r)
+        for r in bpe_merges_local(_docs(spark, texts), n_merges=500)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == _ref_bpe(texts, 200, 500)
+    # the corpus has far fewer than 500 learnable pairs: the table
+    # ends when merges dry up, ranks stay dense 1..len
+    assert 0 < len(got) < 500
+    assert [r[0] for r in got] == list(range(1, len(got) + 1))
+
+
 # --- BPE encode ---
 
 
