@@ -218,6 +218,128 @@ def mixture_sample(
     )
 
 
+def token_budget_mix(
+    df: DataFrame,
+    shares_bp: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = BUCKETS,
+) -> DataFrame:
+    """EXACT token-budget mixture assembly — the Pile/DoReMi-style
+    mixing step done by TOKEN share, not document share: per source
+    ``s`` with share ``shares_bp[s]``/10000 of ``budget_tokens``, keep
+    the smallest content-ordered prefix of its documents whose token
+    count reaches the source budget (greedy take-until-reached; the
+    final document may overshoot — the standard assembler semantics).
+    :func:`mixture_sample` re-weights by ROW probability; this op hits
+    a token target exactly, which is what a training-run data budget
+    is denominated in.
+
+    Selection order within a source is (hash bucket, md5(text), id) —
+    content-derived, so the assembled mix is stable under
+    repartitioning, retries, re-ingestion, and replays identically in
+    any engine. A document is selected iff the tokens of all docs
+    strictly before it (in that order) are < the source's budget.
+
+    Scale (the reason this is NOT one window): a per-source running
+    sum would be a single task per source — the stride_schedule
+    problem. Instead a two-level histogram cut:
+
+    1. histogram — one corpus-scale (source, bucket) token-sum agg
+       (map-side combined; ≤ |sources|·num_buckets rows);
+    2. bucket classification — a catalog-sized per-source window over
+       the histogram (partitions ≤ num_buckets rows) marks each bucket
+       take-all / boundary / drop; at most ONE boundary bucket per
+       source;
+    3. take-all docs — map-side join (AQE broadcasts the histogram
+       side when it fits; with very many sources lower num_buckets to
+       keep it catalog-sized);
+    4. boundary docs — ~1/num_buckets of each source shuffles for the
+       fine window partitioned by (source, bucket); everything else
+       never shuffles.
+
+    Rows with NULL id/source/text are EXCLUDED (contract, mirrored in
+    oracles); sources absent from ``shares_bp`` are dropped. Budgets
+    are exact integers: floor(budget_tokens·bp/10000) per source.
+    Returns (id_col, source_col, n_tokens) of the selected documents.
+    """
+    from .text import tokens  # noqa: PLC0415
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if not shares_bp:
+        raise ValueError("shares_bp must name at least one source")
+    if any(bp < 0 for bp in shares_bp.values()):
+        raise ValueError(f"shares_bp values must be >= 0: {shares_bp}")
+    budgets = {
+        s: (budget_tokens * bp) // 10_000 for s, bp in shares_bp.items()
+    }
+    spark = df.sparkSession
+    bdg = spark.createDataFrame(
+        sorted(budgets.items()), f"{source_col} string, _budget bigint"
+    )
+    d = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(source_col).isNotNull()
+        & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        hash_bucket(F.col(text_col), num_buckets).alias("_bkt"),
+        F.md5(F.col(text_col).cast("string")).alias("_h"),
+    )
+    hist = d.groupBy(source_col, "_bkt").agg(
+        F.sum("n_tokens").alias("_btok")
+    )
+    w_cum = (
+        Window.partitionBy(source_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cls = (
+        hist.join(F.broadcast(bdg), source_col)
+        .withColumn(
+            "_before", F.coalesce(F.sum("_btok").over(w_cum), F.lit(0))
+        )
+        .withColumn(
+            "_tag",
+            F.when(
+                F.col("_before") + F.col("_btok") <= F.col("_budget"),
+                F.lit("all"),
+            )
+            .when(F.col("_before") < F.col("_budget"), F.lit("boundary"))
+            .otherwise(F.lit("drop")),
+        )
+    )
+    taken = d.join(
+        cls.filter(F.col("_tag") == "all").select(source_col, "_bkt"),
+        [source_col, "_bkt"],
+    ).select(id_col, source_col, "n_tokens")
+    # ≤ one boundary bucket per source — genuinely tiny, broadcast it
+    bnd_meta = F.broadcast(
+        cls.filter(F.col("_tag") == "boundary").select(
+            source_col, "_bkt", "_before", "_budget"
+        )
+    )
+    w_fine = (
+        Window.partitionBy(source_col, "_bkt")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        d.join(bnd_meta, [source_col, "_bkt"])
+        .withColumn(
+            "_run", F.coalesce(F.sum("n_tokens").over(w_fine), F.lit(0))
+        )
+        .filter(F.col("_before") + F.col("_run") < F.col("_budget"))
+        .select(id_col, source_col, "n_tokens")
+    )
+    return taken.unionByName(boundary)
+
+
 def weighted_reservoir(
     df: DataFrame,
     key_col: str,

@@ -8828,6 +8828,63 @@ ORDER BY source
 """
 
 
+def q_doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget mixture assembly
+    (sampling.py::token_budget_mix): 20 sources at equal 500 bp shares
+    of a 12 000-token budget → 600 tokens per source, each source's
+    smallest content-ordered document prefix reaching its budget
+    (greedy take-until-reached). The two-level histogram cut (bucket
+    classification + one fine window over the single boundary bucket
+    per source) must select EXACTLY the rows the oracle's direct
+    per-source running-sum window selects — the equivalence IS the
+    claim."""
+    from .operators.sampling import token_budget_mix  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_mix(
+        docs, _TOKEN_MIX_SHARES, budget_tokens=12_000
+    ).orderBy("source", "doc_id")
+
+
+_TOKEN_MIX_SHARES = {f"src{i}": 500 for i in range(20)}
+
+
+def _token_mix_oracle_sql(
+    shares: dict[str, int], budget_tokens: int
+) -> str:
+    """Direct replay: per-source running token sum over the SAME
+    content order (bucket, md5, id); select rows whose strict-prefix
+    total is under the integer source budget."""
+    budgets = ", ".join(
+        f"('{s}', {(budget_tokens * bp) // 10_000})"
+        for s, bp in sorted(shares.items())
+    )
+    return rf"""
+WITH budgets(source, budget) AS (VALUES {budgets}),
+d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 10000
+           AS bkt,
+         md5(text) AS h
+  FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL
+), sel AS (
+  SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+         COALESCE(SUM(d.n_tokens) OVER (
+           PARTITION BY d.source ORDER BY d.bkt, d.h, d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM d JOIN budgets b USING (source)
+)
+SELECT doc_id, source, n_tokens FROM sel WHERE before < budget
+ORDER BY source, doc_id
+"""
+
+
+SQL_DOC_TOKEN_BUDGET_MIX = _token_mix_oracle_sql(_TOKEN_MIX_SHARES, 12_000)
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
@@ -9039,6 +9096,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_rp_recall": (q_emb_rp_recall, SQL_EMB_RP_RECALL),
     # -- round 9 --
     "source_drift_llr": (q_source_drift_llr, SQL_SOURCE_DRIFT_LLR),
+    "doc_token_budget_mix": (q_doc_token_budget_mix, SQL_DOC_TOKEN_BUDGET_MIX),
 }
 
 

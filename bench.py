@@ -181,6 +181,11 @@ HEADLINE = [
     # the drift baseline artifact before scoring (a table-write cost
     # class); the scoring math itself is the DSIR λ algebra already
     # timed as doc_dsir_sample.
+    # round-9 addition: exact token-budget mixture assembly — an
+    # ordinary query cost class (one corpus histogram shuffle + a
+    # catalog-sized bucket-classification window + map-side take-all
+    # join + a fine window over ~1/num_buckets of the corpus).
+    "doc_token_budget_mix",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —
