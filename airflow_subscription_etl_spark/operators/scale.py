@@ -299,6 +299,130 @@ def distributed_prefix_sum(
     )
 
 
+def grouped_exact_rank(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    nbins: int = 10_000,
+    tiers_bp: tuple[int, int] | None = None,
+) -> DataFrame:
+    """EXACT within-group rank by (score asc, id asc) WITHOUT a
+    one-task-per-group window — the grouped sibling of
+    :func:`distributed_prefix_sum`. ``Window.partitionBy(group)``
+    funnels each group through a single task, which at a
+    handful-of-sources corpus means a handful of tasks sorting 100 TB
+    (the caveat ``exact_stratified_split`` documents). This is the
+    distributed formulation, the token_budget_mix histogram trick
+    generalized to ranking:
+
+    1. per-group (min, max, count) — a catalog-sized agg, broadcast;
+    2. integer value-histogram bin ``(score − lo) // width`` with
+       ``width = (hi − lo) // nbins + 1`` — overflow-free bigint
+       arithmetic, monotone in score, ≤ nbins bins;
+    3. per-(group, bin) counts + a catalog-sized per-group cumulative
+       window over the histogram (partitions ≤ nbins rows);
+    4. fine ``row_number`` windows partitioned by (group, bin) — each
+       ~1/nbins of its group — added to the bin's cumulative offset.
+
+    ``score_col`` must be INTEGRAL (the repo-wide micro-quantization
+    convention): bin arithmetic and rank are then exact in any engine.
+    Ranks are 1-based, dense in each group, deterministic via the id
+    tiebreak. Degenerate score distributions (one dominant value)
+    collapse into one bin and degrade toward the naive window — the
+    same limit any value histogram has.
+
+    ``tiers_bp = (head_bp, middle_bp)`` optionally adds the
+    CCNet-style tier label (Wenzek et al. 2020 §4.3: per-language
+    perplexity terciles → head/middle/tail): integer cuts
+    ``rank·10000 ≤ n·head_bp`` → 'head', ``≤ n·(head+middle)`` →
+    'middle', else 'tail' — rank ascending, so SMALLER scores tier
+    better (CCNet's perplexity convention; pass a negated score for
+    bigger-is-better).
+
+    Rows with NULL group/score/id are EXCLUDED (contract, mirrored in
+    oracles). Output: (id, group, score, rank, n[, tier])."""
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType  # noqa: PLC0415
+
+    if not isinstance(
+        df.schema[score_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        raise ValueError(
+            f"score_col '{score_col}' must be integral (micro-quantize "
+            "fractional scores first) — bin and rank arithmetic must be "
+            "exact in every engine"
+        )
+    if nbins <= 0:
+        raise ValueError(f"nbins must be positive, got {nbins}")
+    if tiers_bp is not None:
+        h, m = tiers_bp
+        if h < 0 or m < 0 or h + m > 10_000:
+            raise ValueError(
+                f"tiers_bp must be non-negative with sum <= 10000: {tiers_bp}"
+            )
+    d = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col).cast("bigint").alias("_s"),
+    )
+    gstat = d.groupBy(group_col).agg(
+        F.min("_s").alias("_lo"),
+        F.max("_s").alias("_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # integer bin width (hi - lo) div nbins + 1: never 0, bins <= nbins,
+    # no multiplication — overflow-free for ANY bigint score range
+    # (`div` is Spark's integral floor division; `//` in DuckDB)
+    binned = (
+        d.join(F.broadcast(gstat), group_col)
+        .withColumn(
+            "_w", F.expr(f"(_hi - _lo) div {nbins} + 1").cast("bigint")
+        )
+        .withColumn("_bin", F.expr("(_s - _lo) div _w").cast("bigint"))
+    )
+    hist = binned.groupBy(group_col, "_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_bc")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "_before", F.coalesce(F.sum("_bc").over(w_cum), F.lit(0))
+    ).select(group_col, "_bin", "_before")
+    w_fine = Window.partitionBy(group_col, "_bin").orderBy("_s", id_col)
+    out = (
+        binned.join(cum, [group_col, "_bin"])
+        .withColumn(
+            "rank",
+            (F.col("_before") + F.row_number().over(w_fine)).cast("bigint"),
+        )
+        .select(
+            id_col,
+            group_col,
+            F.col("_s").alias(score_col),
+            "rank",
+            "n",
+        )
+    )
+    if tiers_bp is None:
+        return out
+    h, m = tiers_bp
+    return out.withColumn(
+        "tier",
+        F.when(F.col("rank") * 10_000 <= F.col("n") * h, F.lit("head"))
+        .when(F.col("rank") * 10_000 <= F.col("n") * (h + m), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
 def zorder_value(cols: list, bits: int = 16) -> "F.Column":
     """Morton (Z-order) interleave of 2+ non-negative integer columns
     into one sortable bigint — the multi-dimensional clustering key

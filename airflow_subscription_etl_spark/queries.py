@@ -8885,6 +8885,43 @@ ORDER BY source, doc_id
 SQL_DOC_TOKEN_BUDGET_MIX = _token_mix_oracle_sql(_TOKEN_MIX_SHARES, 12_000)
 
 
+def q_doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source rank + CCNet head/middle/tail tiering
+    (scale.py::grouped_exact_rank): every document ranked within its
+    source by (n_chars asc, doc_id asc) and labeled by the 30/40/30
+    integer percentile cuts — per-group ranking WITHOUT the
+    one-task-per-group window (value-histogram bins + a fine window
+    over ~1/nbins of each group). The oracle replays the rank with a
+    direct per-source row_number window — the histogram ≡ direct-window
+    equivalence is the checked claim."""
+    from .operators.scale import grouped_exact_rank  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_exact_rank(
+        docs, "source", "n_chars", "doc_id", tiers_bp=(3000, 4000)
+    ).orderBy("source", "rank")
+
+
+SQL_DOC_QUALITY_TIERS = r"""
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+), r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM d
+)
+SELECT doc_id, source, n_chars, rank, n,
+       CASE WHEN rank * 10000 <= n * 3000 THEN 'head'
+            WHEN rank * 10000 <= n * 7000 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM r
+ORDER BY source, rank
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
@@ -9097,6 +9134,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- round 9 --
     "source_drift_llr": (q_source_drift_llr, SQL_SOURCE_DRIFT_LLR),
     "doc_token_budget_mix": (q_doc_token_budget_mix, SQL_DOC_TOKEN_BUDGET_MIX),
+    "doc_quality_tiers": (q_doc_quality_tiers, SQL_DOC_QUALITY_TIERS),
 }
 
 

@@ -186,6 +186,10 @@ HEADLINE = [
     # catalog-sized bucket-classification window + map-side take-all
     # join + a fine window over ~1/num_buckets of the corpus).
     "doc_token_budget_mix",
+    # round-9 addition: exact per-source rank + CCNet tiers — the same
+    # histogram-cut cost class (value-histogram agg + catalog window +
+    # fine per-(group, bin) windows), never one task per source.
+    "doc_quality_tiers",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

@@ -148,3 +148,150 @@ def test_mix_rejects_bad_params(spark):
         token_budget_mix(df, {}, 100)
     with pytest.raises(ValueError, match=">= 0"):
         token_budget_mix(df, {"src0": -5}, 100)
+
+
+# --- grouped exact rank / CCNet tiers ---
+
+
+def _ref_rank(rows, tiers=None):
+    """Direct model: rank by (score, id) within group + optional
+    head/middle/tail labels. rows: [(id, group, score)]."""
+    clean = [(i, g, s) for i, g, s in rows if None not in (i, g, s)]
+    out = {}
+    by_g: dict = {}
+    for i, g, s in clean:
+        by_g.setdefault(g, []).append((s, i))
+    for g, docs in by_g.items():
+        docs.sort()
+        n = len(docs)
+        for rk, (s, i) in enumerate(docs, 1):
+            row = (i, g, s, rk, n)
+            if tiers is not None:
+                h, m = tiers
+                tier = (
+                    "head"
+                    if rk * 10_000 <= n * h
+                    else "middle"
+                    if rk * 10_000 <= n * (h + m)
+                    else "tail"
+                )
+                row = (*row, tier)
+            out[i] = row
+    return set(out.values())
+
+
+RANK_ROWS = [
+    (i, f"g{i % 4}", ((i * 37) % 11) * 1_000_000 + (i % 3))
+    for i in range(80)
+]  # duplicate scores within groups exercise the id tiebreak
+
+
+def _rdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, grp string, score bigint"
+    )
+
+
+def test_rank_matches_direct_window_model(spark):
+    from airflow_subscription_etl_spark.operators.scale import (
+        grouped_exact_rank,
+    )
+
+    got = {
+        tuple(r)
+        for r in grouped_exact_rank(
+            _rdf(spark, RANK_ROWS), "grp", "score", "doc_id"
+        ).collect()
+    }
+    assert got == _ref_rank(RANK_ROWS)
+
+
+def test_rank_tiny_nbins_forces_fine_window_work(spark):
+    """nbins=2 collapses most scores into shared bins, so the
+    cumulative-offset + fine-window composition does real work — the
+    result must be identical to the direct model."""
+    from airflow_subscription_etl_spark.operators.scale import (
+        grouped_exact_rank,
+    )
+
+    got = {
+        tuple(r)
+        for r in grouped_exact_rank(
+            _rdf(spark, RANK_ROWS), "grp", "score", "doc_id", nbins=2
+        ).collect()
+    }
+    assert got == _ref_rank(RANK_ROWS)
+
+
+def test_rank_degenerate_all_equal_scores(spark):
+    """All-equal scores land in ONE bin (documented limit): rank must
+    fall back to the pure id order, still exact."""
+    from airflow_subscription_etl_spark.operators.scale import (
+        grouped_exact_rank,
+    )
+
+    rows = [(i, "g", 7) for i in range(20)]
+    got = sorted(
+        (r.doc_id, r.rank)
+        for r in grouped_exact_rank(
+            _rdf(spark, rows), "grp", "score", "doc_id"
+        ).collect()
+    )
+    assert got == [(i, i + 1) for i in range(20)]
+
+
+def test_rank_ccnet_tiers_and_null_contract(spark):
+    from airflow_subscription_etl_spark.operators.scale import (
+        grouped_exact_rank,
+    )
+
+    rows = RANK_ROWS + [(None, "g0", 5), (900, None, 5), (901, "g0", None)]
+    got = {
+        tuple(r)
+        for r in grouped_exact_rank(
+            _rdf(spark, rows), "grp", "score", "doc_id", tiers_bp=(3000, 4000)
+        ).collect()
+    }
+    assert got == _ref_rank(RANK_ROWS, tiers=(3000, 4000))
+    # every group has all three tiers at 20 rows per group
+    by_tier = {t for *_, t in got}
+    assert by_tier == {"head", "middle", "tail"}
+
+
+def test_rank_partitioning_invariant(spark):
+    from airflow_subscription_etl_spark.operators.scale import (
+        grouped_exact_rank,
+    )
+
+    a = sorted(
+        tuple(r)
+        for r in grouped_exact_rank(
+            _rdf(spark, RANK_ROWS).coalesce(1), "grp", "score", "doc_id"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in grouped_exact_rank(
+            _rdf(spark, RANK_ROWS).repartition(9), "grp", "score", "doc_id"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_rank_rejects_bad_inputs(spark):
+    from airflow_subscription_etl_spark.operators.scale import (
+        grouped_exact_rank,
+    )
+
+    fdf = spark.createDataFrame(
+        [(1, "g", 0.5)], "doc_id bigint, grp string, score double"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        grouped_exact_rank(fdf, "grp", "score", "doc_id")
+    idf = _rdf(spark, RANK_ROWS)
+    with pytest.raises(ValueError, match="nbins"):
+        grouped_exact_rank(idf, "grp", "score", "doc_id", nbins=0)
+    with pytest.raises(ValueError, match="tiers_bp"):
+        grouped_exact_rank(
+            idf, "grp", "score", "doc_id", tiers_bp=(8000, 8000)
+        )
