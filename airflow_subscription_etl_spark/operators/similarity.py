@@ -652,6 +652,81 @@ def hard_negative_mining(
     )
 
 
+def semantic_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 24,
+    bands: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-side benchmark decontamination: flag TRAIN documents
+    whose embedding is ≥ ``threshold`` cosine to ANY eval/benchmark
+    embedding — the semantic companion to ``dedup.contamination_check``
+    (exact digests catch verbatim leaks; this catches paraphrases and
+    near-copies that survive text normalization).
+
+    Directed two-frame variant of :func:`all_pairs_ann`'s banded-LSH
+    candidate generation: both frames get the SAME seeded hyperplane
+    signatures (plan constants → fully oracle-able), the banded EVAL
+    side is broadcast (a benchmark is catalog-sized next to a 100 TB
+    train corpus — bands·|eval| rows), so the whole check is MAP-ONLY
+    over train: no train-side shuffle except the final per-train-doc
+    argmax window over candidate matches only (≪ train size).
+
+    Approximate with the standard LSH recall trade (raise ``bands``
+    for recall — the all_pairs_ann sizing note applies); per-pair work
+    is a bare dot product against precomputed norms. Returns one row
+    per CONTAMINATED train doc: ``(train_id, eval_id, cosine_sim)`` —
+    its best-matching eval item (sim desc, eval id asc tiebreak).
+    """
+    t_normed = train.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_norm")
+    )
+    e_normed = eval_set.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_norm")
+    )
+    tb = _banded(
+        t_normed, n_planes, bands, dims, vec_col, keep=[id_col, vec_col, "_norm"]
+    ).select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("v_t"),
+        F.col("_norm").alias("n_t"),
+        "band",
+        "bucket",
+    )
+    eb = _banded(
+        e_normed, n_planes, bands, dims, vec_col, keep=[id_col, vec_col, "_norm"]
+    ).select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("v_e"),
+        F.col("_norm").alias("n_e"),
+        "band",
+        "bucket",
+    )
+    scored = (
+        tb.join(F.broadcast(eb), ["band", "bucket"])
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("v_t"), F.col("v_e")) / (F.col("n_t") * F.col("n_e")),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("train_id", "eval_id", "cosine_sim")
+    )
+    # cross-band duplicates carry identical (sim, eval_id) — row_number
+    # picks a deterministic winner either way (the hard-negatives move)
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("eval_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def ivf_assignments(
     df: DataFrame,
     n_lists: int = 16,

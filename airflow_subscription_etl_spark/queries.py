@@ -8922,6 +8922,78 @@ ORDER BY source, rank
 """
 
 
+def q_emb_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side benchmark decontamination
+    (similarity.py::semantic_contamination): the ``vec_id % 13 == 0``
+    slice plays the benchmark, the rest the train corpus; every train
+    vector ≥ 0.1 cosine to a bucket-shared benchmark vector is flagged
+    with its best match. The hyperplanes are seeded plan constants, so
+    the oracle replays signatures, banding, the broadcast-side join,
+    the threshold, and the per-train argmax exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_contamination(
+        emb.filter(F.col("vec_id") % 13 != 0),
+        emb.filter(F.col("vec_id") % 13 == 0),
+        threshold=0.1,
+        n_planes=24,
+        bands=3,
+    ).orderBy("train_id")
+
+
+def _contamination_oracle_sql(
+    threshold: float = 0.1, n_planes: int = 24, bands: int = 3, dims: int = 64
+) -> str:
+    from .operators.similarity import _planes  # noqa: PLC0415
+
+    planes = _planes(n_planes, dims)
+    plane_lit = (
+        "["
+        + ", ".join("[" + ", ".join(repr(v) for v in p) + "]" for p in planes)
+        + "]"
+    )
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    bands_lit = "[" + ", ".join(str(b) for b in range(bands)) + "]"
+    sig_expr = (
+        f"CAST(list_sum(list_transform(range(1, {n_planes + 1}), p -> "
+        f"CASE WHEN list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> e.embedding[i]::DOUBLE * planes[p][i])) >= 0 "
+        f"THEN (CAST(1 AS BIGINT) << ({n_planes} - p)) ELSE 0 END)) AS BIGINT)"
+    )
+    return f"""
+WITH pl AS (SELECT {plane_lit} AS planes),
+sigs AS (
+  SELECT e.vec_id, e.embedding,
+         sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm,
+         {sig_expr} AS sig
+  FROM embeddings e, pl
+),
+bb AS (
+  SELECT vec_id, embedding, nrm, band,
+         (sig >> (band * {bits})) & {mask} AS bucket
+  FROM sigs, unnest({bands_lit}) AS u(band)
+),
+cand AS (
+  SELECT DISTINCT t.vec_id AS train_id, b.vec_id AS eval_id,
+         list_sum(list_transform(range(1, len(t.embedding) + 1),
+            i -> t.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (t.nrm * b.nrm) AS cosine_sim
+  FROM bb t JOIN bb b ON t.band = b.band AND t.bucket = b.bucket
+  WHERE t.vec_id % 13 <> 0 AND b.vec_id % 13 = 0
+)
+SELECT train_id, eval_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY train_id
+                               ORDER BY cosine_sim DESC, eval_id ASC) AS rn
+  FROM cand WHERE cosine_sim >= {threshold!r}
+) WHERE rn = 1
+ORDER BY train_id
+"""
+
+
+SQL_EMB_CONTAMINATION = _contamination_oracle_sql()
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- tier 1: fixed in round 2 (errored/hash-failed in round 1) --
     "ev_tumbling_counts": (q_ev_tumbling, SQL_EV_TUMBLING),
@@ -9135,6 +9207,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "source_drift_llr": (q_source_drift_llr, SQL_SOURCE_DRIFT_LLR),
     "doc_token_budget_mix": (q_doc_token_budget_mix, SQL_DOC_TOKEN_BUDGET_MIX),
     "doc_quality_tiers": (q_doc_quality_tiers, SQL_DOC_QUALITY_TIERS),
+    "emb_contamination": (q_emb_contamination, SQL_EMB_CONTAMINATION),
 }
 
 

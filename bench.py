@@ -190,6 +190,10 @@ HEADLINE = [
     # histogram-cut cost class (value-histogram agg + catalog window +
     # fine per-(group, bin) windows), never one task per source.
     "doc_quality_tiers",
+    # round-9 addition: embedding-side benchmark decontamination — a
+    # map-only cost class over train (banded broadcast eval side +
+    # per-train argmax window over candidate matches only).
+    "emb_contamination",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

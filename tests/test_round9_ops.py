@@ -278,6 +278,112 @@ def test_rank_partitioning_invariant(spark):
     assert a == b
 
 
+# --- semantic contamination (two-frame embedding decontamination) ---
+
+
+@pytest.fixture(scope="module")
+def contamination_frames(spark):
+    # eval = two benchmark vectors along distinct axes; train = one
+    # near-copy of each, one moderate match, and one orthogonal doc
+    eval_rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (200, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    train_rows = [
+        (1, [0.99, 0.01, 0.0, 0.0]),  # near-copy of eval 100
+        (2, [0.02, 0.98, 0.0, 0.0]),  # near-copy of eval 200
+        (3, [0.6, 0.0, 0.8, 0.0]),  # moderate match to 100 (cos 0.6)
+        (4, [0.0, 0.0, 0.0, 1.0]),  # orthogonal to both
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "vec_id bigint, embedding array<float>"
+    ).cache()
+    return mk(train_rows), mk(eval_rows)
+
+
+def test_contamination_flags_near_copies_with_best_match(
+    spark, contamination_frames
+):
+    from airflow_subscription_etl_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    train, ev = contamination_frames
+    got = {
+        r.train_id: r
+        for r in semantic_contamination(
+            train, ev, threshold=0.9, n_planes=4, bands=2, dims=4
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1].eval_id == 100 and got[1].cosine_sim > 0.9
+    assert got[2].eval_id == 200 and got[2].cosine_sim > 0.9
+
+
+def test_contamination_threshold_and_orthogonal_exclusion(
+    spark, contamination_frames
+):
+    from airflow_subscription_etl_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    train, ev = contamination_frames
+    got = {
+        r.train_id: r
+        for r in semantic_contamination(
+            train, ev, threshold=0.5, n_planes=4, bands=2, dims=4
+        ).collect()
+    }
+    # vec 3 (cos 0.6 to eval 100) now crosses the bar; vec 4 never does
+    assert 3 in got and got[3].eval_id == 100
+    assert 4 not in got
+    # one row per contaminated train doc — argmax, not all pairs
+    assert all(
+        len([r for r in got.values() if r.train_id == t]) == 1 for t in got
+    )
+
+
+def test_contamination_is_map_only_over_train(spark, contamination_frames):
+    """Plan shape: the eval side is broadcast — no shuffle join, no
+    cartesian; the only exchange is the per-train-doc argmax window
+    over matches."""
+    from airflow_subscription_etl_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    train, ev = contamination_frames
+    plan = (
+        semantic_contamination(train, ev, 0.5, n_planes=4, bands=2, dims=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_partitioning_invariant(spark, contamination_frames):
+    from airflow_subscription_etl_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    train, ev = contamination_frames
+    a = sorted(
+        tuple(r)
+        for r in semantic_contamination(
+            train.coalesce(1), ev, 0.5, n_planes=4, bands=2, dims=4
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in semantic_contamination(
+            train.repartition(5), ev, 0.5, n_planes=4, bands=2, dims=4
+        ).collect()
+    )
+    assert a == b
+
+
 def test_rank_rejects_bad_inputs(spark):
     from airflow_subscription_etl_spark.operators.scale import (
         grouped_exact_rank,
