@@ -276,6 +276,30 @@ def token_budget_mix(
     budgets = {
         s: (budget_tokens * bp) // 10_000 for s, bp in shares_bp.items()
     }
+    return budget_cut(
+        df, budgets, source_col, id_col, text_col, num_buckets
+    )
+
+
+def budget_cut(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = BUCKETS,
+) -> DataFrame:
+    """The assembler's cut by ABSOLUTE per-source token budgets — the
+    layer under :func:`token_budget_mix` (which derives budgets from
+    shares), exposed so callers holding their own budget arithmetic
+    (e.g. the streaming admission controller's REMAINING budgets) run
+    the identical two-level histogram cut. Same contract: strict-prefix
+    < budget in (bucket, md5(text), id) order; NULL id/source/text
+    excluded; sources absent from ``budgets`` dropped."""
+    from .text import tokens  # noqa: PLC0415
+
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError(f"budgets must be >= 0: {budgets}")
     spark = df.sparkSession
     bdg = spark.createDataFrame(
         sorted(budgets.items()), f"{source_col} string, _budget bigint"
