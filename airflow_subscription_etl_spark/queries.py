@@ -9211,79 +9211,78 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Round-8 verification priority — GENERATED by tools/retier.py at
-#: round end (diff base: the r7 round commit). Tier 0: the THIRTEEN
-#: r8 registrations (RP index/KNN-join/recall report, islands window,
-#: BPE merges, BPE encode + saved-vocab twin, stride schedule, DSIR
-#: sample, NB confusion + saved-model twin, MMR rerank, source
-#: keyness). Tier 1: every registry
-#: query transitively consuming a symbol this round's diff touched.
-#: Tier 2 drains the stale tail oldest-first: ALL 20 r3-latest rows
-#: fit; the tier-0/1 slots displace the YOUNGEST r4 rows
-#: (registry-latest order), which lead r9's fill — each displaced row
-#: was independently re-checked green at sf0.01 at round end
-#: (SCALE.md). Steady-state age bound is ceil(196/50) = 4 rounds
-#: (tools/retier.py, reconciled r8).
+#: Round-9 verification priority — GENERATED by tools/retier.py at
+#: round end (diff base: the r8 round commit ee21585). Tier 0: the
+#: FOUR r9 registrations (drift-monitor batch face, token-budget
+#: assembler, grouped-rank quality tiers, embedding contamination).
+#: Tier 1: every registry query transitively consuming a symbol this
+#: round's diff touched (the DSIR Gumbel fix, the MMR cap/NULL-id
+#: filter, the NB NULL-text coalesce, the BPE local twin's shared
+#: docstring edit, the budget_cut extraction). Tier 2 drains the
+#: stale tail oldest-first: ALL 18 r4-latest rows plus the 21 oldest
+#: r5 rows fit; the 11 tier-0/1 slots displace the YOUNGEST r5 rows,
+#: each independently re-checked green at sf0.01 at round end
+#: (SCALE.md). Steady-state age bound is ceil(200/50) = 4 rounds.
 #: Regenerate: python tools/retier.py
-_PRIORITY_R8 = [
+_PRIORITY_R9 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
+    "source_drift_llr",
+    "doc_token_budget_mix",
+    "doc_quality_tiers",
+    "emb_contamination",
+    # tier 1 — implementation diff-reachable this round
     "emb_mmr_rerank",
     "vocab_bpe_merges",
-    "doc_shard_schedule",
     "doc_bpe_encode",
     "doc_bpe_indexed",
-    "source_keyness",
     "doc_dsir_sample",
-    "doc_nb_confusion",
     "doc_nb_indexed",
-    "emb_rp_indexed",
-    "doc_islands_window",
     "emb_rp_knn_join",
-    "emb_rp_recall",
-    # tier 1 — implementation diff-reachable this round
-    "emb_kmeans",
-    "emb_kmeans_pandas",
-    "emb_semantic_dedup",
-    "emb_topk_cosine_pandas",
-    "doc_feature_hashing",
-    "emb_ivf_portable",
-    "cogroup_reconcile",
-    "source_length_stats",
-    "emb_rp_topk",
     # tier 2 — oldest-green driver rows, round-robin back-fill
-    "doc_cms_heavy_hitters",  # last row r3
-    "incremental_order_stats",  # last row r3
-    "bloom_pruned_join",  # last row r3
-    "ev_multi_touch",  # last row r3
-    "cdc_orders_diff",  # last row r3
-    "graph_triangles",  # last row r3
-    "doc_char_entropy",  # last row r3
-    "ev_mad_outliers",  # last row r3
-    "price_histogram",  # last row r3
-    "ev_variant_props",  # last row r3
-    "doc_term_vectors",  # last row r3
-    "zorder_key",  # last row r3
-    "sql_recursive_months",  # last row r3
-    "sql_pipe_returns",  # last row r3
-    "collated_distinct_words",  # last row r3
-    "doc_tfidf_topk",  # last row r3
-    "part_fuzzy_pairs",  # last row r3
-    "window_suite",  # last row r3
-    "emb_matryoshka_topk",  # last row r3
-    "doc_cc_islands",  # last row r4
-    "mm_resize",  # last row r4
-    "pareto_customers",  # last row r4
-    "emb_pq_topk",  # last row r4
-    "doc_length_batches",  # last row r4
-    "compaction_plan",  # last row r4
-    "doc_collapse_runs",  # last row r4
-    "orders_merge_upsert",  # last row r4
-    "doc_exact_split",  # last row r4
+    "ev_rollup_pyramid",  # last row r4
+    "orders_profile",  # last row r4
+    "ivm_join_delta",  # last row r4
+    "vocab_zipf_fit",  # last row r4
+    "doc_mixture_sample",  # last row r4
+    "doc_pmi_collocations",  # last row r4
+    "ev_session_transitions",  # last row r4
+    "emb_dim_stats",  # last row r4
+    "ev_attribution_left",  # last row r4
+    "dq_expectations",  # last row r4
+    "source_vocab_overlap",  # last row r4
+    "doc_weighted_reservoir",  # last row r4
+    "mm_arrow_bytes",  # last row r4
+    "price_histogram_equidepth",  # last row r4
+    "basket_type_lift",  # last row r4
+    "supplier_nation_share",  # last row r4
+    "grouping_sets_revenue",  # last row r4
+    "ansi_try_math",  # last row r4
+    "ev_tumbling_counts",  # last row r5
+    "ev_sliding_counts",  # last row r5
+    "ev_sessionize",  # last row r5
+    "ev_json_props",  # last row r5
+    "ev_user_totals",  # last row r5
+    "q1_pricing_summary",  # last row r5
+    "emb_centroids",  # last row r5
+    "approx_distinct_parts",  # last row r5
+    "q2_min_cost_supplier",  # last row r5
+    "q4_order_priority",  # last row r5
+    "q7_volume_shipping",  # last row r5
+    "q8_market_share",  # last row r5
+    "q9_product_profit",  # last row r5
+    "q12_late_lines",  # last row r5
+    "q13_customer_distribution",  # last row r5
+    "q15_top_supplier",  # last row r5
+    "q16_supplier_variety",  # last row r5
+    "q17_small_quantity",  # last row r5
+    "q19_disjunctive_revenue",  # last row r5
+    "q20_part_share_suppliers",  # last row r5
+    "q21_waiting_supplier",  # last row r5
 ]
 
 
 def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: REGISTRY[name] for name in _PRIORITY_R8 if name in REGISTRY}
+    out = {name: REGISTRY[name] for name in _PRIORITY_R9 if name in REGISTRY}
     out.update({name: v for name, v in REGISTRY.items() if name not in out})
     return out
 

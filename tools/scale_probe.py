@@ -68,6 +68,17 @@ NEEDS = {
     # keyness replicates per-source token mass (clones multiply counts,
     # not the pair graph) — the G² plan is the thing under test
     "source_keyness": ["documents"],
+    # r9 — linear-scan ops (no pair generation): the budget cut's
+    # histogram/agg shuffles scale with tokens (absolute budgets just
+    # fill earlier in the content order — the boundary-window cost is
+    # the thing under test), the rank's histogram + fine windows with
+    # rows, drift's bag counts with tokens. emb_contamination is a
+    # pair generator over replicated content (verbatim vector clones
+    # share every bucket) and is deliberately NOT probed this way —
+    # the NEEDS policy above.
+    "doc_token_budget_mix": ["documents"],
+    "doc_quality_tiers": ["documents"],
+    "source_drift_llr": ["documents"],
 }
 
 
