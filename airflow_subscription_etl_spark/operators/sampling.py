@@ -82,6 +82,54 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def cluster_aware_split(
+    df: DataFrame,
+    components: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, int] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """NEAR-DUP-cluster-aware train/val/test split — the leakage guard
+    :func:`hash_split` cannot give: hash_split keys on text, so EXACT
+    duplicates co-split, but near-duplicates (paraphrases, boilerplate
+    variants, the pairs MinHash/exact-Jaccard dedup finds) can still
+    straddle train and eval, leaking eval content into training. Here
+    every member of a near-dup cluster inherits the split decision of
+    its CANONICAL member (min id — the connected_components label), so
+    a cluster lands wholly in one split by construction.
+
+    ``components`` is the (node, component) frame from
+    ``graph.connected_components`` over any pair generator
+    (exact_jaccard_pairs, minhash_pairs, all_pairs_ann). Docs absent
+    from it are singletons (their own canonical). The split decision
+    hashes the canonical member's TEXT (hash_split semantics, same
+    ``weights`` contract) — content-derived, so singleton assignment
+    is re-ingestion-stable; a multi-doc cluster's assignment is as
+    stable as its min-id member, the standard CC-canonical trade.
+
+    Scale: two ordinary key-equi shuffles (membership join, canonical
+    text fetch) — no windows, no driver state. Returns ``df`` plus
+    ``cluster_id`` and ``split_col``."""
+    membership = df.join(
+        components.select(
+            F.col("node").alias(key_col), F.col("component").alias("_comp")
+        ),
+        key_col,
+        "left",
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("_comp"), F.col(key_col))
+    ).drop("_comp")
+    canon = df.select(
+        F.col(key_col).alias("cluster_id"),
+        F.col(text_col).alias("_canon_text"),
+    )
+    joined = membership.join(canon, "cluster_id")
+    return hash_split(joined, "_canon_text", weights, split_col).drop(
+        "_canon_text"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key: Column | str,

@@ -2697,6 +2697,78 @@ FROM comp GROUP BY 1
 """
 
 
+def q_doc_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/val/test split
+    (sampling.py::cluster_aware_split): the exact-Jaccard near-dup
+    components choose ONE split per cluster (hash of the canonical
+    member's text, hash_split semantics), so paraphrase pairs can
+    never straddle train and eval — the guard plain text-hash splits
+    don't give. The oracle replays the pair graph, the recursive-CTE
+    connected components, the canonical-text hash, and the 90/5/5
+    threshold chain."""
+    from .operators.dedup import exact_jaccard_pairs  # noqa: PLC0415
+    from .operators.graph import connected_components  # noqa: PLC0415
+    from .operators.sampling import cluster_aware_split  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, threshold=0.4)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        cluster_aware_split(docs, comp)
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_CLUSTER_SPLIT = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 2)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS sh
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS w
+    FROM documents
+  )
+), ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.4
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach(node, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.node
+), comp AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+), m AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), b AS (
+  SELECT m.doc_id, m.cluster_id,
+         CAST(('0x' || substring(md5(canon.text), 1, 15)) AS BIGINT) % 10000
+           AS bkt
+  FROM m JOIN documents canon ON canon.doc_id = m.cluster_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bkt < 9000 THEN 'train'
+            WHEN bkt < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 def q_doc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked survivor selection (dedup.py::survivor_selection):
     the near-dup components from the exact-Jaccard graph choose their
@@ -9208,21 +9280,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_token_budget_mix": (q_doc_token_budget_mix, SQL_DOC_TOKEN_BUDGET_MIX),
     "doc_quality_tiers": (q_doc_quality_tiers, SQL_DOC_QUALITY_TIERS),
     "emb_contamination": (q_emb_contamination, SQL_EMB_CONTAMINATION),
+    "doc_cluster_split": (q_doc_cluster_split, SQL_DOC_CLUSTER_SPLIT),
 }
 
 
 #: Round-9 verification priority — GENERATED by tools/retier.py at
 #: round end (diff base: the r8 round commit ee21585). Tier 0: the
-#: FOUR r9 registrations (drift-monitor batch face, token-budget
-#: assembler, grouped-rank quality tiers, embedding contamination).
-#: Tier 1: every registry query transitively consuming a symbol this
-#: round's diff touched (the DSIR Gumbel fix, the MMR cap/NULL-id
-#: filter, the NB NULL-text coalesce, the BPE local twin's shared
-#: docstring edit, the budget_cut extraction). Tier 2 drains the
-#: stale tail oldest-first: ALL 18 r4-latest rows plus the 21 oldest
-#: r5 rows fit; the 11 tier-0/1 slots displace the YOUNGEST r5 rows,
-#: each independently re-checked green at sf0.01 at round end
-#: (SCALE.md). Steady-state age bound is ceil(200/50) = 4 rounds.
+#: FIVE r9 registrations (drift-monitor batch face, token-budget
+#: assembler, grouped-rank quality tiers, embedding contamination,
+#: cluster-aware split). Tier 1: every registry query transitively
+#: consuming a symbol this round's diff touched (the DSIR Gumbel fix,
+#: the MMR cap/NULL-id filter, the NB NULL-text coalesce, the BPE
+#: local twin's shared docstring edit, the budget_cut extraction).
+#: Tier 2 drains the stale tail oldest-first: ALL 18 r4-latest rows
+#: plus the oldest r5 rows fit; the tier-0/1 slots displace the
+#: YOUNGEST r5 rows, each independently re-checked green at sf0.01 at
+#: round end (SCALE.md) — and the round-end WHOLE-registry sweeps
+#: (sf0.01, sf0.1, SHUFFLE=7) re-covered every query regardless.
+#: Steady-state age bound is ceil(201/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R9 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
@@ -9230,6 +9305,7 @@ _PRIORITY_R9 = [
     "doc_token_budget_mix",
     "doc_quality_tiers",
     "emb_contamination",
+    "doc_cluster_split",
     # tier 1 — implementation diff-reachable this round
     "emb_mmr_rerank",
     "vocab_bpe_merges",
@@ -9277,7 +9353,6 @@ _PRIORITY_R9 = [
     "q17_small_quantity",  # last row r5
     "q19_disjunctive_revenue",  # last row r5
     "q20_part_share_suppliers",  # last row r5
-    "q21_waiting_supplier",  # last row r5
 ]
 
 

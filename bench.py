@@ -194,6 +194,10 @@ HEADLINE = [
     # map-only cost class over train (banded broadcast eval side +
     # per-train argmax window over candidate matches only).
     "emb_contamination",
+    # doc_cluster_split stays correctness-gated but OUT of the
+    # headline: its plan embeds the exact-Jaccard pair graph +
+    # iterative CC (the cost class that keeps doc_near_dup_clusters /
+    # doc_keep_best out) plus two ordinary key joins.
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

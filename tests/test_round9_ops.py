@@ -278,6 +278,67 @@ def test_rank_partitioning_invariant(spark):
     assert a == b
 
 
+# --- cluster-aware split (near-dup leakage guard) ---
+
+
+def test_cluster_split_never_straddles_a_cluster(spark):
+    """THE property this operator exists for: every member of a
+    near-dup cluster lands in the same split, even when their own
+    text hashes would disagree."""
+    from airflow_subscription_etl_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+    from airflow_subscription_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from airflow_subscription_etl_spark.operators.sampling import (
+        cluster_aware_split,
+        hash_split,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, base + f" tail{i}") for i in range(12)]  # near-dup family
+    rows += [(100 + i, f"unrelated u{i} v{i} w{i} x{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = exact_jaccard_pairs(docs, threshold=0.4)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    out = cluster_aware_split(docs, comp).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
+    # the family really is one cluster, and its own-text hash splits
+    # WOULD have straddled (otherwise the test proves nothing)
+    fam = [r for r in out if r.doc_id < 100]
+    assert len({r.cluster_id for r in fam}) == 1
+    naive = {
+        r.split
+        for r in hash_split(docs.filter(F.col("doc_id") < 100), "text").collect()
+    }
+    if len(naive) > 1:  # expected with 12 distinct texts
+        assert len({r.split for r in fam}) == 1
+
+
+def test_cluster_split_singletons_degrade_to_hash_split(spark):
+    """With an empty pair graph every doc is its own canonical, so the
+    assignment must equal plain hash_split on the doc's own text."""
+    from airflow_subscription_etl_spark.operators.sampling import (
+        cluster_aware_split,
+        hash_split,
+    )
+
+    rows = [(i, f"solo text number {i} quite distinct {i * 7}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    empty = spark.createDataFrame([], "node bigint, component bigint")
+    got = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in cluster_aware_split(docs, empty).collect()
+    }
+    want = {r.doc_id: r.split for r in hash_split(docs, "text").collect()}
+    assert {i: s for i, (c, s) in got.items()} == want
+    assert all(c == i for i, (c, _) in got.items())
+
+
 # --- semantic contamination (two-frame embedding decontamination) ---
 
 
