@@ -241,6 +241,41 @@ def main() -> None:
         f"| hard_negative_mining (index SIZED to corpus: 3×11-bit at 8×) "
         f"| {h1:.2f}s | {h8_sized:.2f}s | {h8_sized / h1:.1f}x |"
     )
+
+    # --- semantic_contamination (r9) -----------------------------------------
+    # eval = every 20th BASE vector; train = everything else incl. the
+    # planted copies of eval items (ids ≥ OFF), so true-contamination
+    # density is HELD: 2 planted copies per eval item at both scales.
+    # Same banded machinery as hard negatives → same fixed-vs-sized
+    # index story; the eval side broadcasts at both scales.
+    from airflow_subscription_etl_spark.operators.similarity import (  # noqa: PLC0415
+        semantic_contamination,
+    )
+
+    def _split(m):
+        ev = m.filter((F.col("vec_id") < OFF) & (F.col("vec_id") % 20 == 0))
+        tr = m.filter((F.col("vec_id") >= OFF) | (F.col("vec_id") % 20 != 0))
+        return tr.drop("label"), ev.drop("label")
+
+    tr1, ev1 = _split(m1)
+    tr8, ev8 = _split(m8)
+    n_hits1 = semantic_contamination(tr1, ev1, 0.9, n_planes=24, bands=3).count()
+    n_hits8 = semantic_contamination(tr8, ev8, 0.9, n_planes=24, bands=3).count()
+    print(
+        f"# contamination hits {n_hits1} vs {n_hits8} "
+        f"(planted 2 copies per eval item — density held)"
+    )
+    s1 = timed(lambda: semantic_contamination(tr1, ev1, 0.9, n_planes=24, bands=3))
+    s8_fixed = timed(lambda: semantic_contamination(tr8, ev8, 0.9, n_planes=24, bands=3))
+    s8_sized = timed(lambda: semantic_contamination(tr8, ev8, 0.9, n_planes=33, bands=3))
+    rows.append(
+        f"| semantic_contamination (fixed 3×8-bit index) "
+        f"| {s1:.2f}s | {s8_fixed:.2f}s | {s8_fixed / s1:.1f}x |"
+    )
+    rows.append(
+        f"| semantic_contamination (index SIZED to corpus: 3×11-bit at 8×) "
+        f"| {s1:.2f}s | {s8_sized:.2f}s | {s8_sized / s1:.1f}x |"
+    )
     for frame in (m1, m8):
         frame.unpersist()
     spark.catalog.clearCache()
