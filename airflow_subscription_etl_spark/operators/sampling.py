@@ -108,21 +108,43 @@ def cluster_aware_split(
     is re-ingestion-stable; a multi-doc cluster's assignment is as
     stable as its min-id member, the standard CC-canonical trade.
 
+    The canonical text is taken from the min-id member PRESENT in
+    ``df`` (a per-cluster min-struct agg, not a join back on the CC
+    label), so a components frame computed on a SUPERSET corpus — the
+    common case after quality filtering removed some members,
+    including possibly the old min-id canonical — still assigns every
+    surviving row a split, and a cluster still never straddles. Rows
+    with NULL ``key_col`` or NULL ``text_col`` are EXCLUDED
+    (contract, the sibling-operator discipline).
+
     Scale: two ordinary key-equi shuffles (membership join, canonical
-    text fetch) — no windows, no driver state. Returns ``df`` plus
-    ``cluster_id`` and ``split_col``."""
-    membership = df.join(
-        components.select(
-            F.col("node").alias(key_col), F.col("component").alias("_comp")
-        ),
-        key_col,
-        "left",
-    ).withColumn(
-        "cluster_id", F.coalesce(F.col("_comp"), F.col(key_col))
-    ).drop("_comp")
-    canon = df.select(
-        F.col(key_col).alias("cluster_id"),
-        F.col(text_col).alias("_canon_text"),
+    min-agg + fetch-back) — no windows, no driver state. Returns
+    ``df``'s rows plus ``cluster_id`` and ``split_col``."""
+    membership = (
+        df.filter(
+            F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .join(
+            components.select(
+                F.col("node").alias(key_col),
+                F.col("component").alias("_comp"),
+            ),
+            key_col,
+            "left",
+        )
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("_comp"), F.col(key_col))
+        )
+        .drop("_comp")
+    )
+    # canonical = the min-id member PRESENT among df's rows of the
+    # cluster — min over (key, text) structs, so the text rides along
+    canon = membership.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                F.col(key_col).alias("k"), F.col(text_col).alias("t")
+            )
+        )["t"].alias("_canon_text")
     )
     joined = membership.join(canon, "cluster_id")
     return hash_split(joined, "_canon_text", weights, split_col).drop(
@@ -310,17 +332,23 @@ def token_budget_mix(
 
     Rows with NULL id/source/text are EXCLUDED (contract, mirrored in
     oracles); sources absent from ``shares_bp`` are dropped. Budgets
-    are exact integers: floor(budget_tokens·bp/10000) per source.
+    are exact integers: floor(budget_tokens·bp/10000) per source;
+    shares must sum to ≤ 10000 (they are fractions of ONE budget —
+    the hash_split weights discipline; under-allocation is legal,
+    over-allocation would silently assemble more than budget_tokens).
     Returns (id_col, source_col, n_tokens) of the selected documents.
     """
-    from .text import tokens  # noqa: PLC0415
-
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
     if not shares_bp:
         raise ValueError("shares_bp must name at least one source")
     if any(bp < 0 for bp in shares_bp.values()):
         raise ValueError(f"shares_bp values must be >= 0: {shares_bp}")
+    if sum(shares_bp.values()) > 10_000:
+        raise ValueError(
+            f"shares_bp must sum to <= 10000 (fractions of one budget), "
+            f"got {sum(shares_bp.values())}: {shares_bp}"
+        )
     budgets = {
         s: (budget_tokens * bp) // 10_000 for s, bp in shares_bp.items()
     }

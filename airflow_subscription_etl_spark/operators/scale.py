@@ -376,16 +376,30 @@ def grouped_exact_rank(
         F.max("_s").alias("_hi"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    # integer bin width (hi - lo) div nbins + 1: never 0, bins <= nbins,
-    # no multiplication — overflow-free for ANY bigint score range
-    # (`div` is Spark's integral floor division; `//` in DuckDB)
-    binned = (
-        d.join(F.broadcast(gstat), group_col)
-        .withColumn(
-            "_w", F.expr(f"(_hi - _lo) div {nbins} + 1").cast("bigint")
+    # Overflow-free monotone binning for ANY bigint score range: the
+    # naive `(_hi - _lo)` subtraction overflows when a group spans
+    # more than 2^63 (e.g. scores -2^62 and 2^62 — legal LongType
+    # inputs), so divide FIRST: _w = hi div nbins − lo div nbins + 1
+    # (each operand ≤ 2^63/nbins, difference safe for nbins ≥ 2) and
+    # _bin = s div _w − lo div _w (same trick). Spark's `div`
+    # truncates toward zero, which is still monotone non-decreasing
+    # in s for _w > 0 — the ONLY properties the rank composition
+    # needs are bin monotone in score, equal scores → equal bin, and
+    # ~nbins bins for the perf claim; exact bin boundaries are
+    # internal. nbins=1 degenerates to a single bin outright (its _w
+    # would re-introduce the subtraction).
+    binned = d.join(F.broadcast(gstat), group_col)
+    if nbins == 1:
+        binned = binned.withColumn("_bin", F.lit(0).cast("bigint"))
+    else:
+        binned = binned.withColumn(
+            "_w",
+            F.expr(f"(_hi div {nbins}) - (_lo div {nbins}) + 1").cast(
+                "bigint"
+            ),
+        ).withColumn(
+            "_bin", F.expr("(_s div _w) - (_lo div _w)").cast("bigint")
         )
-        .withColumn("_bin", F.expr("(_s - _lo) div _w").cast("bigint"))
-    )
     hist = binned.groupBy(group_col, "_bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("_bc")
     )

@@ -681,11 +681,37 @@ def semantic_contamination(
     is a bare dot product against precomputed norms. Returns one row
     per CONTAMINATED train doc: ``(train_id, eval_id, cosine_sim)`` —
     its best-matching eval item (sim desc, eval id asc tiebreak).
+
+    Validity contract (engine-uniform, the mmr_rerank discipline):
+    rows on EITHER side whose id is NULL, or whose vector is NULL,
+    ragged vs ``dims``, contains NULL/NaN/±Inf, or is all-zero are
+    EXCLUDED up front — a zero-norm vector's cosine is NaN, and under
+    Spark's NaN-is-greatest ordering a NaN would both pass the
+    threshold and WIN the argmax, flagging an arbitrary doc in the
+    output that gates training-data removal. The oracle mirrors the
+    same WHERE clause so engines diverge nowhere.
     """
-    t_normed = train.select(
+
+    def _valid(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col)
+        bad_elem = F.exists(
+            v,
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
+        return df.filter(
+            F.col(id_col).isNotNull()
+            & v.isNotNull()
+            & (F.size(v) == F.lit(dims))
+            & ~bad_elem
+            & F.exists(v, lambda x: x.cast("double") != F.lit(0.0))
+        )
+
+    t_normed = _valid(train).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_norm")
     )
-    e_normed = eval_set.select(
+    e_normed = _valid(eval_set).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_norm")
     )
     tb = _banded(

@@ -9040,6 +9040,14 @@ sigs AS (
               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm,
          {sig_expr} AS sig
   FROM embeddings e, pl
+  WHERE e.vec_id IS NOT NULL
+    AND e.embedding IS NOT NULL
+    AND len(e.embedding) = {dims}
+    AND NOT COALESCE(list_bool_or(list_transform(e.embedding,
+          x -> x IS NULL OR isnan(x::DOUBLE)
+               OR abs(x::DOUBLE) = 'infinity'::DOUBLE)), FALSE)
+    AND COALESCE(list_bool_or(list_transform(e.embedding,
+          x -> x::DOUBLE <> 0.0)), FALSE)
 ),
 bb AS (
   SELECT vec_id, embedding, nrm, band,

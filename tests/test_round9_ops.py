@@ -148,6 +148,10 @@ def test_mix_rejects_bad_params(spark):
         token_budget_mix(df, {}, 100)
     with pytest.raises(ValueError, match=">= 0"):
         token_budget_mix(df, {"src0": -5}, 100)
+    # shares are fractions of ONE budget: over-allocation must refuse
+    # loudly, not silently assemble 1.6 budgets (hash_split discipline)
+    with pytest.raises(ValueError, match="sum to <= 10000"):
+        token_budget_mix(df, {"src0": 8000, "src1": 8000}, 100)
 
 
 # --- grouped exact rank / CCNet tiers ---
@@ -258,6 +262,29 @@ def test_rank_ccnet_tiers_and_null_contract(spark):
     assert by_tier == {"head", "middle", "tail"}
 
 
+def test_rank_extreme_score_range_does_not_overflow(spark):
+    """A group spanning more than 2^63 (scores ±2^62) must rank
+    correctly — the divide-first bin width avoids the (hi − lo)
+    subtraction that would overflow bigint (abort under ANSI)."""
+    from airflow_subscription_etl_spark.operators.scale import (
+        grouped_exact_rank,
+    )
+
+    rows = [
+        (1, "g", -(2**62)),
+        (2, "g", 2**62),
+        (3, "g", 0),
+        (4, "g", -(2**62)),  # duplicate extreme → id tiebreak
+    ]
+    got = sorted(
+        (r.doc_id, r.rank)
+        for r in grouped_exact_rank(
+            _rdf(spark, rows), "grp", "score", "doc_id"
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 4), (3, 3), (4, 2)]
+
+
 def test_rank_partitioning_invariant(spark):
     from airflow_subscription_etl_spark.operators.scale import (
         grouped_exact_rank,
@@ -337,6 +364,41 @@ def test_cluster_split_singletons_degrade_to_hash_split(spark):
     want = {r.doc_id: r.split for r in hash_split(docs, "text").collect()}
     assert {i: s for i, (c, s) in got.items()} == want
     assert all(c == i for i, (c, _) in got.items())
+
+
+def test_cluster_split_survives_superset_components(spark):
+    """components computed BEFORE a quality filter removed the min-id
+    canonical member: every surviving member must still get a split
+    (no silent inner-join drop) and the cluster still never straddles
+    — the canonical text comes from the min-id member PRESENT in df."""
+    from airflow_subscription_etl_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+    from airflow_subscription_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from airflow_subscription_etl_spark.operators.sampling import (
+        cluster_aware_split,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, base + f" tail{i}") for i in range(6)]
+    full = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = exact_jaccard_pairs(full, threshold=0.4)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    # the CC label is min id = 0; drop doc 0 from the corpus
+    filtered = full.filter(F.col("doc_id") != 0)
+    out = cluster_aware_split(filtered, comp).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3, 4, 5}  # nobody dropped
+    assert len({r.split for r in out}) == 1  # still co-split
+    # NULL-key/text rows excluded by contract, not crashed on
+    dirty = filtered.unionByName(
+        spark.createDataFrame(
+            [(None, "x y z"), (99, None)], "doc_id bigint, text string"
+        )
+    )
+    out2 = cluster_aware_split(dirty, comp).collect()
+    assert {r.doc_id for r in out2} == {1, 2, 3, 4, 5}
 
 
 # --- semantic contamination (two-frame embedding decontamination) ---
@@ -422,6 +484,44 @@ def test_contamination_is_map_only_over_train(spark, contamination_frames):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_excludes_dirty_rows(spark, contamination_frames):
+    """Zero-norm / NaN / ragged / NULL-id rows must be EXCLUDED, not
+    flagged: a zero vector's NaN cosine would otherwise pass the
+    threshold AND win the argmax under Spark's NaN-is-greatest
+    ordering — poison for an operator that gates data removal."""
+    from airflow_subscription_etl_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    train, ev = contamination_frames
+    dirty = train.unionByName(
+        spark.createDataFrame(
+            [
+                (50, [0.0, 0.0, 0.0, 0.0]),  # zero norm → NaN cosine
+                (51, [float("nan"), 1.0, 0.0, 0.0]),
+                (52, [1.0, 0.0]),  # ragged
+                (53, None),
+                (None, [1.0, 0.0, 0.0, 0.0]),  # NULL id
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in semantic_contamination(
+            dirty, ev, 0.9, n_planes=4, bands=2, dims=4
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in semantic_contamination(
+            train, ev, 0.9, n_planes=4, bands=2, dims=4
+        ).collect()
+    )
+    assert got == want
+    assert all(r[0] not in (50, 51, 52, 53, None) for r in got)
 
 
 def test_contamination_partitioning_invariant(spark, contamination_frames):

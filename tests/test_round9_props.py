@@ -60,8 +60,9 @@ def _ref_mix(rows, budgets, buckets=10_000):
 @given(
     corpus=_corpus,
     budget=st.integers(0, 120),
+    # shares are fractions of one budget: sum must stay <= 10000
     shares=st.tuples(
-        st.integers(0, 5000), st.integers(0, 5000), st.integers(0, 5000)
+        st.integers(0, 3333), st.integers(0, 3333), st.integers(0, 3333)
     ),
 )
 @_SETTINGS
