@@ -620,8 +620,12 @@ def exact_stratified_split(
     stratum-keyed window (count rides the same partition as the rank:
     a single shuffle); strata are assumed ≪ rows but each stratum's
     window parallelizes across... one task per stratum — fine while
-    strata counts are bounded (sources, languages); for an unbounded
-    strata column fall back to hash_split.
+    strata are MANY relative to rows-per-stratum; when a handful of
+    huge strata dominate, use
+    :func:`exact_stratified_split_scalable` (same exact-count
+    guarantee through the grouped_exact_rank value histogram — no
+    single-task stratum windows), or hash_split when exactness can be
+    traded away entirely.
     """
     if not 0.0 <= test_frac <= 1.0:
         raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
@@ -636,6 +640,63 @@ def exact_stratified_split(
         F.when(F.row_number().over(w) <= n_test, F.lit("test")).otherwise(
             F.lit("train")
         ),
+    )
+
+
+def exact_stratified_split_scalable(
+    df: DataFrame,
+    strata_col: str,
+    test_bp: int = 1000,
+    key_col: str = "doc_id",
+    split_col: str = "split",
+    nbins: int = 10_000,
+) -> DataFrame:
+    """The scale path :func:`exact_stratified_split`'s docstring
+    points away from: the SAME exact per-stratum holdout guarantee —
+    precisely ⌊n_s·test_bp/10000 + ½⌋ test rows per stratum — WITHOUT
+    the one-task-per-stratum window, by ranking through
+    :func:`..scale.grouped_exact_rank`'s two-level value histogram
+    (the token_budget_mix machinery: catalog-sized classification +
+    fine windows over ~1/nbins of each stratum).
+
+    Selection order inside a stratum is (hash60(key), key) — the
+    60-bit integer prefix of md5, content-derived like the original's
+    (md5, key) order, so the assignment survives repartitioning,
+    retries and re-ingestion and replays in any engine. (The two
+    operators draw DIFFERENT test sets for the same data — a 60-bit
+    hash prefix orders ties differently than the full hex string —
+    so this is a sibling, not a drop-in; both contracts are exact.)
+    ``test_bp`` is integer basis points so the cut replays exactly:
+    n_test = (n·test_bp + 5000) div 10000. Rows with NULL
+    key/strata are EXCLUDED (the grouped_exact_rank contract).
+
+    Returns (key_col, strata_col, rank, n, split_col) — join back on
+    ``key_col`` to carry other columns (one key-equi shuffle the
+    caller pays only if needed)."""
+    from .scale import grouped_exact_rank  # noqa: PLC0415
+    from .sketch import hash60  # noqa: PLC0415
+
+    if not 0 <= test_bp <= 10_000:
+        raise ValueError(f"test_bp must be in [0, 10000], got {test_bp}")
+    scored = df.select(
+        F.col(key_col),
+        F.col(strata_col),
+        hash60(F.col(key_col).cast("string")).alias("_score"),
+    )
+    ranked = grouped_exact_rank(
+        scored, strata_col, "_score", key_col, nbins=nbins
+    )
+    return ranked.select(
+        key_col,
+        strata_col,
+        "rank",
+        "n",
+        F.when(
+            F.col("rank") * 10_000 <= F.col("n") * test_bp + F.lit(5_000),
+            F.lit("test"),
+        )
+        .otherwise(F.lit("train"))
+        .alias(split_col),
     )
 
 

@@ -2769,6 +2769,45 @@ FROM b ORDER BY doc_id
 """
 
 
+def q_doc_stratified_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path exact stratified holdout
+    (sampling.py::exact_stratified_split_scalable): precisely
+    ⌊n_s·0.2 + ½⌋ test docs per source, ranked through the
+    grouped_exact_rank value histogram instead of a
+    one-task-per-stratum window — closing the caveat
+    exact_stratified_split documents. The oracle replays the
+    hash60 order, the direct per-source row_number, and the integer
+    half-up cut."""
+    from .operators.sampling import (  # noqa: PLC0415
+        exact_stratified_split_scalable,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_stratified_split_scalable(
+        docs, "source", test_bp=2000
+    ).orderBy("doc_id")
+
+
+SQL_DOC_STRATIFIED_SCALABLE = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS score
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+), r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY score, doc_id) AS BIGINT) AS rank,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM d
+)
+SELECT doc_id, source, rank, n,
+       CASE WHEN rank * 10000 <= n * 2000 + 5000
+            THEN 'test' ELSE 'train' END AS split
+FROM r ORDER BY doc_id
+"""
+
+
 def q_doc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked survivor selection (dedup.py::survivor_selection):
     the near-dup components from the exact-Jaccard graph choose their
@@ -9289,23 +9328,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_quality_tiers": (q_doc_quality_tiers, SQL_DOC_QUALITY_TIERS),
     "emb_contamination": (q_emb_contamination, SQL_EMB_CONTAMINATION),
     "doc_cluster_split": (q_doc_cluster_split, SQL_DOC_CLUSTER_SPLIT),
+    "doc_stratified_scalable": (
+        q_doc_stratified_scalable,
+        SQL_DOC_STRATIFIED_SCALABLE,
+    ),
 }
 
 
 #: Round-9 verification priority — GENERATED by tools/retier.py at
 #: round end (diff base: the r8 round commit ee21585). Tier 0: the
-#: FIVE r9 registrations (drift-monitor batch face, token-budget
+#: SIX r9 registrations (drift-monitor batch face, token-budget
 #: assembler, grouped-rank quality tiers, embedding contamination,
-#: cluster-aware split). Tier 1: every registry query transitively
-#: consuming a symbol this round's diff touched (the DSIR Gumbel fix,
-#: the MMR cap/NULL-id filter, the NB NULL-text coalesce, the BPE
-#: local twin's shared docstring edit, the budget_cut extraction).
-#: Tier 2 drains the stale tail oldest-first: ALL 18 r4-latest rows
-#: plus the oldest r5 rows fit; the tier-0/1 slots displace the
-#: YOUNGEST r5 rows, each independently re-checked green at sf0.01 at
-#: round end (SCALE.md) — and the round-end WHOLE-registry sweeps
-#: (sf0.01, sf0.1, SHUFFLE=7) re-covered every query regardless.
-#: Steady-state age bound is ceil(201/50) = 5 rounds.
+#: cluster-aware split, scalable stratified holdout). Tier 1: every
+#: registry query transitively consuming a symbol this round's diff
+#: touched (the DSIR Gumbel fix, the MMR cap/NULL-id filter, the NB
+#: NULL-text coalesce, the BPE local twin's shared docstring edit,
+#: the budget_cut extraction). Tier 2 drains the stale tail
+#: oldest-first: ALL 18 r4-latest rows plus the oldest r5 rows fit;
+#: the tier-0/1 slots displace the YOUNGEST r5 rows, each
+#: independently re-checked green at sf0.01 at round end (SCALE.md) —
+#: and the round-end WHOLE-registry sweeps (sf0.01, sf0.1, SHUFFLE=7)
+#: re-covered every query registered at sweep time regardless.
+#: Steady-state age bound is ceil(202/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R9 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
@@ -9314,8 +9358,10 @@ _PRIORITY_R9 = [
     "doc_quality_tiers",
     "emb_contamination",
     "doc_cluster_split",
+    "doc_stratified_scalable",
     # tier 1 — implementation diff-reachable this round
     "emb_mmr_rerank",
+    "doc_exact_split",
     "vocab_bpe_merges",
     "doc_bpe_encode",
     "doc_bpe_indexed",
@@ -9359,8 +9405,6 @@ _PRIORITY_R9 = [
     "q15_top_supplier",  # last row r5
     "q16_supplier_variety",  # last row r5
     "q17_small_quantity",  # last row r5
-    "q19_disjunctive_revenue",  # last row r5
-    "q20_part_share_suppliers",  # last row r5
 ]
 
 

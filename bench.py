@@ -198,6 +198,9 @@ HEADLINE = [
     # headline: its plan embeds the exact-Jaccard pair graph +
     # iterative CC (the cost class that keeps doc_near_dup_clusters /
     # doc_keep_best out) plus two ordinary key joins.
+    # doc_stratified_scalable likewise: its plan IS grouped_exact_rank
+    # over a hashed score (already timed as doc_quality_tiers) plus a
+    # literal CASE — a headline slot would double-time that cost class.
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —

@@ -366,6 +366,50 @@ def test_cluster_split_singletons_degrade_to_hash_split(spark):
     assert all(c == i for i, (c, _) in got.items())
 
 
+# --- scalable exact stratified split ---
+
+
+def test_stratified_scalable_exact_counts_and_model_parity(spark):
+    """The guarantee: exactly floor(n_s*bp/10000 + 0.5) test rows per
+    stratum, membership identical to the direct (hash60, key) rank
+    model — including odd strata sizes where half-up rounding bites."""
+    from airflow_subscription_etl_spark.operators.sampling import (
+        exact_stratified_split_scalable,
+    )
+
+    rows = (
+        [(i, "a") for i in range(17)]
+        + [(100 + i, "b") for i in range(3)]
+        + [(200, "c")]  # n=1: n_test = (2000+5000)//10000 = 0
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = exact_stratified_split_scalable(df, "source", test_bp=2000).collect()
+    got = {r.doc_id: (r.source, r.rank, r.n, r.split) for r in out}
+    assert len(got) == len(rows)
+
+    def h60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    for src, ids in (("a", range(17)), ("b", range(100, 103)), ("c", [200])):
+        ordered = sorted(ids, key=lambda i: (h60(i), i))
+        n = len(ordered)
+        n_test = (n * 2000 + 5000) // 10000
+        for rk, i in enumerate(ordered, 1):
+            want = "test" if rk <= n_test else "train"
+            assert got[i] == (src, rk, n, want), (i, got[i])
+        assert sum(1 for i in ids if got[i][3] == "test") == n_test
+
+
+def test_stratified_scalable_rejects_bad_bp(spark):
+    from airflow_subscription_etl_spark.operators.sampling import (
+        exact_stratified_split_scalable,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, source string")
+    with pytest.raises(ValueError, match="test_bp"):
+        exact_stratified_split_scalable(df, "source", test_bp=10_001)
+
+
 def test_cluster_split_survives_superset_components(spark):
     """components computed BEFORE a quality filter removed the min-id
     canonical member: every surviving member must still get a split
