@@ -299,6 +299,35 @@ def distributed_prefix_sum(
     )
 
 
+def _monotone_id_key(df: DataFrame, id_col: str):
+    """A bigint expression MONOTONE in the natural order of ``id_col``
+    (equal ids → equal key), or ``None`` for id types without one.
+    Integral ids map to themselves; strings map to their first 7
+    UTF-8 bytes zero-right-padded and read big-endian — monotone in
+    Spark's binary string collation, with prefix collisions merely
+    coarsening the sub-histogram (never reordering it). Used by the
+    dominant-bin fallback, whose sub-bins must respect the (score, id)
+    rank order — a HASH of the id would split ties but scramble their
+    order and change every rank the oracle pins."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    t = df.schema[id_col].dataType
+    if isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+        return F.col(id_col).cast("bigint")
+    if isinstance(t, StringType):
+        return F.expr(
+            f"cast(conv(hex(rpad(cast({id_col} as binary), 7, x'00')), "
+            "16, 10) as bigint)"
+        )
+    return None
+
+
 def grouped_exact_rank(
     df: DataFrame,
     group_col: str,
@@ -306,6 +335,8 @@ def grouped_exact_rank(
     id_col: str,
     nbins: int = 10_000,
     tiers_bp: tuple[int, int] | None = None,
+    dominant_bp: int = 500,
+    nsub: int = 256,
 ) -> DataFrame:
     """EXACT within-group rank by (score asc, id asc) WITHOUT a
     one-task-per-group window — the grouped sibling of
@@ -328,9 +359,23 @@ def grouped_exact_rank(
     ``score_col`` must be INTEGRAL (the repo-wide micro-quantization
     convention): bin arithmetic and rank are then exact in any engine.
     Ranks are 1-based, dense in each group, deterministic via the id
-    tiebreak. Degenerate score distributions (one dominant value)
-    collapse into one bin and degrade toward the naive window — the
-    same limit any value histogram has.
+    tiebreak.
+
+    **Dominant-bin fallback** (VERDICT r9): micro-quantized quality
+    scores invite MASS TIES — one score value holding a large share of
+    a group collapses into one histogram bin, and the fine window
+    would funnel that whole share through a single task. Any bin
+    holding > ``dominant_bp``/10000 of its group is therefore re-binned
+    a second level: within the bin, rows split by (exact score,
+    sub-bin of a MONOTONE id key — :func:`_monotone_id_key`) into
+    ≤ ``nsub`` sub-partitions per tie class, with a per-bin cumulative
+    offset restoring the global rank. The id key is monotone (never a
+    hash), so sub-bin order refines (score, id) order and every rank
+    is bit-identical to the single-partition form — the oracle pins
+    this. The sub-level shuffle touches ONLY dominant-bin rows (empty
+    in the common case). Ids of types with no monotone bigint key
+    (non-integral, non-string) skip the fallback and keep the
+    documented single-task degradation.
 
     ``tiers_bp = (head_bp, middle_bp)`` optionally adds the
     CCNet-style tier label (Wenzek et al. 2020 §4.3: per-language
@@ -356,6 +401,14 @@ def grouped_exact_rank(
         )
     if nbins <= 0:
         raise ValueError(f"nbins must be positive, got {nbins}")
+    if not 0 < dominant_bp <= 10_000:
+        raise ValueError(
+            f"dominant_bp must be in (0, 10000], got {dominant_bp}"
+        )
+    if nsub < 3:
+        # same divide-first overflow bound as nbins below: nsub <= 2
+        # could overflow the sub-width on full-range keys
+        raise ValueError(f"nsub must be >= 3, got {nsub}")
     if tiers_bp is not None:
         h, m = tiers_bp
         if h < 0 or m < 0 or h + m > 10_000:
@@ -380,43 +433,30 @@ def grouped_exact_rank(
     # naive `(_hi - _lo)` subtraction overflows when a group spans
     # more than 2^63 (e.g. scores -2^62 and 2^62 — legal LongType
     # inputs), so divide FIRST: _w = hi div nbins − lo div nbins + 1
-    # (each operand ≤ 2^63/nbins, difference safe for nbins ≥ 2) and
-    # _bin = s div _w − lo div _w (same trick). Spark's `div`
-    # truncates toward zero, which is still monotone non-decreasing
-    # in s for _w > 0 — the ONLY properties the rank composition
-    # needs are bin monotone in score, equal scores → equal bin, and
-    # ~nbins bins for the perf claim; exact bin boundaries are
-    # internal. nbins=1 degenerates to a single bin outright (its _w
-    # would re-introduce the subtraction).
-    binned = d.join(F.broadcast(gstat), group_col)
-    if nbins == 1:
-        binned = binned.withColumn("_bin", F.lit(0).cast("bigint"))
-    else:
-        binned = binned.withColumn(
-            "_w",
-            F.expr(f"(_hi div {nbins}) - (_lo div {nbins}) + 1").cast(
-                "bigint"
-            ),
-        ).withColumn(
-            "_bin", F.expr("(_s div _w) - (_lo div _w)").cast("bigint")
-        )
-    hist = binned.groupBy(group_col, "_bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_bc")
+    # (each operand ≤ 2^63/nbins, difference safe for nbins ≥ 3 —
+    # at nbins = 2 a full-range group gives 2^62−1 − (−2^62) + 1 =
+    # 2^63, one past bigint max, so nbins ≤ 2 routes through the
+    # single-bin branch: ADVICE r9) and _bin = s div _w − lo div _w
+    # (same trick). Spark's `div` truncates toward zero, which is
+    # still monotone non-decreasing in s for _w > 0 — the ONLY
+    # properties the rank composition needs are bin monotone in
+    # score, equal scores → equal bin, and ~nbins bins for the perf
+    # claim; exact bin boundaries are internal.
+    sub, cum2 = _grouped_rank_frames(
+        d, gstat, group_col, id_col, nbins, dominant_bp, nsub
     )
-    w_cum = (
-        Window.partitionBy(group_col)
-        .orderBy("_bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    w_fine = Window.partitionBy(group_col, "_bin", "_s2", "_sub").orderBy(
+        "_s", id_col
     )
-    cum = hist.withColumn(
-        "_before", F.coalesce(F.sum("_bc").over(w_cum), F.lit(0))
-    ).select(group_col, "_bin", "_before")
-    w_fine = Window.partitionBy(group_col, "_bin").orderBy("_s", id_col)
     out = (
-        binned.join(cum, [group_col, "_bin"])
+        sub.join(cum2, [group_col, "_bin", "_s2", "_sub"], "left")
         .withColumn(
             "rank",
-            (F.col("_before") + F.row_number().over(w_fine)).cast("bigint"),
+            (
+                F.col("_before")
+                + F.coalesce(F.col("_before2"), F.lit(0))
+                + F.row_number().over(w_fine)
+            ).cast("bigint"),
         )
         .select(
             id_col,
@@ -435,6 +475,105 @@ def grouped_exact_rank(
         .when(F.col("rank") * 10_000 <= F.col("n") * (h + m), F.lit("middle"))
         .otherwise(F.lit("tail")),
     )
+
+
+def _grouped_rank_frames(
+    d: DataFrame,
+    gstat: DataFrame,
+    group_col: str,
+    id_col: str,
+    nbins: int,
+    dominant_bp: int,
+    nsub: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The binning half of :func:`grouped_exact_rank`, exposed for the
+    property tests that pin the dominant-bin fallback's partitioning:
+    ``(sub, cum2)`` where ``sub`` carries every input row with its
+    (_bin, _s2, _sub) fine-window partition key and _before offset, and
+    ``cum2`` holds the per-(bin, score, sub-bin) cumulative offsets of
+    dominant-bin rows."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    kexpr = _monotone_id_key(d, id_col)
+    binned = d.join(F.broadcast(gstat), group_col).withColumn(
+        "_k", kexpr if kexpr is not None else F.lit(None).cast("bigint")
+    )
+    if nbins <= 2:
+        binned = binned.withColumn("_bin", F.lit(0).cast("bigint"))
+    else:
+        binned = binned.withColumn(
+            "_w",
+            F.expr(f"(_hi div {nbins}) - (_lo div {nbins}) + 1").cast(
+                "bigint"
+            ),
+        ).withColumn(
+            "_bin", F.expr("(_s div _w) - (_lo div _w)").cast("bigint")
+        )
+    # per-(group, bin) count + id-key range in ONE shuffle: the key
+    # range feeds the dominant-bin sub-histogram below
+    hist = binned.groupBy(group_col, "_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_bc"),
+        F.min("_k").alias("_klo"),
+        F.max("_k").alias("_khi"),
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dom_ok = F.lit(kexpr is not None)
+    cum = (
+        hist.join(F.broadcast(gstat.select(group_col, "n")), group_col)
+        .withColumn(
+            "_dom",
+            dom_ok & (F.col("_bc") * 10_000 > F.col("n") * F.lit(dominant_bp)),
+        )
+        .withColumn(
+            "_before", F.coalesce(F.sum("_bc").over(w_cum), F.lit(0))
+        )
+        .select(group_col, "_bin", "_before", "_dom", "_klo", "_khi")
+    )
+    # second-level split of dominant bins only: exact score × sub-bin
+    # of the monotone id key (divide-first again — nsub >= 3 keeps the
+    # width subtraction overflow-free on full-range keys). Every
+    # non-dominant row keeps the sentinel (0, 0) single partition.
+    sub = binned.join(cum, [group_col, "_bin"]).withColumn(
+        "_s2", F.when(F.col("_dom"), F.col("_s")).otherwise(F.lit(0))
+    )
+    sub = sub.withColumn(
+        "_sw",
+        F.expr(f"(_khi div {nsub}) - (_klo div {nsub}) + 1").cast("bigint"),
+    ).withColumn(
+        "_sub",
+        F.when(
+            F.col("_dom"),
+            F.expr("(_k div _sw) - (_klo div _sw)").cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    # cumulative offset of each (score, sub-bin) class inside its bin —
+    # shuffles ONLY dominant-bin rows (empty when no bin is dominant);
+    # the per-(group, bin) ordering window holds one row per present
+    # class: nsub per tie class in the mass-tie case this fallback
+    # exists for (an adversarial all-distinct dominant bin degrades to
+    # bin-sized NARROW class rows — documented limit)
+    cum2 = (
+        sub.filter(F.col("_dom"))
+        .groupBy(group_col, "_bin", "_s2", "_sub")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_bc2"))
+        .withColumn(
+            "_before2",
+            F.coalesce(
+                F.sum("_bc2").over(
+                    Window.partitionBy(group_col, "_bin")
+                    .orderBy("_s2", "_sub")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(group_col, "_bin", "_s2", "_sub", "_before2")
+    )
+    return sub, cum2
 
 
 def zorder_value(cols: list, bits: int = 16) -> "F.Column":

@@ -652,6 +652,18 @@ def hard_negative_mining(
     )
 
 
+#: Upper bound on semantic_contamination's BROADCAST eval side, in
+#: banded rows (bands × |valid eval|). Each banded row carries the
+#: full vector (dims floats + id + norm ≈ 0.4 KB at dims=64), so
+#: 500k rows ≈ 200 MB — near the practical executor-broadcast
+#: ceiling. The map-only-over-train plan is only correct for a
+#: catalog-sized benchmark; a larger eval frame must go through a
+#: shuffle-regime two-sided join instead of silently OOM-ing the
+#: driver (ADVICE r9 — the MMR_POOL_CAP / broadcast_limit
+#: discipline).
+CONTAMINATION_EVAL_CAP = 500_000
+
+
 def semantic_contamination(
     train: DataFrame,
     eval_set: DataFrame,
@@ -661,6 +673,7 @@ def semantic_contamination(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eval_broadcast_cap: int = CONTAMINATION_EVAL_CAP,
 ) -> DataFrame:
     """Embedding-side benchmark decontamination: flag TRAIN documents
     whose embedding is ≥ ``threshold`` cosine to ANY eval/benchmark
@@ -690,6 +703,14 @@ def semantic_contamination(
     threshold and WIN the argmax, flagging an arbitrary doc in the
     output that gates training-data removal. The oracle mirrors the
     same WHERE clause so engines diverge nowhere.
+
+    The eval-side broadcast is GUARDED (one cheap count of the valid
+    eval rows per call): ``bands × |valid eval|`` above
+    ``eval_broadcast_cap`` raises instead of handing the executors an
+    unbounded broadcast — see :data:`CONTAMINATION_EVAL_CAP`. An eval
+    frame past the cap isn't a benchmark anymore; dedup it, shrink it,
+    or run the two-sided shuffle regime (:func:`all_pairs_ann` on the
+    union) instead.
     """
 
     def _valid(df: DataFrame) -> DataFrame:
@@ -714,6 +735,17 @@ def semantic_contamination(
     e_normed = _valid(eval_set).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_norm")
     )
+    n_eval_banded = e_normed.count() * bands
+    if n_eval_banded > eval_broadcast_cap:
+        raise ValueError(
+            f"semantic_contamination: bands x |valid eval| = "
+            f"{n_eval_banded} exceeds eval_broadcast_cap="
+            f"{eval_broadcast_cap}: the map-only plan broadcasts the "
+            "banded eval side with full vectors, so an eval frame this "
+            "large is a silent executor/driver OOM request — dedup or "
+            "shrink the benchmark, or run the shuffle-regime pair join "
+            "(all_pairs_ann) instead"
+        )
     tb = _banded(
         t_normed, n_planes, bands, dims, vec_col, keep=[id_col, vec_col, "_norm"]
     ).select(

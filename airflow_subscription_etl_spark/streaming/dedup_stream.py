@@ -30,12 +30,11 @@ semantics here are exactly what those physical plans would run.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import incremental_minhash_pairs, portable_signatures
+from . import fsio
 from .sinks import read_snapshot, upsert_batch
 
 
@@ -64,7 +63,7 @@ def process_dedup_batch(
     the batch's signatures into the index. Exposed separately from the
     stream wiring so batch backfills can drive the same code path."""
     spark = batch.sparkSession
-    index = read_snapshot(spark, os.path.join(root, "index"))
+    index = read_snapshot(spark, f"{root}/index")
     corpus_sigs = (
         index.select(id_col, "minhash")
         if index is not None
@@ -89,11 +88,11 @@ def process_dedup_batch(
         )
         # overwrite (not append): a replayed batch rewrites its own dir
         pairs.write.mode("overwrite").parquet(
-            os.path.join(root, "pairs", f"batch_{batch_id}")
+            f"{root}/pairs/batch_{batch_id}"
         )
         upsert_batch(
             sigs.withColumn("_b", F.lit(batch_id)),
-            os.path.join(root, "index"),
+            f"{root}/index",
             keys=[id_col],
             order_col="_b",
             batch_id=batch_id,
@@ -116,7 +115,7 @@ def start_dedup_index_sink(
 ):
     """Wire a streaming doc source into the dedup index. Returns the
     StreamingQuery; callers own awaitTermination/stop."""
-    os.makedirs(root, exist_ok=True)
+    fsio.mkdirs(stream.sparkSession, root)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         process_dedup_batch(
@@ -143,10 +142,10 @@ def start_dedup_index_sink(
 
 def read_all_pairs(spark: SparkSession, root: str) -> DataFrame | None:
     """Union of every batch's emitted pairs (the dedup log)."""
-    base = os.path.join(root, "pairs")
-    if not os.path.exists(base):
-        return None
+    base = f"{root}/pairs"
     dirs = [
-        os.path.join(base, d) for d in os.listdir(base) if d.startswith("batch_")
+        f"{base}/{d}"
+        for d in fsio.list_names(spark, base)
+        if d.startswith("batch_")
     ]
     return spark.read.parquet(*dirs) if dirs else None

@@ -107,34 +107,35 @@ def refresh_drift_baseline(
     before the old copy is deleted — a crash at any step leaves a
     complete baseline on disk, and a stale ``_old``/``_refitting``
     from a crashed run is recovered or cleaned on the next call.
-    SINGLE-WRITER discipline: don't race two refreshes; concurrent
-    monitor READS between the two renames see a missing dir only in
-    the instant window the rename pair spans — schedule refreshes
-    between micro-batches (availableNow monitors) for strict safety.
+    All directory ops go through the Hadoop FileSystem API
+    (:mod:`.fsio`), so ``path`` may live on HDFS/object storage.
+    SINGLE-WRITER discipline: don't race two refreshes. A concurrent
+    monitor READ between the two renames no longer fails:
+    :func:`score_drift_frame` falls back to the complete previous
+    baseline sitting at ``<path>_old`` for exactly that window
+    (ADVICE r9) — scheduling refreshes between micro-batches is still
+    the tidy choice, just no longer a correctness requirement.
     On a path with no existing baseline this degrades to a plain
     :func:`write_drift_baseline`."""
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
+    from . import fsio  # noqa: PLC0415
 
+    spark = df.sparkSession
     old_dir = f"{path}_old"
     new_dir = f"{path}_refitting"
     # recovery from a prior crashed swap: between the two renames the
     # complete previous baseline sits in _old — restore it; after
     # both renames it is a leftover copy — drop it. A half-written
     # _refitting from a crashed fit is always safe to discard.
-    if not os.path.isdir(path) and os.path.isdir(old_dir):
-        shutil.move(old_dir, path)
-    if os.path.isdir(old_dir):
-        shutil.rmtree(old_dir)
-    if os.path.isdir(new_dir):
-        shutil.rmtree(new_dir)
+    if not fsio.is_dir(spark, path) and fsio.is_dir(spark, old_dir):
+        fsio.rename(spark, old_dir, path)
+    fsio.delete(spark, old_dir)
+    fsio.delete(spark, new_dir)
 
     _write_baseline_dirs(df, new_dir, text_col, num_buckets)
-    if os.path.isdir(path):
-        shutil.move(path, old_dir)
-    shutil.move(new_dir, path)
-    if os.path.isdir(old_dir):
-        shutil.rmtree(old_dir)
+    if fsio.is_dir(spark, path):
+        fsio.rename(spark, path, old_dir)
+    fsio.rename(spark, new_dir, path)
+    fsio.delete(spark, old_dir)
 
 
 def _drift_llr(
@@ -206,10 +207,25 @@ def score_drift_frame(
     saved baseline and return the per-group drift rows as a DataFrame
     (no sink side effects) — the same integer llr math every streamed
     micro-batch pays, exposed for backfills, ad-hoc diagnostics, and
-    the driver's oracle gate. Meta/counts reads are catalog-sized."""
-    meta = spark.read.parquet(f"{baseline_path}/meta").collect()[0]
+    the driver's oracle gate. Meta/counts reads are catalog-sized.
+
+    A read that lands inside :func:`refresh_drift_baseline`'s
+    rename window (``baseline_path`` momentarily absent) falls back
+    to the complete PREVIOUS baseline at ``<baseline_path>_old`` —
+    the rotation's invariant is that one of the two always exists
+    whole, so a concurrent monitor batch scores against the old
+    reference instead of crashing (ADVICE r9). Both frames (meta +
+    counts) come from whichever root resolved, never a mix."""
+    from . import fsio  # noqa: PLC0415
+
+    root = baseline_path
+    if not fsio.exists(spark, f"{root}/meta"):
+        old = f"{baseline_path}_old"
+        if fsio.exists(spark, f"{old}/meta"):
+            root = old
+    meta = spark.read.parquet(f"{root}/meta").collect()[0]
     num_buckets, base_total = int(meta["num_buckets"]), int(meta["total"])
-    base = spark.read.parquet(f"{baseline_path}/counts").select(
+    base = spark.read.parquet(f"{root}/counts").select(
         "bucket", F.col("cnt").alias("base_cnt")
     )
     return _drift_llr(df, base, num_buckets, base_total, group_col, text_col)

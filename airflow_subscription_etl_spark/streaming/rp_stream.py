@@ -203,14 +203,18 @@ def compact_rp_index(spark, path: str) -> int:
     old copy is deleted — a crash at any step leaves a full copy of
     the data on disk (delete-before-rename would not: review r8), and
     a stale ``vectors_old`` from a crashed run is recovered or cleaned
-    on the next call. Epoch numbering is unaffected: checkpointed
+    on the next call. Directory discovery and the swap go through the
+    Hadoop FileSystem API (:mod:`.fsio`), so the index may live on
+    HDFS/object storage — on an object store the renames are
+    copy+delete (slower, still crash-recoverable by the same
+    invariant). Epoch numbering is unaffected: checkpointed
     epoch ids keep increasing, so post-compaction appends never
     collide with the new ``batch=0``. Returns the number of rows
     folded into ``batch=0`` (0 = nothing to fold; one 1-row meta read
     + one count — both bounded)."""
-    import os  # noqa: PLC0415
     import re  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
+
+    from . import fsio  # noqa: PLC0415
 
     vectors_dir = f"{path}/vectors"
     old_dir = f"{path}/vectors_old"
@@ -218,16 +222,15 @@ def compact_rp_index(spark, path: str) -> int:
     # recovery from a prior crashed swap: between the two renames the
     # full data sits in vectors_old — restore it; after both, it is a
     # leftover copy — drop it
-    if not os.path.isdir(vectors_dir) and os.path.isdir(old_dir):
-        shutil.move(old_dir, vectors_dir)
-    if os.path.isdir(old_dir):
-        shutil.rmtree(old_dir)
+    if not fsio.is_dir(spark, vectors_dir) and fsio.is_dir(spark, old_dir):
+        fsio.rename(spark, old_dir, vectors_dir)
+    fsio.delete(spark, old_dir)
 
     batches = sorted(
         int(m.group(1))
         for m in (
             re.fullmatch(r"batch=(\d+)", name)
-            for name in os.listdir(vectors_dir)
+            for name in fsio.list_names(spark, vectors_dir)
         )
         if m
     )
@@ -261,7 +264,7 @@ def compact_rp_index(spark, path: str) -> int:
         .filter(F.col("batch") != tail)
         .count()
     )
-    shutil.move(vectors_dir, old_dir)
-    shutil.move(new_dir, vectors_dir)
-    shutil.rmtree(old_dir)
+    fsio.rename(spark, vectors_dir, old_dir)
+    fsio.rename(spark, new_dir, vectors_dir)
+    fsio.delete(spark, old_dir)
     return n

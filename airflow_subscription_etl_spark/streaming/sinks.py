@@ -15,6 +15,12 @@ needs ``foreachBatch``. Two scale-relevant guarantees:
   is poor-man's Delta (the container has no Delta dep); the interface
   is MERGE-shaped so a Delta writer can drop in.
 
+All pointer/directory IO goes through the Hadoop FileSystem API
+(:mod:`.fsio`), so ``root`` may be any filesystem URI the session's
+Hadoop conf can resolve (``hdfs://``, ``s3a://``, bare local path) —
+the pointer flip is POSIX-atomic locally and delete+rename elsewhere,
+which the pointer READ absorbs with one retry (see fsio docstring).
+
 At 100 TB the full-snapshot rewrite is the wrong physical plan —
 that's what Delta/Iceberg MERGE with file skipping is for — but the
 operator SEMANTICS (keyed last-writer-wins upsert of each micro-batch)
@@ -23,25 +29,22 @@ are exactly what those would run; document-and-swap, per SURVEY §7.4.1.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from . import fsio
 
 _POINTER = "_CURRENT"
 
 
-def _current_dir(root: str) -> str | None:
-    p = os.path.join(root, _POINTER)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        name = f.read().strip()
-    return os.path.join(root, name) if name else None
+def _current_dir(spark: SparkSession, root: str) -> str | None:
+    name = fsio.read_text(spark, f"{root}/{_POINTER}")
+    name = name.strip() if name else ""
+    return f"{root}/{name}" if name else None
 
 
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
-    cur = _current_dir(root)
+    cur = _current_dir(spark, root)
     return spark.read.parquet(cur) if cur else None
 
 
@@ -71,12 +74,10 @@ def upsert_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__new")
     )
-    out = os.path.join(root, f"snapshot_{batch_id}")
-    latest.write.mode("overwrite").parquet(out)
-    tmp = os.path.join(root, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(f"snapshot_{batch_id}")
-    os.replace(tmp, os.path.join(root, _POINTER))
+    latest.write.mode("overwrite").parquet(f"{root}/snapshot_{batch_id}")
+    fsio.write_text_atomic(
+        spark, f"{root}/{_POINTER}", f"snapshot_{batch_id}"
+    )
 
 
 def start_keyed_snapshot_sink(
@@ -89,7 +90,7 @@ def start_keyed_snapshot_sink(
 ):
     """Wire a streaming DataFrame into the snapshot upsert. Returns the
     StreamingQuery; callers own awaitTermination/stop."""
-    os.makedirs(root, exist_ok=True)
+    fsio.mkdirs(stream.sparkSession, root)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         upsert_batch(batch, root, keys, order_col, batch_id)

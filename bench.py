@@ -237,13 +237,25 @@ def summarize_passes(times: list[float]) -> tuple[float, float]:
     ran (≥3 passes): queries with internal .persist() structurally pay
     a cache build on pass 0 after the inter-query clearCache — warm-up,
     not host noise. Headline = min of the steady slice (the same slice
-    the spread is computed on — ADVICE r6), EXCEPT when a 4th pass ran
-    (steady spread stayed >0.30 after the 3rd): then the median of the
-    steady passes, which a single anomalous fast pass can't anoint
-    (r6 verdict #6).
+    the spread is computed on — ADVICE r6), EXCEPT when adjudication
+    escalated:
+
+    - 4 passes (steady spread stayed >0.30 after the 3rd): median of
+      the steady passes, which a single anomalous fast pass can't
+      anoint (r6 verdict #6);
+    - 5–6 passes (spread STILL >0.30 after the 4th — VERDICT r9 #6):
+      TRIMMED median of the steady passes (drop the single max and
+      min, median of the rest), so one outlier window can neither
+      anoint nor sit inside the headline number — the noisy entry
+      self-heals instead of just being labeled. The reported spread
+      stays the UNTRIMMED steady spread: the noise evidence is the
+      detail file's job, not something the trim may erase.
     """
     steady = times[1:] if len(times) > 2 else times
     spread = round((max(steady) - min(steady)) / min(steady), 3)
+    if len(times) >= 5:
+        trimmed = sorted(steady)[1:-1]
+        return round(statistics.median(trimmed), 3), spread
     if len(times) == 4:
         return round(statistics.median(steady), 3), spread
     return min(steady), spread
@@ -270,11 +282,14 @@ def main() -> None:
     # busy host carry ±30% OS/JVM noise; the min of warm runs is the
     # steady-state cost the plan actually has (standard benchmarking
     # practice; all passes run the identical plan end-to-end).
-    # SELF-ADJUDICATION (r5 verdict #3, escalation r6 verdict #6): when
-    # the two passes disagree by >30%, a third pass runs; if the
-    # STEADY-STATE passes (pass 0 excluded — see below) still disagree
-    # by >30%, a fourth runs and the headline number is the MEDIAN of
-    # the steady passes instead of the min. Per-query `spread` =
+    # SELF-ADJUDICATION (r5 verdict #3, escalation r6 verdict #6, r9
+    # verdict #6): when the two passes disagree by >30%, a third pass
+    # runs; if the STEADY-STATE passes (pass 0 excluded — see below)
+    # still disagree by >30%, a fourth runs and the headline number is
+    # the MEDIAN of the steady passes instead of the min; still >0.30
+    # after four → up to two more passes and the TRIMMED median, so a
+    # single outlier window self-heals out of the headline number
+    # entirely. Per-query `spread` =
     # (max−min)/min over the steady passes goes to BENCH_DETAIL.json —
     # so the artifact distinguishes "noisy host" from "real regression"
     # without a judge re-run.
@@ -295,7 +310,7 @@ def main() -> None:
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         times: list[float] = []
-        for _pass in range(4):
+        for _pass in range(6):
             # steady slice for the agreement check: when ≥3 passes
             # exist, pass 0 is excluded — queries with internal
             # .persist() (LSH signatures) structurally pay a cache
@@ -303,9 +318,12 @@ def main() -> None:
             # is warm-up, not host noise. The remaining passes all run
             # against the built cache, so residual disagreement there
             # IS noise (or a real instability worth a judge's look).
+            # Passes 5–6 run only while the steady spread stays >0.30
+            # (VERDICT r9 #6): with ≥4 steady passes the trimmed
+            # median in summarize_passes drops the outlier entirely.
             if _pass == 2 and times and _spread(times) <= 0.30:
                 break  # two passes agree — no adjudication needed
-            if _pass == 3 and times and _spread(times[1:]) <= 0.30:
+            if _pass >= 3 and times and _spread(times[1:]) <= 0.30:
                 break  # steady passes agree after adjudication
             t0 = time.time()
             try:
@@ -369,8 +387,9 @@ def main() -> None:
         # numeric so cross-round consumers can compare/arithmetic it
         # (ADVICE r6); the adjudication policy is its own field
         "runs_per_query": 2,
-        "adjudication": "3rd/4th pass while steady spread > 0.30; "
-        "median of steady passes when 4 ran (spreads in BENCH_DETAIL.json)",
+        "adjudication": "3rd-6th pass while steady spread > 0.30; "
+        "median of steady passes when 4 ran, trimmed median when 5-6 "
+        "ran (spreads in BENCH_DETAIL.json)",
         "baseline25_sec": baseline25,
     }
     if noisy:

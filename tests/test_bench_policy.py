@@ -55,3 +55,22 @@ def test_summarize_passes_min_vs_median():
     val, spread = summarize_passes([5.0, 2.0, 0.5, 2.2])
     assert val == 2.0
     assert spread > 0.30
+
+
+def test_summarize_passes_trimmed_median_self_heals():
+    """5–6 passes (spread stayed >0.30 after 4 — VERDICT r9 #6): the
+    trimmed median drops the single outlier window entirely, so the
+    doc_length_batches shape (one 1.2 s pass among ~0.4 s steadies)
+    heads to ~0.4 s, not a median dragged by the outlier."""
+    # 6 passes, one slow outlier in the steady slice: trim removes it
+    val, spread = summarize_passes([0.489, 0.348, 1.219, 0.433, 0.41, 0.45])
+    steady_trimmed = sorted([0.348, 1.219, 0.433, 0.41, 0.45])[1:-1]
+    import statistics
+
+    assert val == round(statistics.median(steady_trimmed), 3)
+    assert val < 0.5  # the outlier no longer sits in the headline
+    # spread stays the UNTRIMMED steady spread — evidence, not erased
+    assert spread > 0.30
+    # 5 passes: steady has 4 values, trim leaves 2, median = their mean
+    val5, _ = summarize_passes([5.0, 1.0, 2.0, 3.0, 10.0])
+    assert val5 == round(statistics.median([2.0, 3.0]), 3)
