@@ -335,7 +335,6 @@ def grouped_exact_rank(
     id_col: str,
     nbins: int = 10_000,
     tiers_bp: tuple[int, int] | None = None,
-    dominant_bp: int = 500,
     nsub: int = 256,
 ) -> DataFrame:
     """EXACT within-group rank by (score asc, id asc) WITHOUT a
@@ -347,35 +346,48 @@ def grouped_exact_rank(
     distributed formulation, the token_budget_mix histogram trick
     generalized to ranking:
 
-    1. per-group (min, max, count) — a catalog-sized agg, broadcast;
+    1. per-group (min, max, count) + id-key range — one catalog-sized
+       agg, broadcast;
     2. integer value-histogram bin ``(score − lo) // width`` with
        ``width = (hi − lo) // nbins + 1`` — overflow-free bigint
-       arithmetic, monotone in score, ≤ nbins bins;
-    3. per-(group, bin) counts + a catalog-sized per-group cumulative
-       window over the histogram (partitions ≤ nbins rows);
-    4. fine ``row_number`` windows partitioned by (group, bin) — each
-       ~1/nbins of its group — added to the bin's cumulative offset.
+       arithmetic, monotone in score, ≤ nbins bins — PLUS a sub-bin of
+       a MONOTONE id key (:func:`_monotone_id_key`, ≤ ``nsub`` values
+       over the group's key range);
+    3. ONE narrow class aggregation at (group, bin, exact score,
+       sub-bin) granularity, rolled up to per-bin counts; two
+       catalog-bounded cumulative windows restore global offsets
+       (per-group over ≤ nbins bins; per-bin over that bin's classes —
+       ≤ ~1/nbins of the group's distinct scores × nsub);
+    4. fine ``row_number`` windows partitioned by (group, bin, score,
+       sub-bin) — ordered by id alone (the score is constant inside a
+       partition) — added to the two offsets.
 
     ``score_col`` must be INTEGRAL (the repo-wide micro-quantization
     convention): bin arithmetic and rank are then exact in any engine.
     Ranks are 1-based, dense in each group, deterministic via the id
     tiebreak.
 
-    **Dominant-bin fallback** (VERDICT r9): micro-quantized quality
-    scores invite MASS TIES — one score value holding a large share of
-    a group collapses into one histogram bin, and the fine window
-    would funnel that whole share through a single task. Any bin
-    holding > ``dominant_bp``/10000 of its group is therefore re-binned
-    a second level: within the bin, rows split by (exact score,
-    sub-bin of a MONOTONE id key — :func:`_monotone_id_key`) into
-    ≤ ``nsub`` sub-partitions per tie class, with a per-bin cumulative
-    offset restoring the global rank. The id key is monotone (never a
-    hash), so sub-bin order refines (score, id) order and every rank
-    is bit-identical to the single-partition form — the oracle pins
-    this. The sub-level shuffle touches ONLY dominant-bin rows (empty
-    in the common case). Ids of types with no monotone bigint key
-    (non-integral, non-string) skip the fallback and keep the
-    documented single-task degradation.
+    **Mass ties never funnel into one task** (VERDICT r9):
+    micro-quantized quality scores invite ties — one score value
+    holding a large share of a group collapses into one histogram bin,
+    and a (group, bin) fine window would sort that whole share in a
+    single task. The sub-bin key splits every tie class into ≤ nsub
+    fine partitions UNCONDITIONALLY: the id key is monotone (never a
+    hash — that would scramble the id tiebreak order and change ranks
+    the oracle pins), so (score, sub-bin) lexicographic order refines
+    (score, id) order exactly and the composed rank is bit-identical
+    to the single-partition form. The split is free in the common
+    case: the class agg collapses ties map-side, and the class table
+    joins back broadcast-sized unless scores are near-distinct — in
+    which case classes ≈ rows but every shuffle of them carries 4
+    narrow integer columns, and the fine/join partitioning coincide
+    (no extra full-row exchange either way). Ids of types with no
+    monotone bigint key (non-integral, non-string) degrade to one
+    fine partition per (group, bin, score) tie class — still never
+    the whole bin. Adversarial id↔score correlation can concentrate a
+    tie class's ids into few sub-bins (the key range is group-level);
+    uncorrelated ids — the normal case for content ids — spread
+    ≈ uniformly.
 
     ``tiers_bp = (head_bp, middle_bp)`` optionally adds the
     CCNet-style tier label (Wenzek et al. 2020 §4.3: per-language
@@ -401,12 +413,8 @@ def grouped_exact_rank(
         )
     if nbins <= 0:
         raise ValueError(f"nbins must be positive, got {nbins}")
-    if not 0 < dominant_bp <= 10_000:
-        raise ValueError(
-            f"dominant_bp must be in (0, 10000], got {dominant_bp}"
-        )
     if nsub < 3:
-        # same divide-first overflow bound as nbins below: nsub <= 2
+        # same divide-first overflow bound as the score bins: nsub <= 2
         # could overflow the sub-width on full-range keys
         raise ValueError(f"nsub must be >= 3, got {nsub}")
     if tiers_bp is not None:
@@ -424,37 +432,20 @@ def grouped_exact_rank(
         F.col(group_col),
         F.col(score_col).cast("bigint").alias("_s"),
     )
-    gstat = d.groupBy(group_col).agg(
-        F.min("_s").alias("_lo"),
-        F.max("_s").alias("_hi"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    # Overflow-free monotone binning for ANY bigint score range: the
-    # naive `(_hi - _lo)` subtraction overflows when a group spans
-    # more than 2^63 (e.g. scores -2^62 and 2^62 — legal LongType
-    # inputs), so divide FIRST: _w = hi div nbins − lo div nbins + 1
-    # (each operand ≤ 2^63/nbins, difference safe for nbins ≥ 3 —
-    # at nbins = 2 a full-range group gives 2^62−1 − (−2^62) + 1 =
-    # 2^63, one past bigint max, so nbins ≤ 2 routes through the
-    # single-bin branch: ADVICE r9) and _bin = s div _w − lo div _w
-    # (same trick). Spark's `div` truncates toward zero, which is
-    # still monotone non-decreasing in s for _w > 0 — the ONLY
-    # properties the rank composition needs are bin monotone in
-    # score, equal scores → equal bin, and ~nbins bins for the perf
-    # claim; exact bin boundaries are internal.
-    sub, cum2 = _grouped_rank_frames(
-        d, gstat, group_col, id_col, nbins, dominant_bp, nsub
-    )
-    w_fine = Window.partitionBy(group_col, "_bin", "_s2", "_sub").orderBy(
-        "_s", id_col
+    binned, classes = _grouped_rank_frames(d, group_col, id_col, nbins, nsub)
+    # the join keys equal the fine-window partition keys, so whichever
+    # physical join AQE picks, the window adds no extra full-row
+    # exchange; ordering by id alone — _s is constant in a partition
+    w_fine = Window.partitionBy(group_col, "_bin", "_s", "_sub").orderBy(
+        id_col
     )
     out = (
-        sub.join(cum2, [group_col, "_bin", "_s2", "_sub"], "left")
+        binned.join(classes, [group_col, "_bin", "_s", "_sub"])
         .withColumn(
             "rank",
             (
                 F.col("_before")
-                + F.coalesce(F.col("_before2"), F.lit(0))
+                + F.col("_before2")
                 + F.row_number().over(w_fine)
             ).cast("bigint"),
         )
@@ -479,25 +470,48 @@ def grouped_exact_rank(
 
 def _grouped_rank_frames(
     d: DataFrame,
-    gstat: DataFrame,
     group_col: str,
     id_col: str,
     nbins: int,
-    dominant_bp: int,
     nsub: int,
 ) -> tuple[DataFrame, DataFrame]:
     """The binning half of :func:`grouped_exact_rank`, exposed for the
-    property tests that pin the dominant-bin fallback's partitioning:
-    ``(sub, cum2)`` where ``sub`` carries every input row with its
-    (_bin, _s2, _sub) fine-window partition key and _before offset, and
-    ``cum2`` holds the per-(bin, score, sub-bin) cumulative offsets of
-    dominant-bin rows."""
+    property tests that pin the tie-splitting partitioning:
+    ``(binned, classes)`` where ``binned`` carries every input row with
+    its (_bin, _s, _sub) fine-window partition key, and ``classes`` is
+    the narrow per-class offset table (_before = rows in earlier bins
+    of the group, _before2 = rows in earlier classes of the bin).
+
+    ``d`` must be the pre-filtered (id, group, _s bigint) projection.
+    The data is touched exactly TWICE (the class agg and the final
+    join) — the same two passes the plain (group, bin) histogram form
+    pays; everything between is arithmetic on narrow class rows."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     kexpr = _monotone_id_key(d, id_col)
-    binned = d.join(F.broadcast(gstat), group_col).withColumn(
+    dk = d.withColumn(
         "_k", kexpr if kexpr is not None else F.lit(None).cast("bigint")
     )
+    # ONE catalog-sized agg: score range + count + id-key range
+    gstat = dk.groupBy(group_col).agg(
+        F.min("_s").alias("_lo"),
+        F.max("_s").alias("_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("_k").alias("_gklo"),
+        F.max("_k").alias("_gkhi"),
+    )
+    # Overflow-free monotone binning for ANY bigint range: the naive
+    # `(_hi - _lo)` subtraction overflows when a group spans more than
+    # 2^63 (legal LongType inputs), so divide FIRST:
+    # _w = hi div nbins − lo div nbins + 1 (each operand ≤ 2^63/nbins,
+    # difference safe for nbins ≥ 3 — at nbins = 2 a full-range group
+    # gives 2^62−1 − (−2^62) + 1 = 2^63, one past bigint max, so
+    # nbins ≤ 2 routes through the single-bin branch: ADVICE r9) and
+    # _bin = s div _w − lo div _w (same trick; `div` truncates toward
+    # zero, still monotone non-decreasing for _w > 0). The id sub-bin
+    # repeats the construction over the group's key range with nsub
+    # (≥ 3 enforced); ids without a monotone key keep _sub = 0.
+    binned = dk.join(F.broadcast(gstat), group_col)
     if nbins <= 2:
         binned = binned.withColumn("_bin", F.lit(0).cast("bigint"))
     else:
@@ -509,71 +523,49 @@ def _grouped_rank_frames(
         ).withColumn(
             "_bin", F.expr("(_s div _w) - (_lo div _w)").cast("bigint")
         )
-    # per-(group, bin) count + id-key range in ONE shuffle: the key
-    # range feeds the dominant-bin sub-histogram below
-    hist = binned.groupBy(group_col, "_bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_bc"),
-        F.min("_k").alias("_klo"),
-        F.max("_k").alias("_khi"),
+    if kexpr is None:
+        binned = binned.withColumn("_sub", F.lit(0).cast("bigint"))
+    else:
+        binned = binned.withColumn(
+            "_sw",
+            F.expr(f"(_gkhi div {nsub}) - (_gklo div {nsub}) + 1").cast(
+                "bigint"
+            ),
+        ).withColumn(
+            "_sub", F.expr("(_k div _sw) - (_gklo div _sw)").cast("bigint")
+        )
+    # narrow class table: ties collapse map-side, so shuffle volume is
+    # ≤ min(rows, distinct (bin, score, sub) classes) 4-int rows
+    classes = binned.groupBy(group_col, "_bin", "_s", "_sub").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
     )
-    w_cum = (
+    # per-bin totals (≤ nbins rows/group) → per-group cumulative bin
+    # offsets; then per-bin cumulative class offsets — each window
+    # partition is catalog-bounded (≤ nbins bins; ≤ that bin's classes)
+    hist = classes.groupBy(group_col, "_bin").agg(
+        F.sum("_c").alias("_bc")
+    )
+    w_bins = (
         Window.partitionBy(group_col)
         .orderBy("_bin")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    dom_ok = F.lit(kexpr is not None)
-    cum = (
-        hist.join(F.broadcast(gstat.select(group_col, "n")), group_col)
+    cumbin = hist.withColumn(
+        "_before", F.coalesce(F.sum("_bc").over(w_bins), F.lit(0))
+    ).select(group_col, "_bin", "_before")
+    w_classes = (
+        Window.partitionBy(group_col, "_bin")
+        .orderBy("_s", "_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    classes = (
+        classes.join(cumbin, [group_col, "_bin"])
         .withColumn(
-            "_dom",
-            dom_ok & (F.col("_bc") * 10_000 > F.col("n") * F.lit(dominant_bp)),
+            "_before2", F.coalesce(F.sum("_c").over(w_classes), F.lit(0))
         )
-        .withColumn(
-            "_before", F.coalesce(F.sum("_bc").over(w_cum), F.lit(0))
-        )
-        .select(group_col, "_bin", "_before", "_dom", "_klo", "_khi")
+        .select(group_col, "_bin", "_s", "_sub", "_before", "_before2")
     )
-    # second-level split of dominant bins only: exact score × sub-bin
-    # of the monotone id key (divide-first again — nsub >= 3 keeps the
-    # width subtraction overflow-free on full-range keys). Every
-    # non-dominant row keeps the sentinel (0, 0) single partition.
-    sub = binned.join(cum, [group_col, "_bin"]).withColumn(
-        "_s2", F.when(F.col("_dom"), F.col("_s")).otherwise(F.lit(0))
-    )
-    sub = sub.withColumn(
-        "_sw",
-        F.expr(f"(_khi div {nsub}) - (_klo div {nsub}) + 1").cast("bigint"),
-    ).withColumn(
-        "_sub",
-        F.when(
-            F.col("_dom"),
-            F.expr("(_k div _sw) - (_klo div _sw)").cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
-    )
-    # cumulative offset of each (score, sub-bin) class inside its bin —
-    # shuffles ONLY dominant-bin rows (empty when no bin is dominant);
-    # the per-(group, bin) ordering window holds one row per present
-    # class: nsub per tie class in the mass-tie case this fallback
-    # exists for (an adversarial all-distinct dominant bin degrades to
-    # bin-sized NARROW class rows — documented limit)
-    cum2 = (
-        sub.filter(F.col("_dom"))
-        .groupBy(group_col, "_bin", "_s2", "_sub")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_bc2"))
-        .withColumn(
-            "_before2",
-            F.coalesce(
-                F.sum("_bc2").over(
-                    Window.partitionBy(group_col, "_bin")
-                    .orderBy("_s2", "_sub")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select(group_col, "_bin", "_s2", "_sub", "_before2")
-    )
-    return sub, cum2
+    return binned, classes
 
 
 def zorder_value(cols: list, bits: int = 16) -> "F.Column":

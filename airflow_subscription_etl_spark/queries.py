@@ -9356,81 +9356,78 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Round-9 verification priority — GENERATED by tools/retier.py at
-#: round end (diff base: the r8 round commit ee21585). Tier 0: the
-#: SIX r9 registrations (drift-monitor batch face, token-budget
-#: assembler, grouped-rank quality tiers, embedding contamination,
-#: cluster-aware split, scalable stratified holdout). Tier 1: every
-#: registry query transitively consuming a symbol this round's diff
-#: touched (the DSIR Gumbel fix, the MMR cap/NULL-id filter, the NB
-#: NULL-text coalesce, the BPE local twin's shared docstring edit,
-#: the budget_cut extraction). Tier 2 drains the stale tail
-#: oldest-first: ALL 18 r4-latest rows plus the oldest r5 rows fit;
-#: the tier-0/1 slots displace the YOUNGEST r5 rows, each
-#: independently re-checked green at sf0.01 at round end (SCALE.md) —
-#: and the round-end WHOLE-registry sweeps (sf0.01, sf0.1, SHUFFLE=7)
-#: re-covered every query registered at sweep time regardless.
-#: Steady-state age bound is ceil(202/50) = 5 rounds.
+#: Round-10 verification priority — GENERATED by tools/retier.py at
+#: build time (diff base: the r9 round commit 944a236). Tier 0: the
+#: single r10 registration (``bpe_merges_local``, the driver-local BPE
+#: twin now driver-checked against the SAME oracle as
+#: ``vocab_bpe_merges``). Tier 1: every registry query transitively
+#: consuming a symbol this round's diff touched (the fsio streaming
+#: state port, the grouped_exact_rank dominant-bin fallback, the
+#: semantic_contamination broadcast guard). Tier 2 drains the stale
+#: tail oldest-first: ALL 23 r5-latest rows (the VERDICT r9 #1 target
+#: met exactly) plus the 19 oldest r6 rows fit in the remaining
+#: slots, so the oldest row after this round is r6.
+#: Steady-state age bound is ceil(203/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
-_PRIORITY_R9 = [
+_PRIORITY_R10 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
+    "bpe_merges_local",
+    # tier 1 — implementation diff-reachable this round
+    "ev_user_totals",
+    "emb_mmr_rerank",
+    "emb_rp_knn_join",
     "source_drift_llr",
-    "doc_token_budget_mix",
     "doc_quality_tiers",
     "emb_contamination",
-    "doc_cluster_split",
     "doc_stratified_scalable",
-    # tier 1 — implementation diff-reachable this round
-    "emb_mmr_rerank",
-    "doc_exact_split",
-    "vocab_bpe_merges",
-    "doc_bpe_encode",
-    "doc_bpe_indexed",
-    "doc_dsir_sample",
-    "doc_nb_indexed",
-    "emb_rp_knn_join",
     # tier 2 — oldest-green driver rows, round-robin back-fill
-    "ev_rollup_pyramid",  # last row r4
-    "orders_profile",  # last row r4
-    "ivm_join_delta",  # last row r4
-    "vocab_zipf_fit",  # last row r4
-    "doc_mixture_sample",  # last row r4
-    "doc_pmi_collocations",  # last row r4
-    "ev_session_transitions",  # last row r4
-    "emb_dim_stats",  # last row r4
-    "ev_attribution_left",  # last row r4
-    "dq_expectations",  # last row r4
-    "source_vocab_overlap",  # last row r4
-    "doc_weighted_reservoir",  # last row r4
-    "mm_arrow_bytes",  # last row r4
-    "price_histogram_equidepth",  # last row r4
-    "basket_type_lift",  # last row r4
-    "supplier_nation_share",  # last row r4
-    "grouping_sets_revenue",  # last row r4
-    "ansi_try_math",  # last row r4
-    "ev_tumbling_counts",  # last row r5
-    "ev_sliding_counts",  # last row r5
-    "ev_sessionize",  # last row r5
-    "ev_json_props",  # last row r5
-    "ev_user_totals",  # last row r5
-    "q1_pricing_summary",  # last row r5
-    "emb_centroids",  # last row r5
-    "approx_distinct_parts",  # last row r5
-    "q2_min_cost_supplier",  # last row r5
-    "q4_order_priority",  # last row r5
-    "q7_volume_shipping",  # last row r5
-    "q8_market_share",  # last row r5
-    "q9_product_profit",  # last row r5
-    "q12_late_lines",  # last row r5
-    "q13_customer_distribution",  # last row r5
-    "q15_top_supplier",  # last row r5
-    "q16_supplier_variety",  # last row r5
-    "q17_small_quantity",  # last row r5
+    "q19_disjunctive_revenue",  # last row r5
+    "q20_part_share_suppliers",  # last row r5
+    "q21_waiting_supplier",  # last row r5
+    "q22_idle_rich_customers",  # last row r5
+    "ev_asof_join",  # last row r5
+    "ev_band_join",  # last row r5
+    "ev_attribution_join",  # last row r5
+    "doc_hash_split",  # last row r5
+    "doc_stratified_sample",  # last row r5
+    "doc_bm25_topk",  # last row r5
+    "emb_ann_topk",  # last row r5
+    "emb_ivf_topk",  # last row r5
+    "doc_keep_best",  # last row r5
+    "emb_pq_topk_pandas",  # last row r5
+    "key_skew_report",  # last row r5
+    "ev_winsorized",  # last row r5
+    "graph_kcore",  # last row r5
+    "doc_containment_pairs",  # last row r5
+    "ev_holdout_split",  # last row r5
+    "graph_lpa",  # last row r5
+    "ev_next_event",  # last row r5
+    "doc_rrf_retrieval",  # last row r5
+    "doc_curation_report",  # last row r5
+    "doc_domain_quota",  # last row r6
+    "q11_important_suppliers",  # last row r6
+    "cube_revenue",  # last row r6
+    "doc_near_dup_clusters",  # last row r6
+    "doc_vocab_topk",  # last row r6
+    "p1_projection",  # last row r6
+    "p2_label",  # last row r6
+    "p3_filter",  # last row r6
+    "p5_p6_cast_default",  # last row r6
+    "e1_e2_case",  # last row r6
+    "e5_e6_row_json",  # last row r6
+    "j1_lookup",  # last row r6
+    "j2_left_existence",  # last row r6
+    "j4_latest_enriched",  # last row r6
+    "a1_top1_per_key",  # last row r6
+    "a2_next_id",  # last row r6
+    "a3_existence_counts",  # last row r6
+    "q3_shipping_priority",  # last row r6
+    "q5_local_volume",  # last row r6
 ]
 
 
 def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: REGISTRY[name] for name in _PRIORITY_R9 if name in REGISTRY}
+    out = {name: REGISTRY[name] for name in _PRIORITY_R10 if name in REGISTRY}
     out.update({name: v for name, v in REGISTRY.items() if name not in out})
     return out
 

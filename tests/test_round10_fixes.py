@@ -6,9 +6,10 @@
   exact failure mode ADVICE r9 flagged for HDFS/S3 roots);
 - drift-baseline rotation: a reader landing in the rename window
   falls back to the complete previous baseline at ``_old``;
-- ``grouped_exact_rank``: dominant-bin fallback splits mass ties
-  across multiple fine-window partitions WITHOUT changing a single
-  rank; nbins ≤ 2 no longer overflows on full-range scores;
+- ``grouped_exact_rank``: the (score, id-key sub-bin) class split
+  spreads mass ties across multiple fine-window partitions WITHOUT
+  changing a single rank; nbins ≤ 2 no longer overflows on
+  full-range scores;
 - ``semantic_contamination``: the eval-side broadcast is bounded.
 """
 
@@ -147,8 +148,8 @@ def _naive_ranks(df, tiers_bp=None):
     return rows
 
 
-def test_dominant_bin_splits_mass_ties_across_partitions(spark):
-    """Constant scores (the 100%-mass-tie worst case): the fallback
+def test_mass_ties_split_across_fine_partitions(spark):
+    """Constant scores (the 100%-mass-tie worst case): the class split
     must spread the group across >1 fine-window partition — the
     VERDICT r9 'multi-task fine windows' property — while every rank
     stays bit-identical to the naive single-partition window."""
@@ -164,7 +165,7 @@ def test_dominant_bin_splits_mass_ties_across_partitions(spark):
     got = {
         r["id"]: r["rank"]
         for r in grouped_exact_rank(
-            df, "grp", "score", "id", nbins=100, dominant_bp=500, nsub=8
+            df, "grp", "score", "id", nbins=100, nsub=8
         ).collect()
     }
     assert got == _naive_ranks(df)
@@ -174,23 +175,29 @@ def test_dominant_bin_splits_mass_ties_across_partitions(spark):
     d = df.select(
         F.col("id"), F.col("grp"), F.col("score").cast("bigint").alias("_s")
     )
-    gstat = d.groupBy("grp").agg(
-        F.min("_s").alias("_lo"),
-        F.max("_s").alias("_hi"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    sub, _ = _grouped_rank_frames(d, gstat, "grp", "id", 100, 500, 8)
-    classes = (
-        sub.groupBy("_bin", "_s2", "_sub").count().collect()
-    )
+    binned, classes_df = _grouped_rank_frames(d, "grp", "id", 100, 8)
+    classes = binned.groupBy("_bin", "_s", "_sub").count().collect()
     assert len(classes) > 1, "mass tie still funnels through one partition"
     assert max(c["count"] for c in classes) < 400
+    # the offset table is consistent: offsets are the prefix sums of
+    # class sizes in (bin, score, sub) order
+    offs = sorted(
+        (r["_bin"], r["_s"], r["_sub"], r["_before"] + r["_before2"])
+        for r in classes_df.collect()
+    )
+    sizes = {
+        (c["_bin"], c["_s"], c["_sub"]): c["count"] for c in classes
+    }
+    running = 0
+    for b, s, sub, off in offs:
+        assert off == running, (b, s, sub, off, running)
+        running += sizes[(b, s, sub)]
 
 
-def test_dominant_bin_mixed_scores_and_integral_ids(spark):
-    """Dominant bin holding a mass tie PLUS other score values, with
-    bigint ids and tie classes straddling tier boundaries — ranks and
-    tiers must match the naive window exactly."""
+def test_mixed_scores_and_integral_ids(spark):
+    """A bin holding a mass tie PLUS other score values, with bigint
+    ids and tie classes straddling tier boundaries — ranks and tiers
+    must match the naive window exactly."""
     import random
 
     from airflow_subscription_etl_spark.operators.scale import (
@@ -213,7 +220,6 @@ def test_dominant_bin_mixed_scores_and_integral_ids(spark):
             "id",
             nbins=50,
             tiers_bp=(3333, 3333),
-            dominant_bp=500,
             nsub=16,
         ).collect()
     }
@@ -223,7 +229,7 @@ def test_dominant_bin_mixed_scores_and_integral_ids(spark):
 def test_nbins_2_no_longer_overflows_full_range(spark):
     """ADVICE r9: nbins=2 on a group spanning the full bigint range
     overflowed the divide-first width; it now routes through the
-    single-bin branch (where the dominant fallback still splits)."""
+    single-bin branch (where the class split still applies)."""
     from airflow_subscription_etl_spark.operators.scale import (
         grouped_exact_rank,
     )
@@ -250,8 +256,8 @@ def test_grouped_rank_param_validation(spark):
     df = spark.createDataFrame([(1, "g", 1)], "id bigint, grp string, score bigint")
     with pytest.raises(ValueError, match="nsub"):
         grouped_exact_rank(df, "grp", "score", "id", nsub=2)
-    with pytest.raises(ValueError, match="dominant_bp"):
-        grouped_exact_rank(df, "grp", "score", "id", dominant_bp=0)
+    with pytest.raises(ValueError, match="nbins"):
+        grouped_exact_rank(df, "grp", "score", "id", nbins=0)
 
 
 def test_monotone_id_key_orders_like_spark_strings(spark):
