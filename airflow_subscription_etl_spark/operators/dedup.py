@@ -935,6 +935,112 @@ def span_dedup(
     )
 
 
+def span_dedup_rewrite(
+    df: DataFrame,
+    span: int = 8,
+    boilerplate_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact span dedup as an ACTION, not just a signal: REWRITE each
+    document with repeated spans removed — the Lee et al. (ACL'22)
+    exact-substring dedup step itself (their pipeline deletes all but
+    one occurrence of every duplicated span), where :func:`span_dedup`
+    only computes the per-doc statistics that decide whether to bother.
+    The C4/CCNet boilerplate move composes in: a span occurring in
+    ≥ ``boilerplate_df`` DISTINCT documents ("subscribe to our
+    newsletter") is dropped from EVERY document, keeper included.
+
+    Semantics (engine-uniform, fully oracle-able):
+
+    - documents are segmented into non-overlapping ``span``-word
+      chunks of their normalized tokens (identical segmentation to
+      :func:`span_dedup`; the last chunk may be ragged);
+    - per chunk digest, the single GLOBALLY-FIRST occurrence in
+      (id, pos) order is the keeper; every other occurrence —
+      including within-document repeats — is dropped as a duplicate;
+    - if ``boilerplate_df`` is set, digests spanning ≥ that many
+      distinct documents are dropped everywhere instead (boilerplate
+      dominates the duplicate rule: such chunks count in
+      ``n_boiler_dropped``, never ``n_dup_dropped``);
+    - each document is reassembled from its surviving chunks in
+      original order (single-space joined; '' when nothing survives).
+
+    Rows with NULL id or text are EXCLUDED (contract, mirrored in the
+    oracle). Output: ``(id, text_clean, n_chunks, n_kept,
+    n_dup_dropped, n_boiler_dropped)``.
+
+    Plan (100 TB): map-only chunking (HOF slice, no Python), then ONE
+    shuffle keyed on the 128-bit chunk digest where THREE window
+    expressions over the same partitioning (occurrence rank by
+    (id, pos); dense-rank-by-id whose partition max is the exact
+    distinct-doc count — a window ``COUNT(DISTINCT)`` Spark lacks;
+    both share the first shuffle) decide keep/drop per occurrence, and
+    finally a doc-keyed re-agg reassembles surviving text
+    (``array_sort`` on (pos, chunk) structs → join). The digest
+    shuffle carries (digest, id, pos, chunk); digests are uniform —
+    no skew. Two data shuffles total, both on uniform keys; nothing
+    quadratic."""
+    toks = norm_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(span - 1)) / F.lit(span)).cast("int")
+    ch = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(toks, i * span + 1, span)).alias(
+                        "chunk"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        id_col,
+        F.col("c.pos").alias("pos"),
+        F.col("c.chunk").alias("chunk"),
+        F.md5(F.col("c.chunk")).alias("_digest"),
+    )
+    w_occ = Window.partitionBy("_digest").orderBy(id_col, "pos")
+    w_doc = Window.partitionBy("_digest").orderBy(id_col)
+    w_all = Window.partitionBy("_digest")
+    flagged = (
+        ch.withColumn("_rn", F.row_number().over(w_occ))
+        .withColumn("_docs", F.max(F.dense_rank().over(w_doc)).over(w_all))
+        .withColumn(
+            "_boiler",
+            F.lit(boilerplate_df is not None)
+            & (F.col("_docs") >= F.lit(boilerplate_df or 0)),
+        )
+        .withColumn("_dup", ~F.col("_boiler") & (F.col("_rn") > 1))
+        .withColumn("_keep", ~F.col("_boiler") & (F.col("_rn") == 1))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        F.sum(F.col("_dup").cast("bigint")).alias("n_dup_dropped"),
+        F.sum(F.col("_boiler").cast("bigint")).alias("n_boiler_dropped"),
+    )
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,

@@ -3998,6 +3998,60 @@ GROUP BY 1
 """
 
 
+def q_doc_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact span dedup as a REWRITE (dedup.py::span_dedup_rewrite):
+    the Lee et al. dedup action at 4-word-chunk granularity — the
+    globally-first occurrence of every chunk survives, repeats are
+    deleted, chunks spanning ≥3 distinct docs are dropped everywhere
+    as boilerplate (the C4 move), and each document's cleaned text is
+    reassembled in order. The oracle replays keeper selection
+    (row_number over (doc, pos) per digest), the exact distinct-doc
+    window count, and the ordered string_agg reassembly — every
+    byte of every cleaned document is pinned."""
+    from .operators.dedup import span_dedup_rewrite  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup_rewrite(docs, span=4, boilerplate_df=3).orderBy(
+        "doc_id"
+    )
+
+
+SQL_DOC_SPAN_REWRITE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(w, i * 4 + 1, i * 4 + 4), ' ') AS chunk
+  FROM t, unnest(range(0, (len(w) + 3) // 4)) AS u(i)
+), flagged AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, pos) AS rn,
+         COUNT(DISTINCT doc_id) OVER (PARTITION BY md5(chunk)) AS n_docs
+  FROM ch
+), marked AS (
+  SELECT doc_id, pos, chunk,
+         (n_docs >= 3) AS boiler,
+         (n_docs < 3 AND rn > 1) AS dup,
+         (n_docs < 3 AND rn = 1) AS keep
+  FROM flagged
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' '
+                           ORDER BY pos), '') AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_dropped,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_dropped
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen (dedup.py::contamination_check):
     docs with doc_id % 97 == 0 stand in for the eval set; every other
@@ -9353,25 +9407,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # -- round 10 --
     "bpe_merges_local": (q_bpe_merges_local, SQL_VOCAB_BPE_MERGES),
+    "doc_span_rewrite": (q_doc_span_rewrite, SQL_DOC_SPAN_REWRITE),
 }
 
 
 #: Round-10 verification priority — GENERATED by tools/retier.py at
 #: build time (diff base: the r9 round commit 944a236). Tier 0: the
-#: single r10 registration (``bpe_merges_local``, the driver-local BPE
+#: TWO r10 registrations (``bpe_merges_local``, the driver-local BPE
 #: twin now driver-checked against the SAME oracle as
-#: ``vocab_bpe_merges``). Tier 1: every registry query transitively
+#: ``vocab_bpe_merges``; ``doc_span_rewrite``, the exact-span dedup
+#: REWRITE with boilerplate dropping). Tier 1: every registry query transitively
 #: consuming a symbol this round's diff touched (the fsio streaming
 #: state port, the grouped_exact_rank dominant-bin fallback, the
 #: semantic_contamination broadcast guard). Tier 2 drains the stale
 #: tail oldest-first: ALL 23 r5-latest rows (the VERDICT r9 #1 target
-#: met exactly) plus the 19 oldest r6 rows fit in the remaining
+#: met exactly) plus the oldest r6 rows fit in the remaining
 #: slots, so the oldest row after this round is r6.
-#: Steady-state age bound is ceil(203/50) = 5 rounds.
+#: Steady-state age bound is ceil(204/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R10 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
     "bpe_merges_local",
+    "doc_span_rewrite",
     # tier 1 — implementation diff-reachable this round
     "ev_user_totals",
     "emb_mmr_rerank",
@@ -9422,7 +9479,6 @@ _PRIORITY_R10 = [
     "a2_next_id",  # last row r6
     "a3_existence_counts",  # last row r6
     "q3_shipping_priority",  # last row r6
-    "q5_local_volume",  # last row r6
 ]
 
 

@@ -1,0 +1,106 @@
+"""Round-10 operator: span_dedup_rewrite — the Lee et al. exact-span
+dedup ACTION (rewrite) with C4-style boilerplate-line dropping, the
+companion to span_dedup's stats. The registered query
+``doc_span_rewrite`` pins corpus-scale parity against DuckDB; these
+tests pin the SEMANTICS on constructed corpora."""
+
+from __future__ import annotations
+
+from airflow_subscription_etl_spark.operators.dedup import (
+    span_dedup,
+    span_dedup_rewrite,
+)
+
+
+def _rows(df):
+    return {
+        r["doc_id"]: (
+            r["text_clean"],
+            r["n_chunks"],
+            r["n_kept"],
+            r["n_dup_dropped"],
+            r["n_boiler_dropped"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_globally_first_occurrence_survives(spark):
+    """Chunk 'a b' appears in docs 1 and 2 and twice in doc 1: only
+    doc 1's FIRST occurrence survives; within-doc repeats drop too."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c d"),  # chunks: [a b], [a b], [c d]
+            (2, "a b e f"),  # chunks: [a b], [e f]
+        ],
+        "doc_id bigint, text string",
+    )
+    got = _rows(span_dedup_rewrite(df, span=2))
+    assert got[1] == ("a b c d", 3, 2, 1, 0)
+    assert got[2] == ("e f", 2, 1, 1, 0)
+
+
+def test_boilerplate_dominates_and_drops_keeper(spark):
+    """A chunk in >= boilerplate_df distinct docs is dropped from
+    EVERY doc (keeper included) and never counts as a duplicate."""
+    df = spark.createDataFrame(
+        [(1, "buy now x y"), (2, "buy now u v"), (3, "buy now w z")],
+        "doc_id bigint, text string",
+    )
+    got = _rows(span_dedup_rewrite(df, span=2, boilerplate_df=3))
+    # 'buy now' hits 3 docs -> dropped everywhere, keeper (doc 1)
+    # included; each doc's unique tail survives
+    assert got[1] == ("x y", 2, 1, 0, 1)
+    assert got[2] == ("u v", 2, 1, 0, 1)
+    assert got[3] == ("w z", 2, 1, 0, 1)
+    # without the threshold 'buy now' is plain dup-dedup: doc 1 keeps
+    # it, docs 2-3 lose their copy as duplicates
+    got2 = _rows(span_dedup_rewrite(df, span=2))
+    assert got2[1] == ("buy now x y", 2, 2, 0, 0)
+    assert got2[2] == ("u v", 2, 1, 1, 0)
+    assert got2[3] == ("w z", 2, 1, 1, 0)
+
+
+def test_null_rows_excluded_and_ragged_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r"), (None, "p q r"), (2, None)],
+        "doc_id bigint, text string",
+    )
+    got = _rows(span_dedup_rewrite(df, span=2))
+    # only doc 1 remains; ragged last chunk 'r' is its own chunk
+    assert got == {1: ("p q r", 2, 2, 0, 0)}
+
+
+def test_counts_reconcile_with_span_dedup_signal(spark):
+    """The rewrite's per-doc chunk totals must equal span_dedup's on
+    the same corpus/segmentation, and every chunk is exactly one of
+    kept/dup/boiler."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rw = _rows(span_dedup_rewrite(docs, span=8, boilerplate_df=3))
+    sig = {
+        r["doc_id"]: r["n_chunks"] for r in span_dedup(docs, span=8).collect()
+    }
+    assert set(rw) == set(sig)
+    for doc_id, (_, n_chunks, kept, dup, boiler) in rw.items():
+        assert n_chunks == sig[doc_id]
+        assert kept + dup + boiler == n_chunks
+
+
+def test_rewrite_is_idempotent_on_its_own_output(spark):
+    """Running the rewrite on already-cleaned text drops nothing new
+    when chunk boundaries align (kept chunks are unique corpus-wide
+    and below the boilerplate threshold by construction)."""
+    df = spark.createDataFrame(
+        [(1, "a b a b c d"), (2, "a b e f"), (3, "c d g h")],
+        "doc_id bigint, text string",
+    )
+    once = span_dedup_rewrite(df, span=2)
+    again = span_dedup_rewrite(
+        once.selectExpr("doc_id", "text_clean as text"), span=2
+    )
+    r1 = {k: v[0] for k, v in _rows(once).items()}
+    r2 = {k: v[0] for k, v in _rows(again).items()}
+    assert r1 == r2
+    assert all(v[3] == v[4] == 0 for v in _rows(again).values()), (
+        "second pass dropped chunks — not idempotent"
+    )
