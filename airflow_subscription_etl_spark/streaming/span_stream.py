@@ -1,0 +1,249 @@
+"""Streaming exact-span dedup: clean each arriving micro-batch of
+documents against the spans already seen — the incremental face of
+:func:`..operators.dedup.span_dedup_rewrite`, completing the same
+batch/stream symmetry the MinHash index (:mod:`.dedup_stream`), the RP
+index (:mod:`.rp_stream`), the drift monitor and the budget controller
+already have.
+
+An ingestion pipeline curating a GROWING corpus cannot re-run the
+batch rewrite per epoch (that is the history rescan); it keeps the
+chunk-digest catalog as state and cleans only the delta:
+
+- ``cleaned/batch=<id>`` — this epoch's documents, rewritten: a chunk
+  whose digest exists in the state (or earlier in this epoch, by
+  (doc, pos) order) is a duplicate; a digest whose RUNNING distinct-doc
+  count reaches ``boilerplate_df`` this epoch is dropped from this
+  epoch's docs entirely. Written with OVERWRITE so a foreachBatch
+  replay rewrites identical rows.
+- ``state/batch=<id>`` — the digest catalog AFTER this epoch:
+  ``(chunk_digest, n_docs)``. Each epoch derives its state from the
+  PREVIOUS epoch's snapshot (never its own possibly-torn one — the
+  budget_stream discipline), so replays are idempotent by
+  construction. State discovery goes through :mod:`.fsio`
+  (HDFS/object-storage safe).
+
+**Greedy prefix semantics** (the admission-controller analogy):
+decisions are FINAL at emission time. The keeper of a digest is its
+ARRIVAL-first occurrence (epoch order, then (doc, pos) within the
+epoch) — when epochs arrive in document order this equals the batch
+operator's globally-first rule, and the per-epoch output is exactly
+``span_dedup_rewrite(history ∪ epoch)`` restricted to the epoch's
+docs (pinned by test). A digest crossing the boilerplate threshold in
+a LATER epoch drops from that epoch onward; documents already emitted
+are not retroactively re-cleaned (re-run the batch operator for a
+full-corpus re-cure). Each document must be delivered once — epoch
+REPLAYS are safe (same prior state → same rows), but delivering one
+doc in two different epochs double-counts its digests.
+
+At 100 TB the state is one row per distinct chunk digest — the same
+asymptotics as the batch operator's shuffle — and the per-epoch cost
+is the delta's chunking plus one digest-keyed join against the
+catalog; the full-snapshot state rewrite per epoch is the poor-man's
+Delta trade documented in :mod:`.sinks` (a Delta/Iceberg MERGE slots
+in where the rewrite would not scale). :func:`prune_span_state` keeps
+the directory count bounded."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import fsio
+
+
+def _latest_state(spark, state_root: str, before_batch: int):
+    """Digest catalog from the newest snapshot with batch id <
+    ``before_batch`` (a replayed epoch must never read its own torn
+    snapshot — the budget_stream discipline). None when no prior
+    epoch exists."""
+    prev = [
+        int(m.group(1))
+        for m in (
+            re.fullmatch(r"batch=(\d+)", name)
+            for name in fsio.list_names(spark, state_root)
+        )
+        if m and int(m.group(1)) < before_batch
+    ]
+    if not prev:
+        return None
+    return spark.read.parquet(f"{state_root}/batch={max(prev)}")
+
+
+def process_span_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_root: str,
+    span: int = 8,
+    boilerplate_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Clean one micro-batch against the running digest catalog and
+    advance it. Exposed separately from the stream wiring so batch
+    backfills drive the same code path (the module convention).
+
+    Output schema matches the batch operator:
+    ``(id, text_clean, n_chunks, n_kept, n_dup_dropped,
+    n_boiler_dropped)``."""
+    from ..operators.dedup import norm_tokens  # noqa: PLC0415
+
+    spark = batch.sparkSession
+    state_root = f"{out_root}/state"
+    prior = _latest_state(spark, state_root, int(batch_id))
+    if prior is None:
+        prior = spark.createDataFrame(
+            [], "chunk_digest string, n_docs bigint"
+        )
+
+    toks = norm_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(span - 1)) / F.lit(span)).cast("int")
+    ch = batch.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(toks, i * span + 1, span)).alias(
+                        "chunk"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        id_col,
+        F.col("c.pos").alias("pos"),
+        F.col("c.chunk").alias("chunk"),
+        F.md5(F.col("c.chunk")).alias("chunk_digest"),
+    )
+
+    # within-epoch firsts + per-epoch distinct docs, THEN fold in the
+    # prior catalog: an occurrence keeps only if its digest is new to
+    # history AND it is the epoch's first AND the running doc count
+    # stays under the boilerplate threshold. One digest-keyed shuffle
+    # for the windows + one digest join against the catalog.
+    w_occ = Window.partitionBy("chunk_digest").orderBy(id_col, "pos")
+    w_doc = Window.partitionBy("chunk_digest").orderBy(id_col)
+    w_all = Window.partitionBy("chunk_digest")
+    flagged = (
+        ch.withColumn("_rn", F.row_number().over(w_occ))
+        .withColumn(
+            "_bdocs", F.max(F.dense_rank().over(w_doc)).over(w_all)
+        )
+        # plain digest-keyed join: the catalog is corpus-sized, so the
+        # join strategy is AQE's call (broadcast only while it is small)
+        .join(prior, "chunk_digest", "left")
+        .withColumn("_hist", F.coalesce(F.col("n_docs"), F.lit(0)))
+        .withColumn(
+            "_boiler",
+            F.lit(boilerplate_df is not None)
+            & (
+                F.col("_hist") + F.col("_bdocs")
+                >= F.lit(boilerplate_df or 0)
+            ),
+        )
+        .withColumn(
+            "_keep",
+            ~F.col("_boiler") & (F.col("_hist") == 0) & (F.col("_rn") == 1),
+        )
+        .withColumn("_dup", ~F.col("_boiler") & ~F.col("_keep"))
+    )
+    cleaned = flagged.groupBy(id_col).agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        F.sum(F.col("_dup").cast("bigint")).alias("n_dup_dropped"),
+        F.sum(F.col("_boiler").cast("bigint")).alias("n_boiler_dropped"),
+    )
+    cleaned.write.mode("overwrite").parquet(
+        f"{out_root}/cleaned/batch={int(batch_id)}"
+    )
+
+    # next state: prior counts + this epoch's distinct docs per digest
+    # (docs are delivered once, so cross-epoch sums stay exact)
+    batch_counts = ch.groupBy("chunk_digest").agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("_bd")
+    )
+    new_state = (
+        prior.join(batch_counts, "chunk_digest", "full")
+        .select(
+            "chunk_digest",
+            (
+                F.coalesce(F.col("n_docs"), F.lit(0))
+                + F.coalesce(F.col("_bd"), F.lit(0))
+            ).alias("n_docs"),
+        )
+    )
+    new_state.write.mode("overwrite").parquet(
+        f"{state_root}/batch={int(batch_id)}"
+    )
+
+
+def start_span_dedup_stream(
+    stream: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    span: int = 8,
+    boilerplate_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Wire a document stream into incremental span dedup: one
+    ``process_span_batch`` per micro-batch. ``availableNow`` drains
+    the backlog and stops (backfill shape); False for continuous."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: process_span_batch(
+                b, i, out_root, span, boilerplate_df, id_col, text_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def prune_span_state(spark, out_root: str, keep_last: int = 2) -> int:
+    """Drop all but the ``keep_last`` newest ``state/batch=<id>``
+    snapshots — the bounded-directory maintenance the per-epoch
+    snapshot chain needs (each epoch only ever reads the newest
+    snapshot below its id, so older ones are dead weight; keep ≥ 2 so
+    an in-flight epoch's predecessor is never pruned under it).
+    SINGLE-WRITER discipline: run between epochs, like compaction.
+    Returns the number of snapshots removed."""
+    if keep_last < 2:
+        raise ValueError(f"keep_last must be >= 2, got {keep_last}")
+    state_root = f"{out_root}/state"
+    ids = sorted(
+        int(m.group(1))
+        for m in (
+            re.fullmatch(r"batch=(\d+)", name)
+            for name in fsio.list_names(spark, state_root)
+        )
+        if m
+    )
+    stale = ids[:-keep_last]
+    for i in stale:
+        fsio.delete(spark, f"{state_root}/batch={i}")
+    return len(stale)
