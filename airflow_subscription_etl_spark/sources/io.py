@@ -196,31 +196,39 @@ def compact_parquet(
     files; NameNode/liststatus and task-scheduling costs scale with
     file COUNT, not bytes).
 
-    Rewrites to a sibling temp dir then swaps via two ``os.rename``
-    calls. NOT fully atomic: there is a window between the renames where
-    ``path`` does not exist, and a crash inside it strands the live data
-    in ``.compact.old`` (recoverable by hand; we also clean any stale
-    ``.compact.old``/``.compact.tmp`` from a prior crash before
-    starting). ``os.rename`` also only works on a local/POSIX
-    filesystem — on HDFS/S3 the production pattern is the pointer-file
-    swap used by :mod:`..streaming.sinks` (write new dir, atomically
-    update a manifest that readers resolve). ``coalesce`` (not
-    ``repartition``) avoids a shuffle — merging files is a narrow
-    dependency. Returns the file count after compaction.
+    Rewrites to a sibling temp dir then swaps via two renames through
+    the Hadoop FileSystem API (:mod:`..streaming.fsio` — r10, so the
+    swap works on whatever filesystem ``path`` names, not just POSIX).
+    NOT fully atomic: there is a window between the renames where
+    ``path`` does not exist, and a crash inside it strands the live
+    data in ``.compact.old`` — RECOVERED on the next call (the
+    drift-rotation convention: if ``path`` is missing but the old dir
+    exists, it is restored before any cleanup; a half-written
+    ``.compact.tmp`` is always safe to discard). On object stores the
+    renames are copy+delete — correct by the same invariant, just not
+    instantaneous; a zero-downtime swap needs the pointer-file pattern
+    of :mod:`..streaming.sinks`. ``coalesce`` (not ``repartition``)
+    avoids a shuffle — merging files is a narrow dependency. Returns
+    the file count after compaction.
     """
-    import glob  # noqa: PLC0415
+    from ..streaming import fsio  # noqa: PLC0415
 
     tmp = path.rstrip("/") + ".compact.tmp"
     old = path.rstrip("/") + ".compact.old"
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    # crash recovery BEFORE cleanup: between the two renames the live
+    # data sits in .compact.old — restore it rather than deleting it
+    if not fsio.is_dir(spark, path) and fsio.is_dir(spark, old):
+        fsio.rename(spark, old, path)
+    fsio.delete(spark, old)
+    fsio.delete(spark, tmp)
     df = spark.read.parquet(path)
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    fsio.rename(spark, path, old)
+    fsio.rename(spark, tmp, path)
+    fsio.delete(spark, old)
+    return len(
+        [n for n in fsio.list_names(spark, path) if n.endswith(".parquet")]
+    )
 
 
 def read_orc_table(
