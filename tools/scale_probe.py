@@ -79,6 +79,13 @@ NEEDS = {
     "doc_token_budget_mix": ["documents"],
     "doc_quality_tiers": ["documents"],
     "source_drift_llr": ["documents"],
+    # r10 — span rewrite is digest-keyed windows + doc re-agg (no pair
+    # generation): ID-shifted verbatim clones make every chunk digest
+    # an 8-way dup class, which is exactly the mass-dedup regime the
+    # keep/drop windows must absorb — the digest shuffle's growth is
+    # the thing under test.
+    "doc_span_rewrite": ["documents"],
+    "bpe_merges_local": ["documents"],
 }
 
 
