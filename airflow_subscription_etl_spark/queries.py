@@ -9012,6 +9012,84 @@ ORDER BY source
 """
 
 
+def q_doc_novelty_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty/outlier scoring against a frozen corpus
+    baseline (streaming/drift_stream.py::score_novelty_frame) — the
+    document-grained twin of ``source_drift_llr`` and the score an
+    ingestion filter actually cuts on: freeze the bag model on the
+    content-keyed half of the corpus, then give EVERY other document
+    its integer llr_micro + llr_per_token_micro (micro-quantized lns,
+    the DSIR algebra). Unlike the source face, the per-group totals
+    here are corpus-sized, so the operator joins them keyed instead of
+    broadcasting (the scale distinction under test alongside the
+    numbers). Oracle replays the split, fit, every micro-ln, and the
+    per-token rounding per document.
+
+    Side effect: (re)writes ``novelty_baseline_<sf-tag>/`` under the
+    session warehouse (its OWN artifact — never racing
+    ``source_drift_llr``'s dir in a sequential sweep)."""
+    from .operators.sampling import hash_bucket  # noqa: PLC0415
+    from .streaming.drift_stream import (  # noqa: PLC0415
+        score_novelty_frame,
+        write_drift_baseline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_base = hash_bucket(F.col("text")) < 5000
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    path = os.path.join(re.sub(r"^file:/*", "/", wh), f"novelty_baseline_{tag}")
+    write_drift_baseline(docs.filter(is_base), path)
+    return score_novelty_frame(spark, path, docs.filter(~is_base)).orderBy(
+        "doc_id"
+    )
+
+
+SQL_DOC_NOVELTY_LLR = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         (CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 10000) < 5000
+           AS is_base
+  FROM documents
+), base AS (
+  SELECT CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS base_cnt
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM d WHERE is_base)
+  GROUP BY 1
+), btot AS (SELECT SUM(base_cnt) AS base_total FROM base),
+gb AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM d WHERE NOT is_base)
+  GROUP BY 1, 2
+), gtot AS (SELECT doc_id, SUM(nb) AS tg FROM gb GROUP BY 1),
+lam AS (
+  SELECT g.doc_id, g.nb,
+         CAST(round(ln(g.nb + 1.0) * 1000000) AS BIGINT)
+       - CAST(round(ln(t.tg + 256.0) * 1000000) AS BIGINT)
+       - CAST(round(ln(COALESCE(b.base_cnt, 0) + 1.0) * 1000000) AS BIGINT)
+       + CAST(round(ln(bt.base_total + 256.0) * 1000000) AS BIGINT)
+           AS lam_micro
+  FROM gb g LEFT JOIN base b USING (bucket)
+  JOIN gtot t USING (doc_id) CROSS JOIN btot bt
+), agg AS (
+  SELECT doc_id, CAST(SUM(nb * lam_micro) AS BIGINT) AS llr_micro
+  FROM lam GROUP BY 1
+)
+SELECT a.doc_id, CAST(t.tg AS BIGINT) AS n_tokens, a.llr_micro,
+       CAST(round(a.llr_micro::DOUBLE / t.tg::DOUBLE) AS BIGINT)
+         AS llr_per_token_micro
+FROM agg a JOIN gtot t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-budget mixture assembly
     (sampling.py::token_budget_mix): 20 sources at equal 500 bp shares
@@ -9408,27 +9486,30 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- round 10 --
     "bpe_merges_local": (q_bpe_merges_local, SQL_VOCAB_BPE_MERGES),
     "doc_span_rewrite": (q_doc_span_rewrite, SQL_DOC_SPAN_REWRITE),
+    "doc_novelty_llr": (q_doc_novelty_llr, SQL_DOC_NOVELTY_LLR),
 }
 
 
 #: Round-10 verification priority — GENERATED by tools/retier.py at
 #: build time (diff base: the r9 round commit 944a236). Tier 0: the
-#: TWO r10 registrations (``bpe_merges_local``, the driver-local BPE
-#: twin now driver-checked against the SAME oracle as
+#: THREE r10 registrations (``bpe_merges_local``, the driver-local
+#: BPE twin now driver-checked against the SAME oracle as
 #: ``vocab_bpe_merges``; ``doc_span_rewrite``, the exact-span dedup
-#: REWRITE with boilerplate dropping). Tier 1: every registry query transitively
+#: REWRITE with boilerplate dropping; ``doc_novelty_llr``, the
+#: per-document novelty score). Tier 1: every registry query transitively
 #: consuming a symbol this round's diff touched (the fsio streaming
 #: state port, the grouped_exact_rank dominant-bin fallback, the
 #: semantic_contamination broadcast guard). Tier 2 drains the stale
 #: tail oldest-first: ALL 23 r5-latest rows (the VERDICT r9 #1 target
 #: met exactly) plus the oldest r6 rows fit in the remaining
 #: slots, so the oldest row after this round is r6.
-#: Steady-state age bound is ceil(204/50) = 5 rounds.
+#: Steady-state age bound is ceil(205/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R10 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
     "bpe_merges_local",
     "doc_span_rewrite",
+    "doc_novelty_llr",
     # tier 1 — implementation diff-reachable this round
     "ev_user_totals",
     "emb_mmr_rerank",
@@ -9478,7 +9559,6 @@ _PRIORITY_R10 = [
     "a1_top1_per_key",  # last row r6
     "a2_next_id",  # last row r6
     "a3_existence_counts",  # last row r6
-    "q3_shipping_priority",  # last row r6
 ]
 
 

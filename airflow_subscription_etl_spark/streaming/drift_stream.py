@@ -145,12 +145,18 @@ def _drift_llr(
     base_total: int,
     group_col: str,
     text_col: str,
+    broadcast_groups: bool = True,
 ) -> DataFrame:
     """Per-group integer drift scores for one frame against a baseline
     counts frame (bucket, base_cnt): (group, n_tokens, llr_micro,
     llr_per_token_micro). All lns micro-quantized at the leaf, so both
     scores are exact integers and replay bit-for-bit in any engine.
-    ``base`` is ≤ num_buckets rows — always broadcast."""
+    ``base`` is ≤ num_buckets rows — always broadcast. The per-group
+    totals broadcast only when ``broadcast_groups`` (sources — a
+    catalog); a DOCUMENT-grouped caller must pass False so the
+    corpus-sized totals JOIN keyed instead of being shipped to every
+    executor (both sides are already group-keyed — co-partitioned
+    shuffle, no skew on uniform ids)."""
     from ..operators.sampling import _ln_micro  # noqa: PLC0415
     from ..operators.sketch import hash60  # noqa: PLC0415
     from ..operators.text import tokens  # noqa: PLC0415
@@ -164,10 +170,12 @@ def _drift_llr(
         .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
     )
     gtot = gb.groupBy(group_col).agg(F.sum("nb").cast("bigint").alias("tg"))
+    if broadcast_groups:
+        gtot = F.broadcast(gtot)
     alpha_b = float(num_buckets)
     lam = (
         gb.join(F.broadcast(base), "bucket", "left")
-        .join(F.broadcast(gtot), group_col)
+        .join(gtot, group_col)
         .select(
             group_col,
             "nb",
@@ -182,7 +190,7 @@ def _drift_llr(
     return (
         lam.groupBy(group_col)
         .agg(F.sum(F.col("nb") * F.col("lam_micro")).alias("llr_micro"))
-        .join(F.broadcast(gtot), group_col)
+        .join(gtot, group_col)
         .select(
             group_col,
             F.col("tg").alias("n_tokens"),
@@ -216,6 +224,14 @@ def score_drift_frame(
     whole, so a concurrent monitor batch scores against the old
     reference instead of crashing (ADVICE r9). Both frames (meta +
     counts) come from whichever root resolved, never a mix."""
+    base, num_buckets, base_total = _read_baseline(spark, baseline_path)
+    return _drift_llr(df, base, num_buckets, base_total, group_col, text_col)
+
+
+def _read_baseline(spark, baseline_path: str):
+    """(counts frame, num_buckets, total) from the saved baseline,
+    falling back to the rotation's ``_old`` copy inside the swap
+    window (see :func:`score_drift_frame`)."""
     from . import fsio  # noqa: PLC0415
 
     root = baseline_path
@@ -224,11 +240,40 @@ def score_drift_frame(
         if fsio.exists(spark, f"{old}/meta"):
             root = old
     meta = spark.read.parquet(f"{root}/meta").collect()[0]
-    num_buckets, base_total = int(meta["num_buckets"]), int(meta["total"])
     base = spark.read.parquet(f"{root}/counts").select(
         "bucket", F.col("cnt").alias("base_cnt")
     )
-    return _drift_llr(df, base, num_buckets, base_total, group_col, text_col)
+    return base, int(meta["num_buckets"]), int(meta["total"])
+
+
+def score_novelty_frame(
+    spark,
+    baseline_path: str,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-DOCUMENT novelty/outlier score against the frozen baseline —
+    the document-grained twin of :func:`score_drift_frame` and a
+    standard ingestion quality signal: a document whose hashed-unigram
+    bag sits far from the reference distribution (high
+    ``llr_per_token_micro``) is off-corpus content — spam, a language
+    the baseline lacks, template/generated text — and a filter or
+    review queue cuts on exactly this column. Same integer llr algebra
+    (micro-quantized lns, bit-replayable in any engine), same ``_old``
+    rotation fallback.
+
+    Scale shape differs from the source-grained face in ONE deliberate
+    way: the per-group token totals are CORPUS-sized here (one row per
+    doc), so they join keyed on the doc id instead of broadcasting
+    (``broadcast_groups=False``) — per-doc cost is the doc's own
+    featurize plus two co-partitioned joins on uniform ids, history
+    and corpus size never enter."""
+    base, num_buckets, base_total = _read_baseline(spark, baseline_path)
+    return _drift_llr(
+        df, base, num_buckets, base_total, id_col, text_col,
+        broadcast_groups=False,
+    )
 
 
 def process_drift_batch(

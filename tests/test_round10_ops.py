@@ -104,3 +104,73 @@ def test_rewrite_is_idempotent_on_its_own_output(spark):
     assert all(v[3] == v[4] == 0 for v in _rows(again).values()), (
         "second pass dropped chunks — not idempotent"
     )
+
+
+# ----------------------------------------------- doc-level novelty llr
+
+
+def test_novelty_scores_flag_off_baseline_docs(spark, tmp_path):
+    """A document far from the baseline distribution must score a
+    higher llr_per_token than an in-distribution one, and the scores
+    must equal the source-grained face when each doc IS its own
+    group (same integer algebra, different grouping)."""
+    from airflow_subscription_etl_spark.streaming.drift_stream import (
+        score_drift_frame,
+        score_novelty_frame,
+        write_drift_baseline,
+    )
+
+    base_corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "nb")
+    write_drift_baseline(base_corpus, path, num_buckets=64)
+    probe = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "zzz qqq vvv kkk www yyy xxx uuu jjj ppp"),
+        ],
+        "doc_id bigint, text string",
+    )
+    nov = {
+        r["doc_id"]: r["llr_per_token_micro"]
+        for r in score_novelty_frame(spark, path, probe).collect()
+    }
+    assert nov[101] > nov[100], nov
+    # per-doc face == source face with doc_id as the group column
+    src = {
+        r["doc_id"]: (r["n_tokens"], r["llr_micro"], r["llr_per_token_micro"])
+        for r in score_drift_frame(
+            spark, path, probe, group_col="doc_id"
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: (r["n_tokens"], r["llr_micro"], r["llr_per_token_micro"])
+        for r in score_novelty_frame(spark, path, probe).collect()
+    }
+    assert src == full
+
+
+def test_novelty_totals_are_not_hint_broadcast(spark, tmp_path):
+    """The doc-grained face must NOT carry broadcast hints on its
+    per-group totals (corpus-sized — one row per doc): exactly the one
+    hint for the ≤num_buckets baseline remains. The source face keeps
+    its three (baseline + totals twice, catalog-sized)."""
+    from airflow_subscription_etl_spark.streaming.drift_stream import (
+        score_drift_frame,
+        score_novelty_frame,
+        write_drift_baseline,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "p q r")],
+        "doc_id bigint, source string, text string",
+    )
+    path = str(tmp_path / "nb2")
+    write_drift_baseline(corpus, path, num_buckets=16)
+    n_hints = lambda df: df._jdf.queryExecution().analyzed().toString().count(  # noqa: E731
+        "UnresolvedHint"
+    ) + df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    assert n_hints(score_novelty_frame(spark, path, corpus)) == 1
+    assert n_hints(score_drift_frame(spark, path, corpus)) == 3
