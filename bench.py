@@ -201,6 +201,17 @@ HEADLINE = [
     # doc_stratified_scalable likewise: its plan IS grouped_exact_rank
     # over a hashed score (already timed as doc_quality_tiers) plus a
     # literal CASE — a headline slot would double-time that cost class.
+    # round-10 addition: the exact-span dedup REWRITE — an ordinary
+    # query cost class (map-only chunking + one digest-keyed window
+    # shuffle + one doc-keyed re-agg; no artifact writes, no pair
+    # graph). bpe_merges_local stays correctness-gated but OUT of the
+    # headline: its corpus-side plan IS vocab_bpe_merges' word-count
+    # shuffle (already timed above) — the doc_bpe_encode precedent.
+    # doc_novelty_llr likewise: each call (re)writes the baseline
+    # artifact before scoring (a table-write cost class — the
+    # source_drift_llr precedent), and its scoring math is the same
+    # llr algebra that query already exercises.
+    "doc_span_rewrite",
 ]
 
 #: The round-1 recorded-baseline subset (BENCH_r01 timed exactly these —
