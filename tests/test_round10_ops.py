@@ -174,3 +174,23 @@ def test_novelty_totals_are_not_hint_broadcast(spark, tmp_path):
     ) + df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
     assert n_hints(score_novelty_frame(spark, path, corpus)) == 1
     assert n_hints(score_drift_frame(spark, path, corpus)) == 3
+
+
+def test_span_rewrite_plan_shape(spark):
+    """Plan pin: ONE corpus scan, ZERO joins, exactly three Exchanges
+    — the digest-keyed window shuffle (shared by all three stacked
+    window functions), the doc-keyed re-agg, and the registered
+    query's presentation orderBy. Text shuffles twice, never more."""
+    from airflow_subscription_etl_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["doc_span_rewrite"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+    assert tree.count("Exchange") == 3
