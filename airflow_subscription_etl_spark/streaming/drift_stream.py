@@ -276,6 +276,54 @@ def score_novelty_frame(
     )
 
 
+def process_novelty_batch(
+    batch: DataFrame,
+    batch_id: int,
+    baseline_path: str,
+    out_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Per-DOCUMENT novelty scores for one micro-batch vs the frozen
+    baseline, written to the batch's own ``batch=<id>`` directory
+    (replay-idempotent overwrite) — the continuous face of
+    :func:`score_novelty_frame`, so an ingestion stream can quarantine
+    off-distribution documents at arrival time instead of in a nightly
+    batch. Stateless like the source-grained monitor: per-batch cost
+    is the batch's own featurize + two doc-keyed joins; history never
+    enters."""
+    out = score_novelty_frame(
+        batch.sparkSession, baseline_path, batch, id_col, text_col
+    )
+    out.write.mode("overwrite").parquet(f"{out_root}/batch={int(batch_id)}")
+
+
+def start_novelty_monitor(
+    stream: DataFrame,
+    baseline_path: str,
+    out_root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Wire a document stream into per-doc novelty scoring: one
+    ``process_novelty_batch`` per micro-batch. ``availableNow`` drains
+    the backlog and stops (backfill shape); False for continuous."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: process_novelty_batch(
+                b, i, baseline_path, out_root, id_col, text_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def process_drift_batch(
     batch: DataFrame,
     batch_id: int,

@@ -194,3 +194,55 @@ def test_span_rewrite_plan_shape(spark):
     assert tree.count("Scan parquet") == 1
     assert "Join" not in tree
     assert tree.count("Exchange") == 3
+
+
+def test_novelty_monitor_stream_matches_batch_face(spark, tmp_path):
+    """Real readStream drive of the per-doc novelty monitor: streamed
+    per-batch scores equal the batch face over the same rows, and a
+    replayed epoch overwrites its own directory with identical rows."""
+    from airflow_subscription_etl_spark.streaming.drift_stream import (
+        process_novelty_batch,
+        score_novelty_frame,
+        start_novelty_monitor,
+        write_drift_baseline,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "steady state corpus words here") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    bpath = str(tmp_path / "baseline")
+    write_drift_baseline(base, bpath, num_buckets=32)
+
+    rows = [(100, "steady state corpus words here"), (101, "utterly alien payload zz")]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(f"{src}/f0")
+    out = str(tmp_path / "scores")
+    q = start_novelty_monitor(
+        spark.readStream.schema("doc_id bigint, text string").parquet(f"{src}/f*"),
+        bpath,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["n_tokens"], r["llr_micro"])
+        for r in spark.read.parquet(f"{out}/batch=0").collect()
+    }
+    batch_face = {
+        r["doc_id"]: (r["n_tokens"], r["llr_micro"])
+        for r in score_novelty_frame(
+            spark, bpath, spark.createDataFrame(rows, "doc_id bigint, text string")
+        ).collect()
+    }
+    assert streamed == batch_face
+    # replay: same epoch id → identical rows, no duplication
+    process_novelty_batch(
+        spark.createDataFrame(rows, "doc_id bigint, text string"), 0, bpath, out
+    )
+    assert {
+        r["doc_id"]: (r["n_tokens"], r["llr_micro"])
+        for r in spark.read.parquet(f"{out}/batch=0").collect()
+    } == batch_face
