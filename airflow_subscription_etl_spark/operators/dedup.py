@@ -1041,6 +1041,112 @@ def span_dedup_rewrite(
     )
 
 
+def cross_source_duplication(
+    df: DataFrame,
+    span: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplication MATRIX: for every ordered source pair
+    (a < b), how many distinct ``span``-word chunks appear in BOTH —
+    plus each side's distinct-chunk total and integer-micro containment
+    fractions. This is the accounting a curation team runs before
+    mixing overlapping crawls (two dumps of the same sites, a filtered
+    subset shipped as a separate source, a mirror): ``span_dedup``
+    says how duplicated the corpus is, :func:`span_dedup_rewrite`
+    fixes it, THIS says which source pairs the duplication lives
+    between, so you can drop or down-weight a redundant source outright
+    instead of paying full dedup against it.
+
+    Plan (100 TB): map-only chunking → distinct (digest, source) —
+    ONE digest+source-keyed shuffle whose output is bounded by
+    distinct (chunk, source) pairs; per-digest ``collect_set(source)``
+    (bounded by |sources| — a catalog — per digest, never corpus
+    rows); ordered pairs exploded MAP-SIDE from each set; and a final
+    catalog²-bounded pair agg. No self-join of the corpus, nothing
+    carries text past the first shuffle. Per-source totals reuse the
+    same distinct frame (second agg over its lineage).
+
+    Rows with NULL source or text are EXCLUDED (contract, mirrored in
+    the oracle). Output: ``(source_a, source_b, shared_chunks,
+    n_chunks_a, n_chunks_b, containment_a_micro, containment_b_micro)``
+    with source_a < source_b; pairs sharing nothing are absent.
+    ``containment_a_micro = (shared · 10^6) div n_chunks_a`` — the
+    fraction of a's distinct chunks that also live in b, exact
+    integer arithmetic in every engine."""
+    toks = norm_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(span - 1)) / F.lit(span)).cast("int")
+    ds = (
+        df.filter(F.col(source_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i * span + 1, span))
+                    ),
+                )
+            ).alias("digest"),
+        )
+        .distinct()
+    )
+    totals = ds.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    # sorted per-digest source set (catalog-bounded), ordered pairs
+    # exploded map-side: i < j preserves source_a < source_b
+    sets = ds.groupBy("digest").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    pairs = (
+        sets.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ss") - 2),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, F.size("ss") - 1),
+                            lambda j: F.struct(
+                                F.col("ss")[i].alias("source_a"),
+                                F.col("ss")[j].alias("source_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_chunks"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_chunks").alias("n_chunks_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_chunks").alias("n_chunks_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_chunks",
+            "n_chunks_a",
+            "n_chunks_b",
+            F.expr("(shared_chunks * 1000000) div n_chunks_a").alias(
+                "containment_a_micro"
+            ),
+            F.expr("(shared_chunks * 1000000) div n_chunks_b").alias(
+                "containment_b_micro"
+            ),
+        )
+    )
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,

@@ -4052,6 +4052,54 @@ ORDER BY doc_id
 """
 
 
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix
+    (dedup.py::cross_source_duplication): for every ordered source
+    pair, the distinct 4-word chunks they share plus exact
+    integer-micro containment fractions — the which-crawl-duplicates-
+    which accounting run before mixing overlapping sources. The oracle
+    replays the distinct (chunk, source) set and the pair counts with
+    a digest self-join — same matrix from an independent formulation
+    (the engine explodes catalog-bounded per-digest source sets
+    map-side instead of self-joining)."""
+    from .operators.dedup import cross_source_duplication  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_source_duplication(docs, span=4).orderBy(
+        "source_a", "source_b"
+    )
+
+
+SQL_SOURCE_DUP_MATRIX = r"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+), ds AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_slice(w, i * 4 + 1, i * 4 + 4), ' '))
+           AS digest
+  FROM t, unnest(range(0, (len(w) + 3) // 4)) AS u(i)
+), tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ds GROUP BY 1
+), agg AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_chunks
+  FROM ds a JOIN ds b ON a.digest = b.digest AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT g.source_a, g.source_b, g.shared_chunks,
+       ta.n_chunks AS n_chunks_a, tb.n_chunks AS n_chunks_b,
+       CAST((g.shared_chunks * 1000000) // ta.n_chunks AS BIGINT)
+         AS containment_a_micro,
+       CAST((g.shared_chunks * 1000000) // tb.n_chunks AS BIGINT)
+         AS containment_b_micro
+FROM agg g
+JOIN tot ta ON g.source_a = ta.source
+JOIN tot tb ON g.source_b = tb.source
+ORDER BY g.source_a, g.source_b
+"""
+
+
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen (dedup.py::contamination_check):
     docs with doc_id % 97 == 0 stand in for the eval set; every other
@@ -9487,29 +9535,32 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "bpe_merges_local": (q_bpe_merges_local, SQL_VOCAB_BPE_MERGES),
     "doc_span_rewrite": (q_doc_span_rewrite, SQL_DOC_SPAN_REWRITE),
     "doc_novelty_llr": (q_doc_novelty_llr, SQL_DOC_NOVELTY_LLR),
+    "source_dup_matrix": (q_source_dup_matrix, SQL_SOURCE_DUP_MATRIX),
 }
 
 
 #: Round-10 verification priority — GENERATED by tools/retier.py at
 #: build time (diff base: the r9 round commit 944a236). Tier 0: the
-#: THREE r10 registrations (``bpe_merges_local``, the driver-local
+#: FOUR r10 registrations (``bpe_merges_local``, the driver-local
 #: BPE twin now driver-checked against the SAME oracle as
 #: ``vocab_bpe_merges``; ``doc_span_rewrite``, the exact-span dedup
 #: REWRITE with boilerplate dropping; ``doc_novelty_llr``, the
-#: per-document novelty score). Tier 1: every registry query transitively
+#: per-document novelty score; ``source_dup_matrix``, the
+#: cross-source duplication accounting). Tier 1: every registry query transitively
 #: consuming a symbol this round's diff touched (the fsio streaming
 #: state port, the grouped_exact_rank dominant-bin fallback, the
 #: semantic_contamination broadcast guard). Tier 2 drains the stale
 #: tail oldest-first: ALL 23 r5-latest rows (the VERDICT r9 #1 target
 #: met exactly) plus the oldest r6 rows fit in the remaining
 #: slots, so the oldest row after this round is r6.
-#: Steady-state age bound is ceil(205/50) = 5 rounds.
+#: Steady-state age bound is ceil(206/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R10 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
     "bpe_merges_local",
     "doc_span_rewrite",
     "doc_novelty_llr",
+    "source_dup_matrix",
     # tier 1 — implementation diff-reachable this round
     "ev_user_totals",
     "emb_mmr_rerank",
@@ -9558,7 +9609,6 @@ _PRIORITY_R10 = [
     "j4_latest_enriched",  # last row r6
     "a1_top1_per_key",  # last row r6
     "a2_next_id",  # last row r6
-    "a3_existence_counts",  # last row r6
 ]
 
 

@@ -246,3 +246,60 @@ def test_novelty_monitor_stream_matches_batch_face(spark, tmp_path):
         r["doc_id"]: (r["n_tokens"], r["llr_micro"])
         for r in spark.read.parquet(f"{out}/batch=0").collect()
     } == batch_face
+
+
+# -------------------------------------------- cross-source dup matrix
+
+
+def test_cross_source_duplication_matrix(spark):
+    from airflow_subscription_etl_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("A", 1, "a b c d"),  # chunks(2): [a b], [c d]
+            ("A", 2, "a b x y"),  # A distinct: {a b, c d, x y} = 3
+            ("B", 3, "a b c d"),  # B distinct: {a b, c d} = 2
+            ("C", 4, "zz ww"),  # C distinct: {zz ww} = 1 — no overlap
+            ("B", 5, None),  # NULL text excluded
+        ],
+        "source string, doc_id bigint, text string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["shared_chunks"],
+            r["n_chunks_a"],
+            r["n_chunks_b"],
+            r["containment_a_micro"],
+            r["containment_b_micro"],
+        )
+        for r in cross_source_duplication(df, span=2).collect()
+    }
+    # A∩B = {a b, c d}: containment 2/3 of A, 2/2 of B
+    assert got == {
+        ("A", "B"): (2, 3, 2, 2_000_000 // 3, 1_000_000)
+    }, got
+
+
+def test_cross_source_duplication_three_way(spark):
+    """A chunk shared by three sources contributes to every pair, and
+    within-source repeats never inflate the distinct counts."""
+    from airflow_subscription_etl_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("A", 1, "k k"),
+            ("A", 2, "k k"),  # same chunk again — distinct once
+            ("B", 3, "k k"),
+            ("C", 4, "k k u u"),
+        ],
+        "source string, doc_id bigint, text string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_chunks"]
+        for r in cross_source_duplication(df, span=2).collect()
+    }
+    assert got == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1}
