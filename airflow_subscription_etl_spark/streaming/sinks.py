@@ -80,6 +80,66 @@ def upsert_batch(
     )
 
 
+def list_snapshots(spark: SparkSession, root: str) -> list[int]:
+    """Batch ids of every snapshot still on disk, ascending — the
+    time-travel index the pointer-swap sink accumulates (each upsert
+    writes ``snapshot_<batch_id>`` and leaves the previous ones until
+    :func:`compact_snapshots`)."""
+    import re  # noqa: PLC0415
+
+    return sorted(
+        int(m.group(1))
+        for m in (
+            re.fullmatch(r"snapshot_(\d+)", name)
+            for name in fsio.list_names(spark, root)
+        )
+        if m
+    )
+
+
+def read_snapshot_at(
+    spark: SparkSession, root: str, batch_id: int
+) -> DataFrame | None:
+    """Time travel: the keyed state AS OF ``batch_id`` — the newest
+    snapshot with id ≤ batch_id still on disk (None before the first
+    batch, or when compaction already dropped that history). The
+    poor-man's-Delta ``VERSION AS OF``; an audit of what the state
+    looked like when batch N committed."""
+    ids = [i for i in list_snapshots(spark, root) if i <= batch_id]
+    return (
+        spark.read.parquet(f"{root}/snapshot_{max(ids)}") if ids else None
+    )
+
+
+def compact_snapshots(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> int:
+    """Drop all but the ``keep_last`` newest snapshot directories —
+    the bounded-history maintenance the pointer-swap sink needs (every
+    upsert adds a full snapshot; unpruned, disk grows with epoch
+    count × state size). The CURRENT pointer's snapshot is always
+    kept regardless of age (a reader resolving the pointer mid-prune
+    must never lose its directory), and ``keep_last ≥ 2`` keeps the
+    previous snapshot too, so an in-flight upsert's read side is
+    never pruned under it. SINGLE-WRITER discipline: run between
+    batches, like any compaction. Returns the number of snapshots
+    removed."""
+    if keep_last < 2:
+        raise ValueError(f"keep_last must be >= 2, got {keep_last}")
+    ids = list_snapshots(spark, root)
+    cur = _current_dir(spark, root)
+    keep = {f"{root}/snapshot_{i}" for i in ids[-keep_last:]}
+    if cur:
+        keep.add(cur)
+    removed = 0
+    for i in ids:
+        path = f"{root}/snapshot_{i}"
+        if path not in keep:
+            fsio.delete(spark, path)
+            removed += 1
+    return removed
+
+
 def start_keyed_snapshot_sink(
     stream: DataFrame,
     root: str,

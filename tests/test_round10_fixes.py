@@ -327,3 +327,48 @@ def test_compact_parquet_on_file_uri(spark, tmp_path):
     n = IO.compact_parquet(spark, p, target_files=1)
     assert n == 1
     assert spark.read.parquet(p).count() == 50
+
+
+# ------------------------------------- snapshot time travel + pruning
+
+
+def test_snapshot_time_travel_and_compaction(spark, tmp_path):
+    """The pointer-swap sink's promised time travel, now an API:
+    read_snapshot_at resolves the newest snapshot <= the asked batch,
+    compact_snapshots prunes history but never the current pointer's
+    directory, and the live read is unaffected."""
+    from airflow_subscription_etl_spark.streaming.sinks import (
+        compact_snapshots,
+        list_snapshots,
+        read_snapshot,
+        read_snapshot_at,
+        upsert_batch,
+    )
+
+    root = str(tmp_path / "tt")
+    for b, v in enumerate(["a", "b", "c", "d"]):
+        upsert_batch(
+            spark.createDataFrame(
+                [(1, v, b)], "k bigint, v string, o bigint"
+            ),
+            root,
+            keys=["k"],
+            order_col="o",
+            batch_id=b,
+        )
+    assert list_snapshots(spark, root) == [0, 1, 2, 3]
+    assert read_snapshot_at(spark, root, 1).collect()[0]["v"] == "b"
+    assert read_snapshot_at(spark, root, 9).collect()[0]["v"] == "d"
+    assert read_snapshot_at(spark, root, -1) is None
+
+    assert compact_snapshots(spark, root, keep_last=2) == 2
+    assert list_snapshots(spark, root) == [2, 3]
+    # live read and surviving history intact; pruned version gone
+    assert read_snapshot(spark, root).collect()[0]["v"] == "d"
+    assert read_snapshot_at(spark, root, 2).collect()[0]["v"] == "c"
+    assert read_snapshot_at(spark, root, 1) is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        compact_snapshots(spark, root, keep_last=1)
