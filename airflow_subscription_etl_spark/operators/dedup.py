@@ -935,6 +935,41 @@ def span_dedup(
     )
 
 
+def _chunk_frame(
+    df: DataFrame, span: int, key_col: str, text_col: str
+) -> DataFrame:
+    """Non-overlapping ``span``-word chunking shared by the span-dedup
+    family (:func:`span_dedup_rewrite`, :func:`cross_source_duplication`,
+    ``streaming.span_stream``): one row per (key, chunk position) with
+    the chunk text and its md5 digest, NULL key/text rows excluded.
+    Kept in ONE place because stream/batch parity and the dup-matrix
+    accounting all hinge on every caller segmenting identically."""
+    toks = norm_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(span - 1)) / F.lit(span)).cast("int")
+    return df.filter(
+        F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(key_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(toks, i * span + 1, span)).alias(
+                        "chunk"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        key_col,
+        F.col("c.pos").alias("pos"),
+        F.col("c.chunk").alias("chunk"),
+        F.md5(F.col("c.chunk")).alias("chunk_digest"),
+    )
+
+
 def span_dedup_rewrite(
     df: DataFrame,
     span: int = 8,
@@ -970,40 +1005,20 @@ def span_dedup_rewrite(
     oracle). Output: ``(id, text_clean, n_chunks, n_kept,
     n_dup_dropped, n_boiler_dropped)``.
 
-    Plan (100 TB): map-only chunking (HOF slice, no Python), then ONE
-    shuffle keyed on the 128-bit chunk digest where THREE window
-    expressions over the same partitioning (occurrence rank by
-    (id, pos); dense-rank-by-id whose partition max is the exact
-    distinct-doc count — a window ``COUNT(DISTINCT)`` Spark lacks;
-    both share the first shuffle) decide keep/drop per occurrence, and
-    finally a doc-keyed re-agg reassembles surviving text
-    (``array_sort`` on (pos, chunk) structs → join). The digest
+    Plan (100 TB): map-only chunking (:func:`_chunk_frame` — shared
+    with the streaming face and the dup matrix so every caller
+    segments identically), then ONE shuffle keyed on the 128-bit chunk
+    digest where THREE window expressions over the same partitioning
+    (occurrence rank by (id, pos); dense-rank-by-id whose partition
+    max is the exact distinct-doc count — a window ``COUNT(DISTINCT)``
+    Spark lacks; both share the first shuffle) decide keep/drop per
+    occurrence, and finally a doc-keyed re-agg reassembles surviving
+    text (``array_sort`` on (pos, chunk) structs → join). The digest
     shuffle carries (digest, id, pos, chunk); digests are uniform —
     no skew. Two data shuffles total, both on uniform keys; nothing
     quadratic."""
-    toks = norm_tokens(F.col(text_col))
-    n = F.size(toks)
-    n_chunks = F.floor((n + F.lit(span - 1)) / F.lit(span)).cast("int")
-    ch = df.filter(
-        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
-    ).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.concat_ws(" ", F.slice(toks, i * span + 1, span)).alias(
-                        "chunk"
-                    ),
-                ),
-            )
-        ).alias("c"),
-    ).select(
-        id_col,
-        F.col("c.pos").alias("pos"),
-        F.col("c.chunk").alias("chunk"),
-        F.md5(F.col("c.chunk")).alias("_digest"),
+    ch = _chunk_frame(df, span, id_col, text_col).withColumnRenamed(
+        "chunk_digest", "_digest"
     )
     w_occ = Window.partitionBy("_digest").orderBy(id_col, "pos")
     w_doc = Window.partitionBy("_digest").orderBy(id_col)
@@ -1073,23 +1088,14 @@ def cross_source_duplication(
     with source_a < source_b; pairs sharing nothing are absent.
     ``containment_a_micro = (shared · 10^6) div n_chunks_a`` — the
     fraction of a's distinct chunks that also live in b, exact
-    integer arithmetic in every engine."""
-    toks = norm_tokens(F.col(text_col))
-    n = F.size(toks)
-    n_chunks = F.floor((n + F.lit(span - 1)) / F.lit(span)).cast("int")
+    integer arithmetic in every engine. The ×10^6 bounds
+    ``shared_chunks`` at ~9.2·10^12 before bigint overflow — ~7·10^13
+    shared TOKENS at span 8 between one source pair, an order of
+    magnitude past a 100 TB corpus; route through decimal arithmetic
+    before that regime."""
     ds = (
-        df.filter(F.col(source_col).isNotNull() & F.col(text_col).isNotNull())
-        .select(
-            F.col(source_col).alias("source"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks - 1),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice(toks, i * span + 1, span))
-                    ),
-                )
-            ).alias("digest"),
-        )
+        _chunk_frame(df, span, source_col, text_col)
+        .select(F.col(source_col).alias("source"), F.col("chunk_digest").alias("digest"))
         .distinct()
     )
     totals = ds.groupBy("source").agg(

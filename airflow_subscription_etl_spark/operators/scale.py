@@ -321,8 +321,10 @@ def _monotone_id_key(df: DataFrame, id_col: str):
     if isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
         return F.col(id_col).cast("bigint")
     if isinstance(t, StringType):
+        # backtick-quoted: a column name with spaces/dots must not
+        # splice into the expression as raw SQL
         return F.expr(
-            f"cast(conv(hex(rpad(cast({id_col} as binary), 7, x'00')), "
+            f"cast(conv(hex(rpad(cast(`{id_col}` as binary), 7, x'00')), "
             "16, 10) as bigint)"
         )
     return None

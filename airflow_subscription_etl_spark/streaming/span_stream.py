@@ -87,7 +87,7 @@ def process_span_batch(
     Output schema matches the batch operator:
     ``(id, text_clean, n_chunks, n_kept, n_dup_dropped,
     n_boiler_dropped)``."""
-    from ..operators.dedup import norm_tokens  # noqa: PLC0415
+    from ..operators.dedup import _chunk_frame  # noqa: PLC0415
 
     spark = batch.sparkSession
     state_root = f"{out_root}/state"
@@ -97,30 +97,9 @@ def process_span_batch(
             [], "chunk_digest string, n_docs bigint"
         )
 
-    toks = norm_tokens(F.col(text_col))
-    n = F.size(toks)
-    n_chunks = F.floor((n + F.lit(span - 1)) / F.lit(span)).cast("int")
-    ch = batch.filter(
-        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
-    ).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.concat_ws(" ", F.slice(toks, i * span + 1, span)).alias(
-                        "chunk"
-                    ),
-                ),
-            )
-        ).alias("c"),
-    ).select(
-        id_col,
-        F.col("c.pos").alias("pos"),
-        F.col("c.chunk").alias("chunk"),
-        F.md5(F.col("c.chunk")).alias("chunk_digest"),
-    )
+    # the SHARED chunker — stream/batch parity hinges on identical
+    # segmentation, so there is exactly one implementation of it
+    ch = _chunk_frame(batch, span, id_col, text_col)
 
     # within-epoch firsts + per-epoch distinct docs, THEN fold in the
     # prior catalog: an occurrence keeps only if its digest is new to
