@@ -86,6 +86,12 @@ NEEDS = {
     # the thing under test.
     "doc_span_rewrite": ["documents"],
     "bpe_merges_local": ["documents"],
+    "doc_novelty_llr": ["documents"],
+    # the dup MATRIX output is replication-invariant (replicas keep
+    # their source names, so the distinct (digest, source) set and
+    # every containment is unchanged) — what grows is the chunking +
+    # distinct shuffle feeding it, which is the plan under test
+    "source_dup_matrix": ["documents"],
 }
 
 
