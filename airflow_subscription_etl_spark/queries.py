@@ -4100,6 +4100,37 @@ ORDER BY g.source_a, g.source_b
 """
 
 
+def q_doc_span_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-epoch face of the streaming span dedup
+    (streaming/span_stream.py::process_span_batch): the whole corpus
+    delivered as epoch 0 against an empty catalog must produce
+    EXACTLY the batch operator's output — registered against the SAME
+    oracle as ``doc_span_rewrite`` (the ``bpe_merges_local`` /
+    ``emb_rp_indexed`` identical-output precedent), so the streaming
+    code path itself — state discovery through fsio, the history join,
+    the epoch-idempotent cleaned/state writes — is driver-checked, not
+    just pytest-pinned.
+
+    Side effect: (re)writes ``span_stream_<sf-tag>/`` under the
+    session warehouse each call (cleared up front so a prior run's
+    catalog can't leak into this epoch's decisions — the
+    doc_minhash_indexed saved-artifact pattern). Two concurrent runs
+    against the SAME sf_dir would race — run same-sf sweeps
+    sequentially."""
+    from .streaming import fsio  # noqa: PLC0415
+    from .streaming.span_stream import process_span_batch  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    root = os.path.join(re.sub(r"^file:/*", "/", wh), f"span_stream_{tag}")
+    fsio.delete(spark, root)
+    process_span_batch(docs, 0, root, span=4, boilerplate_df=3)
+    return spark.read.parquet(f"{root}/cleaned/batch=0").orderBy("doc_id")
+
+
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen (dedup.py::contamination_check):
     docs with doc_id % 97 == 0 stand in for the eval set; every other
@@ -9536,16 +9567,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_span_rewrite": (q_doc_span_rewrite, SQL_DOC_SPAN_REWRITE),
     "doc_novelty_llr": (q_doc_novelty_llr, SQL_DOC_NOVELTY_LLR),
     "source_dup_matrix": (q_source_dup_matrix, SQL_SOURCE_DUP_MATRIX),
+    "doc_span_stream": (q_doc_span_stream, SQL_DOC_SPAN_REWRITE),
 }
 
 
 #: Round-10 verification priority — GENERATED by tools/retier.py at
 #: build time (diff base: the r9 round commit 944a236). Tier 0: the
-#: FOUR r10 registrations (``bpe_merges_local``, the driver-local
+#: FIVE r10 registrations (``bpe_merges_local``, the driver-local
 #: BPE twin now driver-checked against the SAME oracle as
 #: ``vocab_bpe_merges``; ``doc_span_rewrite``, the exact-span dedup
-#: REWRITE with boilerplate dropping; ``doc_novelty_llr``, the
-#: per-document novelty score; ``source_dup_matrix``, the
+#: REWRITE with boilerplate dropping; ``doc_span_stream``, its
+#: streaming single-epoch face on the SAME oracle; ``doc_novelty_llr``,
+#: the per-document novelty score; ``source_dup_matrix``, the
 #: cross-source duplication accounting). Tier 1: every registry query transitively
 #: consuming a symbol this round's diff touched (the fsio streaming
 #: state port, the grouped_exact_rank dominant-bin fallback, the
@@ -9553,7 +9586,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: tail oldest-first: ALL 23 r5-latest rows (the VERDICT r9 #1 target
 #: met exactly) plus the oldest r6 rows fit in the remaining
 #: slots, so the oldest row after this round is r6.
-#: Steady-state age bound is ceil(206/50) = 5 rounds.
+#: Steady-state age bound is ceil(207/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R10 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
@@ -9561,6 +9594,7 @@ _PRIORITY_R10 = [
     "doc_span_rewrite",
     "doc_novelty_llr",
     "source_dup_matrix",
+    "doc_span_stream",
     # tier 1 — implementation diff-reachable this round
     "ev_user_totals",
     "emb_mmr_rerank",
@@ -9608,7 +9642,6 @@ _PRIORITY_R10 = [
     "j2_left_existence",  # last row r6
     "j4_latest_enriched",  # last row r6
     "a1_top1_per_key",  # last row r6
-    "a2_next_id",  # last row r6
 ]
 
 
