@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import fsio
@@ -101,19 +101,34 @@ def process_span_batch(
     # segmentation, so there is exactly one implementation of it
     ch = _chunk_frame(batch, span, id_col, text_col)
 
-    # within-epoch firsts + per-epoch distinct docs, THEN fold in the
-    # prior catalog: an occurrence keeps only if its digest is new to
-    # history AND it is the epoch's first AND the running doc count
-    # stays under the boilerplate threshold. One digest-keyed shuffle
-    # for the windows + one digest join against the catalog.
-    w_occ = Window.partitionBy("chunk_digest").orderBy(id_col, "pos")
-    w_doc = Window.partitionBy("chunk_digest").orderBy(id_col)
-    w_all = Window.partitionBy("chunk_digest")
+    # within-epoch keeper + per-epoch distinct docs via per-digest
+    # AGGREGATES (the r11 de-skew, mirroring the batch operator —
+    # VERDICT r10: a boilerplate digest occurring in every doc of the
+    # epoch collapses map-side instead of funneling one window task),
+    # THEN fold in the prior catalog: an occurrence keeps only if its
+    # digest is new to history AND it is the epoch's (id, pos)-first
+    # AND the running doc count stays under the boilerplate threshold.
+    # The doc's first occurrence is encoded '<pos lpad 10><chunk>' so
+    # its min runs in HashAggregate (min(struct) would SortAggregate
+    # — sort every chunk row); see span_dedup_rewrite.
+    first_enc = F.concat(
+        F.lpad(F.col("pos").cast("string"), 10, "0"), F.col("chunk")
+    )
+    occ = ch.groupBy("chunk_digest", id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+        F.min(first_enc).alias("_first"),
+    )
+    dig = occ.groupBy("chunk_digest").agg(
+        F.min(F.struct(F.col(id_col), F.col("_first")))
+        .getField(id_col)
+        .alias("_keeper_id"),
+        F.count(F.lit(1)).cast("bigint").alias("_bdocs"),
+    )
     flagged = (
-        ch.withColumn("_rn", F.row_number().over(w_occ))
-        .withColumn(
-            "_bdocs", F.max(F.dense_rank().over(w_doc)).over(w_all)
-        )
+        # shuffle_hash: dig is one row per distinct epoch digest and
+        # occ is already digest-keyed — skip SMJ's sorts (see
+        # span_dedup_rewrite); AQE may still broadcast a small epoch
+        occ.join(dig.hint("shuffle_hash"), "chunk_digest")
         # plain digest-keyed join: the catalog is corpus-sized, so the
         # join strategy is AQE's call (broadcast only while it is small)
         .join(prior, "chunk_digest", "left")
@@ -128,39 +143,53 @@ def process_span_batch(
         )
         .withColumn(
             "_keep",
-            ~F.col("_boiler") & (F.col("_hist") == 0) & (F.col("_rn") == 1),
+            ~F.col("_boiler")
+            & (F.col("_hist") == 0)
+            & (F.col(id_col) == F.col("_keeper_id")),
         )
-        .withColumn("_dup", ~F.col("_boiler") & ~F.col("_keep"))
     )
-    cleaned = flagged.groupBy(id_col).agg(
-        F.coalesce(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("_keep"), F.struct("pos", "chunk"))
-                        )
+    cleaned = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("_keep"), F.col("_first"))
+                            )
+                        ),
+                        lambda x: x.substr(F.lit(11), F.length(x)),
                     ),
-                    lambda x: x["chunk"],
+                    " ",
                 ),
-                " ",
-            ),
-            F.lit(""),
-        ).alias("text_clean"),
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-        F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
-        F.sum(F.col("_dup").cast("bigint")).alias("n_dup_dropped"),
-        F.sum(F.col("_boiler").cast("bigint")).alias("n_boiler_dropped"),
+                F.lit(""),
+            ).alias("text_clean"),
+            F.sum("_cnt").alias("n_chunks"),
+            F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("_boiler"), F.col("_cnt")).otherwise(F.lit(0))
+            ).alias("n_boiler_dropped"),
+        )
+        .select(
+            id_col,
+            "text_clean",
+            "n_chunks",
+            "n_kept",
+            (
+                F.col("n_chunks") - F.col("n_kept") - F.col("n_boiler_dropped")
+            ).alias("n_dup_dropped"),
+            "n_boiler_dropped",
+        )
     )
     cleaned.write.mode("overwrite").parquet(
         f"{out_root}/cleaned/batch={int(batch_id)}"
     )
 
     # next state: prior counts + this epoch's distinct docs per digest
-    # (docs are delivered once, so cross-epoch sums stay exact)
-    batch_counts = ch.groupBy("chunk_digest").agg(
-        F.count_distinct(F.col(id_col)).cast("bigint").alias("_bd")
-    )
+    # (docs are delivered once, so cross-epoch sums stay exact);
+    # reuses the per-digest agg the cleaning pass already defined
+    batch_counts = dig.select("chunk_digest", F.col("_bdocs").alias("_bd"))
     new_state = (
         prior.join(batch_counts, "chunk_digest", "full")
         .select(

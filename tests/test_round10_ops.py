@@ -177,10 +177,16 @@ def test_novelty_totals_are_not_hint_broadcast(spark, tmp_path):
 
 
 def test_span_rewrite_plan_shape(spark):
-    """Plan pin: ONE corpus scan, ZERO joins, exactly three Exchanges
-    — the digest-keyed window shuffle (shared by all three stacked
-    window functions), the doc-keyed re-agg, and the registered
-    query's presentation orderBy. Text shuffles twice, never more."""
+    """Plan pin for the r11 de-skewed design (VERDICT r10): ZERO
+    Window nodes — keep/drop decisions come from a per-digest
+    AGGREGATE (min(struct(id,pos)) keeper + count_distinct docs, both
+    partial-aggregatable, so a boilerplate digest occurring in every
+    document collapses map-side) JOINED back on the digest (the shape
+    AQE's skew-join split can fan out — a window partition it never
+    can). The r10 design funneled every occurrence of a hot digest
+    through one window task. Exactly one join (the digest join-back);
+    the second corpus scan is the agg side's — column-pruned, and the
+    price of skew immunity."""
     from airflow_subscription_etl_spark.queries import REGISTRY
 
     fn, _ = REGISTRY["doc_span_rewrite"]
@@ -191,9 +197,9 @@ def test_span_rewrite_plan_shape(spark):
         )
     )
     tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") == 1
-    assert "Join" not in tree
-    assert tree.count("Exchange") == 3
+    assert "Window" not in tree
+    assert tree.count("Scan parquet") == 2
+    assert tree.count("Join") == 1
 
 
 def test_novelty_monitor_stream_matches_batch_face(spark, tmp_path):
