@@ -149,22 +149,104 @@ def test_replay_is_idempotent(spark, tmp_path):
 
 
 def test_prune_span_state(spark, tmp_path):
+    """With ONE bucket every epoch rewrites the whole catalog, so the
+    r10 whole-snapshot prune semantics hold exactly: keep the newest
+    keep_last dirs."""
     root = str(tmp_path / "span")
     for i, rows in enumerate([BATCH0, BATCH1, BATCH2]):
-        process_span_batch(_df(spark, rows), i, root, span=2)
+        process_span_batch(_df(spark, rows), i, root, span=2, n_buckets=1)
     assert prune_span_state(spark, root, keep_last=2) == 1
     from airflow_subscription_etl_spark.streaming import fsio
 
     assert sorted(fsio.list_names(spark, f"{root}/state")) == [
+        "_META",
         "batch=1",
         "batch=2",
     ]
     # the NEXT epoch still sees the newest snapshot
-    process_span_batch(_df(spark, [(7, "a b new tail")]), 3, root, span=2)
+    process_span_batch(
+        _df(spark, [(7, "a b new tail")]), 3, root, span=2, n_buckets=1
+    )
     got = _cleaned(spark, root)
     assert got[7] == ("new tail", 2, 1, 1, 0)  # 'a b' still remembered
     with pytest.raises(ValueError, match="keep_last"):
         prune_span_state(spark, root, keep_last=1)
+
+
+def test_prune_keeps_any_buckets_newest_snapshots(spark, tmp_path):
+    """Multi-bucket prune: a batch dir holding some bucket's newest
+    (or second-newest) snapshot is LIVE and must survive, even when
+    newer epochs exist — and history read through it stays intact."""
+    from airflow_subscription_etl_spark.streaming import fsio
+
+    root = str(tmp_path / "span")
+    # epoch 0 carries 'a b' (its bucket is touched ONLY here)
+    process_span_batch(_df(spark, [(1, "a b c d")]), 0, root, span=2)
+    # epochs 1..3 carry disjoint fresh content
+    process_span_batch(_df(spark, [(2, "e f g h")]), 1, root, span=2)
+    process_span_batch(_df(spark, [(3, "i j k l")]), 2, root, span=2)
+    process_span_batch(_df(spark, [(4, "m n o p")]), 3, root, span=2)
+    removed = prune_span_state(spark, root, keep_last=2)
+    # batch=0 holds the ONLY snapshot of 'a b'/'c d' buckets -> live
+    assert "batch=0" in fsio.list_names(spark, f"{root}/state")
+    assert removed == 0 or "batch=0" in fsio.list_names(
+        spark, f"{root}/state"
+    )
+    # 'a b' must still be remembered by a later epoch
+    process_span_batch(_df(spark, [(9, "a b zz yy")]), 4, root, span=2)
+    got = _cleaned(spark, root)
+    assert got[9] == ("zz yy", 2, 1, 1, 0)
+
+
+def test_epoch_rewrites_only_touched_buckets(spark, tmp_path):
+    """The VERDICT r10 #3 write-size pin: an epoch touching ONE digest
+    writes ONE bucket dir, not the catalog."""
+    from airflow_subscription_etl_spark.streaming import fsio
+
+    root = str(tmp_path / "span")
+    # epoch 0: a spread of digests across many buckets
+    process_span_batch(
+        _df(spark, [(i, f"w{i} x{i} y{i} z{i}") for i in range(1, 21)]),
+        0,
+        root,
+        span=2,
+    )
+    n0 = len(
+        [
+            n
+            for n in fsio.list_names(spark, f"{root}/state/batch=0")
+            if n.startswith("bucket=")
+        ]
+    )
+    assert n0 >= 2  # the spread really does span buckets
+    # epoch 1: ONE new chunk -> exactly one bucket dir written
+    process_span_batch(_df(spark, [(100, "lone pair")]), 1, root, span=2)
+    b1 = [
+        n
+        for n in fsio.list_names(spark, f"{root}/state/batch=1")
+        if n.startswith("bucket=")
+    ]
+    assert len(b1) == 1, f"single-digest epoch rewrote {len(b1)} buckets"
+    # and the catalog read across bucket chains is still complete:
+    # epoch 2 sees both epoch-0 and epoch-1 history
+    process_span_batch(
+        _df(spark, [(101, "w1 x1 fresh tail"), (102, "lone pair qq rr")]),
+        2,
+        root,
+        span=2,
+    )
+    got = _cleaned(spark, root)
+    assert got[101] == ("fresh tail", 2, 1, 1, 0)
+    assert got[102] == ("qq rr", 2, 1, 1, 0)
+
+
+def test_state_meta_pins_bucket_count(spark, tmp_path):
+    """Changing n_buckets on an existing root must raise — the
+    digest->bucket map is part of the state format."""
+    root = str(tmp_path / "span")
+    process_span_batch(_df(spark, BATCH0), 0, root, span=2, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        process_span_batch(_df(spark, BATCH1), 1, root, span=2, n_buckets=16)
 
 
 def test_file_uri_root(spark, tmp_path):
