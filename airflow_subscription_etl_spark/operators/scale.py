@@ -321,6 +321,20 @@ def _monotone_id_key(df: DataFrame, id_col: str):
     if isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
         return F.col(id_col).cast("bigint")
     if isinstance(t, StringType):
+        # the expression relies on Spark >= 3.3 BYTE-wise rpad over
+        # BINARY; older versions coerce to string and pad by
+        # CHARACTERS, so multi-byte UTF-8 ids would yield >14 hex
+        # digits and conv would silently wrap — scrambling ranks with
+        # no error (ADVICE r10). Unknown/old versions degrade to the
+        # kexpr=None path (one fine partition per tie class) instead.
+        try:
+            major, minor = (
+                int(x) for x in df.sparkSession.version.split(".")[:2]
+            )
+        except (ValueError, AttributeError):
+            return None
+        if (major, minor) < (3, 3):
+            return None
         # backtick-quoted: a column name with spaces/dots must not
         # splice into the expression as raw SQL
         return F.expr(

@@ -735,8 +735,16 @@ def semantic_contamination(
     e_normed = _valid(eval_set).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_norm")
     )
+    # persisted because the guard's count would otherwise compute the
+    # eval lineage (validity filter + l2_norm over a possibly
+    # non-trivial upstream plan) twice — once here, once for banding
+    # (ADVICE r10). Guarded ≤ eval_broadcast_cap rows, so the cache is
+    # small; freed by the ContextCleaner when the frame is dropped, and
+    # the bench clears the SQL cache between queries (the r5 rule).
+    e_normed = e_normed.persist()
     n_eval_banded = e_normed.count() * bands
     if n_eval_banded > eval_broadcast_cap:
+        e_normed.unpersist()  # the refused frame must not squat in cache
         raise ValueError(
             f"semantic_contamination: bands x |valid eval| = "
             f"{n_eval_banded} exceeds eval_broadcast_cap="

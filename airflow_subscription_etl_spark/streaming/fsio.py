@@ -25,8 +25,12 @@ Semantics notes:
   On the local filesystem Hadoop's ``rename`` is POSIX ``rename(2)``
   (atomic replace). On HDFS, ``rename`` onto an existing destination
   returns false, so the helper deletes the destination and renames —
-  a small non-atomic window that readers absorb with one retry
-  (:func:`read_text` / the drift monitor's ``_old`` fallback). On
+  a small non-atomic window. Pointer READERS must not mistake that
+  window for a cold start: ``sinks._current_dir`` retries with
+  backoff and RAISES when the pointer stays unreadable while
+  snapshots exist (ADVICE r10 — a single 50 ms retry was best-effort
+  only); the drift monitor falls back to the complete ``_old``
+  baseline instead. On
   object stores rename is copy+delete and never atomic; the
   write-aside + pointer discipline is exactly the pattern that stays
   CORRECT there (a torn observer sees the previous complete state or

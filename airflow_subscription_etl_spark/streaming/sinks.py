@@ -39,8 +39,24 @@ _POINTER = "_CURRENT"
 
 def _current_dir(spark: SparkSession, root: str) -> str | None:
     name = fsio.read_text(spark, f"{root}/{_POINTER}")
-    name = name.strip() if name else ""
-    return f"{root}/{name}" if name else None
+    if not (name and name.strip()):
+        # Distinguish a cold start from a mid-swap miss (ADVICE r10):
+        # on HDFS the pointer swap is delete-then-rename, and a reader
+        # landing inside that window would otherwise mistake existing
+        # state for "no prior snapshot" — silently resetting the
+        # dedup index / budget ledger. If snapshots exist, retry with
+        # backoff and then REFUSE rather than return None.
+        if not list_snapshots(spark, root):
+            return None
+        name = fsio.read_text(spark, f"{root}/{_POINTER}", retries=20)
+        if not (name and name.strip()):
+            raise RuntimeError(
+                f"snapshot pointer {root}/{_POINTER} is unreadable but "
+                "snapshots exist on disk — a mid-swap read did not "
+                "resolve; refusing to treat existing state as a cold "
+                "start"
+            )
+    return f"{root}/{name.strip()}"
 
 
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:

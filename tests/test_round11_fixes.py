@@ -186,3 +186,48 @@ def test_span_stream_hot_digest_no_window(spark, tmp_path):
     # epoch 1: history 3 + epoch 2 >= 4 -> boilerplate from here on
     assert b1["d"]["n_boiler_dropped"] == 1 and b1["e"]["n_boiler_dropped"] == 1
     assert b1["d"]["n_kept"] == 1 and b1["e"]["n_kept"] == 2
+
+
+# --------------------------------------------------- ADVICE r10 fixes
+
+
+def test_snapshot_pointer_miss_with_state_raises(spark, tmp_path):
+    """A vanished _CURRENT pointer while snapshots exist must RAISE,
+    never read as a cold start (the HDFS delete-then-rename swap
+    window) — a fresh root still reads as None."""
+    from airflow_subscription_etl_spark.streaming import fsio
+    from airflow_subscription_etl_spark.streaming.sinks import (
+        read_snapshot,
+        upsert_batch,
+    )
+
+    root = str(tmp_path / "snap")
+    assert read_snapshot(spark, root) is None  # genuine cold start
+    df = spark.createDataFrame([(1, 10)], "k int, v int")
+    upsert_batch(df, root, ["k"], "v", 0)
+    assert read_snapshot(spark, root) is not None
+    fsio.delete(spark, f"{root}/_CURRENT")  # simulate the swap window
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        read_snapshot(spark, root)
+
+
+def test_monotone_id_key_falls_back_on_old_spark(spark, monkeypatch):
+    """String ids degrade to kexpr=None below Spark 3.3 (character-wise
+    rpad would scramble the key) instead of silently wrong ranks."""
+    from airflow_subscription_etl_spark.operators.scale import (
+        _monotone_id_key,
+    )
+
+    df = spark.createDataFrame([("a",)], "doc_id string")
+    assert _monotone_id_key(df, "doc_id") is not None  # pinned >= 3.3
+    monkeypatch.setattr(
+        type(spark), "version", property(lambda self: "3.2.4")
+    )
+    assert _monotone_id_key(df, "doc_id") is None
+    monkeypatch.setattr(
+        type(spark), "version", property(lambda self: "weird-build")
+    )
+    assert _monotone_id_key(df, "doc_id") is None
+    # integral ids never depended on rpad — unaffected by version
+    dfi = spark.createDataFrame([(1,)], "doc_id bigint")
+    assert _monotone_id_key(dfi, "doc_id") is not None
