@@ -9571,82 +9571,77 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Round-10 verification priority — GENERATED by tools/retier.py at
-#: build time (diff base: the r9 round commit 944a236). Tier 0: the
-#: FIVE r10 registrations (``bpe_merges_local``, the driver-local
-#: BPE twin now driver-checked against the SAME oracle as
-#: ``vocab_bpe_merges``; ``doc_span_rewrite``, the exact-span dedup
-#: REWRITE with boilerplate dropping; ``doc_span_stream``, its
-#: streaming single-epoch face on the SAME oracle; ``doc_novelty_llr``,
-#: the per-document novelty score; ``source_dup_matrix``, the
-#: cross-source duplication accounting). Tier 1: every registry query transitively
-#: consuming a symbol this round's diff touched (the fsio streaming
-#: state port, the grouped_exact_rank dominant-bin fallback, the
-#: semantic_contamination broadcast guard). Tier 2 drains the stale
-#: tail oldest-first: ALL 23 r5-latest rows (the VERDICT r9 #1 target
-#: met exactly) plus the oldest r6 rows fit in the remaining
-#: slots, so the oldest row after this round is r6.
+#: Round-11 verification priority — GENERATED by tools/retier.py at
+#: build time (diff base: the r10 round commit 12db0c0). Tier 0 is
+#: EMPTY (no new registrations this round — r11 is gate integrity +
+#: the two named scale seams). Tier 1: every registry query
+#: transitively consuming a symbol this round's diff touched (the
+#: span-family de-skew, the bucketed span-stream state, the sink
+#: pointer-miss guard, the contamination eval persist, the
+#: _monotone_id_key version guard). Tier 2 drains the stale tail
+#: oldest-first: ALL 27 r6-latest rows (the VERDICT r10 #4 target,
+#: met exactly) plus the oldest r7 rows fill the remaining slots, so
+#: the oldest row after this round is r7.
 #: Steady-state age bound is ceil(207/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
-_PRIORITY_R10 = [
-    # tier 0 — NEW registered queries (no CORRECTNESS row yet)
-    "bpe_merges_local",
-    "doc_span_rewrite",
-    "doc_novelty_llr",
-    "source_dup_matrix",
-    "doc_span_stream",
+_PRIORITY_R11 = [
     # tier 1 — implementation diff-reachable this round
-    "ev_user_totals",
-    "emb_mmr_rerank",
+    "doc_span_dedup",
     "emb_rp_knn_join",
-    "source_drift_llr",
     "doc_quality_tiers",
     "emb_contamination",
     "doc_stratified_scalable",
+    "doc_span_rewrite",
+    "doc_span_stream",
     # tier 2 — oldest-green driver rows, round-robin back-fill
-    "q19_disjunctive_revenue",  # last row r5
-    "q20_part_share_suppliers",  # last row r5
-    "q21_waiting_supplier",  # last row r5
-    "q22_idle_rich_customers",  # last row r5
-    "ev_asof_join",  # last row r5
-    "ev_band_join",  # last row r5
-    "ev_attribution_join",  # last row r5
-    "doc_hash_split",  # last row r5
-    "doc_stratified_sample",  # last row r5
-    "doc_bm25_topk",  # last row r5
-    "emb_ann_topk",  # last row r5
-    "emb_ivf_topk",  # last row r5
-    "doc_keep_best",  # last row r5
-    "emb_pq_topk_pandas",  # last row r5
-    "key_skew_report",  # last row r5
-    "ev_winsorized",  # last row r5
-    "graph_kcore",  # last row r5
-    "doc_containment_pairs",  # last row r5
-    "ev_holdout_split",  # last row r5
-    "graph_lpa",  # last row r5
-    "ev_next_event",  # last row r5
-    "doc_rrf_retrieval",  # last row r5
-    "doc_curation_report",  # last row r5
-    "doc_domain_quota",  # last row r6
-    "q11_important_suppliers",  # last row r6
-    "cube_revenue",  # last row r6
-    "doc_near_dup_clusters",  # last row r6
-    "doc_vocab_topk",  # last row r6
-    "p1_projection",  # last row r6
-    "p2_label",  # last row r6
-    "p3_filter",  # last row r6
-    "p5_p6_cast_default",  # last row r6
-    "e1_e2_case",  # last row r6
-    "e5_e6_row_json",  # last row r6
-    "j1_lookup",  # last row r6
-    "j2_left_existence",  # last row r6
-    "j4_latest_enriched",  # last row r6
-    "a1_top1_per_key",  # last row r6
+    "a2_next_id",  # last row r6
+    "a3_existence_counts",  # last row r6
+    "q3_shipping_priority",  # last row r6
+    "q5_local_volume",  # last row r6
+    "q10_returned_revenue",  # last row r6
+    "doc_exact_dedup",  # last row r6
+    "doc_token_stats",  # last row r6
+    "doc_quality_score",  # last row r6
+    "doc_lang_id",  # last row r6
+    "doc_fingerprint",  # last row r6
+    "emb_topk_cosine",  # last row r6
+    "mm_featurize",  # last row r6
+    "mm_frame_sample",  # last row r6
+    "q6_forecast_revenue",  # last row r6
+    "q14_promo_share",  # last row r6
+    "q18_large_orders",  # last row r6
+    "rollup_revenue",  # last row r6
+    "pivot_order_priority",  # last row r6
+    "window_running_spend",  # last row r6
+    "anti_join_idle_customers",  # last row r6
+    "distinct_part_types",  # last row r6
+    "set_ops_custkeys",  # last row r6
+    "scalar_subquery_pricey_parts",  # last row r6
+    "orders_by_month",  # last row r6
+    "quantity_percentiles",  # last row r6
+    "string_functions",  # last row r6
+    "orders_bitmap_distinct",  # last row r6
+    "emb_quantized_topk",  # last row r7
+    "conditional_agg",  # last row r7
+    "array_agg_stats",  # last row r7
+    "ev_value_zscore_outliers",  # last row r7
+    "m1_union_ragged",  # last row r7
+    "doc_scrub_text",  # last row r7
+    "doc_weighted_sample",  # last row r7
+    "dq_audit",  # last row r7
+    "doc_bigram_topk",  # last row r7
+    "ev_funnel",  # last row r7
+    "ev_window_frames",  # last row r7
+    "kmv_sketch_rollup",  # last row r7
+    "emb_knn_join",  # last row r7
+    "mode_median_per_group",  # last row r7
+    "unpivot_nation_metrics",  # last row r7
+    "date_functions",  # last row r7
 ]
 
 
 def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: REGISTRY[name] for name in _PRIORITY_R10 if name in REGISTRY}
+    out = {name: REGISTRY[name] for name in _PRIORITY_R11 if name in REGISTRY}
     out.update({name: v for name, v in REGISTRY.items() if name not in out})
     return out
 

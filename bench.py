@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -367,27 +368,37 @@ def main() -> None:
     # captures a bounded stdout tail, and r6's spread dict pushed the
     # machine-JSON line past it (BENCH_r06.json "parsed": null). The
     # final stdout line must stay compact and self-contained.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "queries": timings,
-                "spread": spreads,
-                "passes": passes,
-                "noisy": noisy,
-                "errors": errors,
-                "baseline25_sec": baseline25,
-            },
-            fh,
-            indent=1,
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "spread": spreads,
+        "passes": passes,
+        "noisy": noisy,
+        "errors": errors,
+        "baseline25_sec": baseline25,
+    }
+    # BENCH_DETAIL.json (gitignored, latest-run scratch) PLUS a
+    # round-stamped committed copy: BENCH_rN.json keeps only a bounded
+    # stdout tail, so without this file per-query round-over-round
+    # comparison was unreconstructible from the repo (VERDICT r10).
+    # The round number is 1 + the newest driver-recorded round.
+    rounds = [
+        int(m.group(1))
+        for m in (
+            re.match(r"BENCH_r(\d+)\.json$", name)
+            for name in os.listdir(repo_dir)
         )
-        fh.write("\n")
+        if m
+    ]
+    stamped = f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json"
+    for fname in ("BENCH_DETAIL.json", stamped):
+        with open(os.path.join(repo_dir, fname), "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
 
     out = {
         "metric": "total_headline_sec",
