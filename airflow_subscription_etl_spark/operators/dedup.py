@@ -1083,7 +1083,14 @@ def span_dedup_rewrite(
         F.min(F.struct(F.col(id_col), F.col("_first")))
         .getField(id_col)
         .alias("_keeper_id"),
-        F.count(F.lit(1)).cast("bigint").alias("_docs"),
+        # the doc count is sum(_cnt > 0) — always equal to count(1)
+        # since _cnt >= 1 — ON PURPOSE: count(1) would let column
+        # pruning drop _cnt from this side's copy of occ, forking two
+        # DIFFERENT occ subtrees that each rescan and re-chunk the
+        # corpus; consuming _cnt keeps both consumers' subtrees
+        # canonically identical so exchange/stage reuse computes occ
+        # (and the scan under it) exactly once
+        F.sum((F.col("_cnt") > 0).cast("bigint")).alias("_docs"),
     )
     boiler = F.lit(boilerplate_df is not None) & (
         F.col("_docs") >= F.lit(boilerplate_df or 0)

@@ -210,7 +210,10 @@ def process_span_batch(
         F.min(F.struct(F.col(id_col), F.col("_first")))
         .getField(id_col)
         .alias("_keeper_id"),
-        F.count(F.lit(1)).cast("bigint").alias("_bdocs"),
+        # sum(_cnt > 0) == count(1) here — deliberately consumes _cnt
+        # so both occ consumers share one canonical subtree and the
+        # epoch's chunking runs once (see span_dedup_rewrite)
+        F.sum((F.col("_cnt") > 0).cast("bigint")).alias("_bdocs"),
     )
     flagged = (
         # shuffle_hash: dig is one row per distinct epoch digest and
