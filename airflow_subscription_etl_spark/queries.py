@@ -4131,6 +4131,41 @@ def q_doc_span_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{root}/cleaned/batch=0").orderBy("doc_id")
 
 
+def q_source_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-epoch face of the streaming cross-source duplication
+    matrix (streaming/source_matrix_stream.py::
+    process_source_matrix_batch): the whole corpus delivered as epoch 0
+    against empty state must produce EXACTLY the batch operator's
+    matrix — registered against the SAME oracle as
+    ``source_dup_matrix`` (the ``doc_span_stream`` precedent), so the
+    streaming code path itself — bucketed (digest, source) catalog
+    discovery, the set-based pair-increment algebra, the
+    epoch-idempotent pairs/totals/matrix writes — is driver-checked,
+    not just pytest-pinned.
+
+    Side effect: (re)writes ``source_matrix_<sf-tag>/`` under the
+    session warehouse each call (cleared up front — the
+    doc_span_stream saved-artifact pattern). Two concurrent runs
+    against the SAME sf_dir would race — run same-sf sweeps
+    sequentially."""
+    from .streaming import fsio  # noqa: PLC0415
+    from .streaming.source_matrix_stream import (  # noqa: PLC0415
+        process_source_matrix_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    root = os.path.join(re.sub(r"^file:/*", "/", wh), f"source_matrix_{tag}")
+    fsio.delete(spark, root)
+    process_source_matrix_batch(docs, 0, root, span=4)
+    return spark.read.parquet(f"{root}/matrix/batch=0").orderBy(
+        "source_a", "source_b"
+    )
+
+
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen (dedup.py::contamination_check):
     docs with doc_id % 97 == 0 stand in for the eval set; every other
@@ -9568,23 +9603,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_novelty_llr": (q_doc_novelty_llr, SQL_DOC_NOVELTY_LLR),
     "source_dup_matrix": (q_source_dup_matrix, SQL_SOURCE_DUP_MATRIX),
     "doc_span_stream": (q_doc_span_stream, SQL_DOC_SPAN_REWRITE),
+    # -- round 11 --
+    "source_dup_stream": (q_source_dup_stream, SQL_SOURCE_DUP_MATRIX),
 }
 
 
 #: Round-11 verification priority — GENERATED by tools/retier.py at
-#: build time (diff base: the r10 round commit 12db0c0). Tier 0 is
-#: EMPTY (no new registrations this round — r11 is gate integrity +
-#: the two named scale seams). Tier 1: every registry query
+#: build time (diff base: the r10 round commit 12db0c0). Tier 0: the
+#: ONE r11 registration (``source_dup_stream``, the streaming
+#: cross-source duplication matrix's single-epoch face on the SAME
+#: oracle as ``source_dup_matrix``). Tier 1: every registry query
 #: transitively consuming a symbol this round's diff touched (the
-#: span-family de-skew, the bucketed span-stream state, the sink
+#: span-family de-skew, the bucketed stream state, the sink
 #: pointer-miss guard, the contamination eval persist, the
 #: _monotone_id_key version guard). Tier 2 drains the stale tail
 #: oldest-first: ALL 27 r6-latest rows (the VERDICT r10 #4 target,
 #: met exactly) plus the oldest r7 rows fill the remaining slots, so
 #: the oldest row after this round is r7.
-#: Steady-state age bound is ceil(207/50) = 5 rounds.
+#: Steady-state age bound is ceil(208/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R11 = [
+    # tier 0 — NEW registered queries (no CORRECTNESS row yet)
+    "source_dup_stream",
     # tier 1 — implementation diff-reachable this round
     "doc_span_dedup",
     "emb_rp_knn_join",
@@ -9636,7 +9676,6 @@ _PRIORITY_R11 = [
     "emb_knn_join",  # last row r7
     "mode_median_per_group",  # last row r7
     "unpivot_nation_metrics",  # last row r7
-    "date_functions",  # last row r7
 ]
 
 

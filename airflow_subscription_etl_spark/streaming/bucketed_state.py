@@ -1,0 +1,160 @@
+"""Digest-bucketed snapshot-chain state, shared by the streaming
+maintainers that keep a corpus-scale KEYED catalog as out-of-band
+state (:mod:`.span_stream`'s chunk-digest catalog, :mod:`.
+source_matrix_stream`'s (digest, source) catalog).
+
+Layout: ``<state_root>/batch=<id>/bucket=<b>`` with ``b =
+crc32(key) mod n_buckets`` (the modulus pinned in
+``<state_root>/_META`` — changing it on an existing root would
+silently route keys to the wrong prior bucket, so it raises). An
+epoch reads and REWRITES only the buckets its delta touches —
+delta-sized IO, never an O(corpus) catalog rewrite per micro-batch —
+and each BUCKET's current content is its newest ``batch=<id>`` below
+the reader's epoch, so every epoch derives its state from PREVIOUS
+epochs' snapshots only (never its own possibly-torn one — the
+budget_stream discipline) and replays stay idempotent by
+construction, per bucket.
+
+All listing/pointer IO goes through :mod:`.fsio` (HDFS/object-store
+safe). Everything here is driver-side control-plane work on ≤
+``n_buckets × retained-epochs`` paths.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import functions as F
+
+from . import fsio
+
+#: default bucket count — see span_stream.N_STATE_BUCKETS's rationale
+DEFAULT_BUCKETS = 64
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """The digest→bucket map: ``crc32(key) mod n_buckets`` as int."""
+    return F.pmod(F.crc32(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def check_meta(spark, state_root: str, n_buckets: int) -> None:
+    """Pin ``n_buckets`` in ``state_root/_META`` on first use; refuse a
+    mismatching value later."""
+    txt = fsio.read_text(spark, f"{state_root}/_META")
+    if txt is None:
+        fsio.mkdirs(spark, state_root)
+        fsio.write_text_atomic(
+            spark, f"{state_root}/_META", json.dumps({"n_buckets": n_buckets})
+        )
+        return
+    pinned = json.loads(txt)["n_buckets"]
+    if pinned != n_buckets:
+        raise ValueError(
+            f"bucketed state at {state_root} was created with n_buckets="
+            f"{pinned}; got {n_buckets} — the key->bucket map is part of "
+            "the state format and cannot change on an existing root"
+        )
+
+
+def bucket_snapshots(spark, state_root: str, before_batch: int) -> dict[int, str]:
+    """bucket → path of its newest snapshot with batch id <
+    ``before_batch``."""
+    ids = sorted(
+        (
+            int(m.group(1))
+            for m in (
+                re.fullmatch(r"batch=(\d+)", name)
+                for name in fsio.list_names(spark, state_root)
+            )
+            if m and int(m.group(1)) < before_batch
+        ),
+        reverse=True,
+    )
+    chosen: dict[int, str] = {}
+    for b_id in ids:
+        for name in fsio.list_names(spark, f"{state_root}/batch={b_id}"):
+            m = re.fullmatch(r"bucket=(\d+)", name)
+            if m and int(m.group(1)) not in chosen:
+                chosen[int(m.group(1))] = f"{state_root}/batch={b_id}/{name}"
+    return chosen
+
+
+def read_buckets(spark, snaps: dict[int, str], schema: str, buckets):
+    """Union-read the chosen buckets' snapshots (all when ``buckets``
+    is None); None when nothing matches."""
+    paths = [p for b, p in snaps.items() if buckets is None or b in buckets]
+    if not paths:
+        return None
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def write_buckets(df, key_col: str, n_buckets: int, path: str) -> None:
+    """Write ``df`` bucket-partitioned under ``path`` — one file per
+    bucket (the repartition collapses the write; partitionBy alone
+    would cut every shuffle partition into every bucket dir)."""
+    (
+        df.withColumn("bucket", bucket_expr(key_col, n_buckets))
+        .repartition(F.col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def prune_bucketed_state(spark, state_root: str, keep_last: int = 2) -> int:
+    """Drop every ``batch=<id>`` dir in which EVERY bucket has
+    ``keep_last`` newer versions. A dir holding ANY bucket's newest
+    (or second-newest, at keep_last=2) snapshot is live data and
+    stays, bounding retained dirs at ~``n_buckets + keep_last``.
+    keep ≥ 2 so an in-flight epoch's predecessor is never pruned
+    under it. SINGLE-WRITER discipline: run between epochs."""
+    if keep_last < 2:
+        raise ValueError(f"keep_last must be >= 2, got {keep_last}")
+    ids = sorted(
+        (
+            int(m.group(1))
+            for m in (
+                re.fullmatch(r"batch=(\d+)", name)
+                for name in fsio.list_names(spark, state_root)
+            )
+            if m
+        ),
+        reverse=True,
+    )
+    seen: dict[int, int] = {}
+    removable: list[int] = []
+    for b_id in ids:
+        buckets = [
+            int(m.group(1))
+            for m in (
+                re.fullmatch(r"bucket=(\d+)", name)
+                for name in fsio.list_names(spark, f"{state_root}/batch={b_id}")
+            )
+            if m
+        ]
+        if buckets and all(seen.get(b, 0) >= keep_last for b in buckets):
+            removable.append(b_id)
+        for b in buckets:
+            seen[b] = seen.get(b, 0) + 1
+    for b_id in removable:
+        fsio.delete(spark, f"{state_root}/batch={b_id}")
+    return len(removable)
+
+
+def latest_plain_snapshot(spark, root: str, before_batch: int, schema: str):
+    """Newest UNBUCKETED ``batch=<id>`` snapshot below ``before_batch``
+    (for catalog-sized side state — per-source totals, the pair
+    matrix — where a full rewrite per epoch is the right trade);
+    None on a cold start."""
+    prev = [
+        int(m.group(1))
+        for m in (
+            re.fullmatch(r"batch=(\d+)", name)
+            for name in fsio.list_names(spark, root)
+        )
+        if m and int(m.group(1)) < before_batch
+    ]
+    if not prev:
+        return None
+    return spark.read.schema(schema).parquet(f"{root}/batch={max(prev)}")

@@ -54,89 +54,19 @@ directories stay live."""
 
 from __future__ import annotations
 
-import json
-import re
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import fsio
+from . import bucketed_state as bst
 
 #: default digest-bucket count for the state catalog. 64 keeps listing
 #: overhead trivial while a single-digest epoch rewrites 1/64th of the
 #: catalog instead of all of it; raise for very large corpora (the
 #: value is pinned per state root in ``state/_META`` — changing it on
 #: an existing root raises, because the digest→bucket map would shift).
-N_STATE_BUCKETS = 64
+N_STATE_BUCKETS = bst.DEFAULT_BUCKETS
 
 _STATE_SCHEMA = "chunk_digest string, n_docs bigint"
-
-
-def _check_meta(spark, state_root: str, n_buckets: int) -> None:
-    """Pin ``n_buckets`` in ``state/_META`` on first use; refuse a
-    mismatching value later (a different modulus would silently route
-    digests to the wrong prior bucket and forget history)."""
-    txt = fsio.read_text(spark, f"{state_root}/_META")
-    if txt is None:
-        fsio.mkdirs(spark, state_root)
-        fsio.write_text_atomic(
-            spark, f"{state_root}/_META", json.dumps({"n_buckets": n_buckets})
-        )
-        return
-    pinned = json.loads(txt)["n_buckets"]
-    if pinned != n_buckets:
-        raise ValueError(
-            f"span state at {state_root} was created with n_buckets="
-            f"{pinned}; got {n_buckets} — the digest->bucket map is part "
-            "of the state format and cannot change on an existing root"
-        )
-
-
-def _bucket_snapshots(
-    spark, state_root: str, before_batch: int
-) -> dict[int, str]:
-    """bucket → path of its newest snapshot with batch id <
-    ``before_batch`` (a replayed epoch must never read its own torn
-    snapshot — the budget_stream discipline, per bucket)."""
-    ids = sorted(
-        (
-            int(m.group(1))
-            for m in (
-                re.fullmatch(r"batch=(\d+)", name)
-                for name in fsio.list_names(spark, state_root)
-            )
-            if m and int(m.group(1)) < before_batch
-        ),
-        reverse=True,
-    )
-    chosen: dict[int, str] = {}
-    for b_id in ids:
-        for name in fsio.list_names(spark, f"{state_root}/batch={b_id}"):
-            m = re.fullmatch(r"bucket=(\d+)", name)
-            if m and int(m.group(1)) not in chosen:
-                chosen[int(m.group(1))] = (
-                    f"{state_root}/batch={b_id}/{name}"
-                )
-    return chosen
-
-
-def _latest_state(
-    spark,
-    state_root: str,
-    before_batch: int,
-    buckets: set[int] | None = None,
-):
-    """Digest catalog (restricted to ``buckets`` when given — the
-    epoch's join only needs the buckets its delta can touch) from each
-    bucket's newest snapshot below ``before_batch``. None when no
-    prior epoch exists."""
-    chosen = _bucket_snapshots(spark, state_root, before_batch)
-    paths = [
-        p for b, p in chosen.items() if buckets is None or b in buckets
-    ]
-    if not paths:
-        return None
-    return spark.read.schema(_STATE_SCHEMA).parquet(*paths)
 
 
 def process_span_batch(
@@ -160,16 +90,14 @@ def process_span_batch(
 
     spark = batch.sparkSession
     state_root = f"{out_root}/state"
-    _check_meta(spark, state_root, n_buckets)
+    bst.check_meta(spark, state_root, n_buckets)
 
     # the SHARED chunker — stream/batch parity hinges on identical
     # segmentation, so there is exactly one implementation of it
     ch = _chunk_frame(batch, span, id_col, text_col)
 
-    bucket = F.pmod(F.crc32(F.col("chunk_digest")), F.lit(n_buckets)).cast(
-        "int"
-    )
-    snaps = _bucket_snapshots(spark, state_root, int(batch_id))
+    bucket = bst.bucket_expr("chunk_digest", n_buckets)
+    snaps = bst.bucket_snapshots(spark, state_root, int(batch_id))
     if snaps:
         # the buckets this epoch's delta touches — the ONLY buckets
         # whose prior state the join needs. One extra pass over the
@@ -178,12 +106,7 @@ def process_span_batch(
         touched = {
             r["b"] for r in ch.select(bucket.alias("b")).distinct().collect()
         }
-        paths = [p for b, p in snaps.items() if b in touched]
-        prior = (
-            spark.read.schema(_STATE_SCHEMA).parquet(*paths)
-            if paths
-            else None
-        )
+        prior = bst.read_buckets(spark, snaps, _STATE_SCHEMA, touched)
     else:
         prior = None
     if prior is None:
@@ -290,17 +213,16 @@ def process_span_batch(
                 + F.coalesce(F.col("_bd"), F.lit(0))
             ).alias("n_docs"),
         )
-        .withColumn("bucket", bucket)
     )
     # prior was restricted to touched buckets, so this writes EXACTLY
     # the touched bucket dirs (delta-sized), leaving every other
-    # bucket's newest snapshot where it is. The repartition collapses
-    # the write to ~one file per bucket — partitionBy alone would cut
-    # every shuffle partition into every bucket dir (n_buckets ×
-    # shuffle_partitions small files per epoch).
-    new_state.repartition(F.col("bucket")).write.partitionBy(
-        "bucket"
-    ).mode("overwrite").parquet(f"{state_root}/batch={int(batch_id)}")
+    # bucket's newest snapshot where it is
+    bst.write_buckets(
+        new_state,
+        "chunk_digest",
+        n_buckets,
+        f"{state_root}/batch={int(batch_id)}",
+    )
 
 
 def start_span_dedup_stream(
@@ -333,46 +255,8 @@ def start_span_dedup_stream(
 
 
 def prune_span_state(spark, out_root: str, keep_last: int = 2) -> int:
-    """Drop every ``state/batch=<id>`` dir in which EVERY bucket has
-    ``keep_last`` newer versions — the bounded-directory maintenance
-    the per-bucket snapshot chains need. A dir holding ANY bucket's
-    newest (or second-newest, at keep_last=2) snapshot is live data
-    and stays, so the retained dir count is bounded by roughly
-    ``n_buckets + keep_last`` — never by epoch count. keep ≥ 2 so an
-    in-flight epoch's predecessor is never pruned under it.
-    SINGLE-WRITER discipline: run between epochs, like compaction.
+    """Bounded-directory maintenance for the bucketed snapshot chains —
+    see :func:`bucketed_state.prune_bucketed_state` (a batch dir is
+    deleted once EVERY bucket in it has ``keep_last`` newer versions).
     Returns the number of snapshot dirs removed."""
-    if keep_last < 2:
-        raise ValueError(f"keep_last must be >= 2, got {keep_last}")
-    state_root = f"{out_root}/state"
-    ids = sorted(
-        (
-            int(m.group(1))
-            for m in (
-                re.fullmatch(r"batch=(\d+)", name)
-                for name in fsio.list_names(spark, state_root)
-            )
-            if m
-        ),
-        reverse=True,
-    )
-    seen: dict[int, int] = {}  # bucket -> how many versions seen (newest first)
-    removable: list[int] = []
-    for b_id in ids:
-        buckets = [
-            int(m.group(1))
-            for m in (
-                re.fullmatch(r"bucket=(\d+)", name)
-                for name in fsio.list_names(
-                    spark, f"{state_root}/batch={b_id}"
-                )
-            )
-            if m
-        ]
-        if buckets and all(seen.get(b, 0) >= keep_last for b in buckets):
-            removable.append(b_id)
-        for b in buckets:
-            seen[b] = seen.get(b, 0) + 1
-    for b_id in removable:
-        fsio.delete(spark, f"{state_root}/batch={b_id}")
-    return len(removable)
+    return bst.prune_bucketed_state(spark, f"{out_root}/state", keep_last)

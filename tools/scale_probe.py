@@ -86,9 +86,10 @@ NEEDS = {
     # the thing under test.
     "doc_span_rewrite": ["documents"],
     # r11 — de-skewed siblings of the rewrite (same agg+join shape);
-    # the span stream's probe runs its single-epoch face end to end
+    # the stream probes run their single-epoch faces end to end
     "doc_span_dedup": ["documents"],
     "doc_span_stream": ["documents"],
+    "source_dup_stream": ["documents"],
     "bpe_merges_local": ["documents"],
     "doc_novelty_llr": ["documents"],
     # the dup MATRIX output is replication-invariant (replicas keep
