@@ -8388,6 +8388,39 @@ SQL_DOC_MINHASH_INCR = SQL_DOC_MINHASH_PORTABLE.replace(
 )
 
 
+def q_doc_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch face of the STREAMING dedup-index maintenance
+    (streaming/dedup_stream.py::process_dedup_batch): epoch 0 delivers
+    the 80% corpus (building the bucketed signature index), epoch 1
+    delivers the 20% delta, and epoch 1's emitted pairs must be
+    EXACTLY ``incremental_minhash_pairs(corpus, delta)`` — registered
+    against the SAME oracle as ``doc_minhash_incremental`` (the
+    ``doc_span_stream`` precedent), so the streaming code path itself
+    — the r11 bucketed index chain read below the epoch id, the
+    delta-sided band join, the idempotent per-epoch pair log — is
+    driver-checked, not just pytest-pinned.
+
+    Side effect: (re)writes ``minhash_stream_<sf-tag>/`` under the
+    session warehouse each call (cleared up front). Two concurrent
+    runs against the SAME sf_dir would race — run same-sf sweeps
+    sequentially."""
+    from .streaming import fsio  # noqa: PLC0415
+    from .streaming.dedup_stream import process_dedup_batch  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    delta = docs.filter(F.col("doc_id") % 10 >= 8)
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    root = os.path.join(re.sub(r"^file:/*", "/", wh), f"minhash_stream_{tag}")
+    fsio.delete(spark, root)
+    process_dedup_batch(corpus, 0, root, threshold=0.5)
+    process_dedup_batch(delta, 1, root, threshold=0.5)
+    return spark.read.parquet(f"{root}/pairs/batch_1")
+
+
 def q_doc_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed twin of ``doc_minhash_incremental``
     (dedup.py::incremental_minhash_pairs_indexed): the SAME 80/20
@@ -9605,26 +9638,30 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_span_stream": (q_doc_span_stream, SQL_DOC_SPAN_REWRITE),
     # -- round 11 --
     "source_dup_stream": (q_source_dup_stream, SQL_SOURCE_DUP_MATRIX),
+    "doc_minhash_stream": (q_doc_minhash_stream, SQL_DOC_MINHASH_INCR),
 }
 
 
 #: Round-11 verification priority — GENERATED by tools/retier.py at
 #: build time (diff base: the r10 round commit 12db0c0). Tier 0: the
-#: ONE r11 registration (``source_dup_stream``, the streaming
+#: TWO r11 registrations (``source_dup_stream``, the streaming
 #: cross-source duplication matrix's single-epoch face on the SAME
-#: oracle as ``source_dup_matrix``). Tier 1: every registry query
+#: oracle as ``source_dup_matrix``; ``doc_minhash_stream``, the
+#: streaming dedup-index two-epoch face on the SAME oracle as
+#: ``doc_minhash_incremental``). Tier 1: every registry query
 #: transitively consuming a symbol this round's diff touched (the
-#: span-family de-skew, the bucketed stream state, the sink
-#: pointer-miss guard, the contamination eval persist, the
-#: _monotone_id_key version guard). Tier 2 drains the stale tail
-#: oldest-first: ALL 27 r6-latest rows (the VERDICT r10 #4 target,
-#: met exactly) plus the oldest r7 rows fill the remaining slots, so
-#: the oldest row after this round is r7.
-#: Steady-state age bound is ceil(208/50) = 5 rounds.
+#: span-family de-skew, the bucketed stream state incl. the MinHash
+#: index, the sink pointer-miss guard, the contamination eval
+#: persist, the _monotone_id_key version guard). Tier 2 drains the
+#: stale tail oldest-first: ALL 27 r6-latest rows (the VERDICT r10
+#: #4 target, met exactly) plus the oldest r7 rows fill the
+#: remaining slots, so the oldest row after this round is r7.
+#: Steady-state age bound is ceil(209/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R11 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
     "source_dup_stream",
+    "doc_minhash_stream",
     # tier 1 — implementation diff-reachable this round
     "doc_span_dedup",
     "emb_rp_knn_join",
@@ -9675,7 +9712,6 @@ _PRIORITY_R11 = [
     "kmv_sketch_rollup",  # last row r7
     "emb_knn_join",  # last row r7
     "mode_median_per_group",  # last row r7
-    "unpivot_nation_metrics",  # last row r7
 ]
 
 

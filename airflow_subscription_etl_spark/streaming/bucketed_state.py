@@ -34,8 +34,12 @@ DEFAULT_BUCKETS = 64
 
 
 def bucket_expr(key_col: str, n_buckets: int):
-    """The digest→bucket map: ``crc32(key) mod n_buckets`` as int."""
-    return F.pmod(F.crc32(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    """The key→bucket map: ``crc32(string(key)) mod n_buckets`` as int
+    (the cast makes integer keys bucketable; for string keys it is a
+    no-op, so digest-keyed layouts are unchanged)."""
+    return F.pmod(
+        F.crc32(F.col(key_col).cast("string")), F.lit(n_buckets)
+    ).cast("int")
 
 
 def check_meta(spark, state_root: str, n_buckets: int) -> None:
@@ -140,6 +144,68 @@ def prune_bucketed_state(spark, state_root: str, keep_last: int = 2) -> int:
     for b_id in removable:
         fsio.delete(spark, f"{state_root}/batch={b_id}")
     return len(removable)
+
+
+def upsert_keyed_buckets(
+    batch,
+    root: str,
+    key_col: str,
+    order_col: str,
+    batch_id: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Last-writer-wins keyed snapshot merge with DELTA-BUCKET writes —
+    the bucketed alternative to :func:`sinks.upsert_batch`'s full
+    snapshot rewrite, for CORPUS-sized keyed state (a MinHash
+    signature index: one row per document) where rewriting everything
+    per micro-batch is O(corpus) write amplification. Per key keep the
+    row with the greatest ``order_col`` (ties → incoming batch wins);
+    only the buckets the batch's keys hash into are read and
+    rewritten. A replayed epoch re-merges against snapshots strictly
+    below its id — idempotent by construction."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    spark = batch.sparkSession
+    check_meta(spark, root, n_buckets)
+    snaps = bucket_snapshots(spark, root, int(batch_id))
+    prior = None
+    if snaps:
+        touched = {
+            r["b"]
+            for r in batch.select(bucket_expr(key_col, n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        }
+        paths = [p for b, p in snaps.items() if b in touched]
+        if paths:
+            # parquet self-describes; prior epochs wrote the same schema
+            prior = spark.read.parquet(*paths)
+    prio = batch.withColumn("__new", F.lit(1))
+    merged = (
+        prior.withColumn("__new", F.lit(0)).unionByName(prio)
+        if prior is not None
+        else prio
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).desc(), F.col("__new").desc()
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__new")
+    )
+    write_buckets(latest, key_col, n_buckets, f"{root}/batch={int(batch_id)}")
+
+
+def read_keyed_state(spark, root: str, before_batch: int | None = None):
+    """Current keyed snapshot across bucket chains: each bucket's
+    newest ``batch=<id>`` below ``before_batch`` (unbounded when None
+    — the external-reader view). None on a cold start."""
+    bound = 2**62 if before_batch is None else int(before_batch)
+    snaps = bucket_snapshots(spark, root, bound)
+    if not snaps:
+        return None
+    return spark.read.parquet(*snaps.values())
 
 
 def latest_plain_snapshot(spark, root: str, before_batch: int, schema: str):

@@ -11,8 +11,13 @@ keyed snapshot, pairs are an append log), so this composes
 ``foreachBatch`` with the repo's pointer-swap snapshot
 (:mod:`.sinks`):
 
-- ``index/``  — keyed signature snapshot (doc_id → minhash), upserted
-  per batch via the idempotent last-writer-wins merge;
+- ``index/batch=<id>/bucket=<b>`` — keyed signature snapshot
+  (doc_id → minhash), upserted per batch via the idempotent
+  last-writer-wins merge on the BUCKETED snapshot-chain layer
+  (:mod:`.bucketed_state`, r11): the index is CORPUS-sized (one row
+  per document), so a batch reads and rewrites only the key buckets
+  its delta touches — delta-sized IO, not the r10 full-snapshot
+  pointer swap's O(corpus) rewrite per micro-batch;
 - ``pairs/batch_<id>/`` — this batch's NEW pairs, written with
   overwrite so a foreachBatch REPLAY rewrites the same directory
   (idempotent), never double-appends.
@@ -23,9 +28,11 @@ batch doc also on the corpus side — but ``id_d != id_c`` drops
 self-pairs and pair normalization dedups the rest, so the emitted set
 is IDENTICAL (asserted in tests/test_dedup_stream.py).
 
-At 100 TB the snapshot rewrite becomes a Delta/Iceberg MERGE and the
-index is bucketed by (band, bucket) so the per-batch join co-locates;
-semantics here are exactly what those physical plans would run.
+At 100 TB a Delta/Iceberg MERGE (or an index pre-bucketed by
+(band, bucket) so the per-batch join co-locates —
+``write_banded_signature_index``) slots in where even key-bucket
+granularity is too coarse; semantics here are exactly what those
+physical plans would run.
 """
 
 from __future__ import annotations
@@ -34,8 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import incremental_minhash_pairs, portable_signatures
+from . import bucketed_state as bst
 from . import fsio
-from .sinks import read_snapshot, upsert_batch
 
 
 def _empty_sigs(batch: DataFrame, id_col: str) -> DataFrame:
@@ -63,7 +70,9 @@ def process_dedup_batch(
     the batch's signatures into the index. Exposed separately from the
     stream wiring so batch backfills can drive the same code path."""
     spark = batch.sparkSession
-    index = read_snapshot(spark, f"{root}/index")
+    # snapshots strictly below this batch id: a replayed epoch must
+    # never read the index state its own previous run wrote
+    index = bst.read_keyed_state(spark, f"{root}/index", int(batch_id))
     corpus_sigs = (
         index.select(id_col, "minhash")
         if index is not None
@@ -90,10 +99,10 @@ def process_dedup_batch(
         pairs.write.mode("overwrite").parquet(
             f"{root}/pairs/batch_{batch_id}"
         )
-        upsert_batch(
+        bst.upsert_keyed_buckets(
             sigs.withColumn("_b", F.lit(batch_id)),
             f"{root}/index",
-            keys=[id_col],
+            key_col=id_col,
             order_col="_b",
             batch_id=batch_id,
         )

@@ -61,7 +61,9 @@ def test_batched_pairs_equal_full_corpus_pairs(spark, tmp_path):
 def test_replay_is_idempotent(spark, tmp_path):
     """Re-delivering the last batch after the index absorbed it must
     emit the identical pair set and leave the index unchanged."""
-    from airflow_subscription_etl_spark.streaming.sinks import read_snapshot
+    from airflow_subscription_etl_spark.streaming.bucketed_state import (
+        read_keyed_state,
+    )
 
     root = str(tmp_path / "dedup")
     _drive_batches(spark, root)
@@ -71,7 +73,9 @@ def test_replay_is_idempotent(spark, tmp_path):
     }
     idx_before = sorted(
         (r["doc_id"], tuple(r["minhash"]))
-        for r in read_snapshot(spark, os.path.join(root, "index")).collect()
+        for r in read_keyed_state(
+            spark, os.path.join(root, "index")
+        ).collect()
     )
     last = spark.createDataFrame(
         [DOCS[i] for i in BATCHES[-1]], "doc_id bigint, text string"
@@ -83,7 +87,9 @@ def test_replay_is_idempotent(spark, tmp_path):
     }
     idx_after = sorted(
         (r["doc_id"], tuple(r["minhash"]))
-        for r in read_snapshot(spark, os.path.join(root, "index")).collect()
+        for r in read_keyed_state(
+            spark, os.path.join(root, "index")
+        ).collect()
     )
     assert after == before
     assert idx_after == idx_before
@@ -130,3 +136,46 @@ def test_real_readstream_end_to_end(spark, tmp_path):
         for r in read_all_pairs(spark, root).collect()
     }
     assert got == _expected(spark)
+
+
+def test_index_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The r11 bucketed-index pin: a one-doc batch rewrites exactly one
+    key bucket of the signature index, not the corpus snapshot."""
+    from airflow_subscription_etl_spark.streaming import fsio
+
+    root = str(tmp_path / "dedup")
+    _drive_batches(spark, root)  # several docs across buckets
+    n0 = max(
+        len(
+            [
+                n
+                for n in fsio.list_names(spark, f"{root}/index/batch={b}")
+                if n.startswith("bucket=")
+            ]
+        )
+        for b in range(len(BATCHES))
+    )
+    assert n0 >= 2  # the corpus really spans buckets
+    one = spark.createDataFrame(
+        [(99, "a single new document arrives alone")],
+        "doc_id bigint, text string",
+    )
+    process_dedup_batch(one, len(BATCHES), root, threshold=TH)
+    b_new = [
+        n
+        for n in fsio.list_names(
+            spark, f"{root}/index/batch={len(BATCHES)}"
+        )
+        if n.startswith("bucket=")
+    ]
+    assert len(b_new) == 1, f"one-doc batch rewrote {len(b_new)} buckets"
+    # and the merged view still holds every document ever indexed
+    from airflow_subscription_etl_spark.streaming.bucketed_state import (
+        read_keyed_state,
+    )
+
+    ids = {
+        r["doc_id"]
+        for r in read_keyed_state(spark, f"{root}/index").collect()
+    }
+    assert ids == {d for d, _ in DOCS} | {99}

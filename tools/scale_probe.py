@@ -90,6 +90,11 @@ NEEDS = {
     "doc_span_dedup": ["documents"],
     "doc_span_stream": ["documents"],
     "source_dup_stream": ["documents"],
+    # doc_minhash_stream is NOT probed here: it is a pair generator
+    # over replicated content (verbatim clones share every band
+    # bucket), the exact exclusion the NEEDS policy above names; its
+    # growth story is the synth_probe held-pair-density methodology
+    # via incremental_minhash_pairs, which it drives unchanged.
     "bpe_merges_local": ["documents"],
     "doc_novelty_llr": ["documents"],
     # the dup MATRIX output is replication-invariant (replicas keep
