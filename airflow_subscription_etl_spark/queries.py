@@ -8852,6 +8852,54 @@ def q_emb_rp_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_rp_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-index face of ``emb_rp_knn_join``
+    (streaming/rp_stream.py): the RP index is built from the 80%
+    base (``write_rp_index``), the 20% delta arrives as a streaming
+    append epoch (``process_rp_batch`` — validity + the SAME Arrow
+    projection kernel, so appended and built projections are
+    bit-identical), and a query batch is answered through
+    ``process_rp_query_batch`` over the combined index. Registered
+    against the SAME generated oracle as ``emb_rp_knn_join`` (the
+    ``doc_span_stream`` precedent): identical per-query results from
+    the appended index ARE the claim — the streaming append path,
+    the meta-guarded projection, and the idempotent per-epoch query
+    log all driver-checked.
+
+    Side effect: (re)writes ``rp_stream_<sf-tag>/`` under the session
+    warehouse each call (cleared up front). Two concurrent runs
+    against the SAME sf_dir would race — run same-sf sweeps
+    sequentially."""
+    from .streaming import fsio  # noqa: PLC0415
+    from .streaming.rp_stream import (  # noqa: PLC0415
+        process_rp_batch,
+        process_rp_query_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = len(_query_vector(spark, sf_dir))
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    delta = emb.filter(F.col("vec_id") % 10 >= 8)
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    path = os.path.join(re.sub(r"^file:/*", "/", wh), f"rp_stream_{tag}")
+    fsio.delete(spark, path)
+    similarity.write_rp_index(base, path, dims=dims, r_dims=8)
+    process_rp_batch(delta, 0, path)  # appends vectors/batch=1
+    queries = (
+        similarity._rp_valid_rows(emb, dims, 8, "embedding")  # noqa: SLF001
+        .orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    process_rp_query_batch(
+        queries, 0, path, f"{path}/knn", k=10, candidates=64
+    )
+    return spark.read.parquet(f"{path}/knn/batch=0")
+
+
 def _rp_knn_oracle_sql(
     dims: int = 64, r_dims: int = 8, candidates: int = 64, k: int = 10,
     nq: int = 4,
@@ -9294,6 +9342,39 @@ ORDER BY source, doc_id
 SQL_DOC_TOKEN_BUDGET_MIX = _token_mix_oracle_sql(_TOKEN_MIX_SHARES, 12_000)
 
 
+def q_doc_budget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-epoch face of the STREAMING token-budget admission
+    controller (streaming/budget_stream.py::process_budget_batch): the
+    whole corpus delivered as epoch 0 against full budgets must admit
+    EXACTLY the batch assembler's cut — registered against the SAME
+    oracle as ``doc_token_budget_mix`` (the ``doc_span_stream``
+    precedent; absolute budgets 600 = floor(12000·500/10000) per
+    source, the share arithmetic ``token_budget_mix`` itself runs),
+    so the streaming code path — fsio state discovery, the
+    remaining-budget fold, the epoch-idempotent admitted/state writes
+    — is driver-checked, not just pytest-pinned.
+
+    Side effect: (re)writes ``budget_stream_<sf-tag>/`` under the
+    session warehouse each call (cleared up front). Two concurrent
+    runs against the SAME sf_dir would race — run same-sf sweeps
+    sequentially."""
+    from .streaming import fsio  # noqa: PLC0415
+    from .streaming.budget_stream import process_budget_batch  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    budgets = {s: (12_000 * bp) // 10_000 for s, bp in _TOKEN_MIX_SHARES.items()}
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    root = os.path.join(re.sub(r"^file:/*", "/", wh), f"budget_stream_{tag}")
+    fsio.delete(spark, root)
+    process_budget_batch(docs, 0, root, budgets)
+    return spark.read.parquet(f"{root}/admitted/batch=0").orderBy(
+        "source", "doc_id"
+    )
+
+
 def q_doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source rank + CCNet head/middle/tail tiering
     (scale.py::grouped_exact_rank): every document ranked within its
@@ -9639,29 +9720,34 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # -- round 11 --
     "source_dup_stream": (q_source_dup_stream, SQL_SOURCE_DUP_MATRIX),
     "doc_minhash_stream": (q_doc_minhash_stream, SQL_DOC_MINHASH_INCR),
+    "doc_budget_stream": (q_doc_budget_stream, SQL_DOC_TOKEN_BUDGET_MIX),
+    "emb_rp_stream": (q_emb_rp_stream, _rp_knn_oracle_sql),
 }
 
 
 #: Round-11 verification priority — GENERATED by tools/retier.py at
 #: build time (diff base: the r10 round commit 12db0c0). Tier 0: the
-#: TWO r11 registrations (``source_dup_stream``, the streaming
-#: cross-source duplication matrix's single-epoch face on the SAME
-#: oracle as ``source_dup_matrix``; ``doc_minhash_stream``, the
-#: streaming dedup-index two-epoch face on the SAME oracle as
-#: ``doc_minhash_incremental``). Tier 1: every registry query
-#: transitively consuming a symbol this round's diff touched (the
-#: span-family de-skew, the bucketed stream state incl. the MinHash
-#: index, the sink pointer-miss guard, the contamination eval
-#: persist, the _monotone_id_key version guard). Tier 2 drains the
-#: stale tail oldest-first: ALL 27 r6-latest rows (the VERDICT r10
-#: #4 target, met exactly) plus the oldest r7 rows fill the
-#: remaining slots, so the oldest row after this round is r7.
-#: Steady-state age bound is ceil(209/50) = 5 rounds.
+#: FOUR r11 registrations — the driver-checked faces that COMPLETE
+#: the batch/stream symmetry (``source_dup_stream`` on
+#: ``source_dup_matrix``'s oracle, ``doc_minhash_stream`` on
+#: ``doc_minhash_incremental``'s, ``doc_budget_stream`` on
+#: ``doc_token_budget_mix``'s, ``emb_rp_stream`` on
+#: ``emb_rp_knn_join``'s). Tier 1: every registry query transitively
+#: consuming a symbol this round's diff touched (the span-family
+#: de-skew, the bucketed stream state incl. the MinHash index, the
+#: sink pointer-miss guard, the contamination eval persist, the
+#: _monotone_id_key version guard). Tier 2 drains the stale tail
+#: oldest-first: ALL 27 r6-latest rows (the VERDICT r10 #4 target,
+#: met exactly) plus the oldest r7 rows fill the remaining slots, so
+#: the oldest row after this round is r7.
+#: Steady-state age bound is ceil(211/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R11 = [
     # tier 0 — NEW registered queries (no CORRECTNESS row yet)
     "source_dup_stream",
     "doc_minhash_stream",
+    "doc_budget_stream",
+    "emb_rp_stream",
     # tier 1 — implementation diff-reachable this round
     "doc_span_dedup",
     "emb_rp_knn_join",
@@ -9710,8 +9796,6 @@ _PRIORITY_R11 = [
     "ev_funnel",  # last row r7
     "ev_window_frames",  # last row r7
     "kmv_sketch_rollup",  # last row r7
-    "emb_knn_join",  # last row r7
-    "mode_median_per_group",  # last row r7
 ]
 
 
