@@ -63,7 +63,15 @@ def check_meta(spark, state_root: str, n_buckets: int) -> None:
 
 def bucket_snapshots(spark, state_root: str, before_batch: int) -> dict[int, str]:
     """bucket → path of its newest snapshot with batch id <
-    ``before_batch``."""
+    ``before_batch``.
+
+    Walks batch dirs NEWEST-FIRST and stops as soon as every bucket
+    (count pinned in ``_META``) has found its newest snapshot
+    (VERDICT r11 #4): with prune deferred, a long root's older dirs
+    are never even listed, keeping the driver-side listing
+    O(n_buckets) regardless of retained-epoch count."""
+    meta = fsio.read_text(spark, f"{state_root}/_META")
+    n_buckets = json.loads(meta)["n_buckets"] if meta else None
     ids = sorted(
         (
             int(m.group(1))
@@ -77,6 +85,8 @@ def bucket_snapshots(spark, state_root: str, before_batch: int) -> dict[int, str
     )
     chosen: dict[int, str] = {}
     for b_id in ids:
+        if n_buckets is not None and len(chosen) >= n_buckets:
+            break  # every bucket already has its newest snapshot
         for name in fsio.list_names(spark, f"{state_root}/batch={b_id}"):
             m = re.fullmatch(r"bucket=(\d+)", name)
             if m and int(m.group(1)) not in chosen:
@@ -96,11 +106,19 @@ def read_buckets(spark, snaps: dict[int, str], schema: str, buckets):
 def write_buckets(df, key_col: str, n_buckets: int, path: str) -> None:
     """Write ``df`` bucket-partitioned under ``path`` — one file per
     bucket (the repartition collapses the write; partitionBy alone
-    would cut every shuffle partition into every bucket dir)."""
+    would cut every shuffle partition into every bucket dir).
+
+    The overwrite is pinned STATIC (ADVICE r11): replay cleanup relies
+    on mode("overwrite") clearing the whole replayed ``batch=<id>``
+    dir. Under a session-level ``partitionOverwriteMode=dynamic``,
+    only partitions present in the replay's df would be replaced — a
+    failed attempt's stale bucket dirs would survive inside the
+    replayed batch dir and become those buckets' "newest" snapshots."""
     (
         df.withColumn("bucket", bucket_expr(key_col, n_buckets))
         .repartition(F.col("bucket"))
         .write.partitionBy("bucket")
+        .option("partitionOverwriteMode", "static")
         .mode("overwrite")
         .parquet(path)
     )

@@ -50,11 +50,17 @@ def _current_dir(spark: SparkSession, root: str) -> str | None:
             return None
         name = fsio.read_text(spark, f"{root}/{_POINTER}", retries=20)
         if not (name and name.strip()):
+            newest = list_snapshots(spark, root)[-1]
             raise RuntimeError(
                 f"snapshot pointer {root}/{_POINTER} is unreadable but "
                 "snapshots exist on disk — a mid-swap read did not "
                 "resolve; refusing to treat existing state as a cold "
-                "start"
+                "start. Manual recovery: recreate the pointer with the "
+                f"newest snapshot name, e.g. fsio.write_text_atomic("
+                f"spark, '{root}/{_POINTER}', 'snapshot_{newest}'). "
+                "(The WRITER self-heals without this: upsert_batch "
+                "falls back to the newest snapshot below its replayed "
+                "batch id.)"
             )
     return f"{root}/{name.strip()}"
 
@@ -73,9 +79,22 @@ def upsert_batch(
 ) -> None:
     """Merge one micro-batch into the snapshot: per key keep the row
     with the greatest ``order_col`` (ties → incoming batch wins).
+
+    Writer-side pointer-miss recovery (ADVICE r11): a crash between
+    the snapshot write and the pointer flip leaves ``_CURRENT``
+    missing while snapshots exist — the READ side correctly refuses
+    to call that a cold start, which would otherwise wedge every
+    foreachBatch replay permanently. The WRITER knows its batch id,
+    so the replay can self-heal: merge against the newest snapshot
+    STRICTLY BELOW the replayed id (exactly the state the original
+    attempt saw — snapshot_<batch_id> itself may be the torn write),
+    then rewrite and re-flip. Idempotence is unchanged.
     """
     spark = batch.sparkSession
-    prev = read_snapshot(spark, root)
+    try:
+        prev = read_snapshot(spark, root)
+    except RuntimeError:
+        prev = read_snapshot_at(spark, root, int(batch_id) - 1)
     prio = batch.withColumn("__new", F.lit(1))
     merged = (
         prev.withColumn("__new", F.lit(0)).unionByName(prio)
@@ -154,6 +173,82 @@ def compact_snapshots(
             fsio.delete(spark, path)
             removed += 1
     return removed
+
+
+# --------------------------------------------------------------------
+# Unified keyed-state face (VERDICT r11 #5). upsert_batch (full
+# snapshot + pointer) and bucketed_state.upsert_keyed_buckets (crc32
+# bucket chains) share last-writer-wins semantics and idempotent
+# replay; they differ only in IO shape, and callers previously chose
+# by MODULE. One entry point, the trade documented once:
+#
+# - ``layout="snapshot"`` rewrites the FULL state per epoch behind an
+#   atomic pointer, keeping history for time travel
+#   (:func:`read_snapshot_at`). Right when the state is CATALOG-sized
+#   — per-source totals, a pair matrix, anything whose row count is
+#   bounded by a catalog, not the corpus — where a full rewrite is a
+#   few MB and the pointer gives cheap audits.
+# - ``layout="bucketed"`` rewrites only the bucket chains the batch's
+#   keys hash into. Right when the state is CORPUS-KEYED — one row per
+#   document (a MinHash signature index, a chunk-digest catalog) —
+#   where a full rewrite per micro-batch is O(corpus) write
+#   amplification and per-epoch IO must stay delta-sized.
+#
+# Rule of thumb: state that grows with the DATA → bucketed; state that
+# grows with a CATALOG → snapshot.
+
+
+def upsert_keyed_state(
+    batch: DataFrame,
+    root: str,
+    keys: list[str],
+    order_col: str,
+    batch_id: int,
+    layout: str = "snapshot",
+    n_buckets: int | None = None,
+) -> None:
+    """Last-writer-wins keyed upsert of one micro-batch, dispatching
+    on ``layout`` (see the trade above). The bucketed layout buckets
+    on the FIRST key column (same composite key → same bucket), and
+    defaults ``n_buckets`` to :data:`bucketed_state.DEFAULT_BUCKETS`."""
+    from . import bucketed_state  # noqa: PLC0415 — avoid import cycle
+
+    if layout == "snapshot":
+        if n_buckets is not None:
+            raise ValueError("n_buckets only applies to layout='bucketed'")
+        upsert_batch(batch, root, keys, order_col, batch_id)
+    elif layout == "bucketed":
+        bucketed_state.upsert_keyed_buckets(
+            batch,
+            root,
+            keys[0],
+            order_col,
+            batch_id,
+            n_buckets=n_buckets or bucketed_state.DEFAULT_BUCKETS,
+        )
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+
+
+def read_keyed_state(
+    spark: SparkSession,
+    root: str,
+    layout: str = "snapshot",
+    before_batch: int | None = None,
+) -> DataFrame | None:
+    """Current keyed state under either layout; ``before_batch``
+    bounds the read to snapshots with batch id STRICTLY below it (the
+    in-epoch reader view — an epoch must never read its own possibly-
+    torn write). None on a cold start."""
+    from . import bucketed_state  # noqa: PLC0415
+
+    if layout == "snapshot":
+        if before_batch is None:
+            return read_snapshot(spark, root)
+        return read_snapshot_at(spark, root, int(before_batch) - 1)
+    if layout == "bucketed":
+        return bucketed_state.read_keyed_state(spark, root, before_batch)
+    raise ValueError(f"unknown layout {layout!r}")
 
 
 def start_keyed_snapshot_sink(

@@ -242,6 +242,47 @@ def machine_totals(
     return total, baseline
 
 
+def noise_threshold(ts: list[float]) -> float:
+    """Relative spread gate for one query's pass times (VERDICT r11
+    #2): on a sub-0.5 s query a fixed 0.30 relative gate lets a ~0.1 s
+    OS wobble — half the query's whole cost — through on 2 passes, and
+    the min-of-2 headline then swings 1.5x round-over-round
+    (doc_collapse_runs 0.24→0.37 s in r11 at spread 0.204). Cheap
+    queries get the tighter 0.25 gate."""
+    return 0.25 if min(ts) < 0.5 else 0.30
+
+
+def passes_settled(times: list[float], next_pass: int) -> bool:
+    """True when pass `next_pass` need not run — the adjudication
+    loop-control, pure so the policy is testable without Spark.
+
+    Steady slice for the agreement check: when ≥3 passes exist, pass 0
+    is excluded — queries with internal .persist() (LSH signatures)
+    structurally pay a cache build on pass 0 after the inter-query
+    clearCache, which is warm-up, not host noise. The remaining passes
+    all run against the built cache, so residual disagreement there IS
+    noise (or a real instability worth a judge's look). Passes 5–6 run
+    only while the steady spread stays over the query's threshold
+    (VERDICT r9 #6): with ≥4 steady passes the trimmed median in
+    summarize_passes drops the outlier entirely. Sub-0.5 s queries
+    never stop at 2 passes (VERDICT r11 #2): a third pass costs ~0.3 s
+    and buys a steady slice that excludes the cache-build pass."""
+    if not times:
+        return False
+
+    def _spread(ts: list[float]) -> float:
+        return (max(ts) - min(ts)) / min(ts)
+
+    if next_pass == 2:
+        # two passes agree — no adjudication needed (never for sub-0.5s)
+        return min(times) >= 0.5 and _spread(times) <= 0.30
+    if next_pass >= 3:
+        # steady passes agree after adjudication
+        steady = times[1:]
+        return _spread(steady) <= noise_threshold(steady)
+    return False
+
+
 def summarize_passes(times: list[float]) -> tuple[float, float]:
     """(headline_sec, steady_spread) for one query's pass times.
 
@@ -316,27 +357,12 @@ def main() -> None:
     passes: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
 
-    def _spread(ts: list[float]) -> float:
-        return (max(ts) - min(ts)) / min(ts)
-
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         times: list[float] = []
         for _pass in range(6):
-            # steady slice for the agreement check: when ≥3 passes
-            # exist, pass 0 is excluded — queries with internal
-            # .persist() (LSH signatures) structurally pay a cache
-            # build on pass 0 after the inter-query clearCache, which
-            # is warm-up, not host noise. The remaining passes all run
-            # against the built cache, so residual disagreement there
-            # IS noise (or a real instability worth a judge's look).
-            # Passes 5–6 run only while the steady spread stays >0.30
-            # (VERDICT r9 #6): with ≥4 steady passes the trimmed
-            # median in summarize_passes drops the outlier entirely.
-            if _pass == 2 and times and _spread(times) <= 0.30:
-                break  # two passes agree — no adjudication needed
-            if _pass >= 3 and times and _spread(times[1:]) <= 0.30:
-                break  # steady passes agree after adjudication
+            if passes_settled(times, _pass):
+                break
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
@@ -359,10 +385,13 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total, baseline25 = machine_totals(timings, errors, BASELINE25)
-    # Queries whose steady-state passes STILL disagree >30% after 4
-    # passes — the compact pointer a judge needs; full per-pass data is
-    # in the detail file.
-    noisy = sorted(n for n, s in spreads.items() if s > 0.30)
+    # Queries whose steady-state passes STILL disagree past their
+    # threshold (0.25 sub-0.5 s, 0.30 otherwise) after adjudication —
+    # the compact pointer a judge needs; full per-pass data is in the
+    # detail file.
+    noisy = sorted(
+        n for n, s in spreads.items() if s > noise_threshold([timings[n]])
+    )
 
     # Full per-query evidence goes to a FILE, not stdout: the driver
     # captures a bounded stdout tail, and r6's spread dict pushed the
@@ -385,16 +414,23 @@ def main() -> None:
     # round-stamped committed copy: BENCH_rN.json keeps only a bounded
     # stdout tail, so without this file per-query round-over-round
     # comparison was unreconstructible from the repo (VERDICT r10).
-    # The round number is 1 + the newest driver-recorded round.
-    rounds = [
-        int(m.group(1))
-        for m in (
-            re.match(r"BENCH_r(\d+)\.json$", name)
-            for name in os.listdir(repo_dir)
+    # Round stamp = max(newest BENCH_rN, newest BENCH_DETAIL_rN + 1)
+    # (ADVICE r11): the plain "newest BENCH_rN + 1" mislabeled reruns —
+    # once the harness has written THIS round's BENCH_rN, a rerun must
+    # fill/overwrite DETAIL_rN, not invent rN+1 and leave rN stale.
+    def _newest(prefix: str) -> int:
+        pat = re.compile(rf"{prefix}_r(\d+)\.json$")
+        return max(
+            (
+                int(m.group(1))
+                for m in map(pat.match, os.listdir(repo_dir))
+                if m
+            ),
+            default=0,
         )
-        if m
-    ]
-    stamped = f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json"
+
+    this_round = max(_newest("BENCH"), _newest("BENCH_DETAIL") + 1)
+    stamped = f"BENCH_DETAIL_r{this_round:02d}.json"
     for fname in ("BENCH_DETAIL.json", stamped):
         with open(os.path.join(repo_dir, fname), "w") as fh:
             json.dump(detail, fh, indent=1)
@@ -409,9 +445,10 @@ def main() -> None:
         # numeric so cross-round consumers can compare/arithmetic it
         # (ADVICE r6); the adjudication policy is its own field
         "runs_per_query": 2,
-        "adjudication": "3rd-6th pass while steady spread > 0.30; "
-        "median of steady passes when 4 ran, trimmed median when 5-6 "
-        "ran (spreads in BENCH_DETAIL.json)",
+        "adjudication": "3rd-6th pass while steady spread > threshold "
+        "(0.25 sub-0.5s, 0.30 otherwise; sub-0.5s queries always run "
+        ">=3 passes); median of steady passes when 4 ran, trimmed "
+        "median when 5-6 ran (spreads in BENCH_DETAIL.json)",
         "baseline25_sec": baseline25,
     }
     if noisy:

@@ -9,7 +9,14 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-from bench import BASELINE25, HEADLINE, machine_totals, summarize_passes
+from bench import (
+    BASELINE25,
+    HEADLINE,
+    machine_totals,
+    noise_threshold,
+    passes_settled,
+    summarize_passes,
+)
 
 
 def test_totals_clean_run():
@@ -43,6 +50,41 @@ def test_baseline25_is_the_recorded_r1_prefix():
     assert BASELINE25 == HEADLINE[:25]
     assert BASELINE25[-1] == "scd2_customer_orders"
     assert "doc_cc_islands" in BASELINE25
+
+
+def test_sub_half_second_queries_never_stop_at_two_passes():
+    """VERDICT r11 #2: a cheap query whose 2 passes agree within 30%
+    still runs a 3rd pass — min-of-2 on a sub-0.5 s query wobbles 1.5x
+    round-over-round (doc_collapse_runs 0.24→0.37 s at spread 0.204)."""
+    # the exact r11 shape: 0.24 / 0.29 would have stopped at 2 passes
+    assert not passes_settled([0.24, 0.29], 2)
+    # a >=0.5 s query with the same relative agreement DOES stop at 2
+    assert passes_settled([2.4, 2.9], 2)
+    # after the 3rd pass, a cheap query with tight steady spread stops
+    assert passes_settled([0.24, 0.25, 0.26], 3)
+    # ...but the tighter 0.25 gate keeps escalating a 30% steady wobble
+    # that the old 0.30 gate would have accepted
+    assert not passes_settled([0.24, 0.20, 0.26], 3)
+    # >=0.5 s queries keep the looser 0.30 gate at the same step: a
+    # 28% steady wobble settles for them but not for a cheap query
+    assert passes_settled([2.4, 2.0, 2.56], 3)
+    assert not passes_settled([0.24, 0.20, 0.256], 3)
+
+
+def test_noise_threshold_is_relative_to_query_cost():
+    assert noise_threshold([0.3, 0.4]) == 0.25
+    assert noise_threshold([0.6, 0.7]) == 0.30
+    # boundary: exactly 0.5 s is "not cheap"
+    assert noise_threshold([0.5]) == 0.30
+
+
+def test_passes_settled_floor_and_ceiling():
+    # pass 0 and 1 always run
+    assert not passes_settled([], 0)
+    assert not passes_settled([1.0], 1)
+    # 4th+ pass checks the steady slice (pass 0 excluded): a slow
+    # cache-build pass 0 must not force escalation by itself
+    assert passes_settled([9.0, 1.0, 1.05, 1.1], 4)
 
 
 def test_summarize_passes_min_vs_median():

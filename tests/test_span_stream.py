@@ -189,9 +189,11 @@ def test_prune_keeps_any_buckets_newest_snapshots(spark, tmp_path):
     removed = prune_span_state(spark, root, keep_last=2)
     # batch=0 holds the ONLY snapshot of 'a b'/'c d' buckets -> live
     assert "batch=0" in fsio.list_names(spark, f"{root}/state")
-    assert removed == 0 or "batch=0" in fsio.list_names(
-        spark, f"{root}/state"
-    )
+    # every dir holds some bucket's newest-or-second-newest snapshot
+    # (the four epochs carry disjoint digests), so NOTHING is prunable
+    # (ADVICE r11: the old or-clause here was tautological and never
+    # actually pinned the count)
+    assert removed == 0
     # 'a b' must still be remembered by a later epoch
     process_span_batch(_df(spark, [(9, "a b zz yy")]), 4, root, span=2)
     got = _cleaned(spark, root)

@@ -186,9 +186,17 @@ def _single_partition_window(plan: str) -> str | None:
     code and could never fire.)
 
     A SinglePartition exchange feeding a final zero-key HashAggregate
-    is the normal global-agg plan and is NOT flagged; only a
-    Sort/Window(GroupLimit) ancestor on the unbroken unary chain above
-    the exchange is."""
+    is the normal global-agg plan and is NOT flagged: the aggregate
+    bounds the frame to ONE row, so a Sort/Window above it is harmless
+    — the walk stops there. A GROUPED aggregate, though, does NOT end
+    the single-partition chain (VERDICT r11 #3 — the old walk's blind
+    spot): SinglePartition satisfies any required clustering, so Spark
+    inserts no new exchange above it, and a keyed Window/Sort past the
+    grouped aggregate still runs in one task over a key-count-sized —
+    potentially data-sized — frame. The walk therefore continues
+    through grouped aggregates and flags Window/Sort anywhere on the
+    unary chain, unless a repartitioning Exchange (any non-transparent
+    node, which includes Exchange) intervenes first."""
     nodes = _parse_tree(plan)
     for i, (nid, name, depth) in enumerate(nodes):
         if "Exchange" not in name:
@@ -208,6 +216,14 @@ def _single_partition_window(plan: str) -> str | None:
                     f"{pname} ({pid}) fed by Exchange SinglePartition ({nid})"
                 )
             if pname.startswith(_TRANSPARENT):
+                child_depth = pdepth
+                continue
+            if "Aggregate" in pname:
+                keys = _node_keys_count(plan, pid)
+                if keys == 0:
+                    break  # global agg: frame is 1 row above here
+                # grouped agg over SinglePartition input: no exchange
+                # inserted, the chain above is STILL single-partition
                 child_depth = pdepth
                 continue
             break
