@@ -9725,82 +9725,76 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Round-11 verification priority — GENERATED by tools/retier.py at
-#: build time (diff base: the r10 round commit 12db0c0). Tier 0: the
-#: FOUR r11 registrations — the driver-checked faces that COMPLETE
-#: the batch/stream symmetry (``source_dup_stream`` on
-#: ``source_dup_matrix``'s oracle, ``doc_minhash_stream`` on
-#: ``doc_minhash_incremental``'s, ``doc_budget_stream`` on
-#: ``doc_token_budget_mix``'s, ``emb_rp_stream`` on
-#: ``emb_rp_knn_join``'s). Tier 1: every registry query transitively
-#: consuming a symbol this round's diff touched (the span-family
-#: de-skew, the bucketed stream state incl. the MinHash index, the
-#: sink pointer-miss guard, the contamination eval persist, the
-#: _monotone_id_key version guard). Tier 2 drains the stale tail
-#: oldest-first: ALL 27 r6-latest rows (the VERDICT r10 #4 target,
-#: met exactly) plus the oldest r7 rows fill the remaining slots, so
-#: the oldest row after this round is r7.
-#: Steady-state age bound is ceil(211/50) = 5 rounds.
+#: Round-12 verification priority — GENERATED by tools/retier.py at
+#: build time (diff base: the r11 round commit 58fc1f7). Tier 0 is
+#: empty (no new registrations this round — r12 is freshness +
+#: measurement hygiene per VERDICT r11). Tier 1: the five streaming
+#: faces that transitively consume this round's diff (the snapshot
+#: sink's writer-side pointer-miss self-heal, the bucketed-state
+#: early-exit + static-overwrite pin, the unified keyed-state face).
+#: Tier 2 drains the stale tail oldest-first: ALL 32 r7-latest rows
+#: (the VERDICT r11 #1 target, met exactly) plus the 13 oldest r8
+#: rows fill the remaining slots, so the oldest row after this round
+#: is r8. Steady-state age bound is ceil(211/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
-_PRIORITY_R11 = [
-    # tier 0 — NEW registered queries (no CORRECTNESS row yet)
+_PRIORITY_R12 = [
+    # tier 1 — implementation diff-reachable this round
+    "emb_rp_knn_join",
+    "doc_span_stream",
     "source_dup_stream",
     "doc_minhash_stream",
-    "doc_budget_stream",
     "emb_rp_stream",
-    # tier 1 — implementation diff-reachable this round
-    "doc_span_dedup",
-    "emb_rp_knn_join",
-    "doc_quality_tiers",
-    "emb_contamination",
-    "doc_stratified_scalable",
-    "doc_span_rewrite",
-    "doc_span_stream",
     # tier 2 — oldest-green driver rows, round-robin back-fill
-    "a2_next_id",  # last row r6
-    "a3_existence_counts",  # last row r6
-    "q3_shipping_priority",  # last row r6
-    "q5_local_volume",  # last row r6
-    "q10_returned_revenue",  # last row r6
-    "doc_exact_dedup",  # last row r6
-    "doc_token_stats",  # last row r6
-    "doc_quality_score",  # last row r6
-    "doc_lang_id",  # last row r6
-    "doc_fingerprint",  # last row r6
-    "emb_topk_cosine",  # last row r6
-    "mm_featurize",  # last row r6
-    "mm_frame_sample",  # last row r6
-    "q6_forecast_revenue",  # last row r6
-    "q14_promo_share",  # last row r6
-    "q18_large_orders",  # last row r6
-    "rollup_revenue",  # last row r6
-    "pivot_order_priority",  # last row r6
-    "window_running_spend",  # last row r6
-    "anti_join_idle_customers",  # last row r6
-    "distinct_part_types",  # last row r6
-    "set_ops_custkeys",  # last row r6
-    "scalar_subquery_pricey_parts",  # last row r6
-    "orders_by_month",  # last row r6
-    "quantity_percentiles",  # last row r6
-    "string_functions",  # last row r6
-    "orders_bitmap_distinct",  # last row r6
-    "emb_quantized_topk",  # last row r7
-    "conditional_agg",  # last row r7
-    "array_agg_stats",  # last row r7
-    "ev_value_zscore_outliers",  # last row r7
-    "m1_union_ragged",  # last row r7
-    "doc_scrub_text",  # last row r7
-    "doc_weighted_sample",  # last row r7
-    "dq_audit",  # last row r7
-    "doc_bigram_topk",  # last row r7
-    "ev_funnel",  # last row r7
-    "ev_window_frames",  # last row r7
-    "kmv_sketch_rollup",  # last row r7
+    "emb_knn_join",  # last row r7
+    "mode_median_per_group",  # last row r7
+    "unpivot_nation_metrics",  # last row r7
+    "date_functions",  # last row r7
+    "scd2_customer_orders",  # last row r7
+    "doc_repetition_signals",  # last row r7
+    "doc_contamination",  # last row r7
+    "doc_bigram_lm",  # last row r7
+    "graph_pagerank",  # last row r7
+    "ev_resample_hourly",  # last row r7
+    "ev_retention_cohorts",  # last row r7
+    "doc_curation_pipeline",  # last row r7
+    "quantile_sketch_by_priority",  # last row r7
+    "sql_segment_revenue",  # last row r7
+    "ev_interval_join_binned",  # last row r7
+    "neg_sampling",  # last row r7
+    "doc_minhash_portable",  # last row r7
+    "doc_pack_sequences",  # last row r7
+    "doc_chunk_windows",  # last row r7
+    "doc_bpe_token_stats",  # last row r7
+    "mm_audio_windows",  # last row r7
+    "salted_supplier_volume",  # last row r7
+    "salted_join_segments",  # last row r7
+    "doc_jaccard_adjacent",  # last row r7
+    "doc_minhash_pairs",  # last row r7
+    "doc_simhash_pairs",  # last row r7
+    "emb_near_pairs",  # last row r7
+    "doc_simhash_portable",  # last row r7
+    "emb_hard_negatives",  # last row r7
+    "emb_ivfpq_topk",  # last row r7
+    "doc_minhash_incremental",  # last row r7
+    "doc_minhash_indexed",  # last row r7
+    "doc_cc_islands",  # last row r8
+    "mm_resize",  # last row r8
+    "emb_kmeans",  # last row r8
+    "emb_kmeans_pandas",  # last row r8
+    "doc_cms_heavy_hitters",  # last row r8
+    "emb_semantic_dedup",  # last row r8
+    "incremental_order_stats",  # last row r8
+    "bloom_pruned_join",  # last row r8
+    "emb_topk_cosine_pandas",  # last row r8
+    "ev_multi_touch",  # last row r8
+    "cdc_orders_diff",  # last row r8
+    "graph_triangles",  # last row r8
+    "doc_char_entropy",  # last row r8
 ]
 
 
 def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: REGISTRY[name] for name in _PRIORITY_R11 if name in REGISTRY}
+    out = {name: REGISTRY[name] for name in _PRIORITY_R12 if name in REGISTRY}
     out.update({name: v for name, v in REGISTRY.items() if name not in out})
     return out
 
