@@ -258,13 +258,24 @@ def start_keyed_snapshot_sink(
     order_col: str,
     checkpoint: str,
     trigger_available_now: bool = True,
+    layout: str = "snapshot",
+    n_buckets: int | None = None,
 ):
-    """Wire a streaming DataFrame into the snapshot upsert. Returns the
-    StreamingQuery; callers own awaitTermination/stop."""
+    """Wire a streaming DataFrame into the keyed upsert — either
+    discipline, through the unified face (see the layout trade above).
+    Returns the StreamingQuery; callers own awaitTermination/stop."""
     fsio.mkdirs(stream.sparkSession, root)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        upsert_batch(batch, root, keys, order_col, batch_id)
+        upsert_keyed_state(
+            batch,
+            root,
+            keys,
+            order_col,
+            batch_id,
+            layout=layout,
+            n_buckets=n_buckets,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -262,6 +262,53 @@ def test_unified_face_bucketed_layout_matches_direct_calls(spark, tmp_path):
     ) is None
 
 
+def test_streaming_sink_drives_bucketed_layout_end_to_end(spark, tmp_path):
+    """A REAL readStream through start_keyed_snapshot_sink with
+    layout='bucketed': two micro-batches land as bucket chains (batch=
+    dirs, _META pinned), and the current state is last-writer-wins —
+    the same wiring the snapshot layout has always had."""
+    import datetime as dt
+
+    from airflow_subscription_etl_spark.schemas import EVENTS_SCHEMA
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, ts(0), 1, "click", 1.0, "{}"), (2, ts(1), 2, "click", 2.0, "{}")],
+        EVENTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, ts(9), 1, "purchase", 5.0, "{}")], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    root = str(tmp_path / "bsnap")
+    q = sinks.start_keyed_snapshot_sink(
+        stream,
+        root,
+        keys=["user_id"],
+        order_col="ts",
+        checkpoint=str(tmp_path / "ckpt"),
+        layout="bucketed",
+        n_buckets=4,
+    )
+    q.awaitTermination(120)
+    state = sinks.read_keyed_state(spark, root, layout="bucketed")
+    got = {r["user_id"]: r["event_id"] for r in state.collect()}
+    assert got == {1: 3, 2: 2}  # later batch won for user 1
+    # bucketed physical layout, not pointer snapshots
+    names = fsio.list_names(spark, root)
+    assert "_META" in names
+    assert any(n.startswith("batch=") for n in names)
+    assert not any(n.startswith("snapshot_") for n in names)
+
+
 def test_unified_face_rejects_bad_args(spark, tmp_path):
     df = spark.createDataFrame([(1, 1)], "k int, v int")
     with pytest.raises(ValueError, match="unknown layout"):
