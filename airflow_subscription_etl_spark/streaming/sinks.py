@@ -208,9 +208,12 @@ def upsert_keyed_state(
     n_buckets: int | None = None,
 ) -> None:
     """Last-writer-wins keyed upsert of one micro-batch, dispatching
-    on ``layout`` (see the trade above). The bucketed layout buckets
-    on the FIRST key column (same composite key → same bucket), and
-    defaults ``n_buckets`` to :data:`bucketed_state.DEFAULT_BUCKETS`."""
+    on ``layout`` (see the trade above). The bucketed layout requires
+    exactly ONE key column (its merge window and crc32 bucket map are
+    both keyed on that single column — silently bucketing a composite
+    key by its first component would also DEDUP by that component
+    alone, collapsing distinct composite keys); it defaults
+    ``n_buckets`` to :data:`bucketed_state.DEFAULT_BUCKETS`."""
     from . import bucketed_state  # noqa: PLC0415 — avoid import cycle
 
     if layout == "snapshot":
@@ -218,6 +221,13 @@ def upsert_keyed_state(
             raise ValueError("n_buckets only applies to layout='bucketed'")
         upsert_batch(batch, root, keys, order_col, batch_id)
     elif layout == "bucketed":
+        if len(keys) != 1:
+            raise ValueError(
+                "layout='bucketed' supports exactly one key column "
+                f"(got {keys!r}): its merge is keyed on that column, so "
+                "a composite key would be collapsed per first component "
+                "— use layout='snapshot' or a pre-concatenated key"
+            )
         bucketed_state.upsert_keyed_buckets(
             batch,
             root,

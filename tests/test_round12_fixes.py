@@ -319,3 +319,45 @@ def test_unified_face_rejects_bad_args(spark, tmp_path):
         sinks.upsert_keyed_state(
             df, str(tmp_path / "x"), ["k"], "v", 0, n_buckets=8
         )
+    # composite keys must be REFUSED by the bucketed layout: its merge
+    # is keyed on one column, so keys[0]-bucketing would also DEDUP by
+    # keys[0] alone, silently collapsing distinct composite keys
+    dfc = spark.createDataFrame([(1, 2, 1)], "a int, b int, v int")
+    with pytest.raises(ValueError, match="one key column"):
+        sinks.upsert_keyed_state(
+            dfc, str(tmp_path / "x"), ["a", "b"], "v", 0, layout="bucketed"
+        )
+
+
+def test_layouts_agree_on_final_state(spark, tmp_path):
+    """Cross-layout equivalence: the two disciplines implement the SAME
+    last-writer-wins semantics, so any epoch sequence must converge to
+    the same keyed state under both. Deterministic pseudo-random
+    batches with key collisions within and across epochs, ties
+    included (ties → later batch wins under both)."""
+    snap_root = str(tmp_path / "snap")
+    buck_root = str(tmp_path / "buck")
+    # 4 epochs x 12 rows over 8 keys, order values with deliberate
+    # repeats so tie-handling is exercised
+    for e in range(4):
+        rows = [
+            (f"k{(e * 5 + i * 3) % 8}", (i * 7 + e) % 5, e * 100 + i)
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "k string, ord int, payload int")
+        sinks.upsert_keyed_state(df, snap_root, ["k"], "ord", e)
+        sinks.upsert_keyed_state(
+            df, buck_root, ["k"], "ord", e, layout="bucketed", n_buckets=4
+        )
+    snap = {
+        (r["k"], r["ord"])
+        for r in sinks.read_keyed_state(spark, snap_root).collect()
+    }
+    buck = {
+        (r["k"], r["ord"])
+        for r in sinks.read_keyed_state(
+            spark, buck_root, layout="bucketed"
+        ).collect()
+    }
+    assert snap == buck
+    assert len(snap) == 8  # one row per key
