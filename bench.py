@@ -443,7 +443,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         # numeric so cross-round consumers can compare/arithmetic it
-        # (ADVICE r6); the adjudication policy is its own field
+        # (ADVICE r6): the BASE pass count before adjudication — the
+        # sub-0.5 s three-pass floor and escalation live in the
+        # adjudication field's policy string
         "runs_per_query": 2,
         "adjudication": "3rd-6th pass while steady spread > threshold "
         "(0.25 sub-0.5s, 0.30 otherwise; sub-0.5s queries always run "
