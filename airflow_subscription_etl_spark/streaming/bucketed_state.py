@@ -61,17 +61,22 @@ def check_meta(spark, state_root: str, n_buckets: int) -> None:
         )
 
 
-def bucket_snapshots(spark, state_root: str, before_batch: int) -> dict[int, str]:
+def bucket_snapshots(
+    spark, state_root: str, before_batch: int, n_buckets: int | None = None
+) -> dict[int, str]:
     """bucket → path of its newest snapshot with batch id <
     ``before_batch``.
 
     Walks batch dirs NEWEST-FIRST and stops as soon as every bucket
-    (count pinned in ``_META``) has found its newest snapshot
-    (VERDICT r11 #4): with prune deferred, a long root's older dirs
-    are never even listed, keeping the driver-side listing
-    O(n_buckets) regardless of retained-epoch count."""
-    meta = fsio.read_text(spark, f"{state_root}/_META")
-    n_buckets = json.loads(meta)["n_buckets"] if meta else None
+    has found its newest snapshot (VERDICT r11 #4): with prune
+    deferred, a long root's older dirs are never even listed, keeping
+    the driver-side listing O(n_buckets) regardless of retained-epoch
+    count. Maintainers that just ran :func:`check_meta` pass the
+    pinned ``n_buckets`` to skip a second ``_META`` read (r12 review);
+    external readers leave it None and it is read from ``_META``."""
+    if n_buckets is None:
+        meta = fsio.read_text(spark, f"{state_root}/_META")
+        n_buckets = json.loads(meta)["n_buckets"] if meta else None
     ids = sorted(
         (
             int(m.group(1))
@@ -185,7 +190,7 @@ def upsert_keyed_buckets(
 
     spark = batch.sparkSession
     check_meta(spark, root, n_buckets)
-    snaps = bucket_snapshots(spark, root, int(batch_id))
+    snaps = bucket_snapshots(spark, root, int(batch_id), n_buckets)
     prior = None
     if snaps:
         touched = {

@@ -198,6 +198,28 @@ def compact_snapshots(
 # grows with a CATALOG → snapshot.
 
 
+def _validate_layout_args(
+    keys: list[str], layout: str, n_buckets: int | None
+) -> None:
+    """Argument validation shared by the unified face and the sink
+    starter — statically checkable, so the starter fails SYNCHRONOUSLY
+    at wiring time instead of surfacing a ValueError as an async
+    StreamingQueryException inside batch 0 (r12 review)."""
+    if layout == "snapshot":
+        if n_buckets is not None:
+            raise ValueError("n_buckets only applies to layout='bucketed'")
+    elif layout == "bucketed":
+        if len(keys) != 1:
+            raise ValueError(
+                "layout='bucketed' supports exactly one key column "
+                f"(got {keys!r}): its merge is keyed on that column, so "
+                "a composite key would be collapsed per first component "
+                "— use layout='snapshot' or a pre-concatenated key"
+            )
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+
+
 def upsert_keyed_state(
     batch: DataFrame,
     root: str,
@@ -216,18 +238,10 @@ def upsert_keyed_state(
     ``n_buckets`` to :data:`bucketed_state.DEFAULT_BUCKETS`."""
     from . import bucketed_state  # noqa: PLC0415 — avoid import cycle
 
+    _validate_layout_args(keys, layout, n_buckets)
     if layout == "snapshot":
-        if n_buckets is not None:
-            raise ValueError("n_buckets only applies to layout='bucketed'")
         upsert_batch(batch, root, keys, order_col, batch_id)
-    elif layout == "bucketed":
-        if len(keys) != 1:
-            raise ValueError(
-                "layout='bucketed' supports exactly one key column "
-                f"(got {keys!r}): its merge is keyed on that column, so "
-                "a composite key would be collapsed per first component "
-                "— use layout='snapshot' or a pre-concatenated key"
-            )
+    else:
         bucketed_state.upsert_keyed_buckets(
             batch,
             root,
@@ -236,8 +250,6 @@ def upsert_keyed_state(
             batch_id,
             n_buckets=n_buckets or bucketed_state.DEFAULT_BUCKETS,
         )
-    else:
-        raise ValueError(f"unknown layout {layout!r}")
 
 
 def read_keyed_state(
@@ -273,7 +285,11 @@ def start_keyed_snapshot_sink(
 ):
     """Wire a streaming DataFrame into the keyed upsert — either
     discipline, through the unified face (see the layout trade above).
-    Returns the StreamingQuery; callers own awaitTermination/stop."""
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    Misconfiguration (unknown layout, composite bucketed key, stray
+    n_buckets) raises HERE, before any checkpoint/root dir is
+    created."""
+    _validate_layout_args(keys, layout, n_buckets)
     fsio.mkdirs(stream.sparkSession, root)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:

@@ -152,7 +152,7 @@ def process_source_matrix_batch(
         .distinct()
     )
 
-    snaps = bst.bucket_snapshots(spark, state_root, int(batch_id))
+    snaps = bst.bucket_snapshots(spark, state_root, int(batch_id), n_buckets)
     if snaps:
         touched = {
             r["b"]

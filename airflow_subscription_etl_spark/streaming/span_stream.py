@@ -97,7 +97,7 @@ def process_span_batch(
     ch = _chunk_frame(batch, span, id_col, text_col)
 
     bucket = bst.bucket_expr("chunk_digest", n_buckets)
-    snaps = bst.bucket_snapshots(spark, state_root, int(batch_id))
+    snaps = bst.bucket_snapshots(spark, state_root, int(batch_id), n_buckets)
     if snaps:
         # the buckets this epoch's delta touches — the ONLY buckets
         # whose prior state the join needs. One extra pass over the

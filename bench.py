@@ -242,6 +242,28 @@ def machine_totals(
     return total, baseline
 
 
+def detail_round(newest_bench: int, newest_detail: int) -> int:
+    """Round stamp for BENCH_DETAIL_rN from the two committed series
+    (ADVICE r11, corrected in r12 review — the first fix put the +1 on
+    the wrong operand and degenerated to "newest DETAIL + 1").
+
+    bench.py writes DETAIL_rN DURING round N; the harness records
+    BENCH_rN at the round boundary. So with B = newest BENCH_r*, D =
+    newest BENCH_DETAIL_r*:
+
+    - B == D  → both series closed: the next run opens round B+1
+      (the normal first in-round run, B = D = N-1 → N; and the
+      post-boundary case B = D = N → N+1).
+    - D > B   → this round's detail already written, BENCH not yet
+      recorded: a rerun must OVERWRITE DETAIL_rD, not invent rD+1.
+    - B > D   → the harness recorded a round whose detail is missing
+      (pre-detail-era rounds, or a crashed bench): FILL DETAIL_rB.
+    """
+    if newest_bench == newest_detail:
+        return newest_bench + 1
+    return max(newest_bench, newest_detail)
+
+
 def noise_threshold(ts: list[float]) -> float:
     """Relative spread gate for one query's pass times (VERDICT r11
     #2): on a sub-0.5 s query a fixed 0.30 relative gate lets a ~0.1 s
@@ -250,6 +272,26 @@ def noise_threshold(ts: list[float]) -> float:
     (doc_collapse_runs 0.24→0.37 s in r11 at spread 0.204). Cheap
     queries get the tighter 0.25 gate."""
     return 0.25 if min(ts) < 0.5 else 0.30
+
+
+def noisy_names(
+    spreads: dict[str, float], passes: dict[str, list[float]]
+) -> list[str]:
+    """Queries whose steady-state passes still disagree past their
+    threshold after adjudication. The threshold is keyed on the SAME
+    steady slice the adjudication loop gates on (r12 review: keying it
+    on the trimmed-median headline let a cheap query that exhausted
+    all 6 passes without ever settling slip OUT of the noisy list
+    when its headline landed just above 0.5 s)."""
+
+    def steady(ts: list[float]) -> list[float]:
+        return ts[1:] if len(ts) > 2 else ts
+
+    return sorted(
+        n
+        for n, s in spreads.items()
+        if s > noise_threshold(steady(passes[n]))
+    )
 
 
 def passes_settled(times: list[float], next_pass: int) -> bool:
@@ -389,9 +431,7 @@ def main() -> None:
     # threshold (0.25 sub-0.5 s, 0.30 otherwise) after adjudication —
     # the compact pointer a judge needs; full per-pass data is in the
     # detail file.
-    noisy = sorted(
-        n for n, s in spreads.items() if s > noise_threshold([timings[n]])
-    )
+    noisy = noisy_names(spreads, passes)
 
     # Full per-query evidence goes to a FILE, not stdout: the driver
     # captures a bounded stdout tail, and r6's spread dict pushed the
@@ -414,10 +454,8 @@ def main() -> None:
     # round-stamped committed copy: BENCH_rN.json keeps only a bounded
     # stdout tail, so without this file per-query round-over-round
     # comparison was unreconstructible from the repo (VERDICT r10).
-    # Round stamp = max(newest BENCH_rN, newest BENCH_DETAIL_rN + 1)
-    # (ADVICE r11): the plain "newest BENCH_rN + 1" mislabeled reruns —
-    # once the harness has written THIS round's BENCH_rN, a rerun must
-    # fill/overwrite DETAIL_rN, not invent rN+1 and leave rN stale.
+    # Round stamp from BOTH committed series — see detail_round's case
+    # table (ADVICE r11; operand fix from the r12 review).
     def _newest(prefix: str) -> int:
         pat = re.compile(rf"{prefix}_r(\d+)\.json$")
         return max(
@@ -429,7 +467,7 @@ def main() -> None:
             default=0,
         )
 
-    this_round = max(_newest("BENCH"), _newest("BENCH_DETAIL") + 1)
+    this_round = detail_round(_newest("BENCH"), _newest("BENCH_DETAIL"))
     stamped = f"BENCH_DETAIL_r{this_round:02d}.json"
     for fname in ("BENCH_DETAIL.json", stamped):
         with open(os.path.join(repo_dir, fname), "w") as fh:

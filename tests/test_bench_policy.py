@@ -12,8 +12,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from bench import (
     BASELINE25,
     HEADLINE,
+    detail_round,
     machine_totals,
     noise_threshold,
+    noisy_names,
     passes_settled,
     summarize_passes,
 )
@@ -85,6 +87,39 @@ def test_passes_settled_floor_and_ceiling():
     # 4th+ pass checks the steady slice (pass 0 excluded): a slow
     # cache-build pass 0 must not force escalation by itself
     assert passes_settled([9.0, 1.0, 1.05, 1.1], 4)
+
+
+def test_detail_round_case_table():
+    """The BENCH_DETAIL round stamp's three cases (r12 review: the
+    first ADVICE-r11 fix put the +1 on the wrong operand, degenerating
+    to 'newest DETAIL + 1' and re-introducing the rerun mislabel)."""
+    # normal first in-round run: both series closed at N-1 → N
+    assert detail_round(11, 11) == 12
+    # rerun after this round's detail was written, BENCH not yet
+    # recorded → OVERWRITE the same round's detail
+    assert detail_round(11, 12) == 12
+    # harness recorded BENCH_rN but its detail is missing → FILL rN
+    assert detail_round(12, 11) == 12
+    # post-boundary: both at N → next round
+    assert detail_round(12, 12) == 13
+    # empty repo bootstrap
+    assert detail_round(0, 0) == 1
+
+
+def test_noisy_keyed_on_steady_slice_not_headline():
+    """r12 review: a cheap query that exhausted all 6 passes without
+    settling (steady min < 0.5 → 0.25 gate) must be listed noisy even
+    when its trimmed-median HEADLINE lands above 0.5 s (which maps to
+    the looser 0.30 gate)."""
+    ts = [0.70, 0.45, 0.56, 0.55, 0.58, 0.57]
+    headline, spread = summarize_passes(ts)
+    assert headline >= 0.5  # the old keying would pick the 0.30 gate
+    assert 0.25 < spread <= 0.30  # inside the gap the bug hid in
+    assert noisy_names({"q": spread}, {"q": ts}) == ["q"]
+    # an expensive query with the same relative spread is NOT noisy
+    big = [t * 10 for t in ts]
+    _, bspread = summarize_passes(big)
+    assert noisy_names({"q": bspread}, {"q": big}) == []
 
 
 def test_summarize_passes_min_vs_median():

@@ -329,6 +329,32 @@ def test_unified_face_rejects_bad_args(spark, tmp_path):
         )
 
 
+def test_sink_starter_validates_synchronously(tmp_path):
+    """r12 review: argument errors must raise AT WIRING TIME — before
+    any checkpoint/root dir is created and before a StreamingQuery
+    exists to bury them in an async StreamingQueryException. The
+    stream object is never touched on the error path, so a None
+    placeholder proves the raise is synchronous."""
+    import os
+
+    root = str(tmp_path / "never")
+    for kwargs in (
+        {"layout": "deltaa"},
+        {"layout": "bucketed"},  # composite keys below
+        {"layout": "snapshot", "n_buckets": 8},
+    ):
+        with pytest.raises(ValueError):
+            sinks.start_keyed_snapshot_sink(
+                None,  # would AttributeError if the path touched it
+                root,
+                keys=["a", "b"],
+                order_col="v",
+                checkpoint=str(tmp_path / "ckpt"),
+                **kwargs,
+            )
+    assert not os.path.exists(root)
+
+
 def test_layouts_agree_on_final_state(spark, tmp_path):
     """Cross-layout equivalence: the two disciplines implement the SAME
     last-writer-wins semantics, so any epoch sequence must converge to
