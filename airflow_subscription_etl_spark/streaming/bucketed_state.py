@@ -36,9 +36,22 @@ DEFAULT_BUCKETS = 64
 def bucket_expr(key_col: str, n_buckets: int):
     """The key→bucket map: ``crc32(string(key)) mod n_buckets`` as int
     (the cast makes integer keys bucketable; for string keys it is a
-    no-op, so digest-keyed layouts are unchanged)."""
+    no-op, so digest-keyed layouts are unchanged).
+
+    NULL keys coalesce to '' BEFORE hashing (r12 review): crc32(NULL)
+    is NULL, which partitionBy routes to ``bucket=__HIVE_DEFAULT_
+    PARTITION__`` — a directory the ``bucket=(\\d+)`` snapshot walk
+    never matches, so null-keyed rows would be written once and then
+    SILENTLY DROPPED from every later read. Coalescing keeps them in a
+    real numbered bucket and round-tripping (they merge as one key,
+    since window partitionBy groups nulls together). Only the NULL
+    mapping changes — non-null keys hash exactly as before, so
+    existing state roots stay format-compatible. A '' key shares the
+    null key's bucket, which is harmless: bucket placement is not
+    identity, the merge window still keys on the real column."""
     return F.pmod(
-        F.crc32(F.col(key_col).cast("string")), F.lit(n_buckets)
+        F.crc32(F.coalesce(F.col(key_col).cast("string"), F.lit(""))),
+        F.lit(n_buckets),
     ).cast("int")
 
 
@@ -160,7 +173,12 @@ def prune_bucketed_state(spark, state_root: str, keep_last: int = 2) -> int:
             )
             if m
         ]
-        if buckets and all(seen.get(b, 0) >= keep_last for b in buckets):
+        # empty all() (a bucket-less dir — an empty epoch's _SUCCESS
+        # shell) is removable too: the old `buckets and ...` guard made
+        # such dirs permanently unprunable (r12 review), inflating
+        # every listing walk past the documented ~n_buckets+keep_last
+        # bound for the lifetime of the root
+        if all(seen.get(b, 0) >= keep_last for b in buckets):
             removable.append(b_id)
         for b in buckets:
             seen[b] = seen.get(b, 0) + 1

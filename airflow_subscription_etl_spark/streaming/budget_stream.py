@@ -109,6 +109,36 @@ def process_budget_batch(
     ).write.mode("overwrite").parquet(f"{state_root}/batch={int(batch_id)}")
 
 
+def prune_budget_state(spark, out_root: str, keep_last: int = 2) -> int:
+    """Drop all but the ``keep_last`` newest ``state/batch=<id>``
+    snapshot dirs — the bounded-history maintenance every other state
+    family ships (``sinks.compact_snapshots``, ``prune_bucketed_state``,
+    the span/matrix prunes); budget_stream was the one without (r12
+    review), so a continuous admission stream accumulated one
+    ≤|sources|-row dir per micro-batch forever and ``_latest_state``'s
+    listing walk grew O(epochs). ``keep_last ≥ 2`` keeps an in-flight
+    epoch's predecessor readable under it; the ``admitted/batch=<id>``
+    OUTPUT dirs are the operator's product, not state, and are never
+    touched. SINGLE-WRITER discipline: run between epochs. Returns the
+    number of snapshot dirs removed."""
+    if keep_last < 2:
+        raise ValueError(f"keep_last must be >= 2, got {keep_last}")
+    state_root = f"{out_root}/state"
+    ids = sorted(
+        int(m.group(1))
+        for m in (
+            re.fullmatch(r"batch=(\d+)", name)
+            for name in fsio.list_names(spark, state_root)
+        )
+        if m
+    )
+    removed = 0
+    for b_id in ids[:-keep_last]:
+        fsio.delete(spark, f"{state_root}/batch={b_id}")
+        removed += 1
+    return removed
+
+
 def start_budget_admission(
     stream: DataFrame,
     out_root: str,

@@ -231,19 +231,46 @@ def score_drift_frame(
 def _read_baseline(spark, baseline_path: str):
     """(counts frame, num_buckets, total) from the saved baseline,
     falling back to the rotation's ``_old`` copy inside the swap
-    window (see :func:`score_drift_frame`)."""
+    window (see :func:`score_drift_frame`).
+
+    The counts are MATERIALIZED here (≤ num_buckets rows — bounded by
+    construction, the module-doc contract) and returned as a
+    driver-local frame: a lazy parquet frame pins its file paths at
+    creation, so a refresh's rename/delete landing between this read
+    and the scoring job's execution killed the monitor batch with
+    FILE_NOT_EXIST — including a reader that resolved ``_old`` and
+    then met the rotation's closing delete (r12 review). After
+    materialization no filesystem reference survives, so the score is
+    immune to any subsequent swap. The resolve+read itself retries
+    once through a re-resolve if a swap lands mid-read."""
     from . import fsio  # noqa: PLC0415
 
-    root = baseline_path
-    if not fsio.exists(spark, f"{root}/meta"):
-        old = f"{baseline_path}_old"
-        if fsio.exists(spark, f"{old}/meta"):
-            root = old
-    meta = spark.read.parquet(f"{root}/meta").collect()[0]
-    base = spark.read.parquet(f"{root}/counts").select(
-        "bucket", F.col("cnt").alias("base_cnt")
-    )
-    return base, int(meta["num_buckets"]), int(meta["total"])
+    last_err: Exception | None = None
+    for _attempt in range(2):
+        root = baseline_path
+        if not fsio.exists(spark, f"{root}/meta"):
+            old = f"{baseline_path}_old"
+            if fsio.exists(spark, f"{old}/meta"):
+                root = old
+        try:
+            meta = spark.read.parquet(f"{root}/meta").collect()[0]
+            rows = [
+                (int(r["bucket"]), int(r["cnt"]))
+                for r in spark.read.parquet(f"{root}/counts").collect()
+            ]
+        except Exception as e:  # noqa: BLE001 — swap landed mid-read
+            last_err = e
+            continue
+        base = spark.createDataFrame(
+            rows, "bucket int, base_cnt bigint"
+        )
+        return base, int(meta["num_buckets"]), int(meta["total"])
+    raise RuntimeError(
+        f"baseline at {baseline_path} unreadable after retry (a "
+        "rotation may be racing this reader; rotations are "
+        "single-writer, so two consecutive swaps inside one read "
+        "means something else is wrong)"
+    ) from last_err
 
 
 def score_novelty_frame(

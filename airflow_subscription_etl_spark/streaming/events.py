@@ -269,6 +269,19 @@ def purchase_attribution_join(
     the band condition is an ordinary range predicate on a shuffled
     equi join), which is how the DuckDB oracle checks the semantics.
     """
+    return _attribution_join(events, attribution_window, watermark, "inner")
+
+
+def _attribution_join(
+    events: DataFrame,
+    attribution_window: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
+    """Shared purchases⋈clicks interval-join body for the inner and
+    left-outer faces (r12 review: the two were character-for-character
+    copies apart from the join type, so a band/watermark fix could
+    silently land in only one)."""
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
@@ -291,7 +304,7 @@ def purchase_attribution_join(
             >= purchases.purchase_ts - F.expr(f"INTERVAL {attribution_window}")
         )
     )
-    return purchases.join(clicks, cond, "inner").select(
+    return purchases.join(clicks, cond, how).select(
         "purchase_id", "user_id", "purchase_ts", "purchase_value",
         "click_id", "click_ts",
     )
@@ -315,31 +328,8 @@ def purchase_attribution_left(
     joins don't make. Same batch/stream duality as the inner form
     (batch: ordinary left join), which is how the oracle checks it.
     """
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("click_user_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    if events.isStreaming:
-        purchases = purchases.withWatermark("purchase_ts", watermark)
-        clicks = clicks.withWatermark("click_ts", watermark)
-    cond = (
-        (purchases.user_id == clicks.click_user_id)
-        & (clicks.click_ts <= purchases.purchase_ts)
-        & (
-            clicks.click_ts
-            >= purchases.purchase_ts - F.expr(f"INTERVAL {attribution_window}")
-        )
-    )
-    return purchases.join(clicks, cond, "left_outer").select(
-        "purchase_id", "user_id", "purchase_ts", "purchase_value",
-        "click_id", "click_ts",
+    return _attribution_join(
+        events, attribution_window, watermark, "left_outer"
     )
 
 

@@ -80,21 +80,44 @@ def upsert_batch(
     """Merge one micro-batch into the snapshot: per key keep the row
     with the greatest ``order_col`` (ties → incoming batch wins).
 
-    Writer-side pointer-miss recovery (ADVICE r11): a crash between
-    the snapshot write and the pointer flip leaves ``_CURRENT``
-    missing while snapshots exist — the READ side correctly refuses
-    to call that a cold start, which would otherwise wedge every
-    foreachBatch replay permanently. The WRITER knows its batch id,
-    so the replay can self-heal: merge against the newest snapshot
-    STRICTLY BELOW the replayed id (exactly the state the original
-    attempt saw — snapshot_<batch_id> itself may be the torn write),
-    then rewrite and re-flip. Idempotence is unchanged.
+    The merge base is ID-BASED, never the pointer: the newest snapshot
+    with id STRICTLY BELOW ``batch_id`` — exactly the state the batch's
+    original attempt saw. Two failure modes force this (r12 review,
+    REPRODUCED live):
+
+    - **Same-id replay** (the real foreachBatch retry contract — a
+      failed batch is re-delivered under the SAME id, not a new one):
+      reading the pointer would read ``snapshot_<batch_id>`` itself
+      and then OVERWRITE the directory being read mid-job — with AQE
+      off the write job dies on FILE_NOT_EXIST after already deleting
+      the committed parquet files, leaving ``_CURRENT`` pointing at a
+      gutted directory. Strictly-below never reads the dir it writes.
+    - **Pointer loss in the write/flip crash window** (ADVICE r11):
+      the writer needs no pointer at all, so a missing ``_CURRENT``
+      cannot wedge replays; the next upsert re-flips it.
+
+    Requires monotonic batch ids per root (one checkpoint lineage —
+    what foreachBatch provides). A fresh checkpoint pointed at an
+    EXISTING root would restart ids at 0 and silently orphan the
+    accumulated state, so ids from the root's future raise instead.
     """
+    if not keys:
+        raise ValueError(
+            "keys must be non-empty: an empty key list would collapse "
+            "the whole keyed snapshot to a single row"
+        )
     spark = batch.sparkSession
-    try:
-        prev = read_snapshot(spark, root)
-    except RuntimeError:
-        prev = read_snapshot_at(spark, root, int(batch_id) - 1)
+    ids = list_snapshots(spark, root)
+    if ids and max(ids) > int(batch_id):
+        raise RuntimeError(
+            f"snapshot root {root} already holds snapshot_{max(ids)} — "
+            f"newer than this batch id {batch_id}. Batch ids must be "
+            "monotonic per root (same checkpoint lineage); a fresh "
+            "checkpoint needs a fresh root (or start beyond the last "
+            "snapshot id), otherwise the existing state would be "
+            "silently orphaned"
+        )
+    prev = read_snapshot_at(spark, root, int(batch_id) - 1)
     prio = batch.withColumn("__new", F.lit(1))
     merged = (
         prev.withColumn("__new", F.lit(0)).unionByName(prio)
@@ -205,6 +228,12 @@ def _validate_layout_args(
     starter — statically checkable, so the starter fails SYNCHRONOUSLY
     at wiring time instead of surfacing a ValueError as an async
     StreamingQueryException inside batch 0 (r12 review)."""
+    if not keys:
+        raise ValueError(
+            "keys must be non-empty: an empty key list would put every "
+            "row in one window partition and collapse the whole keyed "
+            "snapshot to a single row"
+        )
     if layout == "snapshot":
         if n_buckets is not None:
             raise ValueError("n_buckets only applies to layout='bucketed'")

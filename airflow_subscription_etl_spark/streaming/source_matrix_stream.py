@@ -142,7 +142,9 @@ def process_source_matrix_batch(
     bst.check_meta(spark, state_root, n_buckets)
 
     # the SHARED chunker — stream/batch matrix parity hinges on
-    # identical segmentation
+    # identical segmentation. PERSISTED for the epoch (r12 review):
+    # the touched-buckets collect plus the pairs/totals/state writes
+    # each re-ran the chunk+distinct lineage from scratch otherwise.
     delta_ds = (
         _chunk_frame(batch, span, source_col, text_col)
         .select(
@@ -150,8 +152,27 @@ def process_source_matrix_batch(
             F.col(source_col).alias("source"),
         )
         .distinct()
+        .persist()
     )
+    try:
+        _matrix_epoch(
+            spark, delta_ds, out_root, state_root, batch_id, n_buckets
+        )
+    finally:
+        delta_ds.unpersist()
 
+
+def _matrix_epoch(
+    spark,
+    delta_ds: DataFrame,
+    out_root: str,
+    state_root: str,
+    batch_id: int,
+    n_buckets: int,
+) -> None:
+    """One epoch's matrix fold over the PERSISTED delta (split out so
+    the persist/unpersist bracket in
+    :func:`process_source_matrix_batch` wraps every action)."""
     snaps = bst.bucket_snapshots(spark, state_root, int(batch_id), n_buckets)
     if snaps:
         touched = {
@@ -169,8 +190,12 @@ def process_source_matrix_batch(
         prior_ds = spark.createDataFrame([], _DS_SCHEMA)
 
     # memberships genuinely new to history — the only rows that can
-    # move any count
-    new_ds = delta_ds.join(prior_ds, ["digest", "source"], "left_anti")
+    # move any count. PERSISTED: three writers consume it (pairs inc,
+    # per-source counts, the state union), each of which would re-run
+    # the anti-join against the touched buckets otherwise.
+    new_ds = delta_ds.join(
+        prior_ds, ["digest", "source"], "left_anti"
+    ).persist()
 
     inc = _pair_increments(new_ds, prior_ds)
     prior_pairs = bst.latest_plain_snapshot(
@@ -212,16 +237,22 @@ def process_source_matrix_batch(
     # materialize the side state FIRST (small frames), then derive the
     # matrix from the written snapshots so the three artifacts of one
     # epoch can never disagree under lazy re-evaluation
-    pairs.coalesce(1).write.mode("overwrite").parquet(
-        f"{out_root}/pairs/batch={int(batch_id)}"
-    )
-    totals.coalesce(1).write.mode("overwrite").parquet(
-        f"{out_root}/totals/batch={int(batch_id)}"
-    )
-    state_union = prior_ds.unionByName(new_ds)
-    bst.write_buckets(
-        state_union, "digest", n_buckets, f"{state_root}/batch={int(batch_id)}"
-    )
+    try:
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_root}/pairs/batch={int(batch_id)}"
+        )
+        totals.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_root}/totals/batch={int(batch_id)}"
+        )
+        state_union = prior_ds.unionByName(new_ds)
+        bst.write_buckets(
+            state_union,
+            "digest",
+            n_buckets,
+            f"{state_root}/batch={int(batch_id)}",
+        )
+    finally:
+        new_ds.unpersist()
 
     pairs_w = spark.read.schema(_PAIRS_SCHEMA).parquet(
         f"{out_root}/pairs/batch={int(batch_id)}"

@@ -96,22 +96,6 @@ def process_span_batch(
     # segmentation, so there is exactly one implementation of it
     ch = _chunk_frame(batch, span, id_col, text_col)
 
-    bucket = bst.bucket_expr("chunk_digest", n_buckets)
-    snaps = bst.bucket_snapshots(spark, state_root, int(batch_id), n_buckets)
-    if snaps:
-        # the buckets this epoch's delta touches — the ONLY buckets
-        # whose prior state the join needs. One extra pass over the
-        # DELTA (≤ n_buckets driver-side values), never the catalog;
-        # skipped entirely on a cold start (nothing to read anyway).
-        touched = {
-            r["b"] for r in ch.select(bucket.alias("b")).distinct().collect()
-        }
-        prior = bst.read_buckets(spark, snaps, _STATE_SCHEMA, touched)
-    else:
-        prior = None
-    if prior is None:
-        prior = spark.createDataFrame([], _STATE_SCHEMA)
-
     # within-epoch keeper + per-epoch distinct docs via per-digest
     # AGGREGATES (the r11 de-skew, mirroring the batch operator —
     # VERDICT r10: a boilerplate digest occurring in every doc of the
@@ -125,10 +109,63 @@ def process_span_batch(
     first_enc = F.concat(
         F.lpad(F.col("pos").cast("string"), 10, "0"), F.col("chunk")
     )
+    # PERSISTED for the epoch (r12 review): every downstream job —
+    # the touched-buckets collect, the cleaned write, the state write
+    # — consumes occ, and without the cache each re-ran the batch's
+    # chunking + md5 pass from scratch (3 passes per epoch). occ is
+    # the smallest frame all three share (post the first aggregation),
+    # so it is the one to pin; the in-plan subtree-reuse note below
+    # only ever covered exchange reuse WITHIN one job.
     occ = ch.groupBy("chunk_digest", id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("_cnt"),
         F.min(first_enc).alias("_first"),
     )
+    occ = occ.persist()
+    try:
+        _span_epoch(
+            spark,
+            occ,
+            out_root,
+            state_root,
+            batch_id,
+            boilerplate_df,
+            id_col,
+            n_buckets,
+        )
+    finally:
+        occ.unpersist()
+
+
+def _span_epoch(
+    spark,
+    occ,
+    out_root: str,
+    state_root: str,
+    batch_id: int,
+    boilerplate_df: int | None,
+    id_col: str,
+    n_buckets: int,
+) -> None:
+    """One epoch's cleaning + state advance over the PERSISTED occ
+    frame (split out so the persist/unpersist bracket in
+    :func:`process_span_batch` wraps every action, including the
+    touched-buckets collect)."""
+    bucket = bst.bucket_expr("chunk_digest", n_buckets)
+    snaps = bst.bucket_snapshots(spark, state_root, int(batch_id), n_buckets)
+    if snaps:
+        # the buckets this epoch's delta touches — the ONLY buckets
+        # whose prior state the join needs. One extra pass over the
+        # DELTA (≤ n_buckets driver-side values), never the catalog;
+        # skipped entirely on a cold start (nothing to read anyway).
+        touched = {
+            r["b"]
+            for r in occ.select(bucket.alias("b")).distinct().collect()
+        }
+        prior = bst.read_buckets(spark, snaps, _STATE_SCHEMA, touched)
+    else:
+        prior = None
+    if prior is None:
+        prior = spark.createDataFrame([], _STATE_SCHEMA)
     dig = occ.groupBy("chunk_digest").agg(
         F.min(F.struct(F.col(id_col), F.col("_first")))
         .getField(id_col)
@@ -204,15 +241,12 @@ def process_span_batch(
     # (docs are delivered once, so cross-epoch sums stay exact);
     # reuses the per-digest agg the cleaning pass already defined
     batch_counts = dig.select("chunk_digest", F.col("_bdocs").alias("_bd"))
-    new_state = (
-        prior.join(batch_counts, "chunk_digest", "full")
-        .select(
-            "chunk_digest",
-            (
-                F.coalesce(F.col("n_docs"), F.lit(0))
-                + F.coalesce(F.col("_bd"), F.lit(0))
-            ).alias("n_docs"),
-        )
+    new_state = prior.join(batch_counts, "chunk_digest", "full").select(
+        "chunk_digest",
+        (
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            + F.coalesce(F.col("_bd"), F.lit(0))
+        ).alias("n_docs"),
     )
     # prior was restricted to touched buckets, so this writes EXACTLY
     # the touched bucket dirs (delta-sized), leaving every other

@@ -309,6 +309,179 @@ def test_streaming_sink_drives_bucketed_layout_end_to_end(spark, tmp_path):
     assert not any(n.startswith("snapshot_") for n in names)
 
 
+# ----------------------- r12 review: same-id replay + state hardening
+
+
+def test_same_id_replay_preserves_state_aqe_off(spark, tmp_path):
+    """The REAL foreachBatch retry contract re-delivers a failed batch
+    under the SAME id. The old pointer-based merge read
+    snapshot_<id> and overwrote the directory being read mid-job —
+    REPRODUCED destroying committed state with AQE off. The id-based
+    merge (newest snapshot STRICTLY below the batch id) never reads
+    the dir it writes."""
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    root = str(tmp_path / "replay")
+    try:
+        spark.conf.set(key, "false")
+        df0 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+        sinks.upsert_batch(df0, root, ["k"], "v", 0)
+        df1 = spark.createDataFrame([(2, 25), (3, 30)], "k int, v int")
+        sinks.upsert_batch(df1, root, ["k"], "v", 1)
+        # the retry: same content, SAME id — must be a no-op, and rows
+        # only present in prior state (k=1) must survive
+        sinks.upsert_batch(df1, root, ["k"], "v", 1)
+        got = {
+            r["k"]: r["v"]
+            for r in sinks.read_snapshot(spark, root).collect()
+        }
+        assert got == {1: 10, 2: 25, 3: 30}
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_upsert_rejects_ids_from_the_roots_future(spark, tmp_path):
+    """Monotonic-id lineage guard: a fresh checkpoint restarting ids
+    at 0 over an EXISTING root would silently orphan the accumulated
+    state (merge base 'strictly below 0' is empty) — raise instead."""
+    root = str(tmp_path / "lineage")
+    df = spark.createDataFrame([(1, 10)], "k int, v int")
+    sinks.upsert_batch(df, root, ["k"], "v", 5)
+    with pytest.raises(RuntimeError, match="monotonic"):
+        sinks.upsert_batch(df, root, ["k"], "v", 3)
+    # same id (replay) and higher id both stay legal
+    sinks.upsert_batch(df, root, ["k"], "v", 5)
+    sinks.upsert_batch(df, root, ["k"], "v", 6)
+
+
+def test_empty_keys_rejected_everywhere(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10)], "k int, v int")
+    with pytest.raises(ValueError, match="non-empty"):
+        sinks.upsert_batch(df, str(tmp_path / "x"), [], "v", 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        sinks.upsert_keyed_state(df, str(tmp_path / "x"), [], "v", 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        sinks.start_keyed_snapshot_sink(
+            None, str(tmp_path / "x"), keys=[], order_col="v",
+            checkpoint=str(tmp_path / "c"),
+        )
+
+
+def test_null_keys_round_trip_through_bucketed_state(spark, tmp_path):
+    """crc32(NULL) is NULL, which partitionBy routes to the hive
+    default-partition dir that the bucket=(\\d+) walk never matches —
+    null-keyed rows were written once then SILENTLY DROPPED from every
+    read. The null-safe bucket map keeps them round-tripping."""
+    root = str(tmp_path / "nullk")
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2)], "k string, v long"
+    )
+    bucketed_state.upsert_keyed_buckets(df, root, "k", "v", 0, n_buckets=4)
+    got = {
+        r["k"]: r["v"]
+        for r in bucketed_state.read_keyed_state(spark, root).collect()
+    }
+    assert got == {"a": 1, None: 2}
+    # and the null key merges as ONE key across epochs
+    df2 = spark.createDataFrame([(None, 9)], "k string, v long")
+    bucketed_state.upsert_keyed_buckets(df2, root, "k", "v", 1, n_buckets=4)
+    got = {
+        r["k"]: r["v"]
+        for r in bucketed_state.read_keyed_state(spark, root).collect()
+    }
+    assert got == {"a": 1, None: 9}
+
+
+def test_prune_removes_empty_epoch_dirs(spark, tmp_path):
+    """An empty micro-batch's write leaves a bucket-less batch=<id>
+    shell (_SUCCESS only); the old `buckets and ...` guard made such
+    dirs permanently unprunable, defeating the ~n_buckets+keep_last
+    listing bound."""
+    root = str(tmp_path / "empty")
+    full = spark.createDataFrame([("a", 1)], "k string, v long")
+    empty = spark.createDataFrame([], "k string, v long")
+    bucketed_state.upsert_keyed_buckets(full, root, "k", "v", 0, n_buckets=2)
+    bucketed_state.upsert_keyed_buckets(empty, root, "k", "v", 1, n_buckets=2)
+    bucketed_state.upsert_keyed_buckets(full, root, "k", "v", 2, n_buckets=2)
+    names = fsio.list_names(spark, root)
+    assert "batch=1" in names  # the empty shell exists pre-prune
+    removed = bucketed_state.prune_bucketed_state(spark, root, keep_last=2)
+    assert removed >= 1
+    assert "batch=1" not in fsio.list_names(spark, root)
+    # state unaffected
+    got = {
+        r["k"]: r["v"]
+        for r in bucketed_state.read_keyed_state(spark, root).collect()
+    }
+    assert got == {"a": 1}
+
+
+def test_budget_state_prune(spark, tmp_path):
+    """budget_stream was the one state family without bounded-history
+    maintenance; prune keeps the newest keep_last snapshots and the
+    admission ledger still advances correctly afterwards."""
+    from airflow_subscription_etl_spark.streaming.budget_stream import (
+        process_budget_batch,
+        prune_budget_state,
+    )
+
+    root = str(tmp_path / "budget")
+    budgets = {"web": 6}
+    for e in range(4):
+        df = spark.createDataFrame(
+            [(f"d{e}", "web", "one two three")],
+            "doc_id string, source string, text string",
+        )
+        process_budget_batch(df, e, root, budgets)
+    with pytest.raises(ValueError, match="keep_last"):
+        prune_budget_state(spark, root, keep_last=1)
+    removed = prune_budget_state(spark, root, keep_last=2)
+    assert removed == 2
+    names = fsio.list_names(spark, f"{root}/state")
+    assert sorted(n for n in names if n.startswith("batch=")) == [
+        "batch=2",
+        "batch=3",
+    ]
+    # the ledger still reads and the budget stays exhausted (6 tokens
+    # admitted over epochs 0-1, nothing after)
+    df = spark.createDataFrame(
+        [("d9", "web", "late words here")],
+        "doc_id string, source string, text string",
+    )
+    process_budget_batch(df, 4, root, budgets)
+    admitted = spark.read.parquet(f"{root}/admitted/batch=4")
+    assert admitted.count() == 0
+
+
+def test_drift_score_immune_to_baseline_swap_after_read(spark, tmp_path):
+    """The baseline is materialized at read time (<= num_buckets rows
+    by construction), so a rotation's rename/delete landing AFTER the
+    score frame was built — the r12-review crash window — can no
+    longer kill the scoring job with FILE_NOT_EXIST."""
+    from airflow_subscription_etl_spark.streaming.drift_stream import (
+        refresh_drift_baseline,
+        score_drift_frame,
+        write_drift_baseline,
+    )
+
+    base_path = str(tmp_path / "baseline")
+    corpus = spark.createDataFrame(
+        [("d1", "web", "alpha beta gamma"), ("d2", "web", "alpha beta")],
+        "doc_id string, source string, text string",
+    )
+    write_drift_baseline(corpus, base_path, num_buckets=16)
+    scored = score_drift_frame(spark, base_path, corpus)
+    # the swap happens AFTER the read, BEFORE the action: old lazy
+    # frames pinned the original part files and died here
+    refresh_drift_baseline(
+        corpus.withColumn("text", F.lit("delta epsilon")),
+        base_path,
+        num_buckets=16,
+    )
+    rows = scored.collect()  # must not raise
+    assert rows and rows[0]["n_tokens"] == 5
+
+
 def test_unified_face_rejects_bad_args(spark, tmp_path):
     df = spark.createDataFrame([(1, 1)], "k int, v int")
     with pytest.raises(ValueError, match="unknown layout"):

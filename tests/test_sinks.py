@@ -41,10 +41,18 @@ def test_upsert_is_idempotent_on_replay(spark, tmp_path):
     b = _batch(spark, [(1, _ts(0), 1, "click", 1.0, "{}")])
     SK.upsert_batch(b, root, keys=["user_id"], order_col="ts", batch_id=0)
     before = sorted(tuple(r) for r in SK.read_snapshot(spark, root).collect())
-    # foreachBatch retry: same batch re-delivered with a new batch id
-    SK.upsert_batch(b, root, keys=["user_id"], order_col="ts", batch_id=1)
+    # the REAL foreachBatch retry contract: the failed batch is
+    # re-delivered under the SAME id (r12 review fixed both this
+    # comment — it used to claim "a new batch id" — and the code,
+    # which destroyed the snapshot it was reading on this path; the
+    # AQE-off reproduction lives in test_round12_fixes)
+    SK.upsert_batch(b, root, keys=["user_id"], order_col="ts", batch_id=0)
     after = sorted(tuple(r) for r in SK.read_snapshot(spark, root).collect())
     assert before == after
+    # a re-delivery under a later id is equally a no-op
+    SK.upsert_batch(b, root, keys=["user_id"], order_col="ts", batch_id=1)
+    after2 = sorted(tuple(r) for r in SK.read_snapshot(spark, root).collect())
+    assert before == after2
 
 
 def test_streaming_snapshot_end_to_end(spark, tmp_path):
