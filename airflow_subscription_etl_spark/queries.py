@@ -9728,18 +9728,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: Round-12 verification priority — GENERATED by tools/retier.py at
 #: build time (diff base: the r11 round commit 58fc1f7). Tier 0 is
 #: empty (no new registrations this round — r12 is freshness +
-#: measurement hygiene per VERDICT r11). Tier 1: the five streaming
-#: faces that transitively consume this round's diff (the snapshot
-#: sink's writer-side pointer-miss self-heal, the bucketed-state
-#: early-exit + static-overwrite pin, the unified keyed-state face).
-#: Tier 2 drains the stale tail oldest-first: ALL 32 r7-latest rows
-#: (the VERDICT r11 #1 target, met exactly) plus the 13 oldest r8
-#: rows fill the remaining slots, so the oldest row after this round
-#: is r8. Steady-state age bound is ceil(211/50) = 5 rounds.
+#: measurement hygiene per VERDICT r11, plus the review-driven
+#: streaming-state hardening). Tier 1: the ten faces that
+#: transitively consume this round's diff — the same-id-replay fix
+#: and lineage guard in the snapshot sink, the null-safe bucket map +
+#: early-exit + static-overwrite pin in bucketed state, the
+#: materialized drift baseline, the persisted span/matrix epochs, and
+#: the deduplicated attribution join. Tier 2 drains the stale tail
+#: oldest-first: ALL 32 r7-latest rows (the VERDICT r11 #1 target,
+#: met exactly) plus the 8 oldest r8 rows fill the remaining slots,
+#: so the oldest row after this round is r8. Steady-state age bound
+#: is ceil(211/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R12 = [
     # tier 1 — implementation diff-reachable this round
+    "ev_attribution_join",
+    "ev_multi_touch",
+    "ev_attribution_left",
     "emb_rp_knn_join",
+    "source_drift_llr",
+    "doc_novelty_llr",
     "doc_span_stream",
     "source_dup_stream",
     "doc_minhash_stream",
@@ -9785,11 +9793,6 @@ _PRIORITY_R12 = [
     "emb_semantic_dedup",  # last row r8
     "incremental_order_stats",  # last row r8
     "bloom_pruned_join",  # last row r8
-    "emb_topk_cosine_pandas",  # last row r8
-    "ev_multi_touch",  # last row r8
-    "cdc_orders_diff",  # last row r8
-    "graph_triangles",  # last row r8
-    "doc_char_entropy",  # last row r8
 ]
 
 
