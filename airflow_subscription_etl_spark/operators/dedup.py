@@ -29,6 +29,26 @@ from ..cache import pin
 from .sketch import MERSENNE31, hash60, portable_hash_params
 
 
+def _check_banding(num_hashes: int, bands: int) -> int:
+    """rows-per-band, validated (r12 review): a non-divisible
+    (num_hashes, bands) pair silently dropped the trailing signature
+    slots from every band key (unreported recall loss), and
+    bands > num_hashes made rows_per_band 0 — every empty band slice
+    hashed to ONE global bucket, turning the banded self-join into the
+    O(n²) cross join it exists to avoid."""
+    if bands < 1 or bands > num_hashes:
+        raise ValueError(
+            f"bands must be in [1, num_hashes={num_hashes}], got {bands}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}): a remainder would silently drop the trailing "
+            "signature slots from every band key"
+        )
+    return num_hashes // bands
+
+
 def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(col), r"\s+", " ")
 
@@ -124,6 +144,46 @@ def with_shingle_hashes(
     return th.select("*", F.array_distinct(sh).alias(out)).drop("_th")
 
 
+def _shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index pair counter behind
+    :func:`exact_jaccard_pairs` and :func:`containment_pairs` (r12
+    review: the ~40-line shingle-explode / stop-shingle-cap /
+    pair-count plan was byte-for-byte duplicated, so a fix to either
+    could silently miss the other — the _chunk_frame precedent: parity
+    hinges on every caller building the identical index). Returns
+    ``(id_a, id_b, n_a, n_b, shared)`` with ``id_a < id_b``; the two
+    callers derive their symmetric/asymmetric scores from it."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
+    )
+    ex = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    if max_df is not None:
+        keep = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        ex = ex.join(keep, "s", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -149,29 +209,7 @@ def exact_jaccard_pairs(
     is why the oracle-checked query runs uncapped). Prefer the MinHash
     path when Σ df² is unaffordable.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
-    )
-    ex = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-    if max_df is not None:
-        keep = (
-            ex.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("s")
-        )
-        ex = ex.join(keep, "s", "left_semi")
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    pairs = _shingle_pair_counts(df, id_col, text_col, k_shingle, max_df)
     return pairs.select(
         "id_a",
         "id_b",
@@ -205,29 +243,7 @@ def containment_pairs(
     containment_b, jaccard)`` with id_a < id_b, keeping pairs where
     max(containment) ≥ threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
-    )
-    ex = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-    if max_df is not None:
-        keep = (
-            ex.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("s")
-        )
-        ex = ex.join(keep, "s", "left_semi")
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    pairs = _shingle_pair_counts(df, id_col, text_col, k_shingle, max_df)
     shared = F.col("shared").cast("double")
     return pairs.select(
         "id_a",
@@ -300,7 +316,7 @@ def banded_pairs_from_signatures(
     callers pick the engine-specific (fast) or portable (oracle-able)
     hash.
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = _check_banding(num_hashes, bands)
     banded = sig.select(
         id_col,
         "minhash",
@@ -576,7 +592,7 @@ def banded_signature_keys(
     join keys: one row per (band, md5-bucket) with the id and signature
     carried along — the physical layout of the dedup INDEX. Columns are
     suffixed so both sides of a self/delta join can derive from it."""
-    rows_per_band = num_hashes // bands
+    rows_per_band = _check_banding(num_hashes, bands)
     return sigs.select(
         F.col(id_col).alias(f"id_{suffix}"),
         F.col("minhash").alias(f"mh_{suffix}"),

@@ -64,6 +64,13 @@ def pack_sequences(
 
     Returns ``(id_col, n_tokens, shard, seq_id, seq_offset)``.
     """
+    # the guard chunk_documents always had (r12 review): budget=0 fed
+    # `_cum div 0` / `_cum % 0` — all-NULL placements non-ANSI, a
+    # DIVIDE_BY_ZERO abort under ANSI; n_shards=0 nulls the shard hash
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     t = with_token_count(df.select(id_col, text_col), text_col).drop(text_col)
     t = t.withColumn("shard", hash_bucket(F.col(id_col), n_shards))
     w = (

@@ -114,13 +114,19 @@ def lookup_required(
 
     Left join + emptiness check preserves the reference's explicit
     ``ValueError`` message instead of silently dropping rows.
+
+    The no-match probe is an explicit join-indicator column, not a
+    null test on the first dim attribute (r12 review): a matched dim
+    row whose first attribute is legitimately NULL is not a missing
+    match, and a key-only dim has no attribute to test at all — the
+    old probe raised on the former and silently skipped the required
+    check on the latter.
     """
-    joined = fact.join(F.broadcast(dim), on=on, how="left")
-    # any dim-side column null ⇒ no match
-    dim_cols = [c for c in dim.columns if c not in ([on] if isinstance(on, str) else on)]
-    if dim_cols and joined.filter(F.col(dim_cols[0]).isNull()).limit(1).count() > 0:
+    marked = dim.withColumn("__matched", F.lit(True))
+    joined = fact.join(F.broadcast(marked), on=on, how="left")
+    if joined.filter(F.col("__matched").isNull()).limit(1).count() > 0:
         raise ValueError(error)
-    return joined
+    return joined.drop("__matched")
 
 
 # --- A: aggregations --------------------------------------------------------

@@ -36,7 +36,23 @@ def salted_join(
     Shuffle volume: big side unchanged (each row gets ONE salt), small
     side ×salt — the standard trade when `key` has heavy hitters. The
     output is exactly the plain join's output (salt columns dropped).
+
+    ``how`` is restricted to the joins that preserve that contract:
+    inner/left (+ semi/anti) — each BIG row carries exactly one salt,
+    so its match/no-match outcome equals the plain join's. right/full
+    would emit every UNMATCHED small row once per salt replica (silent
+    ×salt duplication — r12 review), so they raise; for those, salt
+    the other way around or use a plain join with AQE skew handling.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi",
+               "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, got {how!r}: "
+            "the small side is replicated once per salt, so right/full "
+            "would duplicate every unmatched small row x salt"
+        )
     big_s = big.withColumn("_salt", (F.rand(seed) * salt).cast("int"))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -142,7 +142,9 @@ def _banded(
     hyperplane signature — banded LSH: two vectors collide if ANY band
     of sign-bits matches, so recall is 1−(1−p^r)^b instead of p^n for
     single-probe (p = per-bit agreement prob, r = bits per band)."""
-    bits = n_planes // bands
+    from .dedup import _check_banding  # noqa: PLC0415 — shared guard
+
+    bits = _check_banding(n_planes, bands)
     mask = (1 << bits) - 1
     sig = with_lsh_bucket(df, n_planes, dims, vec_col, out="_sig")
     return sig.select(
@@ -203,8 +205,12 @@ def brute_force_topk_pandas(
                 {id_col: pdf[id_col].to_numpy(), "cosine_sim": sims}
             )
 
+    # id type derived from the input schema, not hardcoded bigint
+    # (r12 review): string/int ids would fail (or coerce) at the Arrow
+    # boundary — the same contract pq_topk_pandas always honored
+    id_type = df.schema[id_col].dataType.simpleString()
     scored = df.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{id_col} bigint, cosine_sim double"
+        score, schema=f"{id_col} {id_type}, cosine_sim double"
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -829,15 +835,13 @@ def ivf_assignments(
         )
         .select("list_id", F.col(vec_col).alias("centroid"))
     )
-    centroids = seeds
-    assigned = None
-    for _ in range(max(1, lloyd_iters)):
+    def _assign(cents: DataFrame) -> DataFrame:
         # nearest centroid per vector: broadcast join + argmin over
         # squared L2 (monotone with cosine for normalized data; exact
         # for the standard IVF-L2 formulation)
         dist = (
             df.select(id_col, vec_col)
-            .crossJoin(F.broadcast(centroids))
+            .crossJoin(F.broadcast(cents))
             .withColumn(
                 "_d2",
                 F.aggregate(
@@ -852,8 +856,10 @@ def ivf_assignments(
                 ),
             )
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("list_id").asc())
-        assigned = (
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_d2").asc(), F.col("list_id").asc()
+        )
+        return (
             dist.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(id_col, vec_col, "list_id")
@@ -866,6 +872,10 @@ def ivf_assignments(
             # sums fold in the same order.
             .localCheckpoint(eager=False)
         )
+
+    centroids = seeds
+    for _ in range(max(1, lloyd_iters)):
+        assigned = _assign(centroids)
         # recompute centroids: (list, dim) partial means, re-assemble
         exploded = assigned.select("list_id", F.posexplode(F.col(vec_col)).alias("dim", "val"))
         centroids = (
@@ -882,7 +892,14 @@ def ivf_assignments(
                 ),
             )
         )
-    return assigned, centroids
+    # FINAL assignment against the FINAL centroids (r12 review): the
+    # loop ends on a centroid recompute, so the last in-loop assignment
+    # described the PREVIOUS centroid table — an index whose probe
+    # geometry (distance to stored centroids) disagreed with how its
+    # vectors were actually binned, a systematic recall leak. The
+    # kmeans_fit discipline: the returned (assignments, centroids)
+    # pair must be mutually consistent.
+    return _assign(centroids), centroids
 
 
 def ivf_topk(
@@ -2227,6 +2244,8 @@ def pq_topk_pandas(
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
+    from .clustering import _round_like_spark  # noqa: PLC0415
+
     dims = len(query_vec)
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m}")
@@ -2234,13 +2253,16 @@ def pq_topk_pandas(
     cb_row = pq_codebook(df, dims, m, n_codes, id_col, vec_col).collect()[0]
     C = [np.asarray(cb_row["_cb"][j], dtype=np.float64) for j in range(m)]
     q = np.asarray(query_vec, dtype=np.float64)
-    # per-subspace query→codeword lut, micro ints (matches _d2_micro)
+    # per-subspace query→codeword lut, micro ints. Rounded via
+    # _round_like_spark, NOT plain floor(x+0.5) (r12 review): the HOF
+    # twin's _d2_micro rounds each term with F.round (BigDecimal
+    # HALF_UP), and the two disagree by 1 micro on boundary doubles
+    # (the 0.49999999999999994 class) — exactly the divergence
+    # assign_clusters_pandas repairs with the same helper.
     lut = [
-        np.floor(
-            (q[j * dsub : (j + 1) * dsub][None, :] - C[j]) ** 2 * 1e6 + 0.5
-        )
-        .astype(np.int64)
-        .sum(axis=1)
+        _round_like_spark(
+            (q[j * dsub : (j + 1) * dsub][None, :] - C[j]) ** 2 * 1e6
+        ).sum(axis=1)
         for j in range(m)
     ]
 
@@ -2253,13 +2275,9 @@ def pq_topk_pandas(
             approx = np.zeros(len(pdf), dtype=np.int64)
             for j in range(m):
                 Xs = X[:, j * dsub : (j + 1) * dsub]
-                D = (
-                    np.floor(
-                        (Xs[:, None, :] - C[j][None, :, :]) ** 2 * 1e6 + 0.5
-                    )
-                    .astype(np.int64)
-                    .sum(axis=2)
-                )
+                D = _round_like_spark(
+                    (Xs[:, None, :] - C[j][None, :, :]) ** 2 * 1e6
+                ).sum(axis=2)
                 cj = D.argmin(axis=1)  # first min -> lowest code on ties
                 codes[:, j] = cj
                 approx += lut[j][cj]

@@ -304,14 +304,23 @@ def sampled_quantile_sketch(
     )
     cols = [*group_cols, "n_sampled"]
     out = agg
+    # positions index the NULL-FREE sorted array, so they come from
+    # size(_vs), not the sampled row count (r12 review: collect_list
+    # skips NULL values, so null-bearing groups shifted every quantile
+    # and could index past the array — an ANSI-mode abort); an
+    # all-null group yields NULL quantiles instead of element_at(0)
     for q in qs:
+        m = F.size("_vs")
         idx = (
-            F.floor(F.lit(float(q)) * (F.col("n_sampled") - F.lit(1)).cast("double"))
-            .cast("int")
+            F.floor(F.lit(float(q)) * (m - F.lit(1)).cast("double")).cast(
+                "int"
+            )
             + F.lit(1)
         )
         name = f"q{int(round(q * 100)):02d}"
-        out = out.withColumn(name, F.element_at("_vs", idx))
+        out = out.withColumn(
+            name, F.when(m > 0, F.element_at("_vs", idx))
+        )
         cols.append(name)
     return out.select(*cols)
 

@@ -45,10 +45,17 @@ def asof_join(
     Implementation: tag and union both sides, then one window per key
     ordered by ``(ts, side)`` — right rows sort before left rows at
     equal ts so inclusive semantics hold — and ``last(ignorenulls)``
-    carries right attributes forward. Right-side duplicate timestamps
-    within a key are resolved by the LAST row in ``(ts)`` order after
-    an arbitrary-but-deterministic input ordering is applied upstream;
-    pre-aggregate the right side if tie identity matters.
+    over ONE struct packing all right attributes carries the most
+    recent right ROW forward atomically. (Per-column last(ignorenulls)
+    — the r12-review bug — skipped a NULL attribute of the newest
+    right row and reached back to an older row for just that column,
+    stitching together a right row that never existed; the struct is
+    non-null for every right row, so a NULL attribute stays NULL, the
+    documented row semantics and what DuckDB ASOF JOIN returns.)
+    Right-side duplicate timestamps within a key are resolved by the
+    LAST row in ``(ts)`` order after an arbitrary-but-deterministic
+    input ordering is applied upstream; pre-aggregate the right side
+    if tie identity matters.
     """
     keys = [on] if isinstance(on, str) else list(on)
 
@@ -56,29 +63,31 @@ def asof_join(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+        ).alias("__rrow"),
     )
+    rrow_type = r.schema["__rrow"].dataType
     left_cols = [c for c in left.columns if c != left_ts]
     l = left.select(  # noqa: E741
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(rrow_type).alias("__rrow"),
     )
-    for c in right_cols:
-        l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(r.schema[f"{c}{suffix}"].dataType))
     unioned = l.select(
         *keys,
         "__ts",
         "__side",
         *[F.col(c) for c in left_cols if c not in keys],
-        *[f"{c}{suffix}" for c in right_cols],
+        "__rrow",
     ).unionByName(
         r.select(
             *keys,
             "__ts",
             "__side",
             *[F.lit(None).cast(l.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
-            *[f"{c}{suffix}" for c in right_cols],
+            "__rrow",
         )
     )
 
@@ -92,13 +101,19 @@ def asof_join(
         "__ts",
         "__side",
         *[F.col(c) for c in left_cols if c not in keys],
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side").withColumnRenamed(
-        "__ts", left_ts
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *keys,
+            F.col("__ts").alias(left_ts),
+            *[F.col(c) for c in left_cols if c not in keys],
+            *[
+                F.col(f"__rrow.{c}{suffix}").alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+        )
     )
 
 
@@ -232,6 +247,15 @@ def binned_interval_join(
     sides arbitrarily large.
     """
     w = int(delta_seconds)
+    if w <= 0:
+        # div-by-zero bins: sequence() over NULL bounds silently
+        # yielded an EMPTY result for delta_seconds=0 (r12 review) —
+        # an exact-timestamp match is a plain equi-join, not this
+        raise ValueError(
+            f"delta_seconds must be positive, got {delta_seconds}; "
+            "for exact-timestamp matches use a plain equi-join on "
+            "(key, ts)"
+        )
     le = F.col(left_ts).cast("long")
     re_ = F.col(right_ts).cast("long")
     lb = left.withColumn(

@@ -407,6 +407,11 @@ def bm25_scores(
     from scan (1)'s one (doc, term) shuffle; df and the scalar stats
     are broadcast back.
     """
+    if not terms:
+        raise ValueError(
+            "terms must be non-empty: BM25 over an empty query bag is "
+            "undefined (and an empty isin() degrades unhelpfully)"
+        )
     toked = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).select(

@@ -297,9 +297,8 @@ def _ivf_fit(sf_dir: str, n_lists: int, lloyd_iters: int):
     # a numpy pairwise sum could flip near-tie assignments); only the
     # centroid MEANS stay numpy, where the float32 truncation below
     # absorbs summation-order ulps by design
-    assign = None
-    for _ in range(max(1, lloyd_iters)):
-        assign = np.asarray(
+    def _assign():
+        return np.asarray(
             [
                 min(
                     ((_seq_d2(row, centroids[pos]), list_ids[pos]) for pos in range(len(list_ids)))
@@ -307,6 +306,9 @@ def _ivf_fit(sf_dir: str, n_lists: int, lloyd_iters: int):
                 for row in X
             ]
         )
+
+    for _ in range(max(1, lloyd_iters)):
+        assign = _assign()
         survivors = [lid for lid in list_ids if (assign == lid).any()]
         centroids = (
             np.stack([X[assign == lid].mean(axis=0) for lid in survivors])
@@ -314,6 +316,11 @@ def _ivf_fit(sf_dir: str, n_lists: int, lloyd_iters: int):
             .astype(np.float64)
         )
         list_ids = survivors
+    # final assignment against the FINAL centroids — mirrors
+    # similarity.ivf_assignments' r12 fix: the returned pair must be
+    # mutually consistent (the in-loop assign described the previous
+    # centroid table)
+    assign = _assign()
     return ids, X32, X, qv, assign, list_ids, centroids
 
 

@@ -9726,27 +9726,57 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 
 #: Round-12 verification priority — GENERATED by tools/retier.py at
-#: build time (diff base: the r11 round commit 58fc1f7). Tier 0 is
-#: empty (no new registrations this round — r12 is freshness +
-#: measurement hygiene per VERDICT r11, plus the review-driven
-#: streaming-state hardening). Tier 1: the ten faces that
-#: transitively consume this round's diff — the same-id-replay fix
-#: and lineage guard in the snapshot sink, the null-safe bucket map +
-#: early-exit + static-overwrite pin in bucketed state, the
-#: materialized drift baseline, the persisted span/matrix epochs, and
-#: the deduplicated attribution join. Tier 2 drains the stale tail
-#: oldest-first: ALL 32 r7-latest rows (the VERDICT r11 #1 target,
-#: met exactly) plus the 8 oldest r8 rows fill the remaining slots,
-#: so the oldest row after this round is r8. Steady-state age bound
-#: is ceil(211/50) = 5 rounds.
+#: build time (diff base: the r11 round commit 58fc1f7), regenerated
+#: after EACH of the round's three implementation waves (verdict
+#: seams, streaming-state hardening, operator review fixes). Tier 0
+#: is empty (no new registrations). Tier 1: all 34 faces transitively
+#: consuming the round's diff — the same-id-replay fix + lineage
+#: guard, null-safe bucketed state, materialized drift baseline,
+#: asof-join row-atomic fill, lookup_required join indicator,
+#: quantile null-position fix, salted-join how guard, PQ-pandas
+#: HALF_UP rounding, banding validation, IVF final-assignment
+#: consistency, and the shared shingle-pair helper. Tier 2 fills the
+#: 16 remaining slots oldest-first; 28 of the 32 r7-latest rows drain
+#: this round (11 of them ride tier 1), and the 4 r7 rows the cap
+#: displaces (doc_jaccard_adjacent, doc_simhash_pairs,
+#: doc_simhash_portable, salted_supplier_volume — none consume this
+#: round's diff) defer to r13 tier 2; all four were re-verified green
+#: in this round's own sf0.001/sf0.01/sf0.1 whole-registry sweeps.
+#: Changed-code re-attestation outranks stale-green refresh (the
+#: VERDICT r5 discipline retier.py exists to enforce).
+#: Steady-state age bound is ceil(211/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R12 = [
     # tier 1 — implementation diff-reachable this round
+    "ev_asof_join",
     "ev_attribution_join",
+    "doc_near_dup_clusters",
+    "doc_bm25_topk",
+    "doc_curation_pipeline",
+    "quantile_sketch_by_priority",
+    "ev_interval_join_binned",
+    "doc_minhash_portable",
+    "doc_pack_sequences",
+    "salted_join_segments",
+    "doc_minhash_pairs",
+    "emb_topk_cosine_pandas",
+    "emb_ivf_topk",
+    "emb_near_pairs",
     "ev_multi_touch",
+    "doc_keep_best",
+    "emb_pq_topk_pandas",
     "ev_attribution_left",
+    "emb_hard_negatives",
+    "doc_containment_pairs",
+    "emb_ivfpq_topk",
+    "doc_minhash_incremental",
+    "doc_minhash_indexed",
+    "doc_rrf_retrieval",
+    "doc_curation_report",
     "emb_rp_knn_join",
     "source_drift_llr",
+    "emb_contamination",
+    "doc_cluster_split",
     "doc_novelty_llr",
     "doc_span_stream",
     "source_dup_stream",
@@ -9764,35 +9794,11 @@ _PRIORITY_R12 = [
     "graph_pagerank",  # last row r7
     "ev_resample_hourly",  # last row r7
     "ev_retention_cohorts",  # last row r7
-    "doc_curation_pipeline",  # last row r7
-    "quantile_sketch_by_priority",  # last row r7
     "sql_segment_revenue",  # last row r7
-    "ev_interval_join_binned",  # last row r7
     "neg_sampling",  # last row r7
-    "doc_minhash_portable",  # last row r7
-    "doc_pack_sequences",  # last row r7
     "doc_chunk_windows",  # last row r7
     "doc_bpe_token_stats",  # last row r7
     "mm_audio_windows",  # last row r7
-    "salted_supplier_volume",  # last row r7
-    "salted_join_segments",  # last row r7
-    "doc_jaccard_adjacent",  # last row r7
-    "doc_minhash_pairs",  # last row r7
-    "doc_simhash_pairs",  # last row r7
-    "emb_near_pairs",  # last row r7
-    "doc_simhash_portable",  # last row r7
-    "emb_hard_negatives",  # last row r7
-    "emb_ivfpq_topk",  # last row r7
-    "doc_minhash_incremental",  # last row r7
-    "doc_minhash_indexed",  # last row r7
-    "doc_cc_islands",  # last row r8
-    "mm_resize",  # last row r8
-    "emb_kmeans",  # last row r8
-    "emb_kmeans_pandas",  # last row r8
-    "doc_cms_heavy_hitters",  # last row r8
-    "emb_semantic_dedup",  # last row r8
-    "incremental_order_stats",  # last row r8
-    "bloom_pruned_join",  # last row r8
 ]
 
 
