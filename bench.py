@@ -1,19 +1,32 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE compact JSON line (stdout carries NOTHING else — the driver
-captures a bounded stdout tail, so the machine line must stay small and
-last; r6's inline spread dict overflowed it and the round lost its
-parsed bench artifact):
+captures a ~2000-char stdout tail, so the machine line must stay SMALL
+and last; r6's inline spread dict overflowed it, and after the headline
+set grew to 72 queries the per-query `queries` dict alone was ~1.9 KB,
+so every BENCH_r*.json from r8 through r12 recorded `parsed: null` with
+the headline total truncated out — VERDICT r12 #1). The line therefore
+carries summary fields ONLY (budget: ≤500 chars with growth headroom):
   {"metric": "total_headline_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1, "runs_per_query": 2,
-   "adjudication": "...", "baseline25_sec": N, "noisy": [...]}
+   "sf": 0.1, "runs_per_query": 2, "n_queries": N,
+   "baseline25_sec": N, "detail": "BENCH_DETAIL_rNN.json",
+   "noisy": [...], "errors": [...]}
 
-Full per-query evidence (per-pass timings, steady-state spreads,
-errors) is written to BENCH_DETAIL.json next to this file.
+Per-query timings, per-pass evidence, steady-state spreads, the
+adjudication policy string, the calibration anchor, and full error
+messages live in BENCH_DETAIL.json (latest-run scratch) plus the
+round-stamped committed BENCH_DETAIL_rNN.json named by `detail`.
 
 Each query is timed end-to-end (plan + execute + materialize counts) on
 a warm SparkSession; a tiny warmup action runs first so JVM/codegen
 startup isn't billed to the first query.
+
+Cross-round comparability: the detail payload records `calibration_sec`
+(a pinned synthetic shuffle+agg workload timed at run start and end —
+VERDICT r12 #3) so a round's numbers can be read as query/calibration
+when hosts differ, and `tree` (the measured commit + dirty flag —
+ADVICE r12) so a backfilled DETAIL_rB is distinguishable from one
+produced during round B. Neither changes the driver-facing metric.
 """
 
 from __future__ import annotations
@@ -356,6 +369,106 @@ def summarize_passes(times: list[float]) -> tuple[float, float]:
     return min(steady), spread
 
 
+#: Hard budget for the stdout machine line: the driver captures a
+#: ~2000-char stdout tail, and the line must survive inside it with
+#: room for stray stderr interleaving. tests/test_bench_policy.py
+#: pins machine_line() under this at the current query count ×2.
+MACHINE_LINE_BUDGET = 500
+
+
+def machine_line(
+    total: float | None,
+    sf: float,
+    n_queries: int,
+    baseline25: float | None,
+    detail_name: str,
+    noisy: list[str],
+    error_names: list[str],
+) -> str:
+    """The ONE stdout JSON line — summary fields only (VERDICT r12
+    #1: the 72-entry per-query dict was ~1.9 KB by itself and every
+    BENCH_r8–r12 artifact recorded `parsed: null` with the headline
+    total truncated away). Per-query timings, spreads, passes, the
+    adjudication policy, calibration anchor and full error messages
+    live in the committed detail file this line names. Pure so the
+    size budget is testable without Spark."""
+    out: dict[str, object] = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        # numeric so cross-round consumers can compare/arithmetic it
+        # (ADVICE r6): the BASE pass count before adjudication — the
+        # escalation policy string lives in BENCH_DETAIL["adjudication"]
+        "runs_per_query": 2,
+        "n_queries": n_queries,
+        "baseline25_sec": baseline25,
+        "detail": detail_name,
+    }
+    if noisy:
+        out["noisy"] = noisy
+    if error_names:
+        # names only: full tracebacks (500 chars × up to 72 queries)
+        # could re-overflow the driver's bounded stdout tail — the
+        # exact failure the detail file exists to prevent. Messages
+        # live in BENCH_DETAIL.json["errors"] and on stderr.
+        out["errors"] = error_names
+    return json.dumps(out)
+
+
+def calibration_sec(spark) -> float:
+    """Time the pinned calibration workload: a fixed 1e7-row synthetic
+    agg with one 199-key shuffle (range → modulo key → groupBy sum →
+    noop sink). No input tables, no query code — its cost tracks ONLY
+    the host (CPU/JVM/scheduler load), so query/calibration ratios are
+    host-normalized. VERDICT r12 #3: the round-over-round baseline25
+    series swings 12.7→23.2 s across identical-or-faster trees; this
+    anchor lets a judge read a cross-round delta as host drift vs plan
+    regression without a same-tree rerun. Timed at run start AND end
+    (recorded as {"start": s, "end": e} in BENCH_DETAIL) so intra-run
+    drift is visible too. SCALE.md §bench explains how to apply it."""
+    t0 = time.time()
+    (
+        spark.range(10_000_000)
+        .selectExpr("id % 199 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.time() - t0, 3)
+
+
+def tree_stamp(repo_dir: str) -> dict[str, object]:
+    """Commit + dirty flag of the tree the measurements were taken on
+    (ADVICE r12: detail_round's B > D backfill branch stamps a fresh
+    run as DETAIL_rB even though the tree is post-boundary — the
+    payload itself must say which tree was measured)."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo_dir,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=repo_dir,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.strip()
+        )
+        return {"commit": head, "dirty": dirty}
+    except Exception as e:  # noqa: BLE001 — stamping must never kill the bench
+        return {"commit": None, "dirty": None, "err": str(e)[:200]}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -366,6 +479,11 @@ def main() -> None:
     # and JVM JIT warm — the timed loop then measures steady-state
     # execution at the target SF, not one-time compile latency.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Calibration anchor (VERDICT r12 #3): one untimed pass warms the
+    # workload's codegen, then the timed start-of-run sample.
+    calibration_sec(spark)
+    cal_start = calibration_sec(spark)
+    print(f"# calibration(start): {cal_start:.3f}s", file=sys.stderr)
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         try:
@@ -426,6 +544,9 @@ def main() -> None:
             passes[name] = times
         spark.catalog.clearCache()
 
+    cal_end = calibration_sec(spark)
+    print(f"# calibration(end): {cal_end:.3f}s", file=sys.stderr)
+
     total, baseline25 = machine_totals(timings, errors, BASELINE25)
     # Queries whose steady-state passes STILL disagree past their
     # threshold (0.25 sub-0.5 s, 0.30 otherwise) after adjudication —
@@ -449,6 +570,19 @@ def main() -> None:
         "noisy": noisy,
         "errors": errors,
         "baseline25_sec": baseline25,
+        # base pass count before adjudication; escalation policy below
+        "runs_per_query": 2,
+        "adjudication": "3rd-6th pass while steady spread > threshold "
+        "(0.25 sub-0.5s, 0.30 otherwise; sub-0.5s queries always run "
+        ">=3 passes); median of steady passes when 4 ran, trimmed "
+        "median when 5-6 ran",
+        # host anchor: pinned synthetic workload timed at run start/end
+        # (VERDICT r12 #3) — read cross-round numbers as
+        # query/calibration when hosts differ; see SCALE.md.
+        "calibration_sec": {"start": cal_start, "end": cal_end},
+        # which tree was measured (ADVICE r12: the B > D backfill
+        # branch can stamp a post-boundary tree as round B)
+        "tree": tree_stamp(repo_dir),
     }
     # BENCH_DETAIL.json (gitignored, latest-run scratch) PLUS a
     # round-stamped committed copy: BENCH_rN.json keeps only a bounded
@@ -474,32 +608,12 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
             fh.write("\n")
 
-    out = {
-        "metric": "total_headline_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        # numeric so cross-round consumers can compare/arithmetic it
-        # (ADVICE r6): the BASE pass count before adjudication — the
-        # sub-0.5 s three-pass floor and escalation live in the
-        # adjudication field's policy string
-        "runs_per_query": 2,
-        "adjudication": "3rd-6th pass while steady spread > threshold "
-        "(0.25 sub-0.5s, 0.30 otherwise; sub-0.5s queries always run "
-        ">=3 passes); median of steady passes when 4 ran, trimmed "
-        "median when 5-6 ran (spreads in BENCH_DETAIL.json)",
-        "baseline25_sec": baseline25,
-    }
-    if noisy:
-        out["noisy"] = noisy
-    if errors:
-        # names only: full tracebacks (500 chars × up to 61 queries)
-        # could re-overflow the driver's bounded stdout tail — the
-        # exact failure the detail file exists to prevent. Messages
-        # live in BENCH_DETAIL.json["errors"] and on stderr.
-        out["errors"] = sorted(errors)
-    print(json.dumps(out))
+    print(
+        machine_line(
+            total, sf, len(timings), baseline25, stamped, noisy,
+            sorted(errors),
+        )
+    )
     spark.stop()
 
 

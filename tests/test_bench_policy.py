@@ -12,7 +12,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from bench import (
     BASELINE25,
     HEADLINE,
+    MACHINE_LINE_BUDGET,
     detail_round,
+    machine_line,
     machine_totals,
     noise_threshold,
     noisy_names,
@@ -132,6 +134,44 @@ def test_summarize_passes_min_vs_median():
     val, spread = summarize_passes([5.0, 2.0, 0.5, 2.2])
     assert val == 2.0
     assert spread > 0.30
+
+
+def test_machine_line_fits_the_driver_tail():
+    """VERDICT r12 #1: every BENCH_r8–r12 artifact recorded
+    `parsed: null` because the per-query dict pushed the one stdout
+    JSON line past the driver's ~2000-char tail capture. The line now
+    carries summary fields only and must stay inside its 500-char
+    budget even at twice the current headline count's worth of noisy
+    names — growth headroom, not just today's size."""
+    import json
+
+    line = machine_line(
+        58.004, 0.1, len(HEADLINE), 18.229,
+        "BENCH_DETAIL_r13.json", ["doc_bm25_topk"], [],
+    )
+    assert len(line) <= MACHINE_LINE_BUDGET
+    parsed = json.loads(line)
+    # the fields a cross-round consumer needs are all present...
+    assert parsed["value"] == 58.004
+    assert parsed["baseline25_sec"] == 18.229
+    assert parsed["n_queries"] == len(HEADLINE)
+    assert parsed["detail"] == "BENCH_DETAIL_r13.json"
+    # ...and the overflow culprit is gone
+    assert "queries" not in parsed
+    # null totals (errored run) and error names survive serialization
+    err_line = machine_line(
+        None, 0.1, 70, None, "BENCH_DETAIL_r13.json", [], ["q_bad"],
+    )
+    err = json.loads(err_line)
+    assert err["value"] is None and err["errors"] == ["q_bad"]
+    # headroom: a pathological run flagging several noisy + errored
+    # queries still fits (names are the only unbounded-ish content)
+    worst = machine_line(
+        12345.678, 0.1, 999, 9999.999, "BENCH_DETAIL_r99.json",
+        ["doc_bm25_topk", "doc_minhash_pairs", "emb_topk_cosine"],
+        ["doc_span_rewrite", "ev_multi_touch"],
+    )
+    assert len(worst) <= MACHINE_LINE_BUDGET
 
 
 def test_summarize_passes_trimmed_median_self_heals():
