@@ -18,6 +18,27 @@ construction, per bucket.
 All listing/pointer IO goes through :mod:`.fsio` (HDFS/object-store
 safe). Everything here is driver-side control-plane work on ≤
 ``n_buckets × retained-epochs`` paths.
+
+LAYERING (r13, closing VERDICT r12 #5): this module is the package's
+INTERNAL storage layer, with exactly two supported caller styles:
+
+- **Last-writer-wins keyed state** goes through the unified face
+  :func:`.sinks.upsert_keyed_state` / :func:`.sinks.read_keyed_state`
+  with ``layout="bucketed"`` — which dispatch to
+  :func:`upsert_keyed_buckets` / :func:`read_keyed_state` here. No
+  in-package caller invokes those two directly anymore
+  (dedup_stream migrated in r13), and external callers shouldn't
+  either: the face validates arguments synchronously and documents
+  the snapshot-vs-bucketed trade in one place.
+- **Custom-merge maintainers** whose per-epoch merge is NOT
+  last-writer-wins (span_stream's additive chunk-digest catalog,
+  source_matrix_stream's (digest, source) catalog + pair matrix)
+  compose the bucket primitives directly — :func:`bucket_expr`,
+  :func:`check_meta`, :func:`bucket_snapshots`, :func:`read_buckets`,
+  :func:`write_buckets`, :func:`latest_plain_snapshot`,
+  :func:`prune_bucketed_state`. These are deliberate building blocks,
+  not a parallel face: a merge the LWW window can't express has to
+  own its read-merge-write cycle.
 """
 
 from __future__ import annotations
@@ -148,7 +169,16 @@ def prune_bucketed_state(spark, state_root: str, keep_last: int = 2) -> int:
     (or second-newest, at keep_last=2) snapshot is live data and
     stays, bounding retained dirs at ~``n_buckets + keep_last``.
     keep ≥ 2 so an in-flight epoch's predecessor is never pruned
-    under it. SINGLE-WRITER discipline: run between epochs."""
+    under it. SINGLE-WRITER discipline: run between epochs.
+
+    Also GCs ``bucket=__HIVE_DEFAULT_PARTITION__`` dirs inside RETAINED
+    batch dirs (ADVICE r12): roots written before the r12 null-key
+    coalesce routed null-keyed rows there — a directory the
+    ``bucket=(\\d+)`` snapshot walk never reads, so those rows were
+    already lost to every reader at write time. Removing the dirs makes
+    the invisibility explicit and keeps pre-fix roots from carrying
+    dead data forever (dirs inside REMOVED batch dirs go with their
+    parent). Post-fix writers never create them."""
     if keep_last < 2:
         raise ValueError(f"keep_last must be >= 2, got {keep_last}")
     ids = sorted(
@@ -165,12 +195,10 @@ def prune_bucketed_state(spark, state_root: str, keep_last: int = 2) -> int:
     seen: dict[int, int] = {}
     removable: list[int] = []
     for b_id in ids:
+        names = fsio.list_names(spark, f"{state_root}/batch={b_id}")
         buckets = [
             int(m.group(1))
-            for m in (
-                re.fullmatch(r"bucket=(\d+)", name)
-                for name in fsio.list_names(spark, f"{state_root}/batch={b_id}")
-            )
+            for m in (re.fullmatch(r"bucket=(\d+)", name) for name in names)
             if m
         ]
         # empty all() (a bucket-less dir — an empty epoch's _SUCCESS
@@ -180,6 +208,14 @@ def prune_bucketed_state(spark, state_root: str, keep_last: int = 2) -> int:
         # bound for the lifetime of the root
         if all(seen.get(b, 0) >= keep_last for b in buckets):
             removable.append(b_id)
+        elif "bucket=__HIVE_DEFAULT_PARTITION__" in names:
+            # retained dir from a pre-r12 root: drop the reader-invisible
+            # null-key partition (see docstring); removed dirs take
+            # theirs along wholesale
+            fsio.delete(
+                spark,
+                f"{state_root}/batch={b_id}/bucket=__HIVE_DEFAULT_PARTITION__",
+            )
         for b in buckets:
             seen[b] = seen.get(b, 0) + 1
     for b_id in removable:

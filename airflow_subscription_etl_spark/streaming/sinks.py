@@ -100,6 +100,21 @@ def upsert_batch(
     what foreachBatch provides). A fresh checkpoint pointed at an
     EXISTING root would restart ids at 0 and silently orphan the
     accumulated state, so ids from the root's future raise instead.
+
+    On a COMPLETED-replay (``snapshot_<batch_id>`` already on disk —
+    the prior attempt finished its write and possibly flipped the
+    pointer before the batch failed), the rewrite goes WRITE-ASIDE:
+    the pointer is first reset to the merge base (so readers resolving
+    it during the rewrite see the consistent pre-batch state, never a
+    directory about to be gutted — ADVICE r12), the merged result is
+    written to a hidden ``.snapshot_<id>.inprogress`` dir, and only
+    then is the old directory swapped out by delete+rename. A reader
+    that resolved the pointer BEFORE the reset and reads lazily across
+    the swap window can still miss files — that residual window is
+    delete+rename, not the whole merge job. Replay of batch 0 (no
+    merge base) deletes the pointer instead; concurrent readers then
+    hit ``_current_dir``'s snapshots-exist-but-pointer-missing refusal
+    rather than a silent cold start.
     """
     if not keys:
         raise ValueError(
@@ -117,7 +132,15 @@ def upsert_batch(
             "snapshot id), otherwise the existing state would be "
             "silently orphaned"
         )
-    prev = read_snapshot_at(spark, root, int(batch_id) - 1)
+    # merge base from the ONE listing above (VERDICT r12 #6 — the
+    # guard listed, then read_snapshot_at listed again): the newest
+    # snapshot STRICTLY BELOW this batch id.
+    below = [i for i in ids if i < int(batch_id)]
+    prev = (
+        spark.read.parquet(f"{root}/snapshot_{max(below)}")
+        if below
+        else None
+    )
     prio = batch.withColumn("__new", F.lit(1))
     merged = (
         prev.withColumn("__new", F.lit(0)).unionByName(prio)
@@ -132,7 +155,22 @@ def upsert_batch(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__new")
     )
-    latest.write.mode("overwrite").parquet(f"{root}/snapshot_{batch_id}")
+    dest = f"{root}/snapshot_{batch_id}"
+    if int(batch_id) in ids:
+        # completed-replay path (see docstring): repoint readers at the
+        # merge base, merge into a hidden aside dir, then swap.
+        if below:
+            fsio.write_text_atomic(
+                spark, f"{root}/{_POINTER}", f"snapshot_{max(below)}"
+            )
+        else:
+            fsio.delete(spark, f"{root}/{_POINTER}")
+        tmp = f"{root}/.snapshot_{batch_id}.inprogress"
+        latest.write.mode("overwrite").parquet(tmp)
+        fsio.delete(spark, dest)
+        fsio.rename(spark, tmp, dest)
+    else:
+        latest.write.mode("overwrite").parquet(dest)
     fsio.write_text_atomic(
         spark, f"{root}/{_POINTER}", f"snapshot_{batch_id}"
     )
@@ -195,6 +233,14 @@ def compact_snapshots(
         if path not in keep:
             fsio.delete(spark, path)
             removed += 1
+    # a crash between upsert_batch's replay write-aside and its rename
+    # leaves a hidden .snapshot_<id>.inprogress dir; it is invisible to
+    # list_snapshots and every reader, so compaction is its only GC
+    import re  # noqa: PLC0415
+
+    for name in fsio.list_names(spark, root):
+        if re.fullmatch(r"\.snapshot_\d+\.inprogress", name):
+            fsio.delete(spark, f"{root}/{name}")
     return removed
 
 

@@ -1,0 +1,178 @@
+"""Round-13 fixes (VERDICT r12 #5/#6 + ADVICE r12): the snapshot
+sink's replay write-aside + folded listing, inprogress-dir GC in
+compaction, hive-default-partition GC in the bucketed prune, and the
+narrowed drift baseline-read retry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors import AnalysisException
+
+from airflow_subscription_etl_spark.streaming import (
+    bucketed_state,
+    drift_stream,
+    fsio,
+    sinks,
+)
+
+# ----------------------------- replay write-aside (ADVICE r12 / #6)
+
+
+def test_replay_write_aside_state_and_layout(spark, tmp_path):
+    """A completed same-id replay must leave exactly the same state as
+    the first attempt, point _CURRENT at the replayed snapshot, and
+    leave no hidden .inprogress aside dir behind (the write-aside is
+    renamed into place)."""
+    root = str(tmp_path / "replay")
+    df0 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    sinks.upsert_batch(df0, root, ["k"], "v", 0)
+    df1 = spark.createDataFrame([(2, 25), (3, 30)], "k int, v int")
+    sinks.upsert_batch(df1, root, ["k"], "v", 1)
+    # the retry: snapshot_1 already exists → write-aside path
+    sinks.upsert_batch(df1, root, ["k"], "v", 1)
+    got = {r["k"]: r["v"] for r in sinks.read_snapshot(spark, root).collect()}
+    assert got == {1: 10, 2: 25, 3: 30}
+    names = fsio.list_names(spark, root)
+    assert not any(".inprogress" in n for n in names)
+    assert fsio.read_text(spark, f"{root}/{sinks._POINTER}") == "snapshot_1"
+
+
+def test_replay_of_batch_zero_write_aside(spark, tmp_path):
+    """Replaying batch 0 has no merge base: the pointer is deleted for
+    the duration (readers refuse rather than see a cold start), then
+    re-set to the swapped-in snapshot."""
+    root = str(tmp_path / "replay0")
+    df0 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    sinks.upsert_batch(df0, root, ["k"], "v", 0)
+    sinks.upsert_batch(df0, root, ["k"], "v", 0)
+    got = {r["k"]: r["v"] for r in sinks.read_snapshot(spark, root).collect()}
+    assert got == {1: 10, 2: 20}
+    names = fsio.list_names(spark, root)
+    assert not any(".inprogress" in n for n in names)
+    assert fsio.read_text(spark, f"{root}/{sinks._POINTER}") == "snapshot_0"
+
+
+def test_compact_gcs_orphaned_inprogress_dirs(spark, tmp_path):
+    """A crash between the replay's aside write and its rename leaves
+    a hidden .snapshot_<id>.inprogress dir that list_snapshots and all
+    readers ignore — compaction is its only GC."""
+    root = str(tmp_path / "compact")
+    df = spark.createDataFrame([(1, 10)], "k int, v int")
+    for i in range(3):
+        sinks.upsert_batch(df, root, ["k"], "v", i)
+    orphan = f"{root}/.snapshot_9.inprogress"
+    fsio.mkdirs(spark, orphan)
+    assert sinks.list_snapshots(spark, root) == [0, 1, 2]  # invisible
+    removed = sinks.compact_snapshots(spark, root, keep_last=2)
+    assert removed == 1  # snapshot_0
+    assert not fsio.exists(spark, orphan)
+    assert sinks.list_snapshots(spark, root) == [1, 2]
+    # and the compacted root still reads correctly
+    assert sinks.read_snapshot(spark, root).count() == 1
+
+
+# ------------------- bucketed prune: hive-default partition GC (ADVICE)
+
+
+def test_prune_gcs_hive_default_partition_dirs(spark, tmp_path):
+    """Roots written before the r12 null-key coalesce hold null-keyed
+    rows under bucket=__HIVE_DEFAULT_PARTITION__ — invisible to the
+    bucket=(\\d+) walk, previously undeletable inside retained batch
+    dirs. The prune now removes them explicitly (removable dirs take
+    theirs along wholesale)."""
+    root = str(tmp_path / "hive")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    for i in range(4):
+        bucketed_state.upsert_keyed_buckets(
+            df.withColumn("v", df["v"] + i), root, "k", "v", i, n_buckets=4
+        )
+    before = {
+        r["k"]: r["v"]
+        for r in bucketed_state.read_keyed_state(spark, root).collect()
+    }
+    # simulate a pre-fix root: hive dirs inside a retained (newest) and
+    # an old (removable) batch dir
+    for b_id in (0, 3):
+        hive = f"{root}/batch={b_id}/bucket=__HIVE_DEFAULT_PARTITION__"
+        spark.createDataFrame([(None, 99)], "k string, v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(hive)
+    bucketed_state.prune_bucketed_state(spark, root, keep_last=2)
+    leftovers = [
+        f"batch={name}/{sub}"
+        for name in fsio.list_names(spark, root)
+        if name.startswith("batch=")
+        for sub in fsio.list_names(spark, f"{root}/{name}")
+        if "HIVE_DEFAULT" in sub
+    ]
+    assert leftovers == []
+    # numbered buckets and the visible state are untouched
+    after = {
+        r["k"]: r["v"]
+        for r in bucketed_state.read_keyed_state(spark, root).collect()
+    }
+    assert after == before
+
+
+def test_prune_removes_batch_dir_holding_only_hive_partition(
+    spark, tmp_path
+):
+    """A batch dir whose ONLY content is the hive-default partition
+    has no numbered buckets — it prunes as an empty shell (r12 rule),
+    hive dir and all."""
+    root = str(tmp_path / "hiveonly")
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    for i in (1, 2, 3):
+        bucketed_state.upsert_keyed_buckets(df, root, "k", "v", i, n_buckets=2)
+    hive = f"{root}/batch=0/bucket=__HIVE_DEFAULT_PARTITION__"
+    spark.createDataFrame([(None, 9)], "k string, v long").write.mode(
+        "overwrite"
+    ).parquet(hive)
+    bucketed_state.prune_bucketed_state(spark, root, keep_last=2)
+    assert not fsio.exists(spark, f"{root}/batch=0")
+
+
+# -------------------------- drift baseline read: narrowed retry (ADVICE)
+
+
+def test_is_missing_file_error_shapes():
+    assert drift_stream._is_missing_file_error(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist: /x")
+    )
+    assert drift_stream._is_missing_file_error(
+        Exception("java.io.FileNotFoundException: File file:/x/part-0")
+    )
+    assert drift_stream._is_missing_file_error(
+        Exception("FILE_NOT_EXIST: rerun the query")
+    )
+    assert not drift_stream._is_missing_file_error(ValueError("boom"))
+    assert not drift_stream._is_missing_file_error(
+        Exception("Parquet column cannot be converted: expected INT64")
+    )
+
+
+def test_corrupt_baseline_propagates_original_error(spark, tmp_path):
+    """A baseline whose counts are readable but WRONG (schema drift,
+    corruption) must raise the original error, not be retried once and
+    re-blamed on a rotation race (the old bare-except path)."""
+    path = str(tmp_path / "base")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")], "id int, text string"
+    )
+    drift_stream.write_drift_baseline(docs, path, "text", num_buckets=8)
+    # corrupt the counts: cnt becomes a non-numeric string
+    spark.createDataFrame(
+        [(0, "abc")], "bucket int, cnt string"
+    ).write.mode("overwrite").parquet(f"{path}/counts")
+    with pytest.raises(ValueError, match="invalid literal"):
+        drift_stream._read_baseline(spark, path)
+
+
+def test_missing_baseline_still_raises_rotation_runtimeerror(
+    spark, tmp_path
+):
+    """File-went-missing shapes keep the retry-then-RuntimeError
+    contract: a wholly absent baseline exhausts the re-resolve and
+    raises the rotation-shaped error with the cause chained."""
+    with pytest.raises(RuntimeError, match="unreadable after retry"):
+        drift_stream._read_baseline(spark, str(tmp_path / "nope"))
