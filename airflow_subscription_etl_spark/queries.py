@@ -9725,85 +9725,81 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Round-12 verification priority — GENERATED by tools/retier.py at
-#: build time (diff base: the r11 round commit 58fc1f7), regenerated
-#: after EACH of the round's three implementation waves (verdict
-#: seams, streaming-state hardening, operator review fixes). Tier 0
-#: is empty (no new registrations). Tier 1: all 34 faces transitively
-#: consuming the round's diff — the same-id-replay fix + lineage
-#: guard, null-safe bucketed state, materialized drift baseline,
-#: asof-join row-atomic fill, lookup_required join indicator,
-#: quantile null-position fix, salted-join how guard, PQ-pandas
-#: HALF_UP rounding, banding validation, IVF final-assignment
-#: consistency, and the shared shingle-pair helper. Tier 2 fills the
-#: 16 remaining slots oldest-first; 28 of the 32 r7-latest rows drain
-#: this round (11 of them ride tier 1), and the 4 r7 rows the cap
-#: displaces (doc_jaccard_adjacent, doc_simhash_pairs,
-#: doc_simhash_portable, salted_supplier_volume — none consume this
-#: round's diff) defer to r13 tier 2; all four were re-verified green
-#: in this round's own sf0.001/sf0.01/sf0.1 whole-registry sweeps.
-#: Changed-code re-attestation outranks stale-green refresh (the
-#: VERDICT r5 discipline retier.py exists to enforce).
+#: Round-13 verification priority — GENERATED by tools/retier.py
+#: (diff base: the r12 round commit 8446ace). Tier 0 is empty (no new
+#: registrations — r13 is a measurement-integrity + freshness round by
+#: design, VERDICT r12). Tier 1: the 5 faces transitively consuming
+#: the round's diff — the snapshot sink's replay write-aside + folded
+#: listing (upsert_batch/compact_snapshots), the dedup stream's
+#: migration onto the unified keyed-state face (process_dedup_batch),
+#: the bucketed prune's hive-default-partition GC, and the narrowed
+#: drift baseline-read retry (_read_baseline). Tier 2 fills the 45
+#: remaining slots oldest-first, which drains the ENTIRE ≤r8 tail the
+#: r12 verdict flagged — all 4 r7 rows (the r12 deferral) and all 40
+#: r8 rows — plus the oldest r9 row; after this round the oldest
+#: driver row anywhere is r9 (the verdict's #2 done-bar, met exactly:
+#: 5 + 44 + 1 = 50). Changed-code re-attestation outranks stale-green
+#: refresh (the VERDICT r5 discipline retier.py exists to enforce).
 #: Steady-state age bound is ceil(211/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
-_PRIORITY_R12 = [
+_PRIORITY_R13 = [
     # tier 1 — implementation diff-reachable this round
-    "ev_asof_join",
-    "ev_attribution_join",
-    "doc_near_dup_clusters",
-    "doc_bm25_topk",
-    "doc_curation_pipeline",
-    "quantile_sketch_by_priority",
-    "ev_interval_join_binned",
-    "doc_minhash_portable",
-    "doc_pack_sequences",
-    "salted_join_segments",
-    "doc_minhash_pairs",
-    "emb_topk_cosine_pandas",
-    "emb_ivf_topk",
-    "emb_near_pairs",
-    "ev_multi_touch",
-    "doc_keep_best",
-    "emb_pq_topk_pandas",
-    "ev_attribution_left",
-    "emb_hard_negatives",
-    "doc_containment_pairs",
-    "emb_ivfpq_topk",
-    "doc_minhash_incremental",
-    "doc_minhash_indexed",
-    "doc_rrf_retrieval",
-    "doc_curation_report",
     "emb_rp_knn_join",
     "source_drift_llr",
-    "emb_contamination",
-    "doc_cluster_split",
     "doc_novelty_llr",
-    "doc_span_stream",
-    "source_dup_stream",
     "doc_minhash_stream",
     "emb_rp_stream",
     # tier 2 — oldest-green driver rows, round-robin back-fill
-    "emb_knn_join",  # last row r7
-    "mode_median_per_group",  # last row r7
-    "unpivot_nation_metrics",  # last row r7
-    "date_functions",  # last row r7
-    "scd2_customer_orders",  # last row r7
-    "doc_repetition_signals",  # last row r7
-    "doc_contamination",  # last row r7
-    "doc_bigram_lm",  # last row r7
-    "graph_pagerank",  # last row r7
-    "ev_resample_hourly",  # last row r7
-    "ev_retention_cohorts",  # last row r7
-    "sql_segment_revenue",  # last row r7
-    "neg_sampling",  # last row r7
-    "doc_chunk_windows",  # last row r7
-    "doc_bpe_token_stats",  # last row r7
-    "mm_audio_windows",  # last row r7
+    "salted_supplier_volume",  # last row r7
+    "doc_jaccard_adjacent",  # last row r7
+    "doc_simhash_pairs",  # last row r7
+    "doc_simhash_portable",  # last row r7
+    "doc_cc_islands",  # last row r8
+    "mm_resize",  # last row r8
+    "emb_kmeans",  # last row r8
+    "emb_kmeans_pandas",  # last row r8
+    "doc_cms_heavy_hitters",  # last row r8
+    "emb_semantic_dedup",  # last row r8
+    "incremental_order_stats",  # last row r8
+    "bloom_pruned_join",  # last row r8
+    "cdc_orders_diff",  # last row r8
+    "graph_triangles",  # last row r8
+    "doc_char_entropy",  # last row r8
+    "ev_mad_outliers",  # last row r8
+    "pareto_customers",  # last row r8
+    "price_histogram",  # last row r8
+    "ev_variant_props",  # last row r8
+    "doc_term_vectors",  # last row r8
+    "zorder_key",  # last row r8
+    "sql_recursive_months",  # last row r8
+    "sql_pipe_returns",  # last row r8
+    "collated_distinct_words",  # last row r8
+    "doc_feature_hashing",  # last row r8
+    "doc_tfidf_topk",  # last row r8
+    "part_fuzzy_pairs",  # last row r8
+    "window_suite",  # last row r8
+    "emb_matryoshka_topk",  # last row r8
+    "emb_pq_topk",  # last row r8
+    "doc_length_batches",  # last row r8
+    "compaction_plan",  # last row r8
+    "doc_collapse_runs",  # last row r8
+    "orders_merge_upsert",  # last row r8
+    "doc_shard_schedule",  # last row r8
+    "emb_ivf_portable",  # last row r8
+    "source_keyness",  # last row r8
+    "doc_nb_confusion",  # last row r8
+    "cogroup_reconcile",  # last row r8
+    "source_length_stats",  # last row r8
+    "emb_rp_topk",  # last row r8
+    "emb_rp_indexed",  # last row r8
+    "doc_islands_window",  # last row r8
+    "emb_rp_recall",  # last row r8
+    "ev_tumbling_counts",  # last row r9
 ]
 
 
 def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: REGISTRY[name] for name in _PRIORITY_R12 if name in REGISTRY}
+    out = {name: REGISTRY[name] for name in _PRIORITY_R13 if name in REGISTRY}
     out.update({name: v for name, v in REGISTRY.items() if name not in out})
     return out
 

@@ -76,6 +76,17 @@ HEADLINE = [
     # round-2 additions: corpus filters, retrieval, sketch, clustering
     "doc_span_dedup",
     "doc_bigram_lm",
+    # doc_bm25_topk was r12's one noisy-flagged query (exhausted all 6
+    # passes). Mechanism identified (VERDICT r12 #4): there is NO
+    # persist/cache anywhere in its plan (text.py bm25_scores is two
+    # corpus scans + one (doc,term) shuffle, stateless per call), so a
+    # warmup pin has nothing to pin; the r12 pass vector
+    # [0.81, 1.82, 0.85, 0.95, 0.84, 0.83] is five agreeing passes and
+    # ONE host stall in pass 1 — the trimmed median already healed the
+    # headline to 0.848, and the reported spread stays untrimmed by
+    # design (evidence, not erased). r11 settled at 2 passes on the
+    # identical plan. Expected behavior: noisy only on runs where a
+    # stall lands in its window.
     "doc_bm25_topk",
     "approx_distinct_parts",
     "emb_kmeans",
