@@ -176,3 +176,57 @@ def test_missing_baseline_still_raises_rotation_runtimeerror(
     raises the rotation-shaped error with the cause chained."""
     with pytest.raises(RuntimeError, match="unreadable after retry"):
         drift_stream._read_baseline(spark, str(tmp_path / "nope"))
+
+
+# ------------------- model-based sink lifecycle (seeded random walks)
+
+
+def test_sink_lifecycle_random_walk_matches_dict_model(spark, tmp_path):
+    """Drive upsert_batch through seeded random sequences of batches,
+    SAME-ID replays, and interleaved compactions; the snapshot must
+    equal a driver-side dict model (last-writer-wins by (order, new))
+    after every step. Replays re-deliver the ORIGINAL batch content
+    (the foreachBatch contract: same id, same data) so the model is
+    unchanged by them; compaction must never change the readable
+    state."""
+    import random
+
+    for seed in (13, 101):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"walk{seed}")
+        model: dict[int, int] = {}
+        history: dict[int, list[tuple[int, int]]] = {}
+        for bid in range(6):
+            rows = [
+                (rng.randrange(5), rng.randrange(100))
+                for _ in range(rng.randrange(1, 4))
+            ]
+            history[bid] = rows
+            df = spark.createDataFrame(rows, "k int, v int")
+            sinks.upsert_batch(df, root, ["k"], "v", bid)
+            # model: per key keep greatest v; ties -> incoming wins,
+            # and within one batch row_number picks ONE max-v row
+            for k, v in rows:
+                if k not in model or v >= model[k]:
+                    model[k] = v
+            if rng.random() < 0.5 and bid > 0:
+                # same-id replay of a RANDOM past batch id is illegal
+                # (monotonicity) — only the newest id replays
+                df_r = spark.createDataFrame(history[bid], "k int, v int")
+                sinks.upsert_batch(df_r, root, ["k"], "v", bid)
+            if rng.random() < 0.4:
+                sinks.compact_snapshots(spark, root, keep_last=2)
+            got = {
+                r["k"]: r["v"]
+                for r in sinks.read_snapshot(spark, root).collect()
+            }
+            assert got == model, (seed, bid, got, model)
+        # a replayed OLD id must still be refused after the walk
+        with pytest.raises(RuntimeError, match="monotonic"):
+            sinks.upsert_batch(
+                spark.createDataFrame(history[0], "k int, v int"),
+                root,
+                ["k"],
+                "v",
+                0,
+            )
