@@ -48,15 +48,26 @@ def test_summarize_four_passes_reports_steady_median():
 def test_bench_stdout_line_stays_compact():
     """BENCH_r06.json had parsed=null: the inline spread dict pushed
     the machine-JSON stdout line past the driver's bounded tail
-    capture. The final `out` dict literal must never re-grow a second
-    per-query dict — spreads/passes belong in BENCH_DETAIL.json."""
+    capture — and by r8 the grown `queries` dict alone did the same,
+    so VERDICT r12 #1 moved per-query timings out of the line entirely
+    (the original r7 assertion that `queries` stays IN the line is
+    superseded; tests/test_bench_policy.py pins the byte budget). The
+    machine line is now built by the pure `machine_line()` whose dict
+    literal must never re-grow any per-query dict."""
     tree = ast.parse((ROOT / "bench.py").read_text())
-    main = next(
-        n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name == "main"
+    fn = next(
+        n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "machine_line"
     )
     out_keys: set[str] = set()
-    for node in ast.walk(main):
+    for node in ast.walk(fn):
         if (
+            isinstance(node, ast.AnnAssign)
+            and isinstance(node.target, ast.Name)
+            and node.target.id == "out"
+            and isinstance(node.value, ast.Dict)
+        ) or (
             isinstance(node, ast.Assign)
             and any(
                 isinstance(t, ast.Name) and t.id == "out" for t in node.targets
@@ -66,13 +77,15 @@ def test_bench_stdout_line_stays_compact():
             out_keys = {
                 k.value for k in node.value.keys if isinstance(k, ast.Constant)
             }
-    assert out_keys, "bench.main must build the machine line as a dict literal"
-    assert "queries" in out_keys  # the driver contract requires it
-    assert "spread" not in out_keys and "passes" not in out_keys
-    # the full evidence must go to the detail file instead
-    assert "BENCH_DETAIL.json" in (ROOT / "bench.py").read_text()
-    # runs_per_query numeric again (ADVICE r6): find the literal
+    assert out_keys, "machine_line must build the line as a dict literal"
+    for heavy in ("queries", "spread", "passes"):
+        assert heavy not in out_keys
+    # the per-query evidence must go to the detail file instead, and
+    # the line must NAME that file so a judge can follow it
+    assert "detail" in out_keys
     src = (ROOT / "bench.py").read_text()
+    assert "BENCH_DETAIL.json" in src
+    # runs_per_query numeric again (ADVICE r6): find the literal
     assert '"runs_per_query": 2,' in src
 
 
