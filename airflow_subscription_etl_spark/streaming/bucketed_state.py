@@ -239,7 +239,17 @@ def upsert_keyed_buckets(
     row with the greatest ``order_col`` (ties → incoming batch wins);
     only the buckets the batch's keys hash into are read and
     rewritten. A replayed epoch re-merges against snapshots strictly
-    below its id — idempotent by construction."""
+    below its id — idempotent by construction.
+
+    Reader exposure during a same-id replay: the replay overwrites the
+    existing ``batch=<id>`` dir in place, so an EXTERNAL reader
+    (``before_batch=None``) that resolved its bucket paths into that
+    dir just before the overwrite can hit FILE_NOT_EXIST — the same
+    residual race the snapshot layout shrinks with its write-aside,
+    retained here because a per-replay aside would double the bucket
+    dirs a walk must reconcile. Epoch readers are immune by contract
+    (``before_batch`` excludes their own epoch); external readers
+    racing a replay retry, per the fsio torn-observer posture."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     spark = batch.sparkSession

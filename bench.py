@@ -619,12 +619,22 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
             fh.write("\n")
 
-    print(
-        machine_line(
-            total, sf, len(timings), baseline25, stamped, noisy,
-            sorted(errors),
-        )
+    line = machine_line(
+        total, sf, len(timings), baseline25, stamped, noisy,
+        sorted(errors),
     )
+    if len(line) > MACHINE_LINE_BUDGET:
+        # never truncate the line itself (the driver should still get
+        # valid JSON) — but make the budget breach loud on stderr so
+        # the NEXT round fixes it before the tail capture does the
+        # truncating for us again
+        print(
+            f"# WARNING: machine line {len(line)} chars exceeds the "
+            f"{MACHINE_LINE_BUDGET}-char budget — trim fields before "
+            "the driver tail does it destructively",
+            file=sys.stderr,
+        )
+    print(line)
     spark.stop()
 
 

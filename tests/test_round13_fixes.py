@@ -230,3 +230,43 @@ def test_sink_lifecycle_random_walk_matches_dict_model(spark, tmp_path):
                 "v",
                 0,
             )
+
+
+def test_bucketed_face_random_walk_matches_dict_model(spark, tmp_path):
+    """The same seeded walk through the unified face's BUCKETED layout
+    (upsert_keyed_state/read_keyed_state, prune interleaved instead of
+    compaction): both layouts must realize identical last-writer-wins
+    semantics, differing only in IO shape."""
+    import random
+
+    rng = random.Random(13)
+    root = str(tmp_path / "bwalk")
+    model: dict[int, int] = {}
+    history: dict[int, list[tuple[int, int]]] = {}
+    for bid in range(6):
+        rows = [
+            (rng.randrange(5), rng.randrange(100))
+            for _ in range(rng.randrange(1, 4))
+        ]
+        history[bid] = rows
+        df = spark.createDataFrame(rows, "k int, v int")
+        sinks.upsert_keyed_state(
+            df, root, ["k"], "v", bid, layout="bucketed", n_buckets=4
+        )
+        for k, v in rows:
+            if k not in model or v >= model[k]:
+                model[k] = v
+        if rng.random() < 0.5 and bid > 0:
+            df_r = spark.createDataFrame(history[bid], "k int, v int")
+            sinks.upsert_keyed_state(
+                df_r, root, ["k"], "v", bid, layout="bucketed", n_buckets=4
+            )
+        if rng.random() < 0.4:
+            bucketed_state.prune_bucketed_state(spark, root, keep_last=2)
+        got = {
+            r["k"]: r["v"]
+            for r in sinks.read_keyed_state(
+                spark, root, layout="bucketed"
+            ).collect()
+        }
+        assert got == model, (bid, got, model)
