@@ -1,0 +1,123 @@
+"""Empirical probe: per-epoch keyed-state upsert cost vs ACCUMULATED
+state size, for both layouts of the unified face
+(:mod:`airflow_subscription_etl_spark.streaming.sinks`).
+
+The scale claim under test (SCALE.md §Streaming): the BUCKETED layout's
+per-epoch IO is DELTA-sized — a fixed-size micro-batch costs the same
+against a small state as against an 8× one, because only the bucket
+chains the batch's keys hash into are read and rewritten — while the
+SNAPSHOT layout's per-epoch cost grows with the state (each epoch
+rewrites the full snapshot), which is exactly why corpus-keyed state
+routes ``layout="bucketed"`` and catalog-sized state may keep the
+pointer-swap's time travel.
+
+Method: build two state roots per layout by replaying ``n_epochs``
+seed batches of ``state_rows``/``n_epochs`` keyed rows (1× and 8×
+``state_rows``), then time ONE further fixed-size delta batch
+(``delta_rows``, keys drawn from the existing key space so buckets are
+genuinely dirtied) against each. Warm pass first, min of 2 timed
+passes, same discipline as bench.py. Driver-side IO only — no query
+code touched.
+
+Usage: python tools/state_probe.py [state_rows] [delta_rows]
+Defaults: 40_000 / 1_000. Prints a small human table; exits nonzero if
+the bucketed growth ratio exceeds 1.5× (the flatness claim).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from airflow_subscription_etl_spark import get_spark  # noqa: E402
+from airflow_subscription_etl_spark.streaming import sinks  # noqa: E402
+
+N_EPOCHS = 4
+N_BUCKETS = 64
+
+
+def build_state(spark, root: str, layout: str, n_rows: int) -> None:
+    per = n_rows // N_EPOCHS
+    for e in range(N_EPOCHS):
+        df = (
+            spark.range(e * per, (e + 1) * per)
+            .selectExpr("id AS k", f"id * 10 + {e} AS v")
+        )
+        sinks.upsert_keyed_state(
+            df, root, ["k"], "v", e, layout=layout,
+            n_buckets=N_BUCKETS if layout == "bucketed" else None,
+        )
+
+
+def time_delta_upsert(
+    spark, root: str, layout: str, n_state: int, delta_rows: int
+) -> float:
+    """Min-of-2 timing of one fixed delta batch (epoch N_EPOCHS, then a
+    same-id replay for the second pass — identical merge work, and it
+    exercises the replay path the round hardened)."""
+    times = []
+    for _pass in range(2):
+        delta = (
+            spark.range(delta_rows)
+            .selectExpr(
+                f"(id * 37) % {n_state} AS k",  # existing keys → dirty buckets
+                "id + 1000000 AS v",
+            )
+        )
+        t0 = time.time()
+        sinks.upsert_keyed_state(
+            delta, root, ["k"], "v", N_EPOCHS, layout=layout,
+            n_buckets=N_BUCKETS if layout == "bucketed" else None,
+        )
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def main() -> int:
+    state_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+    delta_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+    spark = get_spark("state-probe")
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm
+    base = tempfile.mkdtemp(prefix="state_probe_")
+    results: dict[tuple[str, int], float] = {}
+    for layout in ("bucketed", "snapshot"):
+        for mult in (1, 8):
+            n = state_rows * mult
+            root = f"{base}/{layout}_{mult}x"
+            build_state(spark, root, layout, n)
+            results[(layout, mult)] = time_delta_upsert(
+                spark, root, layout, n, delta_rows
+            )
+            print(
+                f"# {layout:9s} {mult}x state ({n} keys): "
+                f"{results[(layout, mult)]:.2f}s delta upsert",
+                file=sys.stderr,
+            )
+    b1, b8 = results[("bucketed", 1)], results[("bucketed", 8)]
+    s1, s8 = results[("snapshot", 1)], results[("snapshot", 8)]
+    print(
+        f"state_rows={state_rows} delta_rows={delta_rows} "
+        f"epochs={N_EPOCHS} buckets={N_BUCKETS}"
+    )
+    print(
+        f"bucketed: 1x {b1:.2f}s  8x {b8:.2f}s  growth {b8 / b1:.2f}x  "
+        "(claim: ~flat — delta-sized IO)"
+    )
+    print(
+        f"snapshot: 1x {s1:.2f}s  8x {s8:.2f}s  growth {s8 / s1:.2f}x  "
+        "(expected: grows with state — full rewrite per epoch)"
+    )
+    spark.stop()
+    if b8 / b1 > 1.5:
+        print("FAIL: bucketed delta upsert grew >1.5x with 8x state")
+        return 1
+    print("OK: bucketed per-epoch cost flat in accumulated state size")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
