@@ -103,18 +103,24 @@ def upsert_batch(
 
     On a COMPLETED-replay (``snapshot_<batch_id>`` already on disk —
     the prior attempt finished its write and possibly flipped the
-    pointer before the batch failed), the rewrite goes WRITE-ASIDE:
-    the pointer is first reset to the merge base (so readers resolving
-    it during the rewrite see the consistent pre-batch state, never a
-    directory about to be gutted — ADVICE r12), the merged result is
-    written to a hidden ``.snapshot_<id>.inprogress`` dir, and only
-    then is the old directory swapped out by delete+rename. A reader
-    that resolved the pointer BEFORE the reset and reads lazily across
-    the swap window can still miss files — that residual window is
-    delete+rename, not the whole merge job. Replay of batch 0 (no
-    merge base) deletes the pointer instead; concurrent readers then
-    hit ``_current_dir``'s snapshots-exist-but-pointer-missing refusal
-    rather than a silent cold start.
+    pointer before the batch failed), the rewrite goes WRITE-ASIDE
+    (ADVICE r12): the merged result lands in a hidden
+    ``.snapshot_<id>.inprogress`` dir and only then is the old
+    directory swapped out by delete+rename, with the pointer kept on a
+    READABLE directory throughout — the merge base when one exists
+    (readers see the consistent pre-batch state for the whole merge
+    job), else the COMPLETED aside itself (replay of batch 0 has no
+    merge base; the aside holds the identical idempotent result, and
+    parking the pointer there means no instant exists where readers
+    see pointer-missing-and-no-snapshots, i.e. a silent cold start —
+    the r13 review's window: the old delete-the-pointer scheme left
+    ``list_snapshots`` empty between delete(dest) and rename, and a
+    crash there made the cold start PERSISTENT). A reader that
+    resolved the pointer just before the final swap and reads lazily
+    across it can still hit FILE_NOT_EXIST — loud, retryable, and
+    bounded by the delete+rename window, never a silent state reset.
+    A crash mid-swap leaves the pointer on a complete directory
+    (merge base or aside) and the next replay heals the layout.
     """
     if not keys:
         raise ValueError(
@@ -157,16 +163,31 @@ def upsert_batch(
     )
     dest = f"{root}/snapshot_{batch_id}"
     if int(batch_id) in ids:
-        # completed-replay path (see docstring): repoint readers at the
-        # merge base, merge into a hidden aside dir, then swap.
+        # completed-replay path (see docstring): keep the pointer on a
+        # readable directory at every instant while swapping dest out.
         if below:
+            # readers see the pre-batch state for the whole merge job
             fsio.write_text_atomic(
                 spark, f"{root}/{_POINTER}", f"snapshot_{max(below)}"
             )
-        else:
-            fsio.delete(spark, f"{root}/{_POINTER}")
         tmp = f"{root}/.snapshot_{batch_id}.inprogress"
         latest.write.mode("overwrite").parquet(tmp)
+        if not below:
+            # no merge base (replay of the root's only snapshot): park
+            # the pointer on the now-COMPLETE aside — identical content
+            # by idempotence — so no reader ever sees pointer-missing
+            # with zero snapshot dirs (a silent cold start, persistent
+            # if we crash mid-swap). compact_snapshots never GCs an
+            # aside the pointer names.
+            fsio.write_text_atomic(
+                spark,
+                f"{root}/{_POINTER}",
+                f".snapshot_{batch_id}.inprogress",
+            )
+        # NOT fsio.rename_overwrite: Hadoop rename ONTO an existing
+        # directory can nest src INSIDE dst (HDFS moves src under a dst
+        # dir and returns true) — the explicit delete+rename is the
+        # only portable whole-directory replace.
         fsio.delete(spark, dest)
         fsio.rename(spark, tmp, dest)
     else:
@@ -220,9 +241,18 @@ def compact_snapshots(
     never pruned under it. SINGLE-WRITER discipline: run between
     batches, like any compaction. Returns the number of snapshots
     removed."""
+    import re  # noqa: PLC0415
+
     if keep_last < 2:
         raise ValueError(f"keep_last must be >= 2, got {keep_last}")
-    ids = list_snapshots(spark, root)
+    # ONE root listing serves both the snapshot-id walk and the aside
+    # GC below (the upsert_batch folded-listing discipline, r13)
+    names = fsio.list_names(spark, root)
+    ids = sorted(
+        int(m.group(1))
+        for m in (re.fullmatch(r"snapshot_(\d+)", n) for n in names)
+        if m
+    )
     cur = _current_dir(spark, root)
     keep = {f"{root}/snapshot_{i}" for i in ids[-keep_last:]}
     if cur:
@@ -235,12 +265,14 @@ def compact_snapshots(
             removed += 1
     # a crash between upsert_batch's replay write-aside and its rename
     # leaves a hidden .snapshot_<id>.inprogress dir; it is invisible to
-    # list_snapshots and every reader, so compaction is its only GC
-    import re  # noqa: PLC0415
-
-    for name in fsio.list_names(spark, root):
-        if re.fullmatch(r"\.snapshot_\d+\.inprogress", name):
-            fsio.delete(spark, f"{root}/{name}")
+    # list_snapshots and every reader, so compaction is its only GC —
+    # EXCEPT an aside the pointer currently names (the batch-0-replay
+    # crash state: the aside IS the readable current state until the
+    # next replay completes the swap)
+    for name in names:
+        path = f"{root}/{name}"
+        if re.fullmatch(r"\.snapshot_\d+\.inprogress", name) and path != cur:
+            fsio.delete(spark, path)
     return removed
 
 

@@ -52,6 +52,46 @@ def test_replay_of_batch_zero_write_aside(spark, tmp_path):
     assert fsio.read_text(spark, f"{root}/{sinks._POINTER}") == "snapshot_0"
 
 
+def test_batch0_replay_crash_state_stays_readable_and_heals(
+    spark, tmp_path
+):
+    """r13 review: replaying the root's ONLY snapshot must never leave
+    an instant (or a crash state) where readers see pointer-missing
+    with zero snapshot dirs — a silent cold start. The fix parks the
+    pointer on the completed aside during the swap; this test builds
+    that exact crash state (aside written, dest deleted, rename never
+    ran) and checks: readers still see the state, compaction keeps the
+    pointer-named aside, and the same-id re-delivery heals the layout."""
+    root = str(tmp_path / "crash0")
+    df0 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    sinks.upsert_batch(df0, root, ["k"], "v", 0)
+    # construct the mid-swap crash state by hand
+    aside = f"{root}/.snapshot_0.inprogress"
+    sinks.read_snapshot(spark, root).write.parquet(aside)
+    fsio.write_text_atomic(
+        spark, f"{root}/{sinks._POINTER}", ".snapshot_0.inprogress"
+    )
+    fsio.delete(spark, f"{root}/snapshot_0")
+    # readers: NOT a cold start — the pointer resolves to the aside
+    got = {r["k"]: r["v"] for r in sinks.read_snapshot(spark, root).collect()}
+    assert got == {1: 10, 2: 20}
+    # maintenance: compaction must not GC the pointer-named aside
+    sinks.compact_snapshots(spark, root, keep_last=2)
+    assert fsio.exists(spark, aside)
+    assert sinks.read_snapshot(spark, root).count() == 2
+    # the stream restarts and re-delivers batch 0: layout heals
+    sinks.upsert_batch(df0, root, ["k"], "v", 0)
+    assert sinks.list_snapshots(spark, root) == [0]
+    assert (
+        fsio.read_text(spark, f"{root}/{sinks._POINTER}") == "snapshot_0"
+    )
+    got = {r["k"]: r["v"] for r in sinks.read_snapshot(spark, root).collect()}
+    assert got == {1: 10, 2: 20}
+    # the no-longer-referenced aside is GC'd by the next compaction
+    sinks.compact_snapshots(spark, root, keep_last=2)
+    assert not fsio.exists(spark, aside)
+
+
 def test_compact_gcs_orphaned_inprogress_dirs(spark, tmp_path):
     """A crash between the replay's aside write and its rename leaves
     a hidden .snapshot_<id>.inprogress dir that list_snapshots and all

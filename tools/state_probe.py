@@ -80,23 +80,30 @@ def time_delta_upsert(
 def main() -> int:
     state_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
     delta_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+    import shutil  # noqa: PLC0415
+
     spark = get_spark("state-probe")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm
     base = tempfile.mkdtemp(prefix="state_probe_")
     results: dict[tuple[str, int], float] = {}
-    for layout in ("bucketed", "snapshot"):
-        for mult in (1, 8):
-            n = state_rows * mult
-            root = f"{base}/{layout}_{mult}x"
-            build_state(spark, root, layout, n)
-            results[(layout, mult)] = time_delta_upsert(
-                spark, root, layout, n, delta_rows
-            )
-            print(
-                f"# {layout:9s} {mult}x state ({n} keys): "
-                f"{results[(layout, mult)]:.2f}s delta upsert",
-                file=sys.stderr,
-            )
+    try:
+        for layout in ("bucketed", "snapshot"):
+            for mult in (1, 8):
+                n = state_rows * mult
+                root = f"{base}/{layout}_{mult}x"
+                build_state(spark, root, layout, n)
+                results[(layout, mult)] = time_delta_upsert(
+                    spark, root, layout, n, delta_rows
+                )
+                print(
+                    f"# {layout:9s} {mult}x state ({n} keys): "
+                    f"{results[(layout, mult)]:.2f}s delta upsert",
+                    file=sys.stderr,
+                )
+    finally:
+        # four state roots (up to 9x state_rows of parquet) must not
+        # accumulate under /tmp across probe runs
+        shutil.rmtree(base, ignore_errors=True)
     b1, b8 = results[("bucketed", 1)], results[("bucketed", 8)]
     s1, s8 = results[("snapshot", 1)], results[("snapshot", 8)]
     print(
