@@ -212,7 +212,20 @@ def negative_samples(
     Map-only: explode k draw indices per row, no shuffle, no join
     against the item catalog (the id space is dense here; a sparse
     catalog would add one broadcast join to map dense draws to ids).
+
+    ``k`` and ``n_items`` must be positive (r13 review, the
+    binned_interval_join precedent): Spark's ``sequence(0, k-1)``
+    DESCENDS when k ≤ 0 — k=0 silently emitted TWO draws per positive
+    (draw_idx 0 and −1) instead of zero, and ``% n_items`` with
+    n_items ≤ 0 is a divide-by-zero/negative-id surprise.
     """
+    if k <= 0:
+        raise ValueError(
+            f"k must be positive, got {k}: sequence(0, k-1) descends "
+            "for k <= 0 and would emit |k|+2 draws per positive, not 0"
+        )
+    if n_items <= 0:
+        raise ValueError(f"n_items must be positive, got {n_items}")
     draw = F.concat_ws(
         "#",
         F.col(user_col).cast("string"),

@@ -9728,22 +9728,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: Round-13 verification priority — GENERATED by tools/retier.py
 #: (diff base: the r12 round commit 8446ace). Tier 0 is empty (no new
 #: registrations — r13 is a measurement-integrity + freshness round by
-#: design, VERDICT r12). Tier 1: the 5 faces transitively consuming
+#: design, VERDICT r12). Tier 1: the 6 faces transitively consuming
 #: the round's diff — the snapshot sink's replay write-aside + folded
-#: listing (upsert_batch/compact_snapshots), the dedup stream's
-#: migration onto the unified keyed-state face (process_dedup_batch),
-#: the bucketed prune's hive-default-partition GC, and the narrowed
-#: drift baseline-read retry (_read_baseline). Tier 2 fills the 45
+#: listing (upsert_batch/compact_snapshots) and its batch-0
+#: cold-start-window fix, the dedup stream's migration onto the
+#: unified keyed-state face (process_dedup_batch), the bucketed
+#: prune's hive-default-partition GC, the narrowed drift
+#: baseline-read retry (_read_baseline), and the negative_samples
+#: k<=0 descending-sequence guard (neg_sampling). Tier 2 fills the 44
 #: remaining slots oldest-first, which drains the ENTIRE ≤r8 tail the
 #: r12 verdict flagged — all 4 r7 rows (the r12 deferral) and all 40
-#: r8 rows — plus the oldest r9 row; after this round the oldest
-#: driver row anywhere is r9 (the verdict's #2 done-bar, met exactly:
-#: 5 + 44 + 1 = 50). Changed-code re-attestation outranks stale-green
-#: refresh (the VERDICT r5 discipline retier.py exists to enforce).
+#: r8 rows; after this round the oldest driver row anywhere is r9
+#: (the verdict's #2 done-bar: 6 + 44 = 50; the late tier-1 addition
+#: displaced only the bonus r9 row an earlier draft carried).
+#: Changed-code re-attestation outranks stale-green refresh (the
+#: VERDICT r5 discipline retier.py exists to enforce).
 #: Steady-state age bound is ceil(211/50) = 5 rounds.
 #: Regenerate: python tools/retier.py
 _PRIORITY_R13 = [
     # tier 1 — implementation diff-reachable this round
+    "neg_sampling",
     "emb_rp_knn_join",
     "source_drift_llr",
     "doc_novelty_llr",
@@ -9794,7 +9798,6 @@ _PRIORITY_R13 = [
     "emb_rp_indexed",  # last row r8
     "doc_islands_window",  # last row r8
     "emb_rp_recall",  # last row r8
-    "ev_tumbling_counts",  # last row r9
 ]
 
 

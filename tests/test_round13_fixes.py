@@ -172,6 +172,29 @@ def test_prune_removes_batch_dir_holding_only_hive_partition(
     assert not fsio.exists(spark, f"{root}/batch=0")
 
 
+# ------------------------- negative_samples: descending-sequence guard
+
+
+def test_negative_samples_rejects_nonpositive_k_and_n_items(spark):
+    """r13 review: Spark's sequence(0, k-1) DESCENDS for k <= 0
+    ([0, -1] for k=0), so k=0 silently emitted TWO draws per positive
+    (draw_idx 0 and -1) instead of zero — now a loud ValueError, the
+    binned_interval_join precedent. n_items <= 0 likewise."""
+    from airflow_subscription_etl_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    pos = spark.createDataFrame([(1, 7)], "user_id int, item_id int")
+    with pytest.raises(ValueError, match="k must be positive"):
+        negative_samples(pos, n_items=10, k=0)
+    with pytest.raises(ValueError, match="k must be positive"):
+        negative_samples(pos, n_items=10, k=-1)
+    with pytest.raises(ValueError, match="n_items must be positive"):
+        negative_samples(pos, n_items=0, k=2)
+    # the legal shape still emits exactly k rows per positive
+    assert negative_samples(pos, n_items=10, k=3).count() == 3
+
+
 # -------------------------- drift baseline read: narrowed retry (ADVICE)
 
 
