@@ -178,9 +178,19 @@ def prune_bucketed_state(spark, state_root: str, keep_last: int = 2) -> int:
     already lost to every reader at write time. Removing the dirs makes
     the invisibility explicit and keeps pre-fix roots from carrying
     dead data forever (dirs inside REMOVED batch dirs go with their
-    parent). Post-fix writers never create them."""
+    parent). Post-fix writers never create them.
+
+    Also GCs orphaned ``.batch=<id>.inprogress`` write-asides (r14):
+    an aside exists only DURING a same-id replay swap, and prune's
+    single-writer between-epochs contract means any aside it sees is
+    the leftover of a crashed replay. Deleting it is always safe — the
+    re-delivered replay re-derives the merge from strictly-below
+    snapshots (which keep_last ≥ 2 retains) and rewrites the aside."""
     if keep_last < 2:
         raise ValueError(f"keep_last must be >= 2, got {keep_last}")
+    for name in fsio.list_names(spark, state_root):
+        if re.fullmatch(r"\.batch=\d+\.inprogress", name):
+            fsio.delete(spark, f"{state_root}/{name}")
     ids = sorted(
         (
             int(m.group(1))
@@ -241,15 +251,26 @@ def upsert_keyed_buckets(
     rewritten. A replayed epoch re-merges against snapshots strictly
     below its id — idempotent by construction.
 
-    Reader exposure during a same-id replay: the replay overwrites the
-    existing ``batch=<id>`` dir in place, so an EXTERNAL reader
-    (``before_batch=None``) that resolved its bucket paths into that
-    dir just before the overwrite can hit FILE_NOT_EXIST — the same
-    residual race the snapshot layout shrinks with its write-aside,
-    retained here because a per-replay aside would double the bucket
-    dirs a walk must reconcile. Epoch readers are immune by contract
-    (``before_batch`` excludes their own epoch); external readers
-    racing a replay retry, per the fsio torn-observer posture."""
+    Reader exposure during a same-id replay (decided r14, closing
+    VERDICT r13 #5 with MITIGATE): the rewrite goes WRITE-ASIDE,
+    mirroring :func:`sinks.upsert_batch`'s r13 fix — the merged result
+    lands in a hidden ``.batch=<id>.inprogress`` dir and the existing
+    ``batch=<id>`` is then swapped out by delete+rename. An EXTERNAL
+    reader (``before_batch=None``) that resolved its bucket paths into
+    that dir just before the swap can still hit FILE_NOT_EXIST, but the
+    window is now the two metadata ops, not the whole Spark write job
+    (the in-place ``mode("overwrite")`` deleted the dir at job START
+    and left it partial for the job's duration). A reader resolving
+    FRESH inside the delete+rename window sees each bucket's previous
+    epoch — a consistent older state, never a torn one — because the
+    snapshot walk only matches ``batch=(\\d+)`` and falls through to
+    the next-newest dir. That same fullmatch makes the aside invisible
+    to every reconciling walk, which voids the r12 objection that an
+    aside would double the dirs walks reconcile; a crash mid-replay
+    leaves at most one orphan aside, GC'd by
+    :func:`prune_bucketed_state` and overwritten by the re-delivered
+    replay. Epoch readers are immune throughout by contract
+    (``before_batch`` excludes their own epoch)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     spark = batch.sparkSession
@@ -281,7 +302,23 @@ def upsert_keyed_buckets(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__new")
     )
-    write_buckets(latest, key_col, n_buckets, f"{root}/batch={int(batch_id)}")
+    dest = f"{root}/batch={int(batch_id)}"
+    tmp = f"{root}/.batch={int(batch_id)}.inprogress"
+    if fsio.exists(spark, dest):
+        # same-id replay: write-aside + delete+rename (see docstring).
+        # NOT fsio.rename_overwrite: Hadoop rename onto an existing
+        # directory can NEST src inside dst — the explicit delete then
+        # rename is the only portable whole-directory replace.
+        write_buckets(latest, key_col, n_buckets, tmp)
+        fsio.delete(spark, dest)
+        fsio.rename(spark, tmp, dest)
+    else:
+        write_buckets(latest, key_col, n_buckets, dest)
+        # a crashed replay's orphan aside (aside written, dest deleted,
+        # rename never ran) is superseded by this rewrite — GC it so
+        # the healed root carries no hidden dirs (delete is a no-op
+        # when absent)
+        fsio.delete(spark, tmp)
 
 
 def read_keyed_state(spark, root: str, before_batch: int | None = None):

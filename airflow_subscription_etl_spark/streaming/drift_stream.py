@@ -236,20 +236,27 @@ def _is_missing_file_error(e: Exception) -> bool:
     the rotation and misleading diagnosis). Matches PATH_NOT_FOUND
     AnalysisExceptions at plan time and FILE_NOT_EXIST /
     FileNotFoundException shapes from mid-job disappearance; anything
-    else propagates to the caller untouched."""
+    else propagates to the caller untouched.
+
+    The AnalysisException branch checks the generic file-went-missing
+    markers too (ADVICE r13): newer PySpark surfaces a mid-scan
+    disappearance as an AnalysisException-typed [FAILED_READ_FILE]
+    wrapping a FileNotFoundException, which a PATH_NOT_FOUND-only
+    test would classify as "not a race" and propagate instead of
+    taking the rotation retry."""
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     msg = str(e)
-    if isinstance(e, AnalysisException):
-        return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
-    return any(
-        marker in msg
-        for marker in (
-            "FILE_NOT_EXIST",
-            "FileNotFoundException",
-            "does not exist",
-        )
+    missing_markers = (
+        "FILE_NOT_EXIST",
+        "FileNotFoundException",
+        "does not exist",
     )
+    if isinstance(e, AnalysisException):
+        return "PATH_NOT_FOUND" in msg or any(
+            marker in msg for marker in missing_markers
+        )
+    return any(marker in msg for marker in missing_markers)
 
 
 def _read_baseline(spark, baseline_path: str):

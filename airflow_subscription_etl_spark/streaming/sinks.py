@@ -37,6 +37,26 @@ from . import fsio
 _POINTER = "_CURRENT"
 
 
+def _resolve_pointer_name(spark: SparkSession, root: str, name: str) -> str:
+    """Resolve a pointer value to the directory it MEANS, absorbing the
+    one crash window the batch-0 replay's write-aside leaves (ADVICE
+    r13): the pointer parks on ``.snapshot_<id>.inprogress`` during the
+    swap, and a crash between the aside's rename onto ``snapshot_<id>``
+    and the final pointer flip leaves the pointer naming a directory
+    the rename just moved away. The ONLY operation that removes the
+    aside is that rename, so when the aside name's directory is gone
+    the destination holds the identical, complete content — resolve
+    there instead of dangling. While the aside still exists (crash
+    before the rename) the name resolves to itself: the aside IS the
+    complete snapshot then."""
+    import re  # noqa: PLC0415
+
+    m = re.fullmatch(r"\.snapshot_(\d+)\.inprogress", name)
+    if m and not fsio.exists(spark, f"{root}/{name}"):
+        return f"snapshot_{m.group(1)}"
+    return name
+
+
 def _current_dir(spark: SparkSession, root: str) -> str | None:
     name = fsio.read_text(spark, f"{root}/{_POINTER}")
     if not (name and name.strip()):
@@ -62,7 +82,7 @@ def _current_dir(spark: SparkSession, root: str) -> str | None:
                 "falls back to the newest snapshot below its replayed "
                 "batch id.)"
             )
-    return f"{root}/{name.strip()}"
+    return f"{root}/{_resolve_pointer_name(spark, root, name.strip())}"
 
 
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
@@ -119,8 +139,13 @@ def upsert_batch(
     resolved the pointer just before the final swap and reads lazily
     across it can still hit FILE_NOT_EXIST — loud, retryable, and
     bounded by the delete+rename window, never a silent state reset.
-    A crash mid-swap leaves the pointer on a complete directory
-    (merge base or aside) and the next replay heals the layout.
+    A crash mid-swap leaves the pointer RESOLVING to a complete
+    directory (merge base or aside) and the next replay heals the
+    layout: the one window where the pointer's raw VALUE dangles —
+    between the aside's rename onto ``snapshot_<id>`` and the final
+    flip — is absorbed at read time by :func:`_resolve_pointer_name`
+    (ADVICE r13), which maps a gone aside name to its rename
+    destination, the only place it can have moved.
     """
     if not keys:
         raise ValueError(

@@ -318,6 +318,84 @@ def noisy_names(
     )
 
 
+def noisy_shape(times: list[float]) -> dict[str, object]:
+    """Shape fields for one noisy-flagged query's pass vector (VERDICT
+    r13 #6): mechanize the host-stall signature instead of re-deriving
+    it per query per round (bm25 in r12, span_dedup in r13 — each took
+    a judge paragraph). ``stall_shaped`` is True when the steady
+    disagreement is explained by a SINGLE outlier pass: dropping the
+    one max brings the remaining steady passes inside the query's own
+    noise threshold. ``max_over_median`` records how big that outlier
+    was relative to the steady median. A noisy vector that is NOT
+    stall-shaped (several passes disagreeing with each other) is the
+    one worth a plan look. Pure; adjudication guarantees noisy vectors
+    ran all 6 passes, but the guards keep short vectors safe."""
+    steady = times[1:] if len(times) > 2 else times
+    med = statistics.median(steady)
+    rest = sorted(steady)[:-1]  # steady slice minus the single max
+    rest_spread = (
+        (max(rest) - min(rest)) / min(rest) if len(rest) >= 2 else 0.0
+    )
+    return {
+        "max_over_median": round(max(steady) / med, 3) if med else None,
+        "stall_shaped": len(rest) >= 2
+        and rest_spread <= noise_threshold(rest),
+    }
+
+
+def _calibration_mean(cal: dict | None) -> float | None:
+    vals = [
+        v
+        for v in ((cal or {}).get("start"), (cal or {}).get("end"))
+        if isinstance(v, (int, float))
+    ]
+    return round(sum(vals) / len(vals), 3) if vals else None
+
+
+def normalized_fields(
+    total: float | None,
+    baseline25: float | None,
+    cal: dict | None,
+    prior_detail: dict | None,
+    prior_round: int | None,
+) -> dict[str, object]:
+    """Host-normalized cross-round comparison (VERDICT r13 #2): r14 is
+    the first round where BOTH sides of the cross-round delta carry
+    ``calibration_sec``, so the judge reads ONE field instead of
+    hand-deriving query/calibration ratios. ``host_ratio`` is this
+    run's calibration mean over the prior round's;
+    ``baseline25_ratio_normalized`` = raw baseline25 ratio divided by
+    that host ratio — ~1.0 means the cross-round delta is the host,
+    not the plans (the r13 worked example: driver-vs-builder raw
+    1.24x over host 1.42x). Fields are null, never wrong, when either
+    side lacks data. Pure; the caller loads the prior round's
+    committed BENCH_DETAIL payload."""
+    cal_mean = _calibration_mean(cal)
+
+    def _ratio(a: float | None, b: float | None) -> float | None:
+        return round(a / b, 3) if a and b else None
+
+    out: dict[str, object] = {
+        "calibration_mean_sec": cal_mean,
+        "total_per_calibration": _ratio(total, cal_mean),
+        "baseline25_per_calibration": _ratio(baseline25, cal_mean),
+    }
+    if prior_detail is not None:
+        p_cal = _calibration_mean(prior_detail.get("calibration_sec"))
+        p_b25 = prior_detail.get("baseline25_sec")
+        host = _ratio(cal_mean, p_cal)
+        raw = _ratio(baseline25, p_b25)
+        out["prior"] = {
+            "round": prior_round,
+            "calibration_mean_sec": p_cal,
+            "baseline25_sec": p_b25,
+            "host_ratio": host,
+            "baseline25_ratio_raw": raw,
+            "baseline25_ratio_normalized": _ratio(raw, host),
+        }
+    return out
+
+
 def passes_settled(times: list[float], next_pass: int) -> bool:
     """True when pass `next_pass` need not run — the adjudication
     loop-control, pure so the policy is testable without Spark.
@@ -425,6 +503,40 @@ def machine_line(
         # live in BENCH_DETAIL.json["errors"] and on stderr.
         out["errors"] = error_names
     return json.dumps(out)
+
+
+def fit_machine_line(
+    total: float | None,
+    sf: float,
+    n_queries: int,
+    baseline25: float | None,
+    detail_name: str,
+    noisy: list[str],
+    error_names: list[str],
+) -> tuple[str, list[str]]:
+    """machine_line with the budget ENFORCED, not just warned (ADVICE
+    r13: the runtime guard was advisory — a pathological noisy/error
+    name list would re-overflow the driver's bounded stdout tail into
+    the parsed:null failure r13 fixed). Degrades OPTIONAL fields to
+    counts, in order, until the line fits: ``noisy`` names →
+    ``noisy_n``, then ``errors`` names → ``errors_n`` (the full name
+    lists always live in the detail file either way). The summary
+    fields are never dropped and the JSON is never truncated. Returns
+    (line, degradations-applied) — pure, so the policy is testable
+    without Spark."""
+    line = machine_line(
+        total, sf, n_queries, baseline25, detail_name, noisy, error_names
+    )
+    degradations: list[str] = []
+    for field_name, names in (("noisy", noisy), ("errors", error_names)):
+        if len(line) <= MACHINE_LINE_BUDGET or not names:
+            continue
+        out = json.loads(line)
+        out.pop(field_name, None)
+        out[f"{field_name}_n"] = len(names)
+        line = json.dumps(out)
+        degradations.append(f"{field_name}->count")
+    return line, degradations
 
 
 def calibration_sec(spark) -> float:
@@ -570,6 +682,36 @@ def main() -> None:
     # machine-JSON line past it (BENCH_r06.json "parsed": null). The
     # final stdout line must stay compact and self-contained.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+
+    # Round stamp from BOTH committed series — see detail_round's case
+    # table (ADVICE r11; operand fix from the r12 review). Computed
+    # BEFORE the payload so the normalized block can name and load the
+    # PRIOR round's committed detail.
+    def _newest(prefix: str) -> int:
+        pat = re.compile(rf"{prefix}_r(\d+)\.json$")
+        return max(
+            (
+                int(m.group(1))
+                for m in map(pat.match, os.listdir(repo_dir))
+                if m
+            ),
+            default=0,
+        )
+
+    this_round = detail_round(_newest("BENCH"), _newest("BENCH_DETAIL"))
+    prior_round = this_round - 1
+    prior_path = os.path.join(
+        repo_dir, f"BENCH_DETAIL_r{prior_round:02d}.json"
+    )
+    prior_detail = None
+    if os.path.exists(prior_path):
+        try:
+            with open(prior_path) as fh:
+                prior_detail = json.load(fh)
+        except Exception as e:  # noqa: BLE001 — normalization is additive,
+            # never a reason to lose the round's own numbers
+            print(f"# prior detail unreadable: {e}", file=sys.stderr)
+
     detail = {
         "metric": "total_headline_sec",
         "value": total,
@@ -591,6 +733,21 @@ def main() -> None:
         # (VERDICT r12 #3) — read cross-round numbers as
         # query/calibration when hosts differ; see SCALE.md.
         "calibration_sec": {"start": cal_start, "end": cal_end},
+        # per-noisy-query stall diagnostics (VERDICT r13 #6): is the
+        # disagreement one outlier pass (host stall) or several passes
+        # disagreeing with each other (worth a plan look)?
+        "noisy_shape": {n: noisy_shape(passes[n]) for n in noisy},
+        # host-normalized cross-round comparison (VERDICT r13 #2):
+        # this round's and the prior round's baseline25 each divided
+        # by their own calibration mean, plus the normalized ratio —
+        # ~1.0 means the cross-round delta is the host, not the plans
+        "normalized": normalized_fields(
+            total,
+            baseline25,
+            {"start": cal_start, "end": cal_end},
+            prior_detail,
+            prior_round if prior_detail is not None else None,
+        ),
         # which tree was measured (ADVICE r12: the B > D backfill
         # branch can stamp a post-boundary tree as round B)
         "tree": tree_stamp(repo_dir),
@@ -599,39 +756,31 @@ def main() -> None:
     # round-stamped committed copy: BENCH_rN.json keeps only a bounded
     # stdout tail, so without this file per-query round-over-round
     # comparison was unreconstructible from the repo (VERDICT r10).
-    # Round stamp from BOTH committed series — see detail_round's case
-    # table (ADVICE r11; operand fix from the r12 review).
-    def _newest(prefix: str) -> int:
-        pat = re.compile(rf"{prefix}_r(\d+)\.json$")
-        return max(
-            (
-                int(m.group(1))
-                for m in map(pat.match, os.listdir(repo_dir))
-                if m
-            ),
-            default=0,
-        )
-
-    this_round = detail_round(_newest("BENCH"), _newest("BENCH_DETAIL"))
     stamped = f"BENCH_DETAIL_r{this_round:02d}.json"
     for fname in ("BENCH_DETAIL.json", stamped):
         with open(os.path.join(repo_dir, fname), "w") as fh:
             json.dump(detail, fh, indent=1)
             fh.write("\n")
 
-    line = machine_line(
+    line, degradations = fit_machine_line(
         total, sf, len(timings), baseline25, stamped, noisy,
         sorted(errors),
     )
+    if degradations:
+        print(
+            f"# machine line degraded to fit budget: {degradations} "
+            "(full name lists are in the detail file)",
+            file=sys.stderr,
+        )
     if len(line) > MACHINE_LINE_BUDGET:
-        # never truncate the line itself (the driver should still get
-        # valid JSON) — but make the budget breach loud on stderr so
-        # the NEXT round fixes it before the tail capture does the
-        # truncating for us again
+        # still over after degrading every optional field: the SUMMARY
+        # fields outgrew the budget — never truncate the JSON itself
+        # (the driver should still get a valid line), but make the
+        # breach loud so the next round shrinks the summary set
         print(
             f"# WARNING: machine line {len(line)} chars exceeds the "
-            f"{MACHINE_LINE_BUDGET}-char budget — trim fields before "
-            "the driver tail does it destructively",
+            f"{MACHINE_LINE_BUDGET}-char budget even after degrading "
+            "optional fields — shrink the summary set",
             file=sys.stderr,
         )
     print(line)

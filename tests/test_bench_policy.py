@@ -14,10 +14,13 @@ from bench import (
     HEADLINE,
     MACHINE_LINE_BUDGET,
     detail_round,
+    fit_machine_line,
     machine_line,
     machine_totals,
     noise_threshold,
     noisy_names,
+    noisy_shape,
+    normalized_fields,
     passes_settled,
     summarize_passes,
 )
@@ -191,3 +194,104 @@ def test_summarize_passes_trimmed_median_self_heals():
     # 5 passes: steady has 4 values, trim leaves 2, median = their mean
     val5, _ = summarize_passes([5.0, 1.0, 2.0, 3.0, 10.0])
     assert val5 == round(statistics.median([2.0, 3.0]), 3)
+
+
+def test_noisy_shape_identifies_the_host_stall_signature():
+    """VERDICT r13 #6: the bm25-r12 pass vector — five agreeing passes
+    and ONE stall — must come out stall_shaped, so future judges read
+    a field instead of re-deriving the signature per query."""
+    bm25_r12 = [0.81, 1.82, 0.85, 0.95, 0.84, 0.83]
+    shape = noisy_shape(bm25_r12)
+    assert shape["stall_shaped"] is True
+    # steady median is ~0.85; the 1.82 stall is ~2.1x it
+    assert shape["max_over_median"] > 2.0
+
+
+def test_noisy_shape_multi_pass_disagreement_is_not_stall_shaped():
+    """Several steady passes disagreeing with EACH OTHER is the vector
+    worth a plan look — dropping the single max does not bring the
+    rest inside the threshold."""
+    shape = noisy_shape([1.0, 0.5, 1.4, 0.9, 0.6, 1.3])
+    assert shape["stall_shaped"] is False
+
+
+def test_noisy_shape_short_vector_guards():
+    # 2-pass vector: steady == vector, rest has 1 element -> not
+    # stall-shaped (no evidence either way), no crash
+    shape = noisy_shape([1.0, 2.0])
+    assert shape["stall_shaped"] is False
+    assert shape["max_over_median"] is not None
+
+
+def test_normalized_fields_r13_worked_example():
+    """The r13 driver-vs-builder adjudication as arithmetic: raw
+    baseline25 ratio 1.24x over host ratio 1.42x normalizes to ~0.87
+    — i.e. the tree did not regress; the host did."""
+    out = normalized_fields(
+        total=66.825,
+        baseline25=18.65,
+        cal={"start": 0.71, "end": 0.58},
+        prior_detail={
+            "baseline25_sec": 15.08,
+            "calibration_sec": {"start": 0.42, "end": 0.49},
+        },
+        prior_round=13,
+    )
+    assert out["calibration_mean_sec"] == 0.645
+    assert out["baseline25_per_calibration"] == round(18.65 / 0.645, 3)
+    p = out["prior"]
+    assert p["round"] == 13
+    assert p["host_ratio"] == round(0.645 / 0.455, 3)
+    assert p["baseline25_ratio_raw"] == round(18.65 / 15.08, 3)
+    # normalized = raw / host: the host more than covers the raw gap
+    assert p["baseline25_ratio_normalized"] < 1.0
+
+
+def test_normalized_fields_null_never_wrong():
+    # no prior detail -> no prior block; bad calibration -> null ratios
+    out = normalized_fields(10.0, 5.0, None, None, None)
+    assert out["calibration_mean_sec"] is None
+    assert out["baseline25_per_calibration"] is None
+    assert "prior" not in out
+    # prior present but missing its calibration -> ratios null, raw OK
+    out = normalized_fields(
+        10.0, 5.0, {"start": 1.0, "end": 1.0},
+        {"baseline25_sec": 4.0}, 13,
+    )
+    assert out["prior"]["baseline25_ratio_raw"] == 1.25
+    assert out["prior"]["host_ratio"] is None
+    assert out["prior"]["baseline25_ratio_normalized"] is None
+
+
+def test_fit_machine_line_degrades_names_to_counts():
+    """ADVICE r13: the budget is now enforced, not advisory. A
+    pathological noisy list degrades to a count (then errors would),
+    and the result is always valid JSON with the summary fields."""
+    import json
+
+    # normal case: no degradation, identical to machine_line
+    line, degr = fit_machine_line(
+        58.0, 0.1, 72, 18.2, "BENCH_DETAIL_r14.json", ["a"], [],
+    )
+    assert degr == []
+    assert line == machine_line(
+        58.0, 0.1, 72, 18.2, "BENCH_DETAIL_r14.json", ["a"], [],
+    )
+    # pathological: every headline query noisy AND errored
+    big = [f"doc_very_long_query_name_{i:03d}" for i in range(72)]
+    line, degr = fit_machine_line(
+        None, 0.1, 72, None, "BENCH_DETAIL_r14.json", big, big,
+    )
+    assert len(line) <= MACHINE_LINE_BUDGET
+    assert degr == ["noisy->count", "errors->count"]
+    parsed = json.loads(line)
+    assert parsed["noisy_n"] == 72 and parsed["errors_n"] == 72
+    assert "noisy" not in parsed and "errors" not in parsed
+    assert parsed["detail"] == "BENCH_DETAIL_r14.json"
+    # intermediate: big noisy list alone degrades only noisy
+    line, degr = fit_machine_line(
+        58.0, 0.1, 72, 18.2, "BENCH_DETAIL_r14.json", big, ["q_bad"],
+    )
+    assert len(line) <= MACHINE_LINE_BUDGET
+    assert degr == ["noisy->count"]
+    assert json.loads(line)["errors"] == ["q_bad"]

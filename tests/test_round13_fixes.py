@@ -38,9 +38,10 @@ def test_replay_write_aside_state_and_layout(spark, tmp_path):
 
 
 def test_replay_of_batch_zero_write_aside(spark, tmp_path):
-    """Replaying batch 0 has no merge base: the pointer is deleted for
-    the duration (readers refuse rather than see a cold start), then
-    re-set to the swapped-in snapshot."""
+    """Replaying batch 0 has no merge base: the pointer PARKS on the
+    completed write-aside for the duration of the swap (so no instant
+    exists where readers see pointer-missing with zero snapshot dirs —
+    a silent cold start), then is re-set to the swapped-in snapshot."""
     root = str(tmp_path / "replay0")
     df0 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
     sinks.upsert_batch(df0, root, ["k"], "v", 0)
