@@ -9725,84 +9725,81 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Round-13 verification priority — GENERATED by tools/retier.py
-#: (diff base: the r12 round commit 8446ace). Tier 0 is empty (no new
-#: registrations — r13 is a measurement-integrity + freshness round by
-#: design, VERDICT r12). Tier 1: the 6 faces transitively consuming
-#: the round's diff — the snapshot sink's replay write-aside + folded
-#: listing (upsert_batch/compact_snapshots) and its batch-0
-#: cold-start-window fix, the dedup stream's migration onto the
-#: unified keyed-state face (process_dedup_batch), the bucketed
-#: prune's hive-default-partition GC, the narrowed drift
-#: baseline-read retry (_read_baseline), and the negative_samples
-#: k<=0 descending-sequence guard (neg_sampling). Tier 2 fills the 44
-#: remaining slots oldest-first, which drains the ENTIRE ≤r8 tail the
-#: r12 verdict flagged — all 4 r7 rows (the r12 deferral) and all 40
-#: r8 rows; after this round the oldest driver row anywhere is r9
-#: (the verdict's #2 done-bar: 6 + 44 = 50; the late tier-1 addition
-#: displaced only the bonus r9 row an earlier draft carried).
-#: Changed-code re-attestation outranks stale-green refresh (the
-#: VERDICT r5 discipline retier.py exists to enforce).
-#: Steady-state age bound is ceil(211/50) = 5 rounds.
+#: Round-14 verification priority — GENERATED by tools/retier.py
+#: (diff base: the r13 round commit 3a70dec). Tier 0 is empty (the
+#: registry stays FROZEN for a second freshness round — no new
+#: registrations). Tier 1: the 5 faces transitively consuming the
+#: round's diff — the bucketed same-id replay write-aside + orphan GC
+#: (upsert_keyed_buckets/prune_bucketed_state → the *_stream faces),
+#: the snapshot pointer's aside-name resolution (_current_dir /
+#: upsert_batch), and the widened drift missing-file classifier
+#: (_is_missing_file_error → drift/novelty). All 5 were r13-attested;
+#: re-attesting changed code outranks stale-green refresh. Tier 2
+#: fills the 45 remaining slots oldest-first: ALL 41 r9 rows (the
+#: whole tail VERDICT r13 #1 flagged — TPC-H q* faces, ev_* batch
+#: faces, vocab/bpe family) + the 4 oldest r10 rows; after this round
+#: the oldest driver row anywhere is r10 (the verdict's done-bar),
+#: keeping the ceil(211/50) = 5-round staleness bound with a round to
+#: spare.
 #: Regenerate: python tools/retier.py
-_PRIORITY_R13 = [
+_PRIORITY_R14 = [
     # tier 1 — implementation diff-reachable this round
-    "neg_sampling",
     "emb_rp_knn_join",
     "source_drift_llr",
     "doc_novelty_llr",
     "doc_minhash_stream",
     "emb_rp_stream",
     # tier 2 — oldest-green driver rows, round-robin back-fill
-    "salted_supplier_volume",  # last row r7
-    "doc_jaccard_adjacent",  # last row r7
-    "doc_simhash_pairs",  # last row r7
-    "doc_simhash_portable",  # last row r7
-    "doc_cc_islands",  # last row r8
-    "mm_resize",  # last row r8
-    "emb_kmeans",  # last row r8
-    "emb_kmeans_pandas",  # last row r8
-    "doc_cms_heavy_hitters",  # last row r8
-    "emb_semantic_dedup",  # last row r8
-    "incremental_order_stats",  # last row r8
-    "bloom_pruned_join",  # last row r8
-    "cdc_orders_diff",  # last row r8
-    "graph_triangles",  # last row r8
-    "doc_char_entropy",  # last row r8
-    "ev_mad_outliers",  # last row r8
-    "pareto_customers",  # last row r8
-    "price_histogram",  # last row r8
-    "ev_variant_props",  # last row r8
-    "doc_term_vectors",  # last row r8
-    "zorder_key",  # last row r8
-    "sql_recursive_months",  # last row r8
-    "sql_pipe_returns",  # last row r8
-    "collated_distinct_words",  # last row r8
-    "doc_feature_hashing",  # last row r8
-    "doc_tfidf_topk",  # last row r8
-    "part_fuzzy_pairs",  # last row r8
-    "window_suite",  # last row r8
-    "emb_matryoshka_topk",  # last row r8
-    "emb_pq_topk",  # last row r8
-    "doc_length_batches",  # last row r8
-    "compaction_plan",  # last row r8
-    "doc_collapse_runs",  # last row r8
-    "orders_merge_upsert",  # last row r8
-    "doc_shard_schedule",  # last row r8
-    "emb_ivf_portable",  # last row r8
-    "source_keyness",  # last row r8
-    "doc_nb_confusion",  # last row r8
-    "cogroup_reconcile",  # last row r8
-    "source_length_stats",  # last row r8
-    "emb_rp_topk",  # last row r8
-    "emb_rp_indexed",  # last row r8
-    "doc_islands_window",  # last row r8
-    "emb_rp_recall",  # last row r8
+    "ev_tumbling_counts",  # last row r9
+    "ev_sliding_counts",  # last row r9
+    "ev_sessionize",  # last row r9
+    "ev_json_props",  # last row r9
+    "q1_pricing_summary",  # last row r9
+    "emb_centroids",  # last row r9
+    "approx_distinct_parts",  # last row r9
+    "q2_min_cost_supplier",  # last row r9
+    "q4_order_priority",  # last row r9
+    "q7_volume_shipping",  # last row r9
+    "q8_market_share",  # last row r9
+    "q9_product_profit",  # last row r9
+    "q12_late_lines",  # last row r9
+    "q13_customer_distribution",  # last row r9
+    "q15_top_supplier",  # last row r9
+    "q16_supplier_variety",  # last row r9
+    "q17_small_quantity",  # last row r9
+    "doc_exact_split",  # last row r9
+    "ev_rollup_pyramid",  # last row r9
+    "orders_profile",  # last row r9
+    "ivm_join_delta",  # last row r9
+    "vocab_zipf_fit",  # last row r9
+    "doc_mixture_sample",  # last row r9
+    "doc_pmi_collocations",  # last row r9
+    "vocab_bpe_merges",  # last row r9
+    "doc_bpe_encode",  # last row r9
+    "doc_bpe_indexed",  # last row r9
+    "ev_session_transitions",  # last row r9
+    "emb_dim_stats",  # last row r9
+    "dq_expectations",  # last row r9
+    "source_vocab_overlap",  # last row r9
+    "doc_weighted_reservoir",  # last row r9
+    "doc_dsir_sample",  # last row r9
+    "doc_nb_indexed",  # last row r9
+    "mm_arrow_bytes",  # last row r9
+    "price_histogram_equidepth",  # last row r9
+    "basket_type_lift",  # last row r9
+    "supplier_nation_share",  # last row r9
+    "grouping_sets_revenue",  # last row r9
+    "ansi_try_math",  # last row r9
+    "doc_token_budget_mix",  # last row r9
+    "ev_user_totals",  # last row r10
+    "q19_disjunctive_revenue",  # last row r10
+    "q20_part_share_suppliers",  # last row r10
+    "q21_waiting_supplier",  # last row r10
 ]
 
 
 def _ordered_registry() -> dict[str, tuple[QueryFn, str | None]]:
-    out = {name: REGISTRY[name] for name in _PRIORITY_R13 if name in REGISTRY}
+    out = {name: REGISTRY[name] for name in _PRIORITY_R14 if name in REGISTRY}
     out.update({name: v for name, v in REGISTRY.items() if name not in out})
     return out
 
