@@ -168,3 +168,76 @@ def test_missing_file_classifier_non_analysis_shapes():
         RuntimeError("java.io.FileNotFoundException: gone")
     )
     assert not drift_stream._is_missing_file_error(RuntimeError("boom"))
+
+
+def test_bucketed_replay_crash_walk_matches_dict_model(
+    spark, tmp_path, monkeypatch
+):
+    """Seeded walk over the bucketed layout where every replay is hit
+    by an injected crash at one of the swap's two boundaries (before
+    the delete — aside written, dest intact; before the rename — dest
+    gone, aside complete), then re-delivered. Invariants at every
+    step: a crash before the delete leaves readers on the CURRENT
+    state; a crash before the rename leaves readers on the consistent
+    PRE-BATCH state (each touched bucket falls back to its previous
+    epoch — never torn, never an error); the re-delivery always heals
+    to the dict model; prune GCs any orphan aside without changing
+    state."""
+    import random
+
+    def read_state():
+        df = bucketed_state.read_keyed_state(spark, root)
+        return {r["k"]: r["v"] for r in df.collect()} if df is not None else {}
+
+    rng = random.Random(14)
+    root = str(tmp_path / "crashwalk")
+    model: dict[int, int] = {}
+    for bid in range(5):
+        rows = [
+            (rng.randrange(5), rng.randrange(100))
+            for _ in range(rng.randrange(1, 4))
+        ]
+        prev_model = dict(model)
+        df = spark.createDataFrame(rows, "k int, v int")
+        bucketed_state.upsert_keyed_buckets(df, root, "k", "v", bid, n_buckets=4)
+        for k, v in rows:
+            if k not in model or v >= model[k]:
+                model[k] = v
+        assert read_state() == model, ("apply", bid)
+
+        # every batch replays, and every replay crashes once
+        crash_at = rng.choice(["delete", "rename"])
+        calls = {"n": 0}
+        real = getattr(fsio, crash_at)
+
+        def crasher(spark_, *a, _real=real, _calls=calls):
+            _calls["n"] += 1
+            if _calls["n"] == 1:
+                raise IOError("injected crash")
+            return _real(spark_, *a)
+
+        monkeypatch.setattr(fsio, crash_at, crasher)
+        with pytest.raises(IOError, match="injected"):
+            bucketed_state.upsert_keyed_buckets(
+                df, root, "k", "v", bid, n_buckets=4
+            )
+        monkeypatch.setattr(fsio, crash_at, real)
+
+        if crash_at == "delete":
+            # aside written, dest intact: readers unaffected
+            assert read_state() == model, ("crash-delete", bid)
+        else:
+            # dest deleted, rename never ran: readers see the
+            # consistent pre-batch state, loudly NOT a torn one
+            assert read_state() == prev_model, ("crash-rename", bid)
+
+        # the stream restarts and re-delivers the same batch: heals
+        bucketed_state.upsert_keyed_buckets(df, root, "k", "v", bid, n_buckets=4)
+        assert read_state() == model, ("heal", bid)
+        assert not any(
+            ".inprogress" in n for n in fsio.list_names(spark, root)
+        ), ("aside-left", bid)
+
+        if rng.random() < 0.5:
+            bucketed_state.prune_bucketed_state(spark, root, keep_last=2)
+            assert read_state() == model, ("prune", bid)
