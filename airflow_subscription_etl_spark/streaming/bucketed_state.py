@@ -188,7 +188,10 @@ def prune_bucketed_state(spark, state_root: str, keep_last: int = 2) -> int:
     snapshots (which keep_last ≥ 2 retains) and rewrites the aside."""
     if keep_last < 2:
         raise ValueError(f"keep_last must be >= 2, got {keep_last}")
-    for name in fsio.list_names(spark, state_root):
+    # ONE root listing serves both the orphan-aside GC and the
+    # batch-id walk (the r13 folded-listing discipline)
+    root_names = fsio.list_names(spark, state_root)
+    for name in root_names:
         if re.fullmatch(r"\.batch=\d+\.inprogress", name):
             fsio.delete(spark, f"{state_root}/{name}")
     ids = sorted(
@@ -196,7 +199,7 @@ def prune_bucketed_state(spark, state_root: str, keep_last: int = 2) -> int:
             int(m.group(1))
             for m in (
                 re.fullmatch(r"batch=(\d+)", name)
-                for name in fsio.list_names(spark, state_root)
+                for name in root_names
             )
             if m
         ),
@@ -305,13 +308,10 @@ def upsert_keyed_buckets(
     dest = f"{root}/batch={int(batch_id)}"
     tmp = f"{root}/.batch={int(batch_id)}.inprogress"
     if fsio.exists(spark, dest):
-        # same-id replay: write-aside + delete+rename (see docstring).
-        # NOT fsio.rename_overwrite: Hadoop rename onto an existing
-        # directory can NEST src inside dst — the explicit delete then
-        # rename is the only portable whole-directory replace.
+        # same-id replay: write-aside, then the shared whole-directory
+        # swap (see docstring and fsio.replace_dir's nesting caveat)
         write_buckets(latest, key_col, n_buckets, tmp)
-        fsio.delete(spark, dest)
-        fsio.rename(spark, tmp, dest)
+        fsio.replace_dir(spark, tmp, dest)
     else:
         write_buckets(latest, key_col, n_buckets, dest)
         # a crashed replay's orphan aside (aside written, dest deleted,

@@ -97,6 +97,24 @@ def rename(spark, src: str, dst: str) -> None:
         raise OSError(f"rename failed: {src} -> {dst}")
 
 
+def replace_dir(spark, src: str, dst: str) -> None:
+    """Whole-DIRECTORY replace: explicit delete-then-rename, the only
+    portable form. NOT :func:`rename_overwrite`: Hadoop rename ONTO an
+    existing directory can NEST src inside dst (HDFS moves src under a
+    dst dir and returns true) instead of replacing it. The two metadata
+    ops are the swap's only reader-visible window; both write-aside
+    replay paths (:func:`.sinks.upsert_batch`,
+    :func:`.bucketed_state.upsert_keyed_buckets`) route their swaps
+    here so the invariant and its caveat live in one place (r14
+    review)."""
+    fs, s = _fs_path(spark, src)
+    _, d = _fs_path(spark, dst)
+    if fs.exists(d):
+        fs.delete(d, True)
+    if not fs.rename(s, d):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
 def rename_overwrite(spark, src: str, dst: str) -> None:
     """Rename ``src`` onto ``dst``, replacing it if present. Atomic on
     the local filesystem (POSIX rename); on HDFS an existing

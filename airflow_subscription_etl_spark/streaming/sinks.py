@@ -190,12 +190,24 @@ def upsert_batch(
     if int(batch_id) in ids:
         # completed-replay path (see docstring): keep the pointer on a
         # readable directory at every instant while swapping dest out.
+        tmp = f"{root}/.snapshot_{batch_id}.inprogress"
         if below:
             # readers see the pre-batch state for the whole merge job
             fsio.write_text_atomic(
                 spark, f"{root}/{_POINTER}", f"snapshot_{max(below)}"
             )
-        tmp = f"{root}/.snapshot_{batch_id}.inprogress"
+        else:
+            # r14 review: a CRASHED prior replay attempt may have left
+            # the pointer parked on the aside this rewrite is about to
+            # mode("overwrite") — which deletes the dir at job START,
+            # so readers would resolve into a half-written aside for
+            # the whole write job (the silent-partial read this module
+            # exists to prevent). Re-point at dest FIRST: it exists
+            # (that is what routed us into this branch) and holds the
+            # identical complete content by idempotence.
+            fsio.write_text_atomic(
+                spark, f"{root}/{_POINTER}", f"snapshot_{batch_id}"
+            )
         latest.write.mode("overwrite").parquet(tmp)
         if not below:
             # no merge base (replay of the root's only snapshot): park
@@ -209,12 +221,7 @@ def upsert_batch(
                 f"{root}/{_POINTER}",
                 f".snapshot_{batch_id}.inprogress",
             )
-        # NOT fsio.rename_overwrite: Hadoop rename ONTO an existing
-        # directory can nest src INSIDE dst (HDFS moves src under a dst
-        # dir and returns true) — the explicit delete+rename is the
-        # only portable whole-directory replace.
-        fsio.delete(spark, dest)
-        fsio.rename(spark, tmp, dest)
+        fsio.replace_dir(spark, tmp, dest)
     else:
         latest.write.mode("overwrite").parquet(dest)
     fsio.write_text_atomic(

@@ -205,31 +205,32 @@ def test_bucketed_replay_crash_walk_matches_dict_model(
                 model[k] = v
         assert read_state() == model, ("apply", bid)
 
-        # every batch replays, and every replay crashes once
-        crash_at = rng.choice(["delete", "rename"])
-        calls = {"n": 0}
-        real = getattr(fsio, crash_at)
+        # every batch replays, and every replay crashes once inside the
+        # shared swap (fsio.replace_dir): "before" = nothing swapped
+        # yet (aside written, dest intact); "mid" = between the swap's
+        # delete and rename (dest gone, aside complete)
+        crash_at = rng.choice(["before", "mid"])
+        real_replace = fsio.replace_dir
 
-        def crasher(spark_, *a, _real=real, _calls=calls):
-            _calls["n"] += 1
-            if _calls["n"] == 1:
-                raise IOError("injected crash")
-            return _real(spark_, *a)
+        def crasher(spark_, src, dst, _mode=crash_at):
+            if _mode == "mid":
+                fsio.delete(spark_, dst)
+            raise IOError("injected crash")
 
-        monkeypatch.setattr(fsio, crash_at, crasher)
+        monkeypatch.setattr(fsio, "replace_dir", crasher)
         with pytest.raises(IOError, match="injected"):
             bucketed_state.upsert_keyed_buckets(
                 df, root, "k", "v", bid, n_buckets=4
             )
-        monkeypatch.setattr(fsio, crash_at, real)
+        monkeypatch.setattr(fsio, "replace_dir", real_replace)
 
-        if crash_at == "delete":
+        if crash_at == "before":
             # aside written, dest intact: readers unaffected
-            assert read_state() == model, ("crash-delete", bid)
+            assert read_state() == model, ("crash-before", bid)
         else:
             # dest deleted, rename never ran: readers see the
             # consistent pre-batch state, loudly NOT a torn one
-            assert read_state() == prev_model, ("crash-rename", bid)
+            assert read_state() == prev_model, ("crash-mid", bid)
 
         # the stream restarts and re-delivers the same batch: heals
         bucketed_state.upsert_keyed_buckets(df, root, "k", "v", bid, n_buckets=4)
@@ -241,3 +242,45 @@ def test_bucketed_replay_crash_walk_matches_dict_model(
         if rng.random() < 0.5:
             bucketed_state.prune_bucketed_state(spark, root, keep_last=2)
             assert read_state() == model, ("prune", bid)
+
+
+def test_batch0_redelivery_reparks_pointer_before_rewriting_aside(
+    spark, tmp_path, monkeypatch
+):
+    """r14 review: a crashed prior batch-0 replay leaves the pointer
+    PARKED on the aside; the re-delivered replay then rewrites that
+    exact directory with mode("overwrite"), which deletes it at job
+    START — so without a re-park, readers resolve into a half-written
+    aside for the whole write job (a silent partial read). The fix
+    re-points _CURRENT at the complete dest BEFORE the aside rewrite;
+    this test builds the crash state and pins the full pointer-write
+    sequence of the re-delivery plus the healed end state."""
+    root = str(tmp_path / "repark")
+    df0 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    sinks.upsert_batch(df0, root, ["k"], "v", 0)
+    # crash state: aside complete, pointer parked on it, dest intact
+    aside = f"{root}/.snapshot_0.inprogress"
+    sinks.read_snapshot(spark, root).write.parquet(aside)
+    fsio.write_text_atomic(
+        spark, f"{root}/{sinks._POINTER}", ".snapshot_0.inprogress"
+    )
+    writes: list[str] = []
+    real = fsio.write_text_atomic
+
+    def recorder(spark_, path, value):
+        if path.endswith(sinks._POINTER):
+            writes.append(value)
+        return real(spark_, path, value)
+
+    monkeypatch.setattr(fsio, "write_text_atomic", recorder)
+    sinks.upsert_batch(df0, root, ["k"], "v", 0)
+    monkeypatch.setattr(fsio, "write_text_atomic", real)
+    # ordering: re-park on the complete dest FIRST (before the aside
+    # rewrite), then the swap's park on the completed aside, then the
+    # final flip
+    assert writes == ["snapshot_0", ".snapshot_0.inprogress", "snapshot_0"]
+    # healed end state
+    assert fsio.read_text(spark, f"{root}/{sinks._POINTER}") == "snapshot_0"
+    got = {r["k"]: r["v"] for r in sinks.read_snapshot(spark, root).collect()}
+    assert got == {1: 10, 2: 20}
+    assert not any(".inprogress" in n for n in fsio.list_names(spark, root))
