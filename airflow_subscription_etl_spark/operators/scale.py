@@ -264,27 +264,27 @@ def distributed_prefix_sum(
     ``order_cols`` must be a deterministic total order (include a
     tiebreak key) — pass Column objects (e.g. ``F.col("x").desc()``).
     """
-    # EAGER checkpoint before anything reads _pid: repartitionByRange
-    # picks its boundaries by SAMPLING, independently per job — without
-    # pinning the physical partitioning, the per-partition totals
-    # (collected below, job 1) and the final windowed frame (job 2)
-    # can see DIFFERENT boundaries, silently corrupting the offsets
-    # (observed at sf0.1: matching sf0.01 runs, wrong cums at 10×).
-    d = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # ONE plan, ONE action (r14 optimization — guide §1.2/§2.4): the
+    # pre-r14 form pinned the physical partitioning with an EAGER
+    # localCheckpoint and collected per-partition totals to the driver
+    # (3 jobs per call: checkpoint materialization, totals collect,
+    # the caller's action). The checkpoint existed because
+    # repartitionByRange samples its boundaries independently per JOB
+    # — two jobs could see different boundaries and silently corrupt
+    # the offsets. In a single plan that hazard is gone by
+    # construction: the range Exchange appears once and every
+    # consumer (the totals aggregate below and the final window)
+    # reads the SAME materialized shuffle via Spark's exchange/stage
+    # reuse (spark.sql.execution.reuseExchange + AQE stage reuse;
+    # verified in the executed plan — tests/test_round14_opt.py
+    # asserts the ReusedExchange/shuffle-count invariant and the
+    # partition-count independence sweeps cover the semantics). AQE
+    # cannot re-shape the exchange out from under the _pid labels:
+    # an explicit numPartitions makes it REPARTITION_BY_NUM, which
+    # AQE neither coalesces nor skew-splits.
+    d = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    # tiny collect: one row per partition, O(cluster), never O(data)
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in d.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
-    spark = df.sparkSession
     # Integral value columns keep bigint offsets end-to-end: shipping
     # them as double would silently lose exactness past 2^53, where the
     # windowed sum below stays exact. Fractional inputs widen to double.
@@ -294,22 +294,35 @@ def distributed_prefix_sum(
         df.schema[value_col].dataType if isinstance(value_col, str) else None,
         (ByteType, ShortType, IntegerType, LongType),
     )
-    if integral:
-        off_rows = [(int(p), int(o)) for p, o in offsets.items()]
-        off_schema = "_pid int, _off bigint"
-    else:
-        off_rows = [(int(p), float(o)) for p, o in offsets.items()]
-        off_schema = "_pid int, _off double"
-    off_df = F.broadcast(spark.createDataFrame(off_rows, off_schema))
+    off_type = "bigint" if integral else "double"
     from pyspark.sql import Window  # noqa: PLC0415
 
+    # per-partition totals: one row PER PARTITION (O(cluster), never
+    # O(data)), so the exclusive-prefix window over them is a bounded
+    # single-task window — the documented exception to the
+    # no-single-partition-window rule. Sequential left-to-right
+    # accumulation in _pid order matches the old driver-side loop
+    # bit-for-bit (same association order for the double path).
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        d.groupBy("_pid")
+        .agg(F.sum(value_col).cast(off_type).alias("_t"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_t").over(w_off), F.lit(0).cast(off_type)
+            ).alias("_off"),
+        )
+    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.join(off_df, "_pid")
+        d.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )

@@ -5540,19 +5540,24 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = rev.agg(F.sum("revenue_cents")).collect()[0][0]
+    # grand total as a broadcast scalar INSIDE the one plan (r14: the
+    # old separate .collect() re-ran the orders scan + agg as its own
+    # job just to inline a literal; the rev aggregate subtree is now
+    # shared via exchange reuse). cast("double") = the old
+    # float(total) conversion of the exact bigint sum.
+    total_df = rev.agg(F.sum("revenue_cents").cast("double").alias("_total"))
     cum = distributed_prefix_sum(
         rev,
         [F.col("revenue_cents").desc(), F.col("o_custkey").asc()],
         "revenue_cents",
         out_col="cum_cents",
     )
-    return cum.select(
+    return cum.crossJoin(F.broadcast(total_df)).select(
         "o_custkey",
         (F.col("revenue_cents") / 100.0).alias("revenue"),
         F.col("cum_cents").cast("bigint").alias("cum_cents"),
-        F.round(F.col("cum_cents") / F.lit(float(total)), 6).alias("cum_share"),
-        (F.col("cum_cents") / F.lit(float(total)) <= 0.8).alias("is_top80"),
+        F.round(F.col("cum_cents") / F.col("_total"), 6).alias("cum_share"),
+        (F.col("cum_cents") / F.col("_total") <= 0.8).alias("is_top80"),
     )
 
 

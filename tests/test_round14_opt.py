@@ -1,0 +1,95 @@
+"""Round-14 optimization regression pins.
+
+The optimization round restructures operator INTERNALS for plan shape
+(fewer jobs/exchanges) while every declared query's output stays
+oracle-identical. These tests pin the mechanisms the optimizations
+rely on, so a future Spark upgrade or refactor that silently breaks
+one fails here rather than as wrong output or a perf cliff.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from airflow_subscription_etl_spark.operators.scale import (
+    distributed_prefix_sum,
+)
+
+
+def _executed_plan(df) -> str:
+    # materialize THIS DataFrame's own QueryExecution (collect runs it;
+    # a noop write would build a separate QueryExecution and leave this
+    # one unexecuted), then read the FINAL adaptive plan
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    return plan
+
+
+def test_prefix_sum_is_single_plan_with_reused_range_exchange(spark):
+    """The r14 rewrite folds the offsets computation into the one plan;
+    its correctness hinges on BOTH consumers (the per-partition totals
+    aggregate and the final window) reading the SAME materialized range
+    shuffle — otherwise repartitionByRange's per-materialization
+    boundary sampling could hand them different partitionings and
+    silently corrupt the offsets (the hazard the pre-r14 eager
+    localCheckpoint existed to prevent). Executed-plan invariant: the
+    range exchange appears ONCE; the second consumer reads it through
+    exchange/stage reuse."""
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"),
+        F.lit(1).cast("bigint").alias("v"),
+    )
+    out = distributed_prefix_sum(
+        df, [F.col("k").asc(), F.col("id").asc()], "v", num_partitions=8
+    )
+    plan = _executed_plan(out)
+    n_range_exchanges = plan.count("rangepartitioning")
+    # one Exchange node plans the range shuffle; any second textual
+    # occurrence must be a reuse node, not an independent exchange
+    assert "ReusedExchange" in plan or n_range_exchanges == 1, plan
+    # and there is no eager-checkpoint RDD scan anymore (single plan)
+    assert "ExistingRDD" not in plan, plan
+
+
+def test_prefix_sum_exact_across_partition_counts(spark):
+    """Offsets math is partition-layout-INDEPENDENT: the same input
+    must produce identical cums at 1, 3, 8, 64 range partitions
+    (boundary placement may differ; the total order may not)."""
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100, 1) for i in range(500)], "k int, g int, v long"
+    ).select("k", "g", F.col("v").cast("bigint").alias("v"))
+    expected = None
+    for parts in (1, 3, 8, 64):
+        out = distributed_prefix_sum(
+            df,
+            [F.col("g").desc(), F.col("k").asc()],
+            "v",
+            out_col="cum",
+            num_partitions=parts,
+        )
+        got = {r["k"]: r["cum"] for r in out.collect()}
+        if expected is None:
+            expected = got
+        assert got == expected, f"num_partitions={parts} diverged"
+
+
+def test_prefix_sum_double_matches_sequential_accumulation(spark):
+    """The in-plan exclusive-prefix window must accumulate partition
+    totals in _pid order with the same left-to-right association the
+    old driver-side Python loop used (bit-for-bit for doubles)."""
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100) + 0.125) for i in range(300)],
+        "k int, v double",
+    )
+    out = distributed_prefix_sum(
+        df, [F.col("v").desc(), F.col("k").asc()], "v", out_col="cum",
+        num_partitions=7,
+    ).collect()
+    rows = sorted(out, key=lambda r: (-r["v"], r["k"]))
+    acc = 0.0
+    for r in rows:
+        acc += r["v"]
+        assert math.isclose(r["cum"], acc, rel_tol=1e-12), (r, acc)
