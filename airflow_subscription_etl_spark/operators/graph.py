@@ -44,6 +44,18 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     build a giant array on a single task) and stays inside columnar
     whole-stage codegen end to end. Measured 3.4× faster on a 636k-edge
     clique-heavy graph (4.9s → 1.4s for the first round).
+
+    All of a row's emissions — the star edge AND its mirror (plus the
+    one-per-node self-emission in the small star) — leave in a SINGLE
+    conditional-array explode (r14, guide §1.2/§2.4): the pre-r14
+    union-of-branches form referenced the windowed frame 2× (large
+    star) / 4× (small star: two branches, then the symmetrizing
+    union), and a union's branches are separate subtrees — each one a
+    separate stage re-running the window (and its sort) over the
+    reused exchange every round of the CC loop. One explode = one
+    window execution per star, same emitted edge multiset (duplicate
+    emissions still can't change any window min; the round boundary
+    in the driver loop runs one distinct per FULL round).
     """
     w = Window.partitionBy("src")
     if large:
@@ -51,10 +63,12 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
         # the whole neighborhood (including u itself)
         m = F.least(F.min("dst").over(w), F.col("src"))
         ann = edges.select("src", "dst", m.alias("m"))
-        out = (
-            ann.filter(F.col("dst") > F.col("src"))
-            .filter(F.col("dst") != F.col("m"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        emit = F.when(
+            (F.col("dst") > F.col("src")) & (F.col("dst") != F.col("m")),
+            F.array(
+                F.struct(F.col("dst").alias("s"), F.col("m").alias("d")),
+                F.struct(F.col("m").alias("s"), F.col("dst").alias("d")),
+            ),
         )
     else:
         # small-star(u): point the smaller-or-equal neighbors AND u
@@ -67,20 +81,31 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
         )
         rn = F.row_number().over(Window.partitionBy("src").orderBy("dst"))
         ann = edges.select("src", "dst", m.alias("m"), rn.alias("rn"))
-        out = (
-            ann.filter(F.col("dst") <= F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .unionByName(
-                # exactly one self-emission per node u
-                ann.filter(F.col("rn") == 1).select("src", F.col("m").alias("dst"))
+        keep = (F.col("dst") <= F.col("src")) & (F.col("dst") != F.col("m"))
+        # exactly one self-emission per node u (rn == 1)
+        self_keep = (F.col("rn") == 1) & (F.col("src") != F.col("m"))
+        emit = F.array_compact(
+            F.array(
+                F.when(
+                    keep,
+                    F.struct(F.col("dst").alias("s"), F.col("m").alias("d")),
+                ),
+                F.when(
+                    keep,
+                    F.struct(F.col("m").alias("s"), F.col("dst").alias("d")),
+                ),
+                F.when(
+                    self_keep,
+                    F.struct(F.col("src").alias("s"), F.col("m").alias("d")),
+                ),
+                F.when(
+                    self_keep,
+                    F.struct(F.col("m").alias("s"), F.col("src").alias("d")),
+                ),
             )
-            .filter(F.col("src") != F.col("dst"))
         )
-    # no distinct here: duplicate emissions can't change any window min,
-    # and the round boundary in the driver loop runs one distinct per
-    # FULL round — fewer shuffles than deduping inside each star
-    return out.unionByName(
-        out.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return ann.select(F.explode(emit).alias("e")).select(
+        F.col("e.s").alias("src"), F.col("e.d").alias("dst")
     )
 
 

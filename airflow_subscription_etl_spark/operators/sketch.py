@@ -89,18 +89,22 @@ def kmv_distinct(
 ) -> DataFrame:
     """Per-group KMV distinct estimate of ``value_col``.
 
-    Plan: one shuffle to dedupe ``(group, hash)``, one window pass to
-    rank hashes per group (at scale the rank-k truncation is what keeps
-    sketch state at k values per group; the exact ``n_distinct`` column
-    rides along here for error visibility — drop it in a true 100 TB
-    run, it is the expensive part). Output:
-    ``group_cols…, n_distinct (hash-distinct, exact), kmv_estimate``.
+    Plan (r14, guide §2.3/§2.4): one shuffle to dedupe ``(group,
+    value)`` — partial aggregation collapses repeats map-side, and the
+    portable md5 hash is then computed once per DISTINCT value instead
+    of once per row — then one group-keyed shuffle shared by the
+    residual (group, hash) dedup AND the rank window (hash(group)
+    satisfies the dedup's clustered distribution, so neither adds an
+    exchange). Same two exchanges as the pre-r14 form, strictly fewer
+    hash evaluations, same skew posture (the per-group window was
+    always the funnel and it still reads deduped rows). At scale the
+    rank-k truncation is what keeps sketch state at k values per
+    group; the exact ``n_distinct`` column rides along for error
+    visibility — drop it in a true 100 TB run, it is the expensive
+    part. Output: ``group_cols…, n_distinct (hash-distinct, exact),
+    kmv_estimate``.
     """
-    hashed = df.select(
-        *group_cols, hash60(F.col(value_col)).alias("h")
-    ).dropDuplicates([*group_cols, "h"])
-    w = Window.partitionBy(*group_cols).orderBy("h")
-    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    ranked = _kmv_ranked(df, group_cols, value_col)
     agg = ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_distinct"),
         F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("h_k"),
@@ -110,6 +114,27 @@ def kmv_distinct(
         "n_distinct",
         _estimate(F.col("n_distinct"), F.col("h_k"), k).alias("kmv_estimate"),
     )
+
+
+def _kmv_ranked(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Shared dedup + rank pipeline for the KMV family (see
+    :func:`kmv_distinct`'s plan note): value-dedup first (md5 once per
+    distinct value), then one group-keyed exchange shared by the
+    residual hash-dedup and the rank window. With no group columns the
+    rank is a global window — its input is already deduped, and the
+    single-task stage is the caller's documented trade."""
+    dd = (
+        df.select(*group_cols, F.col(value_col))
+        .dropDuplicates([*group_cols, value_col])
+        .select(*group_cols, hash60(F.col(value_col)).alias("h"))
+    )
+    if group_cols:
+        dd = dd.repartition(*[F.col(c) for c in group_cols])
+    hashed = dd.dropDuplicates([*group_cols, "h"])
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return hashed.withColumn("rn", F.row_number().over(w))
 
 
 def kmv_sketch(
@@ -123,11 +148,7 @@ def kmv_sketch(
     """Build a per-group KMV sketch: the sorted array of the k smallest
     distinct hashes (≤ k·8 bytes of state per group). Feed the result
     to :func:`kmv_merge` to roll groups up without re-reading data."""
-    hashed = df.select(
-        *group_cols, hash60(F.col(value_col)).alias("h")
-    ).dropDuplicates([*group_cols, "h"])
-    w = Window.partitionBy(*group_cols).orderBy("h")
-    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    ranked = _kmv_ranked(df, group_cols, value_col)
     return ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(exact_col),
         F.sort_array(
@@ -173,6 +194,7 @@ def cms_sketch(
     value_col: str,
     depth: int = 4,
     width: int = 512,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of value
     frequencies per group, in rows-of-counters form:
@@ -193,6 +215,18 @@ def cms_sketch(
     Estimates (:func:`cms_estimate`) are biased high (hash collisions
     only ever ADD) with the classic guarantee: overestimate ≤
     ``e·N/width`` with probability ``1 − e^(−depth)``.
+
+    ``count_col`` (r14, guide §2.3 — aggregate before you shuffle):
+    when the caller already holds PRE-COUNTED values (one row per
+    distinct value with its occurrence count — e.g. the token
+    histogram a heavy-hitters query needs anyway), pass the count
+    column and the counters become ``sum(count_col)`` over the same
+    addresses. Counter-for-counter identical to sketching the raw
+    stream (each counter is Σ over its values of that value's
+    occurrence count — sums commute), but the affine address family
+    is evaluated once per DISTINCT value instead of once per
+    occurrence, and the address shuffle carries the histogram, not
+    the corpus.
     """
     params = portable_hash_params(depth)
     x = hash60(F.col(value_col)) % F.lit(1 << 31)
@@ -209,11 +243,17 @@ def cms_sketch(
             ]
         )
     )
+    weight = (
+        F.count(F.lit(1))
+        if count_col is None
+        else F.sum(count_col).cast("bigint")
+    )
+    keep = [*group_cols] if count_col is None else [*group_cols, count_col]
     return (
-        df.select(*group_cols, rc.alias("_rc"))
-        .select(*group_cols, "_rc.r", "_rc.c")
+        df.select(*keep, rc.alias("_rc"))
+        .select(*keep, "_rc.r", "_rc.c")
         .groupBy(*group_cols, "r", "c")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(weight.alias("cnt"))
     )
 
 

@@ -109,18 +109,34 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     upper_ratio = F.when(n > 0, n_upper / n).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
     length_score = F.least(n / F.lit(500.0), F.lit(1.0))
-    quality = (
-        F.lit(0.4) * length_score
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
-        + F.lit(0.2) * (F.lit(1.0) - upper_ratio)
-        + F.lit(0.1) * stop_ratio
-    )
-    return df.select(
+    # two-stage select (r14, guide §1.2 per-task work — the
+    # with_bpe_token_stats pattern): the composite reads the staged
+    # ratio COLUMNS, so each signal — the tokenize+HOF stopword filter
+    # especially, which evaluates interpreted, outside codegen's
+    # subexpression elimination — runs once per row, not once per
+    # reference. CollapseProject keeps the stage boundary: it only
+    # re-inlines aliases that are cheap or referenced once, and these
+    # are neither. The composite is algebraically identical: a zero
+    # ratio contributes exactly the old CASE's ELSE constant.
+    staged = df.select(
         "doc_id",
         punct_ratio.alias("punct_ratio"),
         upper_ratio.alias("upper_ratio"),
         stop_ratio.alias("stopword_ratio"),
         length_score.alias("length_score"),
+    )
+    quality = (
+        F.lit(0.4) * F.col("length_score")
+        + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+        + F.lit(0.2) * (F.lit(1.0) - F.col("upper_ratio"))
+        + F.lit(0.1) * F.col("stopword_ratio")
+    )
+    return staged.select(
+        "doc_id",
+        "punct_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+        "length_score",
         quality.alias("quality_score"),
     )
 

@@ -363,7 +363,15 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10.
 
     customer is broadcast (dim-sized); orders⋈lineitem shuffles on
-    o_orderkey — the natural co-partitioning key at scale.
+    o_orderkey — the natural co-partitioning key at scale. r14 (guide
+    §2.3 — aggregate before you shuffle): the grouped revenue's keys
+    are all functionally determined by o_orderkey, so the lineitem
+    side pre-aggregates its exact micro-revenue per orderkey BELOW
+    the join — map-side partial aggregation collapses each order's
+    lines before the exchange, the join's li-side partitioning IS the
+    agg's (no extra exchange), and the post-join per-order re-agg
+    disappears (orders are unique per key, so the join is 1:1).
+    Integer micro sums are associative, so the revenue is bit-equal.
     """
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
@@ -373,17 +381,20 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    li_rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(disc * 10000).cast("bigint")).alias("_rev_micro")
+    )
     joined = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        li_rev.join(o, li_rev["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
     )
     return (
-        joined.groupBy(
+        joined.select(
             "o_orderkey",
             iso_date_str(F.col("o_orderdate")).alias("o_orderdate_str"),
             "o_orderpriority",
+            (F.col("_rev_micro") / F.lit(10000.0)).alias("revenue"),
         )
-        .agg(money_sum(disc, 10000, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -409,8 +420,15 @@ LIMIT 10
 def q_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join, revenue per nation.
 
-    region/nation/supplier/customer all broadcast; the only shuffles
-    are lineitem⋈orders (on orderkey) and the final 25-group agg.
+    region/nation/supplier/customer all broadcast. r14 (guide §2.3 /
+    §3.2 — reduce the big side BEFORE shuffling it): the ASIA
+    region→nation→supplier/customer restriction (selectivity 1/5) now
+    applies to BOTH fact sides ahead of the one big shuffle, so the
+    lineitem⋈orders orderkey exchange carries a fifth of each table;
+    the same-nation customer⋈supplier constraint rides the orderkey
+    join as a residual condition. The pre-r14 declared order joined
+    the full facts first — Catalyst doesn't reorder joins across a
+    broadcast chain without CBO stats.
     """
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
@@ -419,20 +437,28 @@ def q_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    joined = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(
-            F.broadcast(c),
-            (o["o_custkey"] == c["c_custkey"])
-            & (c["c_nationkey"] == s["s_nationkey"]),
-        )
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    asia_n = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    s_asia = s.join(
+        F.broadcast(asia_n), s["s_nationkey"] == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c_asia = c.join(
+        F.broadcast(asia_n.select(F.col("n_nationkey").alias("_cn"))),
+        c["c_nationkey"] == F.col("_cn"),
+    ).select("c_custkey", "c_nationkey")
+    li_asia = li.select("l_orderkey", "l_suppkey", disc.alias("_disc")).join(
+        F.broadcast(s_asia), li["l_suppkey"] == s_asia["s_suppkey"]
+    )
+    o_asia = o.select("o_orderkey", "o_custkey").join(
+        F.broadcast(c_asia), o["o_custkey"] == c_asia["c_custkey"]
+    )
+    joined = li_asia.join(
+        o_asia,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
     )
     return (
         joined.groupBy("n_name")
-        .agg(money_sum(disc, 10000, "revenue"))
+        .agg(money_sum(F.col("_disc"), 10000, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
@@ -454,17 +480,28 @@ ORDER BY revenue DESC, n_name ASC
 
 
 def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+
+    r14 (guide §2.3 — the q3 move): returned-revenue micro sums
+    pre-aggregate per orderkey below the join, so map-side combine
+    collapses each order's R-lines before the one orderkey exchange
+    and the per-customer re-agg sums one bigint per order instead of
+    one per line. Integer micro sums are associative — bit-equal."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+    li_rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(disc * 10000).cast("bigint")).alias("_rev_micro")
+    )
+    joined = li_rev.join(o, li_rev["l_orderkey"] == o["o_orderkey"]).join(
         F.broadcast(c), o["o_custkey"] == c["c_custkey"]
     )
     return (
         joined.groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(money_sum(disc, 10000, "revenue"))
+        .agg(
+            (F.sum("_rev_micro") / F.lit(10000.0)).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -1624,8 +1661,21 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_partkey == F.col("p_partkey"),
         "leftsemi",
     )
-    unit = li_small.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    # ONE part-keyed exchange feeds both the (part, supp) agg and the
+    # per-part argmin window (r14, guide §2.4): hash(l_partkey)
+    # satisfies the agg's clustered distribution on (l_partkey,
+    # l_suppkey) — a subset partitioning co-locates every group — so
+    # the explicit repartition replaces TWO full-data exchanges
+    # (agg-keyed, then window-keyed) with one. The window by part was
+    # always the skew constraint; it still reads agged rows only.
+    unit = (
+        li_small.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
     )
     w = Window.partitionBy("l_partkey").orderBy(
         F.col("unit_cost").asc(), F.col("l_suppkey").asc()
@@ -2517,12 +2567,28 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(c.select("c_custkey", "c_nationkey")),
         o.o_custkey == F.col("c_custkey"),
     ).join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    # pre-aggregate to the fine (nation, priority) grid BEFORE the cube
+    # (r14, guide §2.3): Spark expands a cube map-side — ×4 copies of
+    # EVERY input row through the exchange; over the |nations|×
+    # |priorities| base grid the Expand touches ~125 rows instead of
+    # every order. Exact: counts and round-micro cents are associative
+    # two-level sums, and data NULL keys stay ordinary base-grid keys
+    # that grouping_id separates from the cube's own totals rows —
+    # identical lattice to the direct cube.
+    base = enriched.groupBy(
+        F.col("n_name").alias("nation"), "o_orderpriority"
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "_cents"
+        ),
+    )
     return (
-        enriched.cube(F.col("n_name").alias("nation"), "o_orderpriority")
+        base.cube("nation", "o_orderpriority")
         .agg(
             F.grouping_id().alias("gid"),
-            F.count("*").alias("n_orders"),
-            money_sum(F.col("o_totalprice"), alias="revenue"),
+            F.sum("_n").alias("n_orders"),
+            (F.sum("_cents") / F.lit(100.0)).alias("revenue"),
         )
     )
 
@@ -2565,22 +2631,35 @@ def q_doc_cc_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (source, b+1) — no inequality scan — and the leader table is
     # cells-sized, hence broadcast.
     leaders = docs.groupBy("source", "b").agg(F.min("doc_id").alias("lead"))
-    member_edges = (
-        docs.join(F.broadcast(leaders), ["source", "b"])
-        .filter(F.col("doc_id") != F.col("lead"))
-        .select(F.col("lead").alias("id_a"), F.col("doc_id").alias("id_b"))
-    )
+    # CC runs on the LEADER graph only (r14, guide §1.2 — don't compute
+    # what you throw away): the member→leader star edges are already
+    # stars, so feeding them through the iterative loop only inflated
+    # every round's shuffle by |docs| rows while the transitive-closure
+    # work — the anchor's whole point — lives entirely in the
+    # leader-chain edges (cells-sized). Members inherit their leader's
+    # component through the same broadcast cell join the star edges
+    # used to be built from; the component label is unchanged (each
+    # leader is its cell's min doc_id, so min-leader = min doc_id).
     x, y = leaders.alias("x"), leaders.alias("y")
     adj_edges = x.join(
         F.broadcast(y),
         (F.col("x.source") == F.col("y.source"))
         & (F.col("y.b") == F.col("x.b") + 1),
     ).select(F.col("x.lead").alias("id_a"), F.col("y.lead").alias("id_b"))
-    pairs = member_edges.unionByName(adj_edges)
-    comp = connected_components(pairs)
-    return docs.join(comp, docs.doc_id == comp.node, "left").select(
+    comp = connected_components(adj_edges)
+    lead_comp = leaders.join(
+        comp, leaders.lead == comp.node, "left"
+    ).select(
+        "source",
+        "b",
+        F.coalesce("component", F.col("lead")).alias("cluster_id"),
+    )
+    # left + coalesce: a doc whose (source, b) cell is NULL-keyed never
+    # matched the old member-edge equi-join either — it stays its own
+    # singleton cluster, exactly as before
+    return docs.join(F.broadcast(lead_comp), ["source", "b"], "left").select(
         "doc_id",
-        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )
 
 
@@ -5070,13 +5149,18 @@ def q_doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline hash-matches the DuckDB replay."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(dedup.norm_tokens(F.col("text"))).alias("token"))
-    sk = sketch.cms_sketch(toks, [], "token", depth=4, width=512)
-    top = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy(F.col("true_count").desc(), F.col("token"))
-        .limit(20)
+    # tokenize + count ONCE (r14, guide §2.3): both the sketch and the
+    # exact top-20 derive from the same token histogram — the sketch
+    # via sum-of-counts (counter-identical to sketching the raw
+    # stream; see cms_sketch count_col), the top via TakeOrdered. One
+    # corpus tokenize pass and one token-keyed exchange (shared via
+    # reuse) instead of two of each, and the 4-address explode runs
+    # per DISTINCT token, not per occurrence.
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    sk = sketch.cms_sketch(
+        tc, [], "token", depth=4, width=512, count_col="true_count"
     )
+    top = tc.orderBy(F.col("true_count").desc(), F.col("token")).limit(20)
     est = sketch.cms_estimate(sk, top.select("token"), "token", depth=4, width=512)
     return top.join(est, "token").select("token", "true_count", "cms_count")
 

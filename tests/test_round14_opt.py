@@ -93,3 +93,76 @@ def test_prefix_sum_double_matches_sequential_accumulation(spark):
     for r in rows:
         acc += r["v"]
         assert math.isclose(r["cum"], acc, rel_tol=1e-12), (r, acc)
+
+
+def test_cms_sketch_weighted_equals_raw(spark):
+    """cms_sketch(count_col=...) over a value histogram must produce
+    counter-for-counter the SAME sketch as cms_sketch over the raw
+    value stream (sums commute) — the r14 heavy-hitters path feeds the
+    sketch from pre-counted tokens."""
+    from airflow_subscription_etl_spark.operators import sketch as SK
+
+    raw = spark.createDataFrame(
+        [(w,) for w in ("a b a c a b d e a".split())], "v string"
+    )
+    hist = raw.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    direct = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in SK.cms_sketch(raw, [], "v", depth=4, width=64).collect()
+    }
+    weighted = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in SK.cms_sketch(
+            hist, [], "v", depth=4, width=64, count_col="n"
+        ).collect()
+    }
+    assert direct == weighted and direct
+
+
+def test_kmv_value_dedup_first_matches_hash_dedup(spark):
+    """kmv_distinct's r14 plan (value-dedup, then hash) must agree with
+    ranking hashes of the raw stream — including duplicate-heavy input
+    and a no-group (global) call."""
+    from airflow_subscription_etl_spark.operators import sketch as SK
+
+    df = spark.createDataFrame(
+        [(i % 3, f"v{i % 40}") for i in range(400)], "g int, v string"
+    )
+    out = {
+        r["g"]: (r["n_distinct"], r["kmv_estimate"])
+        for r in SK.kmv_distinct(df, ["g"], "v", k=8).collect()
+    }
+    for g in (0, 1, 2):
+        n, _ = out[g]
+        # g=0 sees v0,v3,...v39 step3 overlap — exact distinct count of
+        # the values that land in that residue stream
+        expect = len({f"v{i % 40}" for i in range(400) if i % 3 == g})
+        assert n == expect, (g, n, expect)
+    glob = SK.kmv_distinct(df, [], "v", k=8).collect()[0]
+    assert glob["n_distinct"] == 40
+
+
+def test_plan_lint_partition_bounded_exemption_is_narrow(spark):
+    """The r14 lint extension exempts ONLY the partition-count-bounded
+    shape (single-partition window over an aggregate keyed solely by
+    SPARK_PARTITION_ID()). A plain unpartitioned window over data
+    rows must still flag, and distributed_prefix_sum's plan must not."""
+    from pyspark.sql import Window as W
+
+    from airflow_subscription_etl_spark.operators.scale import (
+        distributed_prefix_sum,
+    )
+    from tools.plan_lint import lint_plan, render_plan
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"),
+        F.lit(1).cast("bigint").alias("v"),
+    )
+    bad = df.withColumn(
+        "rn", F.row_number().over(W.orderBy("k", "id"))
+    )
+    assert "single-partition-window" in lint_plan(render_plan(bad))
+    good = distributed_prefix_sum(
+        df, [F.col("k").asc(), F.col("id").asc()], "v", num_partitions=8
+    )
+    assert "single-partition-window" not in lint_plan(render_plan(good))

@@ -176,6 +176,35 @@ def _broadcast_miss(plan: str) -> str | None:
 _TRANSPARENT = ("Project", "Filter", "ColumnarToRow", "InputAdapter")
 
 
+def _partition_count_bounded(
+    plan: str, nodes: list[tuple[int, str, int]], start: int
+) -> bool:
+    """True when the subtree UNDER nodes[start] (an Exchange) is a
+    grouped aggregate whose ONLY grouping key is a column produced by
+    ``SPARK_PARTITION_ID()`` — its row count is bounded by the input's
+    partition count (cluster-sized), so funneling it through one task
+    is the correct plan. The key attribute is matched exprId-exact
+    against a ``SPARK_PARTITION_ID() AS <attr>`` alias in the same
+    plan, so an ordinary column that merely happens to be named
+    ``_pid`` does not qualify."""
+    root_depth = nodes[start][2]
+    for j in range(start + 1, len(nodes)):
+        nid, name, depth = nodes[j]
+        if depth <= root_depth:
+            break
+        if name.startswith(_TRANSPARENT):
+            continue
+        if "Aggregate" in name:
+            block = _node_block(plan, nid)
+            km = re.search(r"Keys \[1\]: \[([^\]]+)\]", block)
+            if not km:
+                return False
+            key_attr = km.group(1).strip()
+            return f"SPARK_PARTITION_ID() AS {key_attr}" in plan
+        return False
+    return False
+
+
 def _single_partition_window(plan: str) -> str | None:
     """A Window (or whole-dataset Sort) fed by a SinglePartition
     exchange — detected from the formatted plan's TREE + DETAILS
@@ -202,6 +231,15 @@ def _single_partition_window(plan: str) -> str | None:
         if "Exchange" not in name:
             continue
         if "Arguments: SinglePartition" not in _node_block(plan, nid):
+            continue
+        if _partition_count_bounded(plan, nodes, i):
+            # bounded BY CONSTRUCTION: the exchange's input is a
+            # grouped aggregate keyed solely on SPARK_PARTITION_ID()
+            # — at most one row per input partition, O(cluster),
+            # never O(data). This is distributed_prefix_sum's r14
+            # in-plan offsets frame (the same principle as the two
+            # catalog-bounded EXEMPT entries, but recognizable
+            # structurally, so it needs no per-query exemption).
             continue
         # walk ancestors: closest preceding node at smaller depth,
         # continuing through partitioning-transparent unary nodes
