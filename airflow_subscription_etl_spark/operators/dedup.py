@@ -96,8 +96,21 @@ def shingles(col: Column, k: int = 3) -> Column:
     higher-order functions, no UDF. String shingles exist for the
     oracle-checkable exact-Jaccard path; the MinHash path uses
     :func:`with_shingle_hashes` (bigint shingles, ~5× cheaper).
+
+    NOTE (r14): the transform lambda captures the token array, and a
+    HOF lambda re-evaluates its captured expression tree per ELEMENT —
+    passing raw text here re-tokenizes the document once per shingle.
+    Prefer staging the tokens in their own projection and calling
+    :func:`shingles_of_tokens` (what every in-repo caller now does);
+    this wrapper remains for tiny/one-shot frames.
     """
-    toks = norm_tokens(col)
+    return shingles_of_tokens(norm_tokens(col), k)
+
+
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """K-shingles from an ALREADY-BOUND token-array column — the
+    staged form of :func:`shingles` (see its r14 note; the
+    with_shingle_hashes staging rationale applies verbatim)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
@@ -160,8 +173,8 @@ def _shingle_pair_counts(
     ``(id_a, id_b, n_a, n_b, shared)`` with ``id_a < id_b``; the two
     callers derive their symmetric/asymmetric scores from it."""
     sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
-    )
+        F.col(id_col).alias("id"), norm_tokens(F.col(text_col)).alias("_toks")
+    ).select("id", shingles_of_tokens(F.col("_toks"), k_shingle).alias("sh"))
     ex = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
     if max_df is not None:
         keep = (
@@ -886,7 +899,9 @@ def ngram_jaccard_pairs(
     docs (broadcast when small).
     """
     sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), k_shingle).alias("sh")
+        F.col(id_col), norm_tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col, shingles_of_tokens(F.col("_toks"), k_shingle).alias("sh")
     ).persist()
     out = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -927,10 +942,16 @@ def span_dedup(
     occurrence of the hot digest through ONE window task (VERDICT
     r10). Output: ``doc_id, n_chunks, n_dup_chunks, dup_chunk_frac``.
     """
-    toks = norm_tokens(F.col(text_col))
+    # token array staged as a column: a HOF lambda re-evaluates its
+    # captured expression tree per ELEMENT, so an unbound norm_tokens
+    # would re-tokenize the doc once per chunk (see _chunk_frame)
+    staged = df.select(
+        F.col(id_col), norm_tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     n_chunks = F.floor((n + F.lit(span - 1)) / F.lit(span)).cast("int")
-    chunks = df.select(
+    chunks = staged.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -977,13 +998,24 @@ def _chunk_frame(
     ``streaming.span_stream``): one row per (key, chunk position) with
     the chunk text and its md5 digest, NULL key/text rows excluded.
     Kept in ONE place because stream/batch parity and the dup-matrix
-    accounting all hinge on every caller segmenting identically."""
-    toks = norm_tokens(F.col(text_col))
+    accounting all hinge on every caller segmenting identically.
+
+    The token array is STAGED as a column before the chunking explode
+    (r14, guide §1.2 per-task work): a higher-order function's lambda
+    body is an expression tree re-evaluated PER ELEMENT, so a lambda
+    that captures ``split(trim(lower(text)))`` directly re-tokenizes
+    the whole document once per chunk — O(len·chunks) per doc instead
+    of O(len). Binding the split to an attribute makes each slice read
+    the already-materialized array (measured 3.0→1.3s on the sf0.1
+    chunk pass). CollapseProject keeps the stage boundary: the alias
+    is non-cheap and referenced more than once."""
+    staged = df.filter(
+        F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(key_col), norm_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     n_chunks = F.floor((n + F.lit(span - 1)) / F.lit(span)).cast("int")
-    return df.filter(
-        F.col(key_col).isNotNull() & F.col(text_col).isNotNull()
-    ).select(
+    return staged.select(
         F.col(key_col),
         F.explode(
             F.transform(
@@ -1281,10 +1313,16 @@ def contamination_check(
     twice. Nothing quadratic, no shuffle of corpus text.
     """
     doc_sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k_shingle)).alias("s")
+        F.col(id_col), norm_tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        F.explode(shingles_of_tokens(F.col("_toks"), k_shingle)).alias("s"),
     )
     bench_sh = (
-        benchmark.select(F.explode(shingles(F.col(text_col), k_shingle)).alias("s"))
+        benchmark.select(norm_tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.explode(shingles_of_tokens(F.col("_toks"), k_shingle)).alias("s")
+        )
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

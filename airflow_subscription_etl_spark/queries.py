@@ -743,9 +743,13 @@ def q_doc_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # persist: both join sides reuse the shingle arrays; without the
     # boundary the shingle expression is inlined & recomputed per side
-    sh = docs.select(
-        "doc_id", dedup.shingles(F.col("text"), 3).alias("sh")
-    ).persist()
+    sh = (
+        docs.select("doc_id", dedup.norm_tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id", dedup.shingles_of_tokens(F.col("_toks"), 3).alias("sh")
+        )
+        .persist()
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     from .cache import pin  # noqa: PLC0415
