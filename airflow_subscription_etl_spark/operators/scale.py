@@ -309,6 +309,12 @@ def distributed_prefix_sum(
     offsets = (
         d.groupBy("_pid")
         .agg(F.sum(value_col).cast(off_type).alias("_t"))
+        # coalesce(1), placed AFTER the agg so it cannot propagate up
+        # into the range exchange's parallelism: the ≤num_partitions-row
+        # totals frame already satisfies the unpartitioned window's
+        # all-tuples requirement at one partition, so the planner skips
+        # the Exchange SinglePartition stage it would otherwise insert
+        .coalesce(1)
         .select(
             "_pid",
             F.coalesce(
