@@ -247,6 +247,7 @@ def distributed_prefix_sum(
     value_col: str,
     out_col: str = "cum",
     num_partitions: int = 32,
+    segment_cols: list[str] | None = None,
 ) -> DataFrame:
     """Globally-ordered running sum WITHOUT a single-partition window.
 
@@ -263,27 +264,45 @@ def distributed_prefix_sum(
 
     ``order_cols`` must be a deterministic total order (include a
     tiebreak key) — pass Column objects (e.g. ``F.col("x").desc()``).
+
+    ``segment_cols`` (r15): optional restart keys — the running sum
+    resets per segment, ordered by the global order RESTRICTED to the
+    segment (any total order works: a segment's rows keep their
+    relative global order across and within partitions). One range
+    exchange then serves every segment — n independent prefix sums
+    collapse into one plan instead of n (doc_rrf_retrieval fuses its
+    two rankings this way). The offsets frame grows to ≤
+    num_partitions × |segments| rows — still cluster-bounded for the
+    catalog-sized segment counts this is meant for (a handful of
+    rankers/sources), not for data-sized segment keys (use
+    :func:`grouped_exact_rank` for those).
     """
-    # ONE plan, ONE action (r14 optimization — guide §1.2/§2.4): the
-    # pre-r14 form pinned the physical partitioning with an EAGER
-    # localCheckpoint and collected per-partition totals to the driver
-    # (3 jobs per call: checkpoint materialization, totals collect,
-    # the caller's action). The checkpoint existed because
-    # repartitionByRange samples its boundaries independently per JOB
-    # — two jobs could see different boundaries and silently corrupt
-    # the offsets. In a single plan that hazard is gone by
-    # construction: the range Exchange appears once and every
-    # consumer (the totals aggregate below and the final window)
-    # reads the SAME materialized shuffle via Spark's exchange/stage
-    # reuse (spark.sql.execution.reuseExchange + AQE stage reuse;
-    # verified in the executed plan — tests/test_round14_opt.py
-    # asserts the ReusedExchange/shuffle-count invariant and the
-    # partition-count independence sweeps cover the semantics). AQE
-    # cannot re-shape the exchange out from under the _pid labels:
-    # an explicit numPartitions makes it REPARTITION_BY_NUM, which
-    # AQE neither coalesces nor skew-splits.
-    d = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    seg_cols = list(segment_cols or [])
+    # ONE plan, ONE action (r14 — guide §1.2/§2.4), ONE physical range
+    # exchange shared by BOTH consumers (the totals aggregate and the
+    # final window). The sharing must be structural, not left to
+    # exchange reuse: repartitionByRange samples its boundaries with an
+    # RDD-id-derived seed, so two canonically-DIFFERENT copies of the
+    # exchange sample independently and the _pid labels silently
+    # mismatch the offsets. r14 relied on ReuseExchange over two
+    # identical subtrees, which holds ONLY when the input's columns are
+    # exactly order_cols ∪ value_col — column pruning inserts
+    # per-consumer Projects below the exchange for any caller carrying
+    # a passthrough column, forks the subtrees, and corrupts the
+    # offsets (ADVICE r14, reproduced: 84% wrong rows on a 3-column
+    # frame). The lazy localCheckpoint pins ONE RDD below both
+    # consumers — pruning cannot descend into it, the boundaries are
+    # sampled once by construction, and being lazy it adds no extra
+    # job: the caller's first action materializes it (executor-local
+    # MEMORY_AND_DISK, the same storage localCheckpoint always used
+    # here pre-r14 — minus its extra eager job and driver collect).
+    # AQE cannot re-shape the exchange out from under the _pid labels:
+    # an explicit numPartitions makes it REPARTITION_BY_NUM, which AQE
+    # neither coalesces nor skew-splits.
+    d = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     # Integral value columns keep bigint offsets end-to-end: shipping
     # them as double would silently lose exactness past 2^53, where the
@@ -303,32 +322,34 @@ def distributed_prefix_sum(
     # no-single-partition-window rule. Sequential left-to-right
     # accumulation in _pid order matches the old driver-side loop
     # bit-for-bit (same association order for the double path).
-    w_off = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w_off = (
+        Window.partitionBy(*seg_cols) if seg_cols else Window
+    ).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        d.groupBy("_pid")
+        d.groupBy("_pid", *seg_cols)
         .agg(F.sum(value_col).cast(off_type).alias("_t"))
         # coalesce(1), placed AFTER the agg so it cannot propagate up
         # into the range exchange's parallelism: the ≤num_partitions-row
-        # totals frame already satisfies the unpartitioned window's
-        # all-tuples requirement at one partition, so the planner skips
-        # the Exchange SinglePartition stage it would otherwise insert
+        # (× |segments|) totals frame already satisfies the offsets
+        # window's all-tuples requirement at one partition, so the
+        # planner skips the Exchange SinglePartition stage it would
+        # otherwise insert
         .coalesce(1)
         .select(
             "_pid",
+            *seg_cols,
             F.coalesce(
                 F.sum("_t").over(w_off), F.lit(0).cast(off_type)
             ).alias("_off"),
         )
     )
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *seg_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.join(F.broadcast(offsets), "_pid")
+        d.join(F.broadcast(offsets), ["_pid", *seg_cols])
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )

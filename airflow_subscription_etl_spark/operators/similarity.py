@@ -1104,19 +1104,44 @@ def quantize_int8(
         / F.lit(127.0),
         F.lit(1e-30),  # all-zero vectors: keep s > 0 so q is well-defined
     )
+    # The scale must NOT be read via F.col(scale_col) inside the
+    # transform lambda: when a caller never references scale_col again
+    # (quantized_topk — the scales cancel in the cosine), CollapseProject
+    # re-inlines the once-referenced alias INTO the lambda, and captured
+    # expression trees re-evaluate per ELEMENT (the r14 HOF lesson) —
+    # the max-abs aggregate then runs dims× per row (64× the work,
+    # verified in plans/r14/emb_quantized_topk_before.txt). zip_with
+    # against array_repeat(s, size) is structurally once-per-row: the
+    # aggregate lands inside ArrayRepeat's left child (evaluated once),
+    # and the lambda reads only its bound element variables. Arithmetic
+    # per element is unchanged (same round(v/s) on the same operands).
     return df.withColumn(scale_col, s).withColumn(
         out_col,
-        F.transform(
+        F.zip_with(
             F.col(vec_col),
-            lambda v: F.round(v.cast("double") / F.col(scale_col)).cast("tinyint"),
+            F.array_repeat(F.col(scale_col), F.size(F.col(vec_col))),
+            lambda v, sc: F.round(v.cast("double") / sc).cast("tinyint"),
         ),
     )
 
 
-def dequant_cosine(q_a: Column, s_a: Column, q_b: Column, s_b: Column) -> Column:
+def dequant_cosine(
+    q_a: Column,
+    s_a: Column,
+    q_b: Column,
+    s_b: Column,
+    b_norm: float | None = None,
+) -> Column:
     """Cosine of two int8-quantized vectors. The integer dot product is
     exact (|Σ qᵢ·qᵢ| ≤ d·127² ≪ 2⁵³); scales factor out of the
-    numerator and cancel in the norms, so only three aggregates run."""
+    numerator and cancel in the norms, so only three aggregates run.
+
+    ``b_norm``: when ``q_b`` is a LITERAL int8 vector the caller can
+    precompute ``sqrt(Σ qᵢ²)`` driver-side and skip the per-row fold
+    over the constant (Catalyst does not constant-fold HOF lambdas).
+    Bit-identical: the integer square sum is exact in Python and in the
+    fold (≪ 2⁵³), its double cast is exact, and IEEE sqrt is correctly
+    rounded in both runtimes."""
     num = F.aggregate(
         F.zip_with(q_a, q_b, lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"),
@@ -1127,10 +1152,14 @@ def dequant_cosine(q_a: Column, s_a: Column, q_b: Column, s_b: Column) -> Column
             q_a, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
         ).cast("double")
     )
-    nb = F.sqrt(
-        F.aggregate(
-            q_b, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
-        ).cast("double")
+    nb = (
+        F.lit(float(b_norm))
+        if b_norm is not None
+        else F.sqrt(
+            F.aggregate(
+                q_b, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
+            ).cast("double")
+        )
     )
     return num / (na * nb)
 
@@ -1154,18 +1183,21 @@ def quantized_topk(
     # mirror the corpus side's F.round (HALF_UP = ties away from zero) —
     # Python's built-in round() is banker's rounding and would disagree
     # on exact .5 boundaries
-    q = F.array(
-        *[
-            F.lit(int(math.copysign(math.floor(abs(float(x) / m) + 0.5), float(x) / m))).cast(
-                "tinyint"
-            )
-            for x in query_vec
-        ]
-    )
+    qints = [
+        int(math.copysign(math.floor(abs(float(x) / m) + 0.5), float(x) / m))
+        for x in query_vec
+    ]
+    q = F.array(*[F.lit(v).cast("tinyint") for v in qints])
+    # the query side is a plan constant — precompute its norm driver-side
+    # (bit-identical, see dequant_cosine) instead of folding the literal
+    # array once per corpus row
+    q_norm = math.sqrt(float(sum(v * v for v in qints)))
     qdf = quantize_int8(df, vec_col=vec_col)
     scored = qdf.select(
         F.col(id_col),
-        dequant_cosine(F.col("q"), F.col("q_scale"), q, F.lit(m)).alias("cosine_sim"),
+        dequant_cosine(
+            F.col("q"), F.col("q_scale"), q, F.lit(m), b_norm=q_norm
+        ).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 

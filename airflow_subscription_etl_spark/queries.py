@@ -8607,29 +8607,45 @@ def q_doc_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    lex = bm25_scores(docs, ["spark", "window", "customer"]).withColumn(
-        "_one", F.lit(1).cast("bigint")
+    # ONE segmented prefix-sum chain instead of two (r15, guide §2.4):
+    # the two scored lists union under a ranker tag and rank through a
+    # single range exchange + offsets window + broadcast join; within a
+    # tag the order columns of the other tag are constant-NULL, so each
+    # ranking's (score desc, doc_id asc) order — and therefore every
+    # rank — is unchanged. Halves the chain's stages (1 range exchange,
+    # 1 totals agg, 1 offsets window, 1 broadcast join instead of 2 of
+    # each); same bytes through the exchange.
+    lex = bm25_scores(docs, ["spark", "window", "customer"]).select(
+        "doc_id",
+        F.lit(0).alias("_rk"),
+        "score_micro",
+        F.lit(None).cast("double").alias("cs"),
+        F.lit(1).cast("bigint").alias("_one"),
     )
-    lex_rank = distributed_prefix_sum(
-        lex,
-        [F.col("score_micro").desc(), F.col("doc_id").asc()],
-        "_one",
-        out_col="rank",
-    ).select("doc_id", "rank")
     qv = _query_vector(spark, sf_dir)
     q = F.array(*[F.lit(float(x)) for x in qv])
     sem = emb.select(
         F.col("vec_id").alias("doc_id"),
+        F.lit(1).alias("_rk"),
+        F.lit(None).cast("bigint").alias("score_micro"),
         similarity.cosine(F.col("embedding"), q).alias("cs"),
         F.lit(1).cast("bigint").alias("_one"),
     )
-    sem_rank = distributed_prefix_sum(
-        sem,
-        [F.col("cs").desc(), F.col("doc_id").asc()],
+    ranked = distributed_prefix_sum(
+        lex.unionByName(sem),
+        [
+            F.col("_rk").asc(),
+            F.col("score_micro").desc(),
+            F.col("cs").desc(),
+            F.col("doc_id").asc(),
+        ],
         "_one",
         out_col="rank",
+        segment_cols=["_rk"],
     ).select("doc_id", "rank")
-    return rrf_fuse([lex_rank, sem_rank]).limit(20)
+    # one frame holding both rankings' rows fuses identically to the
+    # two-frame union rrf_fuse would build itself
+    return rrf_fuse([ranked]).limit(20)
 
 
 SQL_DOC_RRF = _BM25_CTES + r""",  lexagg AS (

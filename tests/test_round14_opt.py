@@ -28,16 +28,18 @@ def _executed_plan(df) -> str:
     return plan
 
 
-def test_prefix_sum_is_single_plan_with_reused_range_exchange(spark):
-    """The r14 rewrite folds the offsets computation into the one plan;
-    its correctness hinges on BOTH consumers (the per-partition totals
+def test_prefix_sum_shares_one_ranged_rdd_between_consumers(spark):
+    """Correctness hinges on BOTH consumers (the per-partition totals
     aggregate and the final window) reading the SAME materialized range
-    shuffle — otherwise repartitionByRange's per-materialization
-    boundary sampling could hand them different partitionings and
-    silently corrupt the offsets (the hazard the pre-r14 eager
-    localCheckpoint existed to prevent). Executed-plan invariant: the
-    range exchange appears ONCE; the second consumer reads it through
-    exchange/stage reuse."""
+    shuffle — repartitionByRange's boundary sampling is seeded per RDD,
+    so two independent copies of the exchange silently hand the
+    consumers different partitionings and corrupt the offsets. The r14
+    form relied on ReuseExchange over canonically-identical subtrees,
+    which column pruning breaks for any caller with a passthrough
+    column (ADVICE r14 — reproduced as 84% wrong rows); r15 pins ONE
+    lazy-checkpointed RDD below both consumers instead. Executed-plan
+    invariant: both consumers scan the same checkpointed RDD and
+    there is no second rangepartitioning exchange anywhere."""
     df = spark.range(2000).select(
         F.col("id"), (F.col("id") % 97).alias("k"),
         F.lit(1).cast("bigint").alias("v"),
@@ -46,12 +48,61 @@ def test_prefix_sum_is_single_plan_with_reused_range_exchange(spark):
         df, [F.col("k").asc(), F.col("id").asc()], "v", num_partitions=8
     )
     plan = _executed_plan(out)
-    n_range_exchanges = plan.count("rangepartitioning")
-    # one Exchange node plans the range shuffle; any second textual
-    # occurrence must be a reuse node, not an independent exchange
-    assert "ReusedExchange" in plan or n_range_exchanges == 1, plan
-    # and there is no eager-checkpoint RDD scan anymore (single plan)
-    assert "ExistingRDD" not in plan, plan
+    # the ranged frame is a shared RDD scan; the range exchange lives
+    # inside that RDD's own (already-run) plan, not in this one
+    assert "ExistingRDD" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_prefix_sum_correct_with_passthrough_columns(spark):
+    """The r14 fork hazard, pinned end-to-end: a caller whose frame
+    carries columns beyond order_cols ∪ value_col (the
+    sampling.stride_schedule shape) must still get exact cums — under
+    the r14 exchange-reuse design, column pruning forked the two range
+    exchanges for exactly this shape and corrupted most rows."""
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.md5(F.col("id").cast("string")).alias("extra"),
+    )
+    out = distributed_prefix_sum(
+        df, [F.col("k").asc()], "v", num_partitions=8
+    ).select("k", "v", "extra", "cum")
+    rows = sorted((r["k"], r["cum"]) for r in out.collect())
+    acc = 0
+    for k, c in rows:
+        acc += k % 97
+        assert c == acc, (k, c, acc)
+
+
+def test_prefix_sum_segmented_matches_per_segment_calls(spark):
+    """segment_cols (r15): one range exchange serving n independent
+    prefix sums must produce exactly the ranks/cums of n separate
+    distributed_prefix_sum calls — the doc_rrf_retrieval fusion
+    contract."""
+    df = spark.createDataFrame(
+        [(i % 4, i, (i * 13) % 50, 1) for i in range(800)],
+        "seg int, k int, score int, one int",
+    ).select("seg", "k", "score", F.col("one").cast("bigint").alias("one"))
+    fused = distributed_prefix_sum(
+        df,
+        [F.col("seg").asc(), F.col("score").desc(), F.col("k").asc()],
+        "one",
+        out_col="rank",
+        segment_cols=["seg"],
+        num_partitions=8,
+    )
+    got = {(r["seg"], r["k"]): r["rank"] for r in fused.collect()}
+    for s in range(4):
+        part = distributed_prefix_sum(
+            df.filter(F.col("seg") == s),
+            [F.col("score").desc(), F.col("k").asc()],
+            "one",
+            out_col="rank",
+            num_partitions=8,
+        )
+        for r in part.collect():
+            assert got[(s, r["k"])] == r["rank"], (s, r["k"])
 
 
 def test_prefix_sum_exact_across_partition_counts(spark):
