@@ -329,21 +329,40 @@ def bigram_lm_scores(
     model, one doc-keyed re-agg. Counts tables at 100 TB are
     vocab-sized, not corpus-sized.
     """
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w1")
-    )
-    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    # Bigrams are generated MAP-SIDE from the staged token array
+    # (zip_with of the array against its own 1-shifted slice) instead
+    # of posexplode + a lead() window (r15, guide §2.4): the window
+    # form paid a corpus-scale doc-keyed Exchange + (doc, pos) sort
+    # whose only purpose was to look one token ahead — information the
+    # token array already holds in-row. zip_with pads the shorter
+    # slice with NULL, so the final token's pair drops on the same
+    # w2-IS-NULL filter the lead() form used; the emitted (doc, w1,
+    # w2) multiset is identical. The array is staged as a projection
+    # column (referenced three times — CollapseProject keeps
+    # non-cheap multi-referenced aliases staged, the r14 HOF lesson).
+    arr = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
     bigrams = (
-        toks.withColumn("w2", F.lead("w1").over(w_doc))
-        .filter(F.col("w2").isNotNull())
-        .select(id_col, "w1", "w2")
+        arr.select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.col("_t"),
+                    F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("_bg"),
+        )
+        .filter(F.col("_bg.w2").isNotNull())
+        .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
     )
     # c(w1 w2) as a WINDOW over the bigram stream instead of a count-agg
     # joined back — the join formulation re-scans the corpus for the
     # model side; the window shares one shuffle with the scoring rows.
     # c(w1) is a vocab-sized aggregate (one extra scan of the token
     # stream, output ~|vocab| rows) and joins back via broadcast.
-    c1 = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = arr.select(F.explode("_t").alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
     scored = (
         bigrams.withColumn(
             "c12", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
@@ -924,7 +943,14 @@ def keyness_topk(
     gt = toks.groupBy(group_col, "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("a")
     )
-    term_tot = gt.groupBy("w").agg(F.sum("a").cast("bigint").alias("ct"))
+    # term totals as a WINDOW over the term-keyed exchange instead of a
+    # separate agg + self-join (r15, guide §2.4): the join needed the
+    # same hash(w) exchange anyway, plus a second read of it and an
+    # SMJ's two sorts; the full-partition window attaches ct in one
+    # pass. A term's window partition is ≤ |groups| rows — catalog-
+    # bounded, never a data-sized funnel.
+    w_term = Window.partitionBy("w")
+    gt_ct = gt.withColumn("ct", F.sum("a").over(w_term).cast("bigint"))
     grp_tot = gt.groupBy(group_col).agg(F.sum("a").cast("bigint").alias("rt"))
     n_tot = gt.agg(F.sum("a").cast("bigint").alias("n"))
 
@@ -947,7 +973,7 @@ def keyness_topk(
         )
 
     scored = (
-        gt.join(term_tot, "w")
+        gt_ct
         .join(F.broadcast(grp_tot), group_col)
         .crossJoin(F.broadcast(n_tot))
         .select(
