@@ -119,38 +119,19 @@ def connected_components(
     node id. Returns ``(node, component)``; isolated nodes (present in
     no pair) are the caller's to union in if needed.
 
-    Convergence is detected on the DEDUPED edge set via a row count
-    plus an order-independent xxhash64 XOR: equal (count, hash) across
-    rounds means the edge fixpoint is reached (hash collision is ~2⁻⁶⁴
-    and ``max_rounds`` backstops it), and labels are derived once after
-    the loop.
-
-    Round plumbing (r15, guide §2.4 — two exchanges per round, one
-    action): the round-start ``repartition(parts, "src")`` serves THREE
-    consumers at once — the (src, dst) dedup (hash(src) satisfies its
-    clustered distribution by the subset rule), the convergence
-    signature (an ``observe`` on the deduped frame, so it rides the
-    round's own job instead of costing a separate per-round action+agg
-    chain), and the large-star window (same partition key). Only the
-    small-star window adds a second exchange. The pre-r15 form paid
-    three exchanges per round (two windows + a (src,dst) distinct) and
-    detected convergence on the round OUTPUT, which is why the dedup
-    now leads the round: dedup(out_{r-1}) is observed at round r, so
-    detection lags one round — one extra star pass over the CONVERGED
-    (fully contracted, star-shaped) edge set, bought back by a whole
-    exchange stage on every round before it. Duplicate emissions flow
-    into the stars undeduped, which is harmless: every per-node
-    decision is a window min / row_number over values duplicates cannot
-    change. No new skew: hash(src) placement is the per-node window
-    funnel the algorithm always had. The per-round ``localCheckpoint``
-    is LAZY — the round's single materializing action both truncates
-    lineage and publishes the observed signature. ``localCheckpoint``
-    keeps lineage truncation executor-local (no checkpoint dir needed;
-    at production scale with lossy executors, swap for reliable
-    ``checkpoint()`` on durable storage).
+    Convergence is detected on the (deduped, checkpointed) edge set via
+    a single scalar action per round — row count plus an
+    order-independent xxhash64 XOR — instead of a shuffle-heavy
+    ``exceptAll``: equal (count, hash) across rounds means the edge
+    fixpoint is reached (hash collision is ~2⁻⁶⁴ and ``max_rounds``
+    backstops it), and labels are derived once after the loop. The
+    per-round ``localCheckpoint`` is LAZY, so the signature agg is the
+    action that materializes it — one job per round, not two (halves
+    the fixed per-round overhead that dominated the r1 bench).
+    ``localCheckpoint`` keeps lineage truncation executor-local (no
+    checkpoint dir needed; at production scale with lossy executors,
+    swap for reliable ``checkpoint()`` on durable storage).
     """
-    from pyspark.sql import Observation  # noqa: PLC0415
-
     spark = pairs.sparkSession
     e = pairs.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -166,61 +147,40 @@ def connected_components(
     def _parts(n_edges: int) -> int:
         return max(1, min(default_parts, -(-n_edges // 200_000)))
 
-    raw = (
+    def _signature(edge_df: DataFrame) -> tuple[int, int]:
+        row = edge_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent, overflow-free (ANSI-safe); the
+            # edge set is distinct so even-count cancellation can't occur
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        return (row["n"], row["h"] or 0)
+
+    edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
+        .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = raw.select(F.col("src").alias("node")).distinct()
+    # baseline signature doubles as the initial live-edge count (one
+    # action materializes the checkpoint AND measures it)
+    prev_sig = _signature(edges)
+    n_live = prev_sig[0]
+    nodes = edges.select(F.col("src").alias("node")).distinct()
 
-    edges = raw  # round input: symmetric, possibly duplicated
-    prev_persisted = None
-    prev_sig = None
-    n_live = None
-    # max_rounds + 1: the detection lag means the no-op confirmation
-    # round runs one iteration after the fixpoint round
-    for _ in range(max_rounds + 1):
-        obs = Observation()
-        dd = (
-            edges.repartition(
-                default_parts if n_live is None else _parts(n_live), "src"
-            )
-            .dropDuplicates(["src", "dst"])
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                # bit_xor: order-independent, overflow-free (ANSI-safe);
-                # observed ABOVE the dedup so even-count cancellation
-                # can't occur
-                F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
-            )
+    for _ in range(max_rounds):
+        edges = _star_round(edges, large=True)
+        edges = (
+            _star_round(edges, large=False)
+            .distinct()
+            .coalesce(_parts(n_live))
+            .localCheckpoint(eager=False)
         )
-        # persist, NOT localCheckpoint: an Observation's metrics only
-        # publish when the materializing action's query CONTAINS the
-        # CollectMetrics node — a checkpoint between them swallows the
-        # metrics silently (verified: obs.get reads 0). persist keeps
-        # the plan intact (metrics flow) while the next round still
-        # reads the cached rows instead of recomputing. Logical plans
-        # now nest across rounds; bounded by max_rounds ≤ ~21 — the
-        # analysis cost is trivial next to a round's stages.
-        out = _star_round(_star_round(dd, large=True), large=False).persist()
-        out.count()  # ONE action: materializes the round + publishes sig
-        got = obs.get
-        sig = (got["n"], got["h"] or 0)
-        if prev_persisted is not None:
-            # previous round's cache is dead once this round materialized
-            prev_persisted.unpersist(blocking=False)
+        sig = _signature(edges)
         if sig == prev_sig:
-            # dedup(edges) is the fixpoint; `edges` (materialized last
-            # round) equals it as a set — labels below are
-            # duplicate-insensitive window-free aggregates. This
-            # confirmation round's own output is unused.
-            out.unpersist(blocking=False)
             break
         prev_sig = sig
         n_live = sig[0]
-        prev_persisted = edges if edges is not raw else None
-        edges = out
     labels = edges.groupBy(F.col("src").alias("node")).agg(
         F.least(F.min("dst"), F.col("src").cast("long")).alias("component")
     )

@@ -241,6 +241,59 @@ def bloom_semi_prune(
     return probe.drop("_bloom", *pcols)
 
 
+import re as _re
+
+#: a bare column reference, optionally sort-decorated — the only Column
+#: shapes the cheap coincidence check recognizes (anything fancier falls
+#: back to resolved-plan introspection, then to the safe checkpoint path)
+_SIMPLE_ORDER_RE = _re.compile(
+    r"Column<'([A-Za-z_][A-Za-z0-9_]*)"
+    r"(?: (?:ASC|DESC) NULLS (?:FIRST|LAST))?'>"
+)
+
+
+def _coincident_consumers(
+    ranged: DataFrame,
+    df: DataFrame,
+    order_cols: list,
+    seg_cols: list[str],
+    value_col: str,
+) -> bool:
+    """True iff ``df`` carries NO column beyond the range keys, the
+    segments and the value — the shape where nothing is prunable below
+    the range exchange, so the totals and window consumers' subtrees
+    are canonically identical and ReuseExchange provably computes the
+    boundary sampling once (the r14 invariant, pinned in tests). Any
+    doubt returns False, routing to the checkpointed-RDD path that is
+    safe for every shape. Tries a ~1 ms repr parse of simple
+    (optionally sort-decorated) column references first; falls back to
+    resolving the repartition node and reading its references
+    (~10–50 ms) for expression order keys."""
+    extra = set(df.columns) - set(seg_cols) - {value_col}
+    try:
+        names = set()
+        simple = True
+        for c in order_cols:
+            if isinstance(c, str):
+                names.add(c)
+                continue
+            m = _SIMPLE_ORDER_RE.fullmatch(str(c))
+            if m:
+                names.add(m.group(1))
+            else:
+                simple = False
+                break
+        if simple:
+            return extra <= names
+        jrefs = ranged._jdf.queryExecution().analyzed().references().iterator()
+        refs = set()
+        while jrefs.hasNext():
+            refs.add(jrefs.next().name())
+        return extra <= refs
+    except Exception:  # noqa: BLE001 — introspection must never be load-bearing
+        return False
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     order_cols: list,
@@ -280,30 +333,42 @@ def distributed_prefix_sum(
     seg_cols = list(segment_cols or [])
     # ONE plan, ONE action (r14 — guide §1.2/§2.4), ONE physical range
     # exchange shared by BOTH consumers (the totals aggregate and the
-    # final window). The sharing must be structural, not left to
-    # exchange reuse: repartitionByRange samples its boundaries with an
-    # RDD-id-derived seed, so two canonically-DIFFERENT copies of the
-    # exchange sample independently and the _pid labels silently
-    # mismatch the offsets. r14 relied on ReuseExchange over two
-    # identical subtrees, which holds ONLY when the input's columns are
-    # exactly order_cols ∪ value_col — column pruning inserts
-    # per-consumer Projects below the exchange for any caller carrying
-    # a passthrough column, forks the subtrees, and corrupts the
-    # offsets (ADVICE r14, reproduced: 84% wrong rows on a 3-column
-    # frame). The lazy localCheckpoint pins ONE RDD below both
-    # consumers — pruning cannot descend into it, the boundaries are
-    # sampled once by construction, and being lazy it adds no extra
-    # job: the caller's first action materializes it (executor-local
-    # MEMORY_AND_DISK, the same storage localCheckpoint always used
-    # here pre-r14 — minus its extra eager job and driver collect).
-    # AQE cannot re-shape the exchange out from under the _pid labels:
-    # an explicit numPartitions makes it REPARTITION_BY_NUM, which AQE
-    # neither coalesces nor skew-splits.
-    d = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    # final window). The sharing must hold structurally:
+    # repartitionByRange samples its boundaries with an RDD-id-derived
+    # seed, so two independent materializations of the exchange sample
+    # independently and the _pid labels silently mismatch the offsets.
+    # r14 relied on ReuseExchange over two canonically-identical
+    # subtrees, which holds ONLY while the two consumers' column-pruned
+    # copies of the exchange coincide — true exactly when the input
+    # carries NO column beyond the range keys, the segments and the
+    # value (then nothing is prunable below the exchange and both
+    # subtrees are the full width). For any caller with a passthrough
+    # column, pruning inserts per-consumer Projects below the exchange,
+    # forks the subtrees, and corrupts the offsets (ADVICE r14 —
+    # reproduced as 84% wrong rows on a 3-column frame; the r14
+    # registered callers only survived because their final projections
+    # happened to coincide). r15 therefore splits by a STATIC column
+    # check:
+    #   - coincident shape → the r14 single-plan form (no
+    #     materialization cost; the executed-plan reuse invariant is
+    #     pinned in tests/test_round14_opt.py);
+    #   - anything else → pin ONE lazy-checkpointed RDD below both
+    #     consumers: pruning cannot descend into an RDD scan, so the
+    #     boundaries are sampled once by construction, at the cost of
+    #     one executor-local MEMORY_AND_DISK materialization (measured
+    #     +10–20% on the toy bench — correctness, not a knob).
+    # The check is resolution-based, not string parsing: the analyzed
+    # RepartitionByExpression node's references are exactly the order
+    # expressions' input columns. On any introspection failure the
+    # SAFE checkpoint path runs. AQE cannot re-shape the exchange out
+    # from under the _pid labels either way: an explicit numPartitions
+    # makes it REPARTITION_BY_NUM, which AQE neither coalesces nor
+    # skew-splits.
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    coincident = _coincident_consumers(ranged, df, order_cols, seg_cols, value_col)
+    d = ranged.withColumn("_pid", F.spark_partition_id())
+    if not coincident:
+        d = d.localCheckpoint(eager=False)
     # Integral value columns keep bigint offsets end-to-end: shipping
     # them as double would silently lose exactness past 2^53, where the
     # windowed sum below stays exact. Fractional inputs widen to double.

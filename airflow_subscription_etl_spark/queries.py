@@ -5631,7 +5631,9 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grand total as a broadcast scalar INSIDE the one plan (r14: the
     # old separate .collect() re-ran the orders scan + agg as its own
     # job just to inline a literal; the rev aggregate subtree is now
-    # shared via exchange reuse). cast("double") = the old
+    # shared via exchange reuse — rev's columns are exactly the prefix
+    # sum's order ∪ value, so the r15 hybrid keeps the reuse-based
+    # single-plan form for this query). cast("double") = the old
     # float(total) conversion of the exact bigint sum.
     total_df = rev.agg(F.sum("revenue_cents").cast("double").alias("_total"))
     cum = distributed_prefix_sum(

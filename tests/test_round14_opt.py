@@ -28,18 +28,17 @@ def _executed_plan(df) -> str:
     return plan
 
 
-def test_prefix_sum_shares_one_ranged_rdd_between_consumers(spark):
+def test_prefix_sum_coincident_shape_reuses_one_range_exchange(spark):
     """Correctness hinges on BOTH consumers (the per-partition totals
     aggregate and the final window) reading the SAME materialized range
     shuffle — repartitionByRange's boundary sampling is seeded per RDD,
-    so two independent copies of the exchange silently hand the
-    consumers different partitionings and corrupt the offsets. The r14
-    form relied on ReuseExchange over canonically-identical subtrees,
-    which column pruning breaks for any caller with a passthrough
-    column (ADVICE r14 — reproduced as 84% wrong rows); r15 pins ONE
-    lazy-checkpointed RDD below both consumers instead. Executed-plan
-    invariant: both consumers scan the same checkpointed RDD and
-    there is no second rangepartitioning exchange anywhere."""
+    so two independent materializations of the exchange hand the
+    consumers different partitionings and corrupt the offsets. For an
+    input whose columns are exactly order ∪ value (nothing prunable
+    below the exchange, so the two subtrees are canonically identical)
+    the r15 hybrid keeps the r14 single-plan form; executed-plan
+    invariant: ONE range exchange, second consumer through reuse, no
+    checkpoint RDD scan."""
     df = spark.range(2000).select(
         F.col("id"), (F.col("id") % 97).alias("k"),
         F.lit(1).cast("bigint").alias("v"),
@@ -48,8 +47,28 @@ def test_prefix_sum_shares_one_ranged_rdd_between_consumers(spark):
         df, [F.col("k").asc(), F.col("id").asc()], "v", num_partitions=8
     )
     plan = _executed_plan(out)
-    # the ranged frame is a shared RDD scan; the range exchange lives
-    # inside that RDD's own (already-run) plan, not in this one
+    n_range_exchanges = plan.count("rangepartitioning")
+    assert "ReusedExchange" in plan or n_range_exchanges == 1, plan
+    assert "ExistingRDD" not in plan, plan
+
+
+def test_prefix_sum_passthrough_shape_pins_one_checkpointed_rdd(spark):
+    """An input carrying a column beyond order ∪ value is the fork
+    shape: column pruning would insert per-consumer Projects below the
+    range exchange, defeat reuse, and corrupt the offsets (ADVICE r14 —
+    reproduced as 84% wrong rows under the r14 form). The r15 hybrid
+    must route this shape through the lazy-checkpointed shared RDD:
+    both consumers scan the same RDD and no rangepartitioning exchange
+    appears in the outer plan at all."""
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"),
+        F.lit(1).cast("bigint").alias("v"),
+        F.md5(F.col("id").cast("string")).alias("extra"),
+    )
+    out = distributed_prefix_sum(
+        df, [F.col("k").asc(), F.col("id").asc()], "v", num_partitions=8
+    ).select("k", "id", "extra", "cum")
+    plan = _executed_plan(out)
     assert "ExistingRDD" in plan, plan
     assert "rangepartitioning" not in plan, plan
 
