@@ -109,11 +109,74 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     )
 
 
+def simulate_star_rounds(
+    edges: list[tuple[int, int]], max_rounds: int = 20
+) -> list[int]:
+    """Driver-side replica of the large/small-star loop on a BOUNDED
+    edge list: returns one entry per useful round (up to and excluding
+    the first no-op round) holding that round's ENTERING deduped edge
+    count — i.e. the exact round schedule, with per-round repartition
+    sizes, that the distributed loop needs to reach the fixpoint with
+    no per-round convergence actions.
+
+    For callers whose edge set is bounded by the CATALOG rather than
+    the data (doc_cc_islands' leader graph is cells-sized — the same
+    frame the query already broadcasts), this is the k-means-centroid
+    contract: O(cells) driver work sizes the distributed computation,
+    which still does all the transitive-closure work itself. The
+    semantics mirror :func:`_star_round` + the per-round dedup
+    set-for-set (pure min arithmetic — no floats, no ordering
+    sensitivity), so ``len(result)`` distributed rounds land exactly on
+    the fixpoint the signature loop would detect, minus its one
+    confirming no-op round.
+    """
+    cur = {(a, b) for a, b in edges if a != b}
+    cur |= {(b, a) for a, b in cur}
+    counts: list[int] = []
+    for _ in range(max_rounds):
+        n_in = len(cur)
+        nbrs: dict[int, list[int]] = {}
+        for u, v in cur:
+            nbrs.setdefault(u, []).append(v)
+        # large star
+        out = set()
+        for u, vs in nbrs.items():
+            m = min(min(vs), u)
+            for v in vs:
+                if v > u and v != m:
+                    out.add((v, m))
+                    out.add((m, v))
+        # small star
+        nbrs = {}
+        for u, v in out:
+            nbrs.setdefault(u, []).append(v)
+        nxt = set()
+        for u, vs in nbrs.items():
+            small = [v for v in vs if v <= u]
+            m = min(min(small), u) if small else u
+            for v in small:
+                if v != m:
+                    nxt.add((v, m))
+                    nxt.add((m, v))
+            if u != m:
+                nxt.add((u, m))
+                nxt.add((m, u))
+        if nxt == cur:
+            break
+        cur = nxt
+        # entering-edge count of the round that was just proven useful:
+        # the distributed loop sizes round i's src-keyed repartition by
+        # counts[i] (its input), so record n_in, not len(nxt)
+        counts.append(n_in)
+    return counts
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 20,
+    schedule: list[int] | None = None,
 ) -> DataFrame:
     """Label every node of the pair graph with its component's MINIMUM
     node id. Returns ``(node, component)``; isolated nodes (present in
@@ -131,6 +194,18 @@ def connected_components(
     ``localCheckpoint`` keeps lineage truncation executor-local (no
     checkpoint dir needed; at production scale with lossy executors,
     swap for reliable ``checkpoint()`` on durable storage).
+
+    ``schedule`` (r15 — for CATALOG-BOUNDED graphs only): the per-round
+    live-edge counts from :func:`simulate_star_rounds` on the collected
+    edge list. With a schedule the loop runs exactly ``len(schedule)``
+    rounds with NO per-round signature action — every round chains
+    lazily and the caller's own action executes the whole loop as one
+    job (lazy localCheckpoints every other round keep the retry lineage
+    bounded without costing extra jobs). The distributed rounds — the
+    transitive-closure work itself — are unchanged; only the
+    convergence DETECTION moves to the driver, which is the right trade
+    exactly when the edge set is bounded by the catalog (cells,
+    sources), never for data-sized graphs.
     """
     spark = pairs.sparkSession
     e = pairs.select(
@@ -155,6 +230,38 @@ def connected_components(
             F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
         ).first()
         return (row["n"], row["h"] or 0)
+
+    if schedule is not None:
+        raw = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).filter(F.col("src") != F.col("dst"))
+        nodes = raw.select(F.col("src").alias("node")).distinct()
+        edges = raw
+        # two exchanges per round: the round-START repartition serves
+        # both the (src, dst) dedup (subset rule) and the large-star
+        # window; only the small-star window re-keys. Duplicate
+        # emissions flow into the next round's dedup — harmless
+        # mid-round, since every star decision is a window min /
+        # row_number duplicates cannot change. No signature, so no
+        # persist/observe machinery: the rounds chain lazily and the
+        # caller's one action runs the whole loop (lazy checkpoints
+        # every other round bound the retry lineage for free).
+        for i, n_in in enumerate(schedule):
+            dd = edges.repartition(_parts(n_in), "src").dropDuplicates(
+                ["src", "dst"]
+            )
+            edges = _star_round(_star_round(dd, large=True), large=False)
+            if i % 2 == 1:
+                edges = edges.localCheckpoint(eager=False)
+        # labels tolerate the final round's duplicate emissions (min
+        # aggregates), so no trailing dedup pass is needed
+        labels = edges.groupBy(F.col("src").alias("node")).agg(
+            F.least(F.min("dst"), F.col("src").cast("long")).alias("component")
+        )
+        return nodes.join(labels, "node", "left").select(
+            "node",
+            F.coalesce("component", F.col("node").cast("long")).alias("component"),
+        )
 
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

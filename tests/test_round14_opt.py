@@ -165,6 +165,43 @@ def test_prefix_sum_double_matches_sequential_accumulation(spark):
         assert math.isclose(r["cum"], acc, rel_tol=1e-12), (r, acc)
 
 
+def test_cc_schedule_path_matches_signature_loop(spark):
+    """r15: for catalog-bounded graphs, doc_cc_islands collects the
+    cells-sized edge list, simulates the star rounds driver-side
+    (simulate_star_rounds) and runs the distributed loop on that exact
+    schedule with no per-round signature actions. The schedule path
+    must label every graph identically to the signature loop —
+    including chain graphs (many rounds), random graphs, an
+    already-converged star (empty schedule) and duplicate edge input."""
+    import random
+
+    from airflow_subscription_etl_spark.operators.graph import (
+        connected_components,
+        simulate_star_rounds,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(60)],                      # chain
+        [(0, i) for i in range(1, 9)],                        # star: fixpoint
+        [(1, 2), (2, 1), (1, 2), (5, 6)],                     # dup edges
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(30)],
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        sched = simulate_star_rounds(edges)
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(df, schedule=sched).collect()
+        }
+        assert got == want, (edges[:5], sched)
+
+
 def test_cms_sketch_weighted_equals_raw(spark):
     """cms_sketch(count_col=...) over a value histogram must produce
     counter-for-counter the SAME sketch as cms_sketch over the raw
